@@ -1,0 +1,571 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{t => tbl}
+
+/** Relational operator battery — one query per SURVEY.md §2 operator, each
+  * expressed over the driver's generic tables with a DuckDB-equivalent oracle.
+  *
+  * Conventions that make the hash-compare deterministic:
+  *   - every query ends in a total ORDER BY over non-null keys (same in SQL);
+  *   - money/quantity aggregates are computed in DECIMAL (exact, order-
+  *     independent) and the final value is CAST to DOUBLE on both sides —
+  *     the decimal→double conversion is deterministic, so values are
+  *     bit-identical regardless of summation order;
+  *   - `events.ts` is nanosecond-precision parquet; Spark truncates to
+  *     microseconds on read while DuckDB keeps ns, so oracles never emit or
+  *     order by raw `ts` — `event_id` is the monotone stand-in.
+  *
+  * Citations are to the reference behavior each query re-expresses
+  * (SURVEY.md §2 row ids, file:line into /root/reference).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- sources
+
+  /** S1 — chunked filtered scan (scripts/index-events.ts:162-198): the only
+    * pushed predicates are an equality filter and a range. `.explain` must
+    * show PushedFilters + a 4-column ReadSchema.
+    */
+  val s1ScanFilter: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events")
+      .select($"event_id", $"event_type", $"user_id", $"value")
+      .where($"event_type" === "click" && $"event_id".between(100L, 900L))
+      .orderBy($"event_id")
+  }
+  val s1ScanFilterSql: String =
+    """SELECT event_id, event_type, user_id, value FROM events
+      |WHERE event_type = 'click' AND event_id BETWEEN 100 AND 900
+      |ORDER BY event_id""".stripMargin
+
+  /** S3 — dimension-enrichment left join (events.ts:44-78 timestamp N+1 →
+    * one broadcast left join). Small dim side broadcast explicitly.
+    */
+  val s3DimJoin: Q = (s, d) => {
+    import s.implicits._
+    val li = tbl(s, d, "lineitem")
+    val p  = tbl(s, d, "part").select($"p_partkey", $"p_name", $"p_brand")
+    li.select($"l_orderkey", $"l_linenumber", $"l_partkey")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey", "left")
+      .select($"l_orderkey", $"l_linenumber", $"p_name", $"p_brand")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  val s3DimJoinSql: String =
+    """SELECT l_orderkey, l_linenumber, p_name, p_brand
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** S6 — idempotent upsert (extract-events.ts:95-136): MERGE emulated as
+    * full-outer coalesce of `existing` (first half) with `updates` (second
+    * half), last-writer-wins per key. event_id is the arrival-order key.
+    */
+  val s6UpsertMerge: Q = (s, d) => {
+    import s.implicits._
+    val ev = tbl(s, d, "events").select($"event_id", $"user_id", $"event_type", $"value")
+    val existing = ev.where($"event_id" <= 500L)
+      .groupBy($"user_id").agg(max_by(struct($"value", $"event_type"), $"event_id").as("st"))
+      .select($"user_id", $"st.value".as("old_value"), $"st.event_type".as("old_type"))
+    val updates = ev.where($"event_id" > 500L && $"event_id" <= 700L)
+      .groupBy($"user_id").agg(max_by(struct($"value", $"event_type"), $"event_id").as("st"))
+      .select($"user_id", $"st.value".as("new_value"), $"st.event_type".as("new_type"))
+    existing.join(updates, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        coalesce($"new_value", $"old_value").as("value"),
+        coalesce($"new_type", $"old_type").as("event_type"))
+      .orderBy($"user_id")
+  }
+  val s6UpsertMergeSql: String =
+    """WITH existing AS (
+      |  SELECT user_id, max_by(value, event_id) AS old_value,
+      |         max_by(event_type, event_id) AS old_type
+      |  FROM events WHERE event_id <= 500 GROUP BY user_id),
+      |updates AS (
+      |  SELECT user_id, max_by(value, event_id) AS new_value,
+      |         max_by(event_type, event_id) AS new_type
+      |  FROM events WHERE event_id > 500 AND event_id <= 700 GROUP BY user_id)
+      |SELECT coalesce(e.user_id, u.user_id) AS user_id,
+      |       coalesce(u.new_value, e.old_value) AS value,
+      |       coalesce(u.new_type, e.old_type) AS event_type
+      |FROM existing e FULL OUTER JOIN updates u ON e.user_id = u.user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------- transforms
+
+  /** T5 — derived idempotency key (extract-events.ts:89-91). */
+  val t5KeyDerive: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events")
+      .select(concat_ws("_", $"user_id", $"event_id").as("row_key"),
+        $"event_type")
+      .where($"event_id" <= 200L)
+      .orderBy($"row_key")
+  }
+  val t5KeyDeriveSql: String =
+    """SELECT user_id || '_' || event_id AS row_key, event_type
+      |FROM events WHERE event_id <= 200 ORDER BY row_key""".stripMargin
+
+  /** T7 — display formatters (events.ts:253-263): shorten + date format. */
+  val t7Format: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "orders")
+      .select($"o_orderkey",
+        concat(substring($"o_orderpriority", 1, 4), lit("..."))
+          .as("prio_short"),
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_day"))
+      .where($"o_orderkey" <= 2000L)
+      .orderBy($"o_orderkey")
+  }
+  val t7FormatSql: String =
+    """SELECT o_orderkey, substring(o_orderpriority, 1, 4) || '...' AS prio_short,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS order_day
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------ aggregations
+
+  /** A1 — count by type (status.ts:65-71): one pass, vs reference's 7 queries. */
+  val a1CountByType: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events").groupBy($"event_type").count()
+      .select($"event_type", $"count".as("n"))
+      .orderBy($"event_type")
+  }
+  val a1CountByTypeSql: String =
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
+
+  /** A2 — percentage of total (status.ts:84-89): unpartitioned analytic
+    * window over the 5-row grouped result (cheap — window input is tiny).
+    */
+  val a2PctOfTotal: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events").groupBy($"event_type").count()
+      .withColumn("pct",
+        ($"count" * lit(100.0)) / sum($"count").over(Window.partitionBy()))
+      .select($"event_type", $"count".as("n"), $"pct")
+      .orderBy($"event_type")
+  }
+  val a2PctOfTotalSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       (count(*) * 100.0) / sum(count(*)) OVER () AS pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** A3 — top-1 latest (status.ts:96-99): max_by on the monotone key. */
+  val a3Latest: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events").agg(
+      max($"event_id").as("last_event_id"),
+      max_by($"event_type", $"event_id").as("last_type"),
+      max_by($"user_id", $"event_id").as("last_user"))
+  }
+  val a3LatestSql: String =
+    """SELECT max(event_id) AS last_event_id,
+      |       max_by(event_type, event_id) AS last_type,
+      |       max_by(user_id, event_id) AS last_user
+      |FROM events""".stripMargin
+
+  /** A4 — filtered count (events/actions.ts:49). */
+  val a4FilteredCount: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events")
+      .where($"event_type" === "purchase" && $"value" > 50.0)
+      .agg(count(lit(1)).as("total"))
+  }
+  val a4FilteredCountSql: String =
+    "SELECT count(*) AS total FROM events WHERE event_type = 'purchase' AND value > 50.0"
+
+  /** A5 — per-chunk counts by type (index-events.ts:201-254): the hand-rolled
+    * chunk loop becomes one grouped aggregation over a derived bucket column.
+    */
+  val a5ChunkCounts: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events")
+      .withColumn("chunk", floor($"event_id" / 250L).cast("long"))
+      .groupBy($"chunk", $"event_type").count()
+      .select($"chunk", $"event_type", $"count".as("n"))
+      .orderBy($"chunk", $"event_type")
+  }
+  val a5ChunkCountsSql: String =
+    """SELECT CAST(floor(event_id / 250.0) AS BIGINT) AS chunk, event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY chunk, event_type""".stripMargin
+
+  /** A6 — sync-lag derivation (actions.ts:125-143): scalar arithmetic over a
+    * max — the "chain head" is a literal, as in the reference UI.
+    */
+  val a6Lag: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events").agg(max($"event_id").as("last_id"))
+      .select($"last_id", (lit(2000000L) - $"last_id").as("lag"),
+        ($"last_id" + 1L).as("resume_from"))
+  }
+  val a6LagSql: String =
+    """SELECT max(event_id) AS last_id, 2000000 - max(event_id) AS lag,
+      |       max(event_id) + 1 AS resume_from FROM events""".stripMargin
+
+  // ------------------------------------------------------------ query surface
+
+  /** Q1 — getEvents filter+sort+paginate (events/actions.ts:14-60): page 3,
+    * limit 20, sorted newest-first. Offset pagination = ordered window +
+    * row_number (deterministic offset; `limit()` alone can't express skip).
+    */
+  val q1Page: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.orderBy($"event_id".desc)
+    tbl(s, d, "events")
+      .where($"event_type" === "view")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where($"rn" > 40 && $"rn" <= 60)
+      .select($"event_id", $"user_id", $"value", $"rn")
+      .orderBy($"event_id".desc)
+  }
+  val q1PageSql: String =
+    """SELECT event_id, user_id, value, rn FROM (
+      |  SELECT event_id, user_id, value,
+      |         row_number() OVER (ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'view')
+      |WHERE rn > 40 AND rn <= 60 ORDER BY event_id DESC""".stripMargin
+
+  /** Q2 — disjunctive multi-field filter (mongodb.ts:75-94): OR of
+    * (type, field) conjunctions, ascending sort.
+    */
+  val q2MultiOr: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events")
+      .where(($"event_type" === "click" && $"value" > 95.0) ||
+             ($"event_type" === "purchase" && $"value" < 5.0) ||
+             ($"user_id" === 42L))
+      .select($"event_id", $"event_type", $"user_id", $"value")
+      .orderBy($"event_id")
+  }
+  val q2MultiOrSql: String =
+    """SELECT event_id, event_type, user_id, value FROM events
+      |WHERE (event_type = 'click' AND value > 95.0)
+      |   OR (event_type = 'purchase' AND value < 5.0)
+      |   OR user_id = 42
+      |ORDER BY event_id""".stripMargin
+
+  /** Q3 — point lookup (mongodb.ts:99-107). */
+  val q3PointLookup: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events").where($"event_id" === 123L)
+      .select($"event_id", $"event_type", $"user_id", $"value")
+  }
+  val q3PointLookupSql: String =
+    "SELECT event_id, event_type, user_id, value FROM events WHERE event_id = 123"
+
+  /** Q4 — new-vs-existing split as anti-join (extract-events.ts:109-116):
+    * customers with no orders after a cutoff (the orders side is filtered so
+    * the anti-join result is non-trivial at every scale factor).
+    */
+  val q4AntiJoin: Q = (s, d) => {
+    import s.implicits._
+    val c = tbl(s, d, "customer")
+    val o = tbl(s, d, "orders")
+      .where($"o_orderdate" >= lit("1999-06-01").cast("timestamp"))
+      .select($"o_custkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+  val q4AntiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-06-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Q5 — top-k sort (status.ts:74): types by count desc, k=3. */
+  val q5TopK: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events").groupBy($"event_type").count()
+      .select($"event_type", $"count".as("n"))
+      .orderBy($"n".desc, $"event_type")
+      .limit(3)
+  }
+  val q5TopKSql: String =
+    """SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+      |ORDER BY n DESC, event_type LIMIT 3""".stripMargin
+
+  // ----------------------------------------------- entries-fold primitives
+
+  /** E1 — first-writer-wins creation attrs (mongodb.ts:166-183 $setOnInsert):
+    * first event per user via ascending row_number.
+    */
+  val e1FirstPerKey: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    tbl(s, d, "events")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"event_id".as("first_event_id"),
+        $"event_type".as("first_type"))
+      .orderBy($"user_id")
+  }
+  val e1FirstPerKeySql: String =
+    """SELECT user_id, event_id AS first_event_id, event_type AS first_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** E2 — $addToSet children (mongodb.ts:185-194): set semantics via
+    * collect_set; emitted as a sorted joined string (stable across engines).
+    */
+  val e2CollectSet: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events")
+      .groupBy($"user_id")
+      .agg(concat_ws(",", sort_array(collect_set($"event_type"))).as("types"))
+      .orderBy($"user_id")
+  }
+  val e2CollectSetSql: String =
+    """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types
+      |FROM (SELECT DISTINCT user_id, event_type FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** E4/E5 — last-writer-wins per (entity, label) (mongodb.ts:198-239):
+    * latest value per (user, type) keyed by arrival order.
+    */
+  val e4LastWriter: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events")
+      .groupBy($"user_id", $"event_type")
+      .agg(max_by($"value", $"event_id").as("last_value"),
+        max($"event_id").as("last_event_id"))
+      .orderBy($"user_id", $"event_type")
+  }
+  val e4LastWriterSql: String =
+    """SELECT user_id, event_type, max_by(value, event_id) AS last_value,
+      |       max(event_id) AS last_event_id
+      |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+
+  /** E8 — lastUpdateBlock bump (mongodb.ts:179,191,...): max over the union
+    * of all transition streams per key.
+    */
+  val e8LastUpdate: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events")
+      .groupBy($"user_id").agg(max($"event_id").as("last_update"),
+        count(lit(1)).as("n_transitions"))
+      .orderBy($"user_id")
+  }
+  val e8LastUpdateSql: String =
+    """SELECT user_id, max(event_id) AS last_update, count(*) AS n_transitions
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------- window / union / misc
+
+  /** W2 — running aggregate (A5 running totals). Summed over an integer
+    * projection of `value`: engines may associate float additions in the
+    * frame differently, so the running sum is kept in exact arithmetic.
+    */
+  val w2RunningSum: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, d, "events")
+      .where($"user_id" < 20L)
+      .select($"user_id", $"event_id",
+        sum(floor($"value").cast("long")).over(w).as("running_value"))
+      .orderBy($"user_id", $"event_id")
+  }
+  val w2RunningSumSql: String =
+    """SELECT user_id, event_id,
+      |       sum(CAST(floor(value) AS BIGINT))
+      |         OVER (PARTITION BY user_id ORDER BY event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+      |FROM events WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin
+
+  /** U1 — union of per-type projections with missing columns (T2 wide-table
+    * rebuild): unionByName(allowMissingColumns).
+    */
+  val u1Union: Q = (s, d) => {
+    import s.implicits._
+    val ev = tbl(s, d, "events")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id", $"user_id", $"value".as("click_value"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"value".as("purchase_value"))
+    clicks.unionByName(purchases, allowMissingColumns = true)
+      .orderBy($"event_id")
+  }
+  val u1UnionSql: String =
+    """SELECT event_id, user_id, value AS click_value, NULL AS purchase_value
+      |FROM events WHERE event_type = 'click'
+      |UNION ALL
+      |SELECT event_id, user_id, NULL AS click_value, value AS purchase_value
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  /** D1 — exact distinct (set-op surface, SURVEY §2.6). */
+  val d1Distinct: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events").select($"user_id", $"event_type").distinct()
+      .orderBy($"user_id", $"event_type")
+  }
+  val d1DistinctSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"
+
+  // ---------------------------------------------------------- TPC-H classics
+
+  /** TPC-H Q1-shaped pricing summary: exact decimal arithmetic, final DOUBLE.
+    * The workhorse scan+agg benchmark query.
+    */
+  val tpchQ1: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "lineitem")
+      .where($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum(($"l_extendedprice".cast("decimal(18,2)") *
+             (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+          .cast("decimal(30,4)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  val tpchQ1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-shaped: 3-way join + agg + top-k revenue. Customer is the small
+    * side → broadcast; orders↔lineitem shuffles on the join key once.
+    */
+  val tpchQ3: Q = (s, d) => {
+    import s.implicits._
+    val c = tbl(s, d, "customer").where($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val o = tbl(s, d, "orders").select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val l = tbl(s, d, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey")
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+        .cast("decimal(30,4)")).cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+  val tpchQ3Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Multi-way star join through nation/region — supplier accounts rolled up
+    * by region. Both dims broadcast; one shuffle for the final agg.
+    */
+  val j1StarJoin: Q = (s, d) => {
+    import s.implicits._
+    val sup = tbl(s, d, "supplier")
+    val nat = tbl(s, d, "nation").select($"n_nationkey", $"n_regionkey")
+    val reg = tbl(s, d, "region").select($"r_regionkey", $"r_name")
+    sup.join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum($"s_acctbal".cast("decimal(18,2)")).cast("double").as("total_acctbal"))
+      .orderBy($"r_name")
+  }
+  val j1StarJoinSql: String =
+    """SELECT r_name, count(*) AS n_suppliers,
+      |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Semi-join (E4/E5 existence check, mongodb.ts:200-222): orders whose
+    * customer is in a segment — EXISTS, not a widening join.
+    */
+  val j2SemiJoin: Q = (s, d) => {
+    import s.implicits._
+    val o = tbl(s, d, "orders")
+    val c = tbl(s, d, "customer").where($"c_mktsegment" === "MACHINERY")
+      .select($"c_custkey")
+    o.join(c, $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+  val j2SemiJoinSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |WHERE EXISTS (SELECT 1 FROM customer
+      |              WHERE c_custkey = o_custkey AND c_mktsegment = 'MACHINERY')
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------------- export
+
+  val queries: Map[String, Q] = Map(
+    "s1_scan_filter"   -> s1ScanFilter,
+    "s3_dim_join"      -> s3DimJoin,
+    "s6_upsert_merge"  -> s6UpsertMerge,
+    "t5_key_derive"    -> t5KeyDerive,
+    "t7_format"        -> t7Format,
+    "a1_count_by_type" -> a1CountByType,
+    "a2_pct_of_total"  -> a2PctOfTotal,
+    "a3_latest"        -> a3Latest,
+    "a4_filtered_count" -> a4FilteredCount,
+    "a5_chunk_counts"  -> a5ChunkCounts,
+    "a6_lag"           -> a6Lag,
+    "q1_page"          -> q1Page,
+    "q2_multi_or"      -> q2MultiOr,
+    "q3_point_lookup"  -> q3PointLookup,
+    "q4_anti_join"     -> q4AntiJoin,
+    "q5_topk"          -> q5TopK,
+    "e1_first_per_key" -> e1FirstPerKey,
+    "e2_collect_set"   -> e2CollectSet,
+    "e4_last_writer"   -> e4LastWriter,
+    "e8_last_update"   -> e8LastUpdate,
+    "w2_running_sum"   -> w2RunningSum,
+    "u1_union"         -> u1Union,
+    "d1_distinct"      -> d1Distinct,
+    "tpch_q1"          -> tpchQ1,
+    "tpch_q3"          -> tpchQ3,
+    "j1_star_join"     -> j1StarJoin,
+    "j2_semi_join"     -> j2SemiJoin,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_scan_filter"   -> s1ScanFilterSql,
+    "s3_dim_join"      -> s3DimJoinSql,
+    "s6_upsert_merge"  -> s6UpsertMergeSql,
+    "t5_key_derive"    -> t5KeyDeriveSql,
+    "t7_format"        -> t7FormatSql,
+    "a1_count_by_type" -> a1CountByTypeSql,
+    "a2_pct_of_total"  -> a2PctOfTotalSql,
+    "a3_latest"        -> a3LatestSql,
+    "a4_filtered_count" -> a4FilteredCountSql,
+    "a5_chunk_counts"  -> a5ChunkCountsSql,
+    "a6_lag"           -> a6LagSql,
+    "q1_page"          -> q1PageSql,
+    "q2_multi_or"      -> q2MultiOrSql,
+    "q3_point_lookup"  -> q3PointLookupSql,
+    "q4_anti_join"     -> q4AntiJoinSql,
+    "q5_topk"          -> q5TopKSql,
+    "e1_first_per_key" -> e1FirstPerKeySql,
+    "e2_collect_set"   -> e2CollectSetSql,
+    "e4_last_writer"   -> e4LastWriterSql,
+    "e8_last_update"   -> e8LastUpdateSql,
+    "w2_running_sum"   -> w2RunningSumSql,
+    "u1_union"         -> u1UnionSql,
+    "d1_distinct"      -> d1DistinctSql,
+    "tpch_q1"          -> tpchQ1Sql,
+    "tpch_q3"          -> tpchQ3Sql,
+    "j1_star_join"     -> j1StarJoinSql,
+    "j2_semi_join"     -> j2SemiJoinSql,
+  )
+}
