@@ -1,0 +1,113 @@
+package graft.hypermap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.EvmCodec
+
+/** Driver-gate queries exercising the hypermap pipeline itself.
+  *
+  * The generic testdata has no hypermap tables, so these queries run the
+  * full decode→fold pipeline over the deterministic golden fixture
+  * (Fixtures.goldenLogs + adversarial rows; sfDir is ignored) and the
+  * oracle side is the HAND-DERIVED expected output as a VALUES literal —
+  * i.e. the reference semantics written down independently of the
+  * implementation. docs/SANITY_CHECKS.md:9-27 is the source of the counts.
+  */
+object HypermapQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Root = Schemas.RootHash
+  private val Os = Fixtures.OsHash // namehash(ROOT, "os")
+  private val Alice = EvmCodec.namehash(Os, "alice")
+
+  private def pipeline(s: SparkSession): DataFrame =
+    Decode.decode(Fixtures.toDF(s, Fixtures.goldenLogs ++ Fixtures.adversarialLogs))
+
+  /** T1/T2 + §5 golden contract: decode with silent-skip of 5 adversarial
+    * logs → exactly {Note:8, Transfer:4, Mint:2}.
+    */
+  val decodeCounts: Q = (s, _) => {
+    import s.implicits._
+    pipeline(s).groupBy($"eventType").count()
+      .select($"eventType", $"count".as("n")).orderBy($"eventType")
+  }
+  val decodeCountsSql: String =
+    """SELECT * FROM (VALUES ('Mint', CAST(2 AS BIGINT)), ('Note', CAST(8 AS BIGINT)),
+      |  ('Transfer', CAST(4 AS BIGINT))) AS t(eventType, n) ORDER BY eventType""".stripMargin
+
+  /** §2.4 fold summary: per-entry creation/update attrs and collection
+    * sizes. Expected rows derived by hand from the fixture event sequence.
+    */
+  val entriesFold: Q = (s, _) => {
+    import s.implicits._
+    EntriesFold.fold(pipeline(s))
+      .select($"namehash", $"label", $"parentHash", $"creationBlock",
+        $"lastUpdateBlock", size($"children").cast("long").as("n_children"),
+        size($"notes").cast("long").as("n_notes"),
+        size($"facts").cast("long").as("n_facts"),
+        $"owner")
+      .orderBy($"namehash")
+  }
+  val entriesFoldSql: String =
+    s"""SELECT * FROM (VALUES
+       |  ('$Os', 'os', '$Root', CAST(27430010 AS BIGINT), CAST(27432200 AS BIGINT),
+       |   CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS VARCHAR)),
+       |  ('$Alice', 'alice', '$Os', CAST(27430500 AS BIGINT), CAST(27434000 AS BIGINT),
+       |   CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS VARCHAR)))
+       |  AS t(namehash, label, parentHash, creationBlock, lastUpdateBlock,
+       |       n_children, n_notes, n_facts, owner)
+       |ORDER BY namehash""".stripMargin
+
+  /** Q1 pagination on the hypermap events table: Notes newest-first,
+    * page 2 at limit 3 → rows 4-6 of 8.
+    */
+  val eventPage: Q = (s, _) => {
+    import s.implicits._
+    val (page, _) = QueryService.getEvents(pipeline(s),
+      eventType = Some("Note"), page = 2, limit = 3)
+    page.select($"blockNumber", $"logIndex".cast("long").as("logIndex"), $"label")
+      .orderBy($"blockNumber".desc, $"logIndex".desc)
+  }
+  val eventPageSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(27432200 AS BIGINT), CAST(3 AS BIGINT), '~routers'),
+      |  (CAST(27432000 AS BIGINT), CAST(0 AS BIGINT), '~net-key'),
+      |  (CAST(27431500 AS BIGINT), CAST(0 AS BIGINT), '~ip'))
+      |  AS t(blockNumber, logIndex, label)
+      |ORDER BY blockNumber DESC, logIndex DESC""".stripMargin
+
+  /** Q2 — all events referencing alice's namehash (Transfer.id is a decimal
+    * string and never matches the hex namehash — faithful E7 quirk).
+    */
+  val entryEvents: Q = (s, _) => {
+    import s.implicits._
+    QueryService.getEventsForEntry(pipeline(s), Alice)
+      .select($"eventType", $"blockNumber", $"logIndex".cast("long").as("logIndex"))
+  }
+  val entryEventsSql: String =
+    """SELECT * FROM (VALUES
+      |  ('Mint', CAST(27430500 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('Note', CAST(27431000 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('Note', CAST(27431000 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('Note', CAST(27431500 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('Note', CAST(27433000 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('Note', CAST(27433100 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('Note', CAST(27434000 AS BIGINT), CAST(0 AS BIGINT)))
+      |  AS t(eventType, blockNumber, logIndex)
+      |ORDER BY blockNumber, logIndex""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "hm_decode_counts" -> decodeCounts,
+    "hm_entries_fold"  -> entriesFold,
+    "hm_event_page"    -> eventPage,
+    "hm_entry_events"  -> entryEvents,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "hm_decode_counts" -> decodeCountsSql,
+    "hm_entries_fold"  -> entriesFoldSql,
+    "hm_event_page"    -> eventPageSql,
+    "hm_entry_events"  -> entryEventsSql,
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.hypermap.{Decode, Fixtures, Sinks}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** S5/S6 sink semantics: at-least-once input → exactly-once table,
+  * idempotent re-merge (SURVEY.md §2.1 S5/S6, §5 property tests).
+  */
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def freshDir(): String =
+    Files.createTempDirectory("graft-sink").resolve("events").toString
+
+  lazy val decoded = Decode.decode(Fixtures.toDF(spark, Fixtures.goldenLogs))
+
+  test("insertIfAbsent dedupes duplicate deliveries (S5)") {
+    val dir = freshDir()
+    val first = Sinks.insertIfAbsent(spark, dir, decoded)
+    assert(first == 14)
+    // redelivery of an overlapping chunk: nothing new inserted
+    val again = Sinks.insertIfAbsent(spark, dir, decoded.limit(10))
+    assert(again == 0)
+    assert(spark.read.parquet(dir).count() == 14)
+    assert(spark.read.parquet(dir).select("event_id").distinct().count() == 14)
+  }
+
+  test("upsert is an idempotent last-writer-wins MERGE (S6)") {
+    val dir = freshDir()
+    val (m0, i0) = Sinks.upsert(spark, dir, decoded)
+    assert((m0, i0) == (0L, 14L))
+    // re-merge the same batch: all matched, none inserted, table unchanged
+    val (m1, i1) = Sinks.upsert(spark, dir, decoded)
+    assert((m1, i1) == (14L, 0L))
+    assert(spark.read.parquet(dir).count() == 14)
+    // updated rows win
+    val mutated = decoded.withColumn("label",
+      when($"label" === "alice", "alice-v2").otherwise($"label"))
+    val (m2, i2) = Sinks.upsert(spark, dir, mutated)
+    assert((m2, i2) == (14L, 0L))
+    assert(spark.read.parquet(dir).where($"label" === "alice-v2").count() == 1)
+    assert(spark.read.parquet(dir).where($"label" === "alice").count() == 0)
+  }
+}
