@@ -17,11 +17,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ hypermap.HypermapQueries.queries
+    operators.Relational.queries ++ hypermap.HypermapQueries.queries ++
+      operators.Dedup.queries ++ operators.TextAnalysis.queries ++
+      operators.Similarity.queries ++ operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ hypermap.HypermapQueries.oracles
+    operators.Relational.oracles ++ hypermap.HypermapQueries.oracles ++
+      operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
+      operators.Similarity.oracles ++ operators.Multimodal.oracles
 }

@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{t => tbl}
+
+/** Deduplication operator family for large-scale training-data pipelines
+  * (BASELINE.json north star): exact, MinHash+LSH banding, SimHash, n-gram
+  * Jaccard, embedding-cosine near-dup.
+  *
+  * Two hash regimes:
+  *   - The oracle-checked queries hash with md5 (present and bit-identical
+  *     in both Spark and DuckDB) and take minima over the hex strings —
+  *     lexicographic min over a uniform hash is a valid minhash and
+  *     reproduces exactly across engines.
+  *   - The scale-path API (minhashSignatures/lshCandidatePairs) defaults to
+  *     xxhash64 (codegen'd long hashing, no string materialization) — the
+  *     variant a 100 TB run uses; same structure, cheaper hash.
+  *
+  * Scale design: shingling is a narrow explode (no shuffle); signatures are
+  * one hash-aggregate keyed by doc; banding re-keys by (band, signature) so
+  * candidate generation is one shuffle whose fan-in is bucket-bounded; the
+  * verify step joins only candidate pairs, never the full cross product.
+  * Skewed buckets (e.g. boilerplate shingles) are handled by AQE skew-join
+  * splitting; at extreme skew, cap bucket size before pairing.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Character 5-gram shingles, exploded: (doc_id, sh). Narrow op. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.where(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text)-4), i -> substr(text, i, 5))"))
+          .as("sh"))
+
+  private val NumHashes = 8
+
+  /** md5-based minhash signature columns mh0..mh7 keyed by doc_id. */
+  private def md5Signatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val aggs = (0 until NumHashes).map(j =>
+      min(md5(concat(lit(s"$j:"), col("sh")))).as(s"mh$j"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---------------------------------------------------------- oracle queries
+
+  /** Exact dedup (hash-groupBy): corpus-level duplicate stats. */
+  val exactStats: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_distinct"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
+  }
+  val exactStatsSql: String =
+    """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+      |       count(*) - count(DISTINCT md5(text)) AS n_dupes FROM documents""".stripMargin
+
+  /** MinHash signatures for a probe set of documents. */
+  val minhashSig: Q = (s, d) =>
+    md5Signatures(tbl(s, d, "documents").where(col("doc_id") < 20))
+      .orderBy(col("doc_id"))
+  val minhashSigSql: String = {
+    val mins = (0 until NumHashes)
+      .map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(",\n       ")
+    s"""SELECT doc_id, $mins
+       |FROM (SELECT doc_id,
+       |             unnest(list_transform(range(1, len(text)-3), i -> substr(text, i, 5))) AS sh
+       |      FROM documents WHERE doc_id < 20 AND len(text) >= 5)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** LSH banding: 2 bands × 4 rows over the 8-hash signature; candidate
+    * pairs = docs sharing any band signature. Bounded probe set.
+    */
+  val lshPairs: Q = (s, d) => {
+    val sig = md5Signatures(tbl(s, d, "documents").where(col("doc_id") < 200))
+    val banded = sig.select(col("doc_id"),
+      expr("stack(2, 0, md5(concat_ws('|', mh0, mh1, mh2, mh3)), " +
+        "1, md5(concat_ws('|', mh4, mh5, mh6, mh7))) AS (band, bsig)"))
+    val a = banded.select(col("doc_id").as("a"), col("band"), col("bsig"))
+    val b = banded.select(col("doc_id").as("b"), col("band"), col("bsig"))
+    a.join(b, Seq("band", "bsig")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .orderBy(col("a"), col("b"))
+  }
+  val lshPairsSql: String = {
+    val mins = (0 until NumHashes)
+      .map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(", ")
+    s"""WITH sig AS (
+       |  SELECT doc_id, $mins
+       |  FROM (SELECT doc_id,
+       |               unnest(list_transform(range(1, len(text)-3), i -> substr(text, i, 5))) AS sh
+       |        FROM documents WHERE doc_id < 200 AND len(text) >= 5)
+       |  GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bsig FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bsig FROM sig)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |FROM banded x JOIN banded y ON x.band = y.band AND x.bsig = y.bsig
+       |WHERE x.doc_id < y.doc_id ORDER BY a, b""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard over a probe set: the LSH verify step. */
+  val ngramJaccard: Q = (s, d) => {
+    val sh = shingles(tbl(s, d, "documents").where(col("doc_id") < 30)).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.2)
+      .orderBy(col("a"), col("b"))
+  }
+  val ngramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(text)-3), i -> substr(text, i, 5))) AS sh
+      |    FROM documents WHERE doc_id < 30 AND len(text) >= 5)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      |  FROM sh x JOIN sh y ON x.sh = y.sh WHERE x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b,
+      |       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
+      |ORDER BY a, b""".stripMargin
+
+  /** SimHash: 16-bit signatures from token-level md5 parities. */
+  val simhash: Q = (s, d) => {
+    val toks = tbl(s, d, "documents").where(col("doc_id") < 50)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val sums = (0 until 16).map(i =>
+      sum(expr(s"2 * (ascii(substr(md5(tok), ${i + 1}, 1)) % 2) - 1")).as(s"s$i"))
+    val bits = (0 until 16).map(i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ + _).cast("long").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+  val simhashSql: String = {
+    val sums = (0 until 16)
+      .map(i => s"SUM(2 * (ascii(substr(md5(tok), ${i + 1}, 1)) % 2) - 1) AS s$i")
+      .mkString(",\n         ")
+    val bits = (0 until 16)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id < 50),
+       |sums AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  /** Embedding-cosine near-duplicates over a probe set (float arrays cast
+    * to double; result rounded to 6 dp — engines may associate the final
+    * divide differently).
+    */
+  val embeddingNearDup: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings").where(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"),
+        expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))").as("nrm"))
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /
+          (col("na") * col("nb")), 6).as("cos"))
+      .where(col("cos") >= 0.3)
+      .orderBy(col("a"), col("b"))
+  }
+  val embeddingNearDupSql: String =
+    """SELECT x.vec_id AS a, y.vec_id AS b,
+      |       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |                                    CAST(y.embedding AS DOUBLE[])), 6) AS cos
+      |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+      |WHERE x.vec_id < 100 AND y.vec_id < 100
+      |  AND round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |                                   CAST(y.embedding AS DOUBLE[])), 6) >= 0.3
+      |ORDER BY a, b""".stripMargin
+
+  // -------------------------------------------------------- scale-path API
+
+  /** xxhash64 minhash signatures (the 100 TB path: long-typed, codegen'd,
+    * no hex strings). k hash functions via seed mixing.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
+    val sh = shingles(docs)
+    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"mh$j"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from xxhash64 signatures: `bands` bands of
+    * k/bands rows; one shuffle keyed by (band, bucket).
+    */
+  def lshCandidatePairs(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+    val sig = minhashSignatures(docs, k)
+    val rows = k / bands
+    val bandCols = (0 until bands).map { bnd =>
+      val cols = (bnd * rows until (bnd + 1) * rows).map(j => col(s"mh$j"))
+      struct(lit(bnd).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+  }
+
+  /** End-to-end near-dup detection: LSH candidates verified by exact
+    * shingle Jaccard ≥ threshold. Returns (a, b, jaccard).
+    */
+  def nearDuplicates(docs: DataFrame, threshold: Double = 0.7,
+                     k: Int = 32, bands: Int = 8): DataFrame = {
+    val cands = lshCandidatePairs(docs, k, bands)
+    val sh = shingles(docs).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .where(col("sh") === col("shb"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // ----------------------------------------------------------------- export
+
+  val queries: Map[String, Q] = Map(
+    "dd_exact_stats"  -> exactStats,
+    "dd_minhash_sig"  -> minhashSig,
+    "dd_lsh_pairs"    -> lshPairs,
+    "dd_ngram_jaccard" -> ngramJaccard,
+    "dd_simhash"      -> simhash,
+    "dd_embedding"    -> embeddingNearDup,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact_stats"  -> exactStatsSql,
+    "dd_minhash_sig"  -> minhashSigSql,
+    "dd_lsh_pairs"    -> lshPairsSql,
+    "dd_ngram_jaccard" -> ngramJaccardSql,
+    "dd_simhash"      -> simhashSql,
+    "dd_embedding"    -> embeddingNearDupSql,
+  )
+}

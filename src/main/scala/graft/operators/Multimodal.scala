@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{t => tbl}
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed by per-partition batch operators.
+  *
+  * The Spark-side plumbing (schema, partition sizing, batched iteration,
+  * explode shapes) is real and tested; the actual media decode is a STUB —
+  * the container ships no image/audio codecs — implemented as a
+  * deterministic fake (byte histogram) with the exact signature a real
+  * decoder (e.g. JNI/FFI to libjpeg / ffmpeg, or `mapInPandas`+PIL on the
+  * PySpark surface) would plug into.
+  *
+  * Scale notes: media rows are large and skew-prone — repartition by a
+  * size-aware key before decode so one executor doesn't eat all the 4K
+  * videos; decode is CPU-bound so partition count should be ≥ total cores;
+  * features (small) should be written to a separate table from payloads
+  * (large) so downstream training reads never touch the blobs.
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val FeatureBins = 16
+
+  /** Media-table view over documents: text payloads as binary content with
+    * typed metadata — the schema any media kind (image/audio/video) uses.
+    */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("text/plain").as("mime"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        col("source").as("origin")).as("meta"))
+
+  /** STUB media decoder: deterministic 16-bin byte histogram, normalized.
+    * A real image decode/resize/feature-extract has this exact shape:
+    * binary in → fixed-length Array[Double] out, batched per partition.
+    */
+  def decodeStub(content: Array[Byte]): Array[Double] = {
+    val bins = new Array[Double](FeatureBins)
+    var i = 0
+    while (i < content.length) {
+      bins((content(i) & 0xff) % FeatureBins) += 1.0
+      i += 1
+    }
+    val n = math.max(1, content.length).toDouble
+    bins.map(_ / n)
+  }
+
+  /** Per-partition batched feature extraction (the Scala analogue of
+    * `mapInPandas`: one iterator per partition, vectorizable inside).
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val rows = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+    rows.mapPartitions { it =>
+      it.map { case (id, content) => (id, decodeStub(content)) }
+    }.toDF("media_id", "features")
+  }
+
+  /** Frame sampling stub: split the payload into `n` byte chunks →
+    * (media_id, frame_idx, frame). Real video frame extraction explodes
+    * with the same output shape.
+    */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+    media.select(col("media_id"),
+      posexplode(split_part_bytes(col("content"), n)))
+      .withColumnsRenamed(Map("pos" -> "frame_idx", "col" -> "frame"))
+
+  private def split_part_bytes(content: org.apache.spark.sql.Column, n: Int) =
+    expr(s"transform(sequence(0, $n - 1), i -> " +
+      "substring(content, CAST(i * (octet_length(content) / " + n + ") AS INT) + 1, " +
+      s"CAST(octet_length(content) / $n AS INT)))")
+
+  /** Gate query: metadata projection over the media view — binary plumbing
+    * whose scalar shadows (lengths, first byte) DuckDB can verify.
+    */
+  val mediaMeta: Q = (s, d) => {
+    val m = asMedia(tbl(s, d, "documents"))
+    m.select(col("media_id"), col("mime"), col("meta.n_bytes").as("n_bytes"),
+      col("meta.origin").as("origin"))
+      .orderBy(col("media_id"))
+  }
+  val mediaMetaSql: String =
+    """SELECT doc_id AS media_id, 'text/plain' AS mime,
+      |       octet_length(encode(text)) AS n_bytes, source AS origin
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Gate query (rows-only): stub features through the real mapPartitions
+    * path — asserts the batched binary pipeline executes distributed.
+    */
+  val mediaFeatures: Q = (s, d) => {
+    val f = extractFeatures(asMedia(tbl(s, d, "documents").where(col("doc_id") < 50)))
+    f.select(col("media_id"),
+      round(element_at(col("features"), 1), 6).as("bin0"),
+      round(element_at(col("features"), 2), 6).as("bin1"))
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm_media_meta" -> mediaMeta,
+    "mm_features"   -> mediaFeatures,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_media_meta" -> mediaMetaSql,
+  )
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{t => tbl}
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristic, rolling-hash fingerprinting.
+  * All are narrow per-row expressions (no shuffle except final sort) and
+  * stay in whole-stage codegen — at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared stopword list (deliberately small + ASCII; used by quality and
+    * language-ID scoring).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
+  private val stopSqlList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Token counting: whitespace tokens plus a BPE-ish proxy (4 chars ≈ 1
+    * token, the common LLM heuristic) for budget estimation.
+    */
+  val tokens: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_measured"),
+        ceil(length(col("text")) / 4.0).cast("long").as("n_tokens_bpe_est"))
+      .orderBy(col("doc_id"))
+  val tokensSql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |       len(text) AS n_chars_measured,
+      |       CAST(ceil(len(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length, mean token length, stopword ratio — the
+    * standard cheap quality gates for corpus filtering.
+    */
+  val quality: Q = (s, d) => {
+    val stopArray = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    tbl(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter(toks, t -> t IN ($stopSqlList))")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x)").cast("long"))
+      .select(col("doc_id"), col("n_toks"), col("n_stop"),
+        (col("n_stop").cast("double") / col("n_toks").cast("double")).as("stop_ratio"),
+        (col("sum_len").cast("double") / col("n_toks").cast("double")).as("mean_tok_len"))
+      .orderBy(col("doc_id"))
+  }
+  val qualitySql: String =
+    s"""SELECT doc_id,
+       |  len(toks) AS n_toks,
+       |  len(list_filter(toks, t -> t IN ($stopSqlList))) AS n_stop,
+       |  CAST(len(list_filter(toks, t -> t IN ($stopSqlList))) AS DOUBLE)
+       |    / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+       |  CAST(list_reduce(list_prepend(0, list_transform(toks, t -> len(t))),
+       |                   (acc, x) -> acc + x) AS DOUBLE)
+       |    / CAST(len(toks) AS DOUBLE) AS mean_tok_len
+       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: stopword hit rate thresholds → coarse class.
+    * (A real n-gram model plugs into the same shape; the corpus shares one
+    * vocabulary across its `lang` labels, so this demonstrates the operator
+    * not a classifier benchmark.)
+    */
+  val langid: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("ratio",
+        size(expr(s"filter(toks, t -> t IN ($stopSqlList))")).cast("double") /
+          size(col("toks")).cast("double"))
+      .select(col("doc_id"), col("lang"),
+        when(col("ratio") >= 0.05, "en-like")
+          .when(col("ratio") > 0.0, "latin-ish")
+          .otherwise("und").as("predicted"))
+      .orderBy(col("doc_id"))
+  val langidSql: String =
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN ratio >= 0.05 THEN 'en-like'
+       |       WHEN ratio > 0.0 THEN 'latin-ish'
+       |       ELSE 'und' END AS predicted
+       |FROM (SELECT doc_id, lang,
+       |             CAST(len(list_filter(string_split(text, ' '),
+       |                                  t -> t IN ($stopSqlList))) AS DOUBLE)
+       |               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ratio
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: 31-polynomial rolling hash mod 1e9+7 over the
+    * raw characters — cheap content identity robust to storage format.
+    */
+  val fingerprint: Q = (s, d) =>
+    tbl(s, d, "documents").where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        expr("aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), " +
+          "(h, i) -> (h * 31 + ascii(substr(text, i, 1))) % 1000000007)").as("fp"))
+      .orderBy(col("doc_id"))
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, len(text) + 1),
+      |                     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "tx_tokens"      -> tokens,
+    "tx_quality"     -> quality,
+    "tx_langid"      -> langid,
+    "tx_fingerprint" -> fingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tx_tokens"      -> tokensSql,
+    "tx_quality"     -> qualitySql,
+    "tx_langid"      -> langidSql,
+    "tx_fingerprint" -> fingerprintSql,
+  )
+}
