@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.hypermap.{Decode, Schemas, Sinks}
+
+/** ST1-ST4: the reference's "continuous mode"
+  * (/root/reference/scripts/scan-events.ts:129,148-300 — poll head every
+  * 30 s, scan new ranges, upsert, loop) as Structured Streaming.
+  *
+  *   - ST1 tail: a file-based raw-log source stands in for the RPC fetcher
+  *     (which is driver-side I/O, not engine work): each landed file is a
+  *     scanned block range. `Trigger.ProcessingTime(30s)` reproduces the
+  *     poll cadence; `Trigger.AvailableNow` drains for tests/backfill.
+  *   - ST2 offsets: the checkpoint dir persists source offsets — the
+  *     engine's `currentStartBlock = endBlock + 1` equivalent, crash-safe.
+  *   - ST3 exactly-once: at-least-once file delivery + the idempotent
+  *     event_id sink (anti-join insert) ⇒ effectively-once tables, same
+  *     trick as the reference's upsert-by-_id, minus the N+1 round trips.
+  *   - ST4 running counts: streaming aggregation over eventType (7 keys,
+  *     unbounded-safe, no watermark needed — mirrors the reference's
+  *     running totals).
+  *
+  * ST5 (reorg handling) is absent in the reference and documented
+  * out-of-scope; a confirmation-depth filter (head - N) is the extension
+  * point.
+  */
+object Tail {
+
+  /** Stream raw-log files (JSON lines) → decode → idempotent events table.
+    * Exactly-once via foreachBatch + insert-if-absent on event_id.
+    */
+  def start(spark: SparkSession, rawDir: String, eventsDir: String,
+            checkpointDir: String,
+            trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+            blocks: Option[DataFrame] = None): StreamingQuery = {
+    val raw = spark.readStream.schema(Schemas.rawLogs).json(rawDir)
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // decode is stateless per micro-batch; the sink dedupes re-delivery
+        Sinks.insertIfAbsent(spark, eventsDir, Decode.decode(batch, blocks))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** ST4 — running per-type counts, update-mode streaming aggregation. */
+  def runningCounts(spark: SparkSession, rawDir: String, queryName: String,
+                    trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery = {
+    val raw = spark.readStream.schema(Schemas.rawLogs).json(rawDir)
+    Decode.decode(raw)
+      .groupBy(col("eventType")).count()
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(trigger)
+      .start()
+  }
+}

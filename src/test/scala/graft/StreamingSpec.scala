@@ -1,0 +1,80 @@
+package graft
+
+import graft.hypermap.{Decode, EntriesFold, Fixtures}
+import graft.streaming.Tail
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** ST1-ST4 + §5.5 replay equivalence: streaming the fixture in multiple
+  * micro-batches (with redelivery) must converge to the same events and
+  * entries tables as one batch run.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("micro-batch tail converges to the batch result (exactly-once)") {
+    val base = Files.createTempDirectory("graft-stream")
+    val rawDir = base.resolve("raw").toString
+    val eventsDir = base.resolve("events").toString
+    val ckptDir = base.resolve("ckpt").toString
+    new java.io.File(rawDir).mkdirs()
+
+    val all = Fixtures.goldenLogs
+    // batch 1: first 8 logs
+    Fixtures.toDF(spark, all.take(8)).coalesce(1).write.json(rawDir + "/b1")
+    val q = Tail.start(spark, rawDir + "/*/", eventsDir, ckptDir,
+      trigger = Trigger.ProcessingTime("1 second"))
+    q.processAllAvailable()
+    val afterB1 = spark.read.parquet(eventsDir).count()
+    assert(afterB1 == 8)
+
+    // batch 2: remaining 6 + REDELIVERY of 3 from batch 1 + adversarial junk
+    Fixtures.toDF(spark, all.drop(8) ++ all.take(3) ++ Fixtures.adversarialLogs)
+      .coalesce(1).write.json(rawDir + "/b2")
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(eventsDir)
+    assert(streamed.count() == 14) // redelivered rows deduped, junk skipped
+
+    // replay equivalence: streamed table ≡ single-batch decode
+    val batch = Decode.decode(Fixtures.toDF(spark, all))
+    val cols = batch.columns.sorted.map(col)
+    assert(streamed.select(cols.toIndexedSeq: _*)
+      .exceptAll(batch.select(cols.toIndexedSeq: _*)).isEmpty)
+    assert(batch.select(cols.toIndexedSeq: _*)
+      .exceptAll(streamed.select(cols.toIndexedSeq: _*)).isEmpty)
+
+    // and the derived entries agree too
+    val eStream = EntriesFold.fold(streamed)
+    val eBatch = EntriesFold.fold(batch)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("children", sort_array($"children"))
+      .withColumn("notes", sort_array(map_entries($"notes")))
+      .withColumn("facts", sort_array(map_entries($"facts")))
+      .select(eBatch.columns.sorted.map(col).toIndexedSeq: _*)
+    assert(canon(eStream).exceptAll(canon(eBatch)).isEmpty)
+    assert(canon(eBatch).exceptAll(canon(eStream)).isEmpty)
+  }
+
+  test("ST4 running counts aggregate across micro-batches") {
+    val base = Files.createTempDirectory("graft-stream-counts")
+    val rawDir = base.resolve("raw").toString
+    new java.io.File(rawDir).mkdirs()
+    Fixtures.toDF(spark, Fixtures.goldenLogs.take(8)).coalesce(1)
+      .write.json(rawDir + "/b1")
+    val q = Tail.runningCounts(spark, rawDir + "/*/", "running_counts",
+      trigger = Trigger.ProcessingTime("1 second"))
+    q.processAllAvailable()
+    Fixtures.toDF(spark, Fixtures.goldenLogs.drop(8)).coalesce(1)
+      .write.json(rawDir + "/b2")
+    q.processAllAvailable()
+    val counts = spark.sql("SELECT eventType, count FROM running_counts")
+      .as[(String, Long)].collect().toMap
+    q.stop()
+    assert(counts == Map("Note" -> 8L, "Transfer" -> 4L, "Mint" -> 2L))
+  }
+}
