@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Vector kernels as Catalyst expressions.
+  *
+  * The SQL-lambda formulation (`aggregate(zip_with(...))`) materializes an
+  * intermediate array per row per evaluation; these expressions run one
+  * fused loop over the unsafe array data, with whole-stage codegen calling
+  * the static kernels below. Arithmetic is kept EXACTLY as the lambda
+  * version (float → double per element, index-order accumulation,
+  * dot/(sqrt(na)·sqrt(nb))) so results — and the DuckDB oracle hashes —
+  * are bit-identical.
+  */
+object VectorOps {
+
+  /** Cosine similarity of two float arrays (index-order accumulation). */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Multi-plane sign-bucket: bit p set iff dot(v, planes(p)) > 0,
+    * weighted by weights(p) (so one kernel serves single- and
+    * multi-table layouts).
+    */
+  def planeBucket(v: ArrayData, planes: Array[Array[Double]],
+                  weights: Array[Long]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(v.numElements(), plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * plane(i); i += 1 }
+      if (dot > 0) bucket += weights(p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** cosine(a, b) over array<float> columns — codegen'd fused loop. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.cosineF($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Sign-bucket of a float vector against a fixed hyperplane matrix. */
+case class PlaneBucket(child: Expression, planes: Array[Array[Double]],
+                       weights: Array[Long]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(v: Any): Any =
+    VectorOps.planeBucket(v.asInstanceOf[ArrayData], planes, weights)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val weightsRef = ctx.addReferenceObj("weights", weights, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorOps.planeBucket($v, $planesRef, $weightsRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PlaneBucket =
+    copy(child = c)
+}
+
+object vector {
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def plane_bucket(v: Column, planes: Array[Array[Double]], weights: Array[Long]): Column =
+    ColumnBridge.column(PlaneBucket(ColumnBridge.expression(v), planes, weights))
+}

@@ -175,14 +175,11 @@ object Dedup {
     */
   val embeddingNearDup: Q = (s, d) => {
     val e = tbl(s, d, "embeddings").where(col("vec_id") < 100)
-      .select(col("vec_id"), col("embedding"),
-        expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))").as("nrm"))
-    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
     a.crossJoin(b).where(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /
-          (col("na") * col("nb")), 6).as("cos"))
+        round(graft.functions.vector.cosine_sim(col("ea"), col("eb")), 6).as("cos"))
       .where(col("cos") >= 0.3)
       .orderBy(col("a"), col("b"))
   }

@@ -25,13 +25,12 @@ object Similarity {
   private val Dim = 64
   private val Planes = 8
 
-  private def cosExpr(ea: String, eb: String): String =
-    s"""aggregate(zip_with($ea, $eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)
-       | / (sqrt(aggregate(transform($ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-       |                   CAST(0 AS DOUBLE), (acc, v) -> acc + v))
-       |    * sqrt(aggregate(transform($eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-       |                     CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin
+  /** Fused cosine kernel (CosineSim expression) — identical arithmetic to
+    * the SQL-lambda formulation, one codegen'd loop, no intermediate
+    * arrays.
+    */
+  private def cos(ea: String, eb: String) =
+    graft.functions.vector.cosine_sim(col(ea), col(eb))
 
   /** Brute-force top-3 cosine neighbors for probe vectors vec_id < 5. */
   val annBruteforce: Q = (s, d) => {
@@ -40,7 +39,7 @@ object Similarity {
       .select(col("vec_id").as("q"), col("embedding").as("eq"))
     val corpus = e.select(col("vec_id").as("n"), col("embedding").as("en"))
     val scored = probes.crossJoin(corpus).where(col("q") =!= col("n"))
-      .select(col("q"), col("n"), round(expr(cosExpr("eq", "en")), 6).as("cos"))
+      .select(col("q"), col("n"), round(cos("eq", "en"), 6).as("cos"))
     val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= 3)
@@ -70,17 +69,14 @@ object Similarity {
     }
   }
 
-  private def bitExpr(signs: Array[Double], weight: Long) = {
-    val arr = signs.mkString("array(", ", ", ")")
-    expr(s"""CASE WHEN aggregate(zip_with(embedding, $arr, (x, s) -> CAST(x AS DOUBLE) * s),
-            |CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN $weight ELSE 0 END""".stripMargin)
-  }
-
-  /** LSH bucket id per vector: bit p = sign(dot(embedding, plane_p)). */
+  /** LSH bucket id per vector: bit p = sign(dot(embedding, plane_p)).
+    * One fused PlaneBucket kernel evaluates all planes per row.
+    */
   def withLshBucket(e: DataFrame): DataFrame = {
     val signs = planeSigns(Planes)
-    val bits = (0 until Planes).map(p => bitExpr(signs(p), 1L << p))
-    e.withColumn("bucket", bits.reduce(_ + _).cast("long"))
+    val weights = Array.tabulate(Planes)(p => 1L << p)
+    e.withColumn("bucket",
+      graft.functions.vector.plane_bucket(col("embedding"), signs, weights))
   }
 
   /** Multi-table bucketing: `tables` independent signatures of
@@ -90,10 +86,12 @@ object Similarity {
     */
   def withLshTables(e: DataFrame, tables: Int, bitsPerTable: Int): DataFrame = {
     val signs = planeSigns(tables * bitsPerTable)
+    val weights = Array.tabulate(bitsPerTable)(j => 1L << j)
     val tableCols = (0 until tables).map { t =>
-      val bits = (0 until bitsPerTable)
-        .map(j => bitExpr(signs(t * bitsPerTable + j), 1L << j))
-      struct(lit(t).as("tbl"), bits.reduce(_ + _).cast("long").as("bucket"))
+      val slice = signs.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
+      struct(lit(t).as("tbl"),
+        graft.functions.vector.plane_bucket(col("embedding"), slice, weights)
+          .as("bucket"))
     }
     e.withColumn("tb", explode(array(tableCols: _*)))
       .withColumn("tbl", col("tb.tbl")).withColumn("bucket", col("tb.bucket"))
@@ -126,7 +124,7 @@ object Similarity {
     val scored = pairs
       .join(vecs.select(col("vec_id").as("q"), col("embedding").as("eq")), Seq("q"))
       .join(vecs.select(col("vec_id").as("n"), col("embedding").as("en")), Seq("n"))
-      .select(col("q"), col("n"), expr(cosExpr("eq", "en")).as("cos"))
+      .select(col("q"), col("n"), cos("eq", "en").as("cos"))
     val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
