@@ -164,6 +164,45 @@ object Fixtures {
       encodeBytesArgs(Seq(Array(0x80.toByte))), 27430104L, blkHash(27430104L),
       txHash("badutf8"), 0, 0))
 
+  /** Deterministic bulk fixture: n ABI-correct logs forming a realistic
+    * power-law namespace (a few parents own most children — the skew shape
+    * the fold must survive). Mix ≈ 45% Mint, 35% Note, 10% Fact, 8%
+    * Transfer, 2% Gene. Used for decode/fold scale benchmarks (PERF.md).
+    */
+  def randomLogs(n: Int, seed: Long = 42L): Seq[Log] = {
+    val rnd = new scala.util.Random(seed)
+    val minted = scala.collection.mutable.ArrayBuffer[String](Root)
+    var block = 27300000L
+    (0 until n).map { i =>
+      if (i % 7 == 0) block += rnd.nextInt(50) + 1
+      val logIndex = i % 7
+      val roll = rnd.nextInt(100)
+      // power-law parent pick: bias toward early (hub) entries
+      def pickEntry(): String =
+        minted(math.min(minted.length - 1,
+          (math.pow(rnd.nextDouble(), 3.0) * minted.length).toInt))
+      if (roll < 45 || minted.length < 3) {
+        val parent = pickEntry()
+        val label = s"n$i"
+        val log = mint(parent, label, block, logIndex)
+        minted += EvmCodec.namehash(parent, label)
+        log
+      } else if (roll < 80) {
+        note(pickEntry(), s"~k${rnd.nextInt(20)}",
+          utf8(s"v${rnd.nextInt(1000)}"), block, logIndex)
+      } else if (roll < 90) {
+        fact(pickEntry(), s"!f${rnd.nextInt(10)}",
+          utf8(s"d${rnd.nextInt(1000)}"), block, logIndex)
+      } else if (roll < 98) {
+        val id = new java.math.BigInteger(pickEntry().substring(2), 16).toString
+        transfer("0x" + "%02x".format(rnd.nextInt(256)) * 20,
+          "0x" + "%02x".format(rnd.nextInt(256)) * 20, id, block, logIndex)
+      } else {
+        gene(pickEntry(), "0x" + "ab" * 20, block, logIndex)
+      }
+    }
+  }
+
   def toDF(spark: SparkSession, logs: Seq[Log]): DataFrame = {
     val rows = logs.map(l => Row(l.address, l.topics, l.data, l.blockNumber,
       l.blockHash, l.transactionHash, l.transactionIndex, l.logIndex))

@@ -228,6 +228,23 @@ object Relational {
       |  FROM events WHERE event_type = 'view')
       |WHERE rn > 40 AND rn <= 60 ORDER BY event_id DESC""".stripMargin
 
+  /** Q1-keyset — the 100 TB-safe pagination variant (SURVEY.md §7.2 #4):
+    * seek-below predicate + limit instead of a global-sort offset window.
+    * The predicate prunes at the scan; no single-partition window.
+    */
+  val q1Keyset: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events")
+      .where($"event_type" === "view" && $"event_id" < 5000L)
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"event_id".desc)
+      .limit(20)
+  }
+  val q1KeysetSql: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_type = 'view' AND event_id < 5000
+      |ORDER BY event_id DESC LIMIT 20""".stripMargin
+
   /** Q2 — disjunctive multi-field filter (mongodb.ts:75-94): OR of
     * (type, field) conjunctions, ascending sort.
     */
@@ -522,6 +539,7 @@ object Relational {
     "a5_chunk_counts"  -> a5ChunkCounts,
     "a6_lag"           -> a6Lag,
     "q1_page"          -> q1Page,
+    "q1_keyset"        -> q1Keyset,
     "q2_multi_or"      -> q2MultiOr,
     "q3_point_lookup"  -> q3PointLookup,
     "q4_anti_join"     -> q4AntiJoin,
@@ -552,6 +570,7 @@ object Relational {
     "a5_chunk_counts"  -> a5ChunkCountsSql,
     "a6_lag"           -> a6LagSql,
     "q1_page"          -> q1PageSql,
+    "q1_keyset"        -> q1KeysetSql,
     "q2_multi_or"      -> q2MultiOrSql,
     "q3_point_lookup"  -> q3PointLookupSql,
     "q4_anti_join"     -> q4AntiJoinSql,

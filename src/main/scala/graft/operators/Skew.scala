@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (SURVEY.md §7 / PERF.md): salting for hot
+  * keys where AQE's runtime skew handling isn't available (e.g. inside
+  * cached stages or non-join aggregations over power-law keys — the
+  * hypermap namespace is exactly that: a few parents own most children).
+  *
+  * All salts are deterministic (xxhash64 of a payload column), never
+  * rand() — results must be reproducible across retries and runs.
+  */
+object Skew {
+
+  /** Two-phase salted sum/count: groupBy(key, salt) partial → groupBy(key)
+    * final. Breaks a hot grouping key across `buckets` reducers. For
+    * algebraic aggregates only (sum/count/min/max compose; avg = sum/cnt).
+    */
+  def saltedSumCount(df: DataFrame, key: Column, value: Column,
+                     saltSrc: Column, buckets: Int): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(saltSrc), lit(buckets)))
+    salted.groupBy(key.as("k"), col("__salt"))
+      .agg(sum(value).as("partial_sum"), count(lit(1)).as("partial_cnt"))
+      .groupBy(col("k"))
+      .agg(sum(col("partial_sum")).as("total"), sum(col("partial_cnt")).as("cnt"))
+  }
+
+  /** Skew join: fact side salted from `saltSrc`, dim side replicated
+    * ×buckets, equi-join on (key, salt). Same rows as the plain join,
+    * hot keys spread across `buckets` tasks. Use when one dim key matches
+    * a large fraction of the fact table and broadcast isn't possible.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltSrc: Column, buckets: Int): DataFrame = {
+    val f = fact.withColumn("__salt", pmod(xxhash64(saltSrc), lit(buckets)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -47,6 +47,24 @@ object Tail {
       .start()
   }
 
+  /** ST7 — progress reporting (index-events.ts:150-155's 15 s ticker):
+    * a StreamingQueryListener invoking `onProgress` with (batchId,
+    * numInputRows) per completed micro-batch. Returns the listener so
+    * callers can remove it.
+    */
+  def withProgressListener(spark: SparkSession)(
+      onProgress: (Long, Long) => Unit): org.apache.spark.sql.streaming.StreamingQueryListener = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        onProgress(e.progress.batchId, e.progress.numInputRows)
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(l)
+    l
+  }
+
   /** ST4 — running per-type counts, update-mode streaming aggregation. */
   def runningCounts(spark: SparkSession, rawDir: String, queryName: String,
                     trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery = {

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** ST1-ST4 + §5.5 replay equivalence: streaming the fixture in multiple
   * micro-batches (with redelivery) must converge to the same events and
@@ -58,6 +59,28 @@ class StreamingSpec extends AnyFunSuite {
       .select(eBatch.columns.sorted.map(col).toIndexedSeq: _*)
     assert(canon(eStream).exceptAll(canon(eBatch)).isEmpty)
     assert(canon(eBatch).exceptAll(canon(eStream)).isEmpty)
+  }
+
+  test("ST7 progress listener reports batch input rows") {
+    val base = Files.createTempDirectory("graft-stream-progress")
+    val rawDir = base.resolve("raw").toString
+    new java.io.File(rawDir).mkdirs()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = Tail.withProgressListener(spark)((b, n) => seen.add((b, n)))
+    try {
+      Fixtures.toDF(spark, Fixtures.goldenLogs.take(6)).coalesce(1)
+        .write.json(rawDir + "/b1")
+      val q = Tail.start(spark, rawDir + "/*/",
+        base.resolve("ev").toString, base.resolve("ck").toString,
+        trigger = Trigger.ProcessingTime("1 second"))
+      q.processAllAvailable()
+      q.stop()
+      // listener events are async; wait briefly for delivery
+      val deadline = System.currentTimeMillis() + 10000
+      while (seen.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(seen.asScala.exists(_._2 == 6L),
+        s"expected a 6-row batch in progress events, got ${seen.asScala.toList}")
+    } finally spark.streams.removeListener(listener)
   }
 
   test("ST4 running counts aggregate across micro-batches") {
