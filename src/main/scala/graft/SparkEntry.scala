@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ hypermap.HypermapQueries.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
-      operators.Similarity.queries ++ operators.Multimodal.queries
+      operators.Similarity.queries ++ operators.Multimodal.queries ++
+      operators.Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -27,5 +28,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ hypermap.HypermapQueries.oracles ++
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
-      operators.Similarity.oracles ++ operators.Multimodal.oracles
+      operators.Similarity.oracles ++ operators.Multimodal.oracles ++
+      operators.Sampling.oracles
 }

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import scala.collection.mutable
+
+/** SpaceSaving (Metwally et al.) heavy-hitters sketch.
+  *
+  * Bounded-memory top-k frequency estimation: capacity-m summary where
+  * evicting the minimum counter inherits its count as the new item's
+  * overestimate. Guarantees: every true item with frequency > N/m is
+  * present; reported count ∈ [true, true + minEvicted].
+  *
+  * Mutable per-partition buffer, merged associatively — exactly the shape
+  * `TypedImperativeAggregate` exists for. At 100 TB this replaces a full
+  * token groupBy (shuffle of every distinct token) with a fixed-size
+  * sketch per partition + one tiny merge.
+  */
+class SpaceSavingSketch(val capacity: Int) extends Serializable {
+  // item -> (count, error). count includes error (overestimate bound).
+  val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+
+  def add(item: String, weight: Long = 1L): Unit = {
+    counters.get(item) match {
+      case Some((c, e)) => counters.update(item, (c + weight, e))
+      case None if counters.size < capacity => counters.update(item, (weight, 0L))
+      case None =>
+        // evict deterministic minimum: (count, item) ordering
+        val (minItem, (minC, _)) = counters.minBy { case (i, (c, _)) => (c, i) }
+        counters.remove(minItem)
+        counters.update(item, (minC + weight, minC))
+    }
+  }
+
+  def merge(other: SpaceSavingSketch): Unit = {
+    other.counters.foreach { case (i, (c, e)) =>
+      counters.get(i) match {
+        case Some((c0, e0)) => counters.update(i, (c0 + c, e0 + e))
+        case None => counters.update(i, (c, e))
+      }
+    }
+    if (counters.size > capacity) {
+      // keep top-capacity deterministically
+      val kept = counters.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(capacity)
+      counters.clear()
+      kept.foreach { case (i, ce) => counters.update(i, ce) }
+    }
+  }
+
+  def topK(k: Int): Seq[(String, Long, Long)] =
+    counters.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(k)
+      .map { case (i, (c, e)) => (i, c, e) }
+}
+
+/** agg expression: top-k items by estimated frequency →
+  * array<struct<item string, est_count long, max_err long>>.
+  */
+case class TopKSketchAgg(child: Expression, k: Int, capacity: Int,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[SpaceSavingSketch] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est_count", LongType, nullable = false),
+    StructField("max_err", LongType, nullable = false))))
+
+  override def createAggregationBuffer(): SpaceSavingSketch =
+    new SpaceSavingSketch(capacity)
+
+  override def update(buf: SpaceSavingSketch, input: InternalRow): SpaceSavingSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.toString)
+    buf
+  }
+
+  override def merge(buf: SpaceSavingSketch, other: SpaceSavingSketch): SpaceSavingSketch = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: SpaceSavingSketch): Any = {
+    val rows = buf.topK(k).map { case (item, c, e) =>
+      InternalRow(UTF8String.fromString(item), c, e)
+    }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override def serialize(buf: SpaceSavingSketch): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.capacity)
+    out.writeInt(buf.counters.size)
+    buf.counters.foreach { case (i, (c, e)) =>
+      val b = i.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c); out.writeLong(e)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingSketch = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val sk = new SpaceSavingSketch(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      sk.counters.update(new String(b, "UTF-8"), (in.readLong(), in.readLong()))
+      i += 1
+    }
+    sk
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TopKSketchAgg =
+    copy(child = cs.head)
+}
+
+object sketch {
+  /** top_k_freq(col, k): heavy hitters with bounded memory (capacity 8k). */
+  def top_k_freq(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKSketchAgg(ColumnBridge.expression(c), k, capacity = k * 8)
+        .toAggregateExpression())
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{t => tbl}
+
+/** Deterministic sampling + profiling for corpus curation.
+  *
+  * All sampling here is HASH-deterministic (no RNG state): a row's
+  * inclusion depends only on its key, so samples are reproducible across
+  * runs, retries, engines, and cluster sizes — the property training-data
+  * pipelines need for auditability. md5 keys keep the oracle bit-exact;
+  * the xxhash64 variants are the cheaper scale path.
+  */
+object Sampling {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-group deterministic reservoir: top-k rows by hashed priority per
+    * group ≡ uniform k-sample per group (A-Res with a hash in place of the
+    * RNG). One shuffle on the group key.
+    */
+  val reservoirPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("rsv:"), col("doc_id"))), col("doc_id"))
+    tbl(s, d, "documents")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+  val reservoirPerGroupSql: String =
+    """SELECT lang, rn, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY md5('rsv:' || doc_id), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+
+  /** Stratified Bernoulli sample at ~25%: keep rows whose hashed key falls
+    * under the threshold prefix (md5 hex is uniform; '4' cuts at 4/16).
+    * Narrow — no shuffle at all; composes with any downstream op.
+    */
+  val stratifiedSample: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .where(md5(concat(lit("smp:"), col("doc_id"))) < "4")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE md5('smp:' || doc_id) < '4' ORDER BY doc_id""".stripMargin
+
+  /** Column profiling: null/distinct/min/max per column — the cheap
+    * data-quality gate before a training run (one pass, all aggregates
+    * fused).
+    */
+  val profile: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    docs.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+      countDistinct(col("lang")).as("distinct_lang"),
+      countDistinct(col("source")).as("distinct_source"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      sum(col("n_chars")).as("total_chars"))
+  }
+  val profileSql: String =
+    """SELECT count(*) AS n_rows,
+      |       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+      |       count(DISTINCT lang) AS distinct_lang,
+      |       count(DISTINCT source) AS distinct_source,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |       sum(n_chars) AS total_chars
+      |FROM documents""".stripMargin
+
+  /** Scale-path variants (xxhash64, no string hashing). */
+  def reservoir(df: DataFrame, group: String, key: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(group)).orderBy(xxhash64(lit("rsv"), col(key)), col(key))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
+  }
+
+  def bernoulli(df: DataFrame, key: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    val threshold = (fraction * (1L << 62) * 4).toLong // map [0,1) onto long range
+    df.where(abs(xxhash64(lit("smp"), col(key))) < threshold)
+  }
+
+  /** SpaceSaving heavy-hitters over tokens. The corpus vocabulary fits the
+    * sketch capacity, so the sketch is provably exact here and the oracle
+    * is a plain groupBy count — on real corpora the same query degrades
+    * gracefully to (est_count, max_err) bounds.
+    */
+  val topTokens: Q = (s, d) => {
+    val toks = tbl(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    toks.agg(graft.functions.sketch.top_k_freq(col("tok"), 10).as("tk"))
+      .select(explode(col("tk")).as("s"))
+      .select(col("s.item").as("item"), col("s.est_count").as("est_count"))
+      .orderBy(col("est_count").desc, col("item"))
+  }
+  val topTokensSql: String =
+    """SELECT tok AS item, count(*) AS est_count
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY est_count DESC, item LIMIT 10""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "sp_reservoir"  -> reservoirPerGroup,
+    "sp_stratified" -> stratifiedSample,
+    "pf_profile"    -> profile,
+    "sk_top_tokens" -> topTokens,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sp_reservoir"  -> reservoirPerGroupSql,
+    "sp_stratified" -> stratifiedSampleSql,
+    "pf_profile"    -> profileSql,
+    "sk_top_tokens" -> topTokensSql,
+  )
+}
