@@ -69,12 +69,15 @@ object EvmCodec {
     if (bytes == null) return null
     if (argIndex < 0 || argIndex >= nArgs) return null
     if (bytes.length < nArgs * 32) return null
-    val offset = wordToInt(bytes, argIndex * 32)
-    if (offset < 0 || offset + 32 > bytes.length) return null
-    val len = wordToInt(bytes, offset)
-    if (len < 0 || offset + 32 + len > bytes.length) return null
-    val out = new Array[Byte](len)
-    System.arraycopy(bytes, offset + 32, out, 0, len)
+    // all bounds math in Long: a malformed offset/length word near
+    // Int.MaxValue must fall into the null path, never wrap and crash
+    // (Decode's contract is silent whole-log skip)
+    val offset = wordToLong(bytes, argIndex * 32)
+    if (offset < 0 || offset > bytes.length.toLong - 32) return null
+    val len = wordToLong(bytes, offset.toInt)
+    if (len < 0 || len > bytes.length.toLong - offset - 32) return null
+    val out = new Array[Byte](len.toInt)
+    System.arraycopy(bytes, offset.toInt + 32, out, 0, len.toInt)
     "0x" + Keccak.bytesToHex(out)
   }
 
@@ -106,14 +109,15 @@ object EvmCodec {
     true
   }
 
-  /** Read a 32-byte big-endian word as a non-negative Int; -1 if it exceeds
-    * Int range (treated as malformed — no real log is >2 GiB).
+  /** Read a 32-byte big-endian word as a non-negative Long; -1 if it
+    * exceeds Int range (treated as malformed — no real log is >2 GiB, and
+    * callers compare in Long so nothing can wrap).
     */
-  private def wordToInt(bytes: Array[Byte], at: Int): Int = {
-    if (at + 32 > bytes.length) return -1
+  private def wordToLong(bytes: Array[Byte], at: Int): Long = {
+    if (at < 0 || at.toLong + 32 > bytes.length) return -1L
     var i = at
     while (i < at + 28) { // high 28 bytes must be zero to fit in Int
-      if (bytes(i) != 0) return -1
+      if (bytes(i) != 0) return -1L
       i += 1
     }
     var v = 0L
@@ -121,6 +125,6 @@ object EvmCodec {
       v = (v << 8) | (bytes(i) & 0xffL)
       i += 1
     }
-    if (v > Int.MaxValue) -1 else v.toInt
+    if (v > Int.MaxValue) -1L else v
   }
 }

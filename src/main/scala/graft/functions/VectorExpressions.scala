@@ -19,18 +19,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   */
 object VectorOps {
 
-  /** Cosine similarity of two float arrays (index-order accumulation). */
-  def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Cosine similarity of two float arrays (index-order accumulation).
+    * Returns null (boxed) when lengths differ or any element is null —
+    * exactly what the zip_with/aggregate lambda formulation yields (a
+    * null product nullifies the whole sum), so swapping the kernel in
+    * never changes results.
+    */
+  def cosineF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   /** Multi-plane sign-bucket: bit p set iff dot(v, planes(p)) > 0,
@@ -57,7 +64,8 @@ object VectorOps {
 /** cosine(a, b) over array<float> columns — codegen'd fused loop. */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // null even on non-null inputs: length mismatch or null elements
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -74,7 +82,10 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VectorOps.cosineF($a, $b);")
+      s"""java.lang.Double ${ev.value}$$boxed = graft.functions.VectorOps.cosineF($a, $b);
+         |if (${ev.value}$$boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}$$boxed.doubleValue(); }
+         |""".stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)

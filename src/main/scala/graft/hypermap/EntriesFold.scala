@@ -121,12 +121,11 @@ object EntriesFold {
       .agg(max_by($"to", ord).as("owner"), max($"blockNumber").as("ownerBump"))
 
     // ---- assemble + E8 ---------------------------------------------------
-    // every Mint of an existing childhash also bumps lastUpdateBlock
+    // every Mint of an existing childhash also bumps lastUpdateBlock.
+    // (The parent-side bump is already childBump — same filter, same
+    // grouping, same max — so no separate placeholder-bump stream.)
     val mintBumps = mints.groupBy($"childhash".as("namehash"))
       .agg(max($"blockNumber").as("mintBump"))
-    val placeholderBumps = mints.where($"parenthash" =!= ROOT)
-      .groupBy($"parenthash".as("namehash"))
-      .agg(max($"blockNumber").as("phBump"))
 
     creations
       .join(children, Seq("namehash"), "left")
@@ -135,7 +134,6 @@ object EntriesFold {
       .join(genes, Seq("namehash"), "left")
       .join(owners, Seq("namehash"), "left")
       .join(mintBumps, Seq("namehash"), "left")
-      .join(placeholderBumps, Seq("namehash"), "left")
       .select(
         $"namehash", $"label", $"parentHash",
         lit(null).cast("string").as("fullName"), // never populated (types/index.ts:98)
@@ -151,8 +149,7 @@ object EntriesFold {
           coalesce($"noteBump", lit(Long.MinValue)),
           coalesce($"geneBump", lit(Long.MinValue)),
           coalesce($"ownerBump", lit(Long.MinValue)),
-          coalesce($"mintBump", lit(Long.MinValue)),
-          coalesce($"phBump", lit(Long.MinValue))).as("lastUpdateBlock"))
+          coalesce($"mintBump", lit(Long.MinValue))).as("lastUpdateBlock"))
   }
 
   /** E10 extension (off by default in parity mode): resolve fullName by

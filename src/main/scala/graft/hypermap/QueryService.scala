@@ -33,6 +33,9 @@ object QueryService {
     val pageDf = filtered.withColumn("rn", row_number().over(w))
       .where(col("rn") > (p - 1) * l && col("rn") <= p.toLong * l)
       .drop("rn")
+      // re-assert the contract order: the window sort feeds row_number but
+      // guarantees nothing about output order after the filter
+      .orderBy(col("blockNumber").desc, col("logIndex").desc)
     (pageDf, total)
   }
 

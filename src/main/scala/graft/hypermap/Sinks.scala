@@ -27,11 +27,32 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
+  /** Deterministic within-batch dedup: one row per event_id chosen by a
+    * total order over the sortable columns (dropDuplicates alone keeps an
+    * arbitrary partition-order row — nondeterministic across runs, while
+    * the reference's bulkWrite applies ops in array order).
+    */
+  private def dedupeDeterministic(updates: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val orderCols = updates.schema.fields
+      .filter(f => f.name != "event_id" && (f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true // scalar types: totally ordered in Spark SQL
+      }))
+      .map(f => col(f.name).desc_nulls_last)
+    if (orderCols.isEmpty) updates.dropDuplicates("event_id")
+    else updates
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("event_id")).orderBy(orderCols.toIndexedSeq: _*)))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   /** Append rows whose event_id is not already present. Returns number of
     * rows actually inserted (the reference's "upsertedCount").
     */
   def insertIfAbsent(spark: SparkSession, dir: String, updates: DataFrame): Long = {
-    val deduped = updates.dropDuplicates("event_id")
+    val deduped = dedupeDeterministic(updates)
     val novel =
       if (exists(spark, dir)) {
         val existingIds = spark.read.parquet(dir).select("event_id")
@@ -49,7 +70,7 @@ object Sinks {
     * (matched/updated, inserted) like the reference's bulkWrite report.
     */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame): (Long, Long) = {
-    val deduped = updates.dropDuplicates("event_id").cache()
+    val deduped = dedupeDeterministic(updates).cache()
     if (!exists(spark, dir)) {
       val n = deduped.count()
       deduped.write.mode(SaveMode.Overwrite).parquet(dir)
@@ -65,12 +86,20 @@ object Sinks {
     val tmp = dir + ".tmp-" + System.nanoTime()
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     deduped.unpersist()
-    // atomic-ish pointer swap: old dir out, new dir in
+    // Two-rename swap with checked results + rollback. NOT atomic on a raw
+    // filesystem (a crash between the renames strands the table in `old`;
+    // recovery = rename it back) — the production path is a transactional
+    // table format's MERGE; this is the best plain-parquet can do and it
+    // must never silently half-apply.
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(hconf)
     val old = new Path(dir + ".old-" + System.nanoTime())
-    fs.rename(new Path(dir), old)
-    fs.rename(new Path(tmp), new Path(dir))
+    if (!fs.rename(new Path(dir), old))
+      throw new java.io.IOException(s"upsert swap failed: cannot move $dir aside")
+    if (!fs.rename(new Path(tmp), new Path(dir))) {
+      fs.rename(old, new Path(dir)) // roll back to the previous table
+      throw new java.io.IOException(s"upsert swap failed: cannot move $tmp into place (rolled back)")
+    }
     fs.delete(old, true)
     (matched, inserted)
   }

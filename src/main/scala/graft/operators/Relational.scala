@@ -150,7 +150,7 @@ object Relational {
   }
   val a2PctOfTotalSql: String =
     """SELECT event_type, count(*) AS n,
-      |       (count(*) * 100.0) / sum(count(*)) OVER () AS pct
+      |       (count(*) * CAST(100.0 AS DOUBLE)) / CAST(sum(count(*)) OVER () AS DOUBLE) AS pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** A3 — top-1 latest (status.ts:96-99): max_by on the monotone key. */

@@ -83,8 +83,12 @@ object Sampling {
 
   def bernoulli(df: DataFrame, key: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1)
-    val threshold = (fraction * (1L << 62) * 4).toLong // map [0,1) onto long range
-    df.where(abs(xxhash64(lit("smp"), col(key))) < threshold)
+    // pmod maps the hash uniformly onto [0, 2^62); the threshold lives in
+    // the same range (2^62 ≈ 4.6e18 is exactly representable progression
+    // for the product at double precision granularity we need here).
+    val range = 1L << 62
+    val threshold = (fraction * range).toLong
+    df.where(pmod(xxhash64(lit("smp"), col(key)), lit(range)) < threshold)
   }
 
   /** SpaceSaving heavy-hitters over tokens. The corpus vocabulary fits the
