@@ -152,6 +152,46 @@ object EntriesFold {
           coalesce($"mintBump", lit(Long.MinValue))).as("lastUpdateBlock"))
   }
 
+  /** Incremental maintenance: recompute only the entries a new event batch
+    * touches. The fold restricted to events referencing an affected key is
+    * exact for that key (creation, children, facts/notes existence checks,
+    * gene, transfers all join on the key itself), so:
+    *   affected = keys referenced by the batch;
+    *   relevant = full event history filtered to affected keys;
+    *   merged   = fold(relevant) limited to affected ∪ unchanged rows.
+    * At 100 TB this turns the per-batch cost from O(all events) into
+    * O(history of touched keys) — with the events table laid out by
+    * Layout.writeEvents, the relevant-history scan prunes hard.
+    * Equivalence with the full rebuild is spec-asserted.
+    */
+  def incrementalEntries(allEvents: DataFrame, previousEntries: DataFrame,
+                         newBatch: DataFrame,
+                         normalizeTransferIds: Boolean = false): DataFrame = {
+    val spark = allEvents.sparkSession
+    import spark.implicits._
+    val tkey =
+      if (normalizeTransferIds) evm.uint_dec_to_bytes32($"id") else $"id"
+    def keysOf(df: DataFrame): DataFrame = {
+      val m = df.select(explode(array($"childhash", $"parenthash", $"entry",
+        when($"eventType" === "Transfer", tkey))).as("k"))
+        .where($"k".isNotNull && $"k" =!= ROOT)
+      m.distinct()
+    }
+    val affected = keysOf(newBatch).cache()
+    val relevant = allEvents.where(
+      $"childhash".isNotNull || $"parenthash".isNotNull ||
+        $"entry".isNotNull || $"eventType" === "Transfer")
+      .join(broadcast(affected),
+        $"childhash" === $"k" || $"parenthash" === $"k" ||
+          $"entry" === $"k" || (when($"eventType" === "Transfer", tkey) === $"k"),
+        "left_semi")
+    val refreshed = fold(relevant, normalizeTransferIds)
+      .join(affected, $"namehash" === $"k", "left_semi")
+    previousEntries
+      .join(affected, $"namehash" === $"k", "left_anti")
+      .unionByName(refreshed)
+  }
+
   /** E10 extension (off by default in parity mode): resolve fullName by
     * iterating parent links label.parent.grandparent…, bounded depth.
     * Iterative self-join — each step is one broadcast-able join on the

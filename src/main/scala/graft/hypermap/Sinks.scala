@@ -104,8 +104,30 @@ object Sinks {
     (matched, inserted)
   }
 
-  private def exists(spark: SparkSession, dir: String): Boolean = {
+  private[graft] def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Write `df` to a fresh directory, then swap it into `dir` (checked
+    * two-rename with rollback — see upsert's atomicity note).
+    */
+  private[graft] def replaceDir(spark: SparkSession, dir: String, df: DataFrame): Unit = {
+    val tmp = dir + ".tmp-" + System.nanoTime()
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!exists(spark, dir)) {
+      if (!fs.rename(new Path(tmp), new Path(dir)))
+        throw new java.io.IOException(s"replaceDir: cannot move $tmp into place")
+      return
+    }
+    val old = new Path(dir + ".old-" + System.nanoTime())
+    if (!fs.rename(new Path(dir), old))
+      throw new java.io.IOException(s"replaceDir: cannot move $dir aside")
+    if (!fs.rename(new Path(tmp), new Path(dir))) {
+      fs.rename(old, new Path(dir))
+      throw new java.io.IOException(s"replaceDir: swap failed (rolled back)")
+    }
+    fs.delete(old, true)
   }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.hypermap.{Decode, Schemas, Sinks}
+import graft.hypermap.{Decode, EntriesFold, Schemas, Sinks}
 
 /** ST1-ST4: the reference's "continuous mode"
   * (/root/reference/scripts/scan-events.ts:129,148-300 — poll head every
@@ -40,6 +40,38 @@ object Tail {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // decode is stateless per micro-batch; the sink dedupes re-delivery
         Sinks.insertIfAbsent(spark, eventsDir, Decode.decode(batch, blocks))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Tail that maintains BOTH tables: events (idempotent insert) and the
+    * derived entries (incremental fold — only the namehashes each batch
+    * touches are recomputed; equivalence with a full rebuild is
+    * spec-asserted in HypermapSpec). The streaming equivalent of the
+    * reference's storeEvents + processEventsToEntries per chunk
+    * (scripts/extract-events.ts:95-136, mongodb.ts:113-144), minus its
+    * per-event round trips.
+    */
+  def startWithEntries(spark: SparkSession, rawDir: String, eventsDir: String,
+                       entriesDir: String, checkpointDir: String,
+                       trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+                       blocks: Option[DataFrame] = None): StreamingQuery = {
+    val raw = spark.readStream.schema(Schemas.rawLogs).json(rawDir)
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val decoded = Decode.decode(batch, blocks).cache()
+        Sinks.insertIfAbsent(spark, eventsDir, decoded)
+        val allEvents = spark.read.parquet(eventsDir)
+        val prev =
+          if (Sinks.exists(spark, entriesDir)) spark.read.parquet(entriesDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.entries)
+        val updated = EntriesFold.incrementalEntries(allEvents, prev, decoded)
+        Sinks.replaceDir(spark, entriesDir, updated)
+        decoded.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)

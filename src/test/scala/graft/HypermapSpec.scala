@@ -136,6 +136,29 @@ class HypermapSpec extends AnyFunSuite {
     assert(canon(a).exceptAll(canon(b)).isEmpty && canon(b).exceptAll(canon(a)).isEmpty)
   }
 
+  test("incremental entries equals full rebuild after each batch") {
+    val all = Fixtures.goldenLogs
+    val batches = Seq(all.take(5), all.slice(5, 10), all.drop(10))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("children", sort_array($"children"))
+      .withColumn("notes", sort_array(map_entries($"notes")))
+      .withColumn("facts", sort_array(map_entries($"facts")))
+      .select(df.columns.sorted.map(col).toIndexedSeq: _*)
+    var history = Seq.empty[Fixtures.Log]
+    var entriesState = EntriesFold.fold(
+      Decode.decode(Fixtures.toDF(spark, Seq.empty)))
+    batches.foreach { b =>
+      history = history ++ b
+      val allEvents = Decode.decode(Fixtures.toDF(spark, history))
+      val newBatch = Decode.decode(Fixtures.toDF(spark, b))
+      entriesState = EntriesFold.incrementalEntries(allEvents, entriesState, newBatch)
+      val full = EntriesFold.fold(allEvents)
+      assert(canon(entriesState).exceptAll(canon(full)).isEmpty &&
+        canon(full).exceptAll(canon(entriesState)).isEmpty,
+        s"incremental diverges from rebuild after batch of ${b.size}")
+    }
+  }
+
   test("fullName resolution walks parent chain") {
     val resolved = EntriesFold.resolveFullNames(entries, maxDepth = 4)
     val alice = resolved.where($"label" === "alice").head()
