@@ -205,6 +205,53 @@ object Relational {
     """SELECT max(event_id) AS last_id, 2000000 - max(event_id) AS lag,
       |       max(event_id) + 1 AS resume_from FROM events""".stripMargin
 
+  /** A7 — hierarchical totals via ROLLUP (engine surface beyond the
+    * reference: subtotal+grand-total in one pass). Grouping nulls are
+    * coalesced to 'ALL' so the hash compare is unambiguous.
+    */
+  val a7Rollup: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"), $"n")
+      .orderBy($"status", $"priority")
+  }
+  val a7RollupSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** A8 — time bucketing: monthly order counts + exact revenue. */
+  val a8Monthly: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "orders")
+      .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"month")
+  }
+  val a8MonthlySql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** T8 — semi-structured extraction: JSON payload field (events.props). */
+  val t8Json: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events")
+      .where($"event_id" <= 300L)
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .orderBy($"event_id")
+  }
+  val t8JsonSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events WHERE event_id <= 300 ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------ query surface
 
   /** Q1 — getEvents filter+sort+paginate (events/actions.ts:14-60): page 3,
@@ -538,6 +585,9 @@ object Relational {
     "a4_filtered_count" -> a4FilteredCount,
     "a5_chunk_counts"  -> a5ChunkCounts,
     "a6_lag"           -> a6Lag,
+    "a7_rollup"        -> a7Rollup,
+    "a8_monthly"       -> a8Monthly,
+    "t8_json"          -> t8Json,
     "q1_page"          -> q1Page,
     "q1_keyset"        -> q1Keyset,
     "q2_multi_or"      -> q2MultiOr,
@@ -569,6 +619,9 @@ object Relational {
     "a4_filtered_count" -> a4FilteredCountSql,
     "a5_chunk_counts"  -> a5ChunkCountsSql,
     "a6_lag"           -> a6LagSql,
+    "a7_rollup"        -> a7RollupSql,
+    "a8_monthly"       -> a8MonthlySql,
+    "t8_json"          -> t8JsonSql,
     "q1_page"          -> q1PageSql,
     "q1_keyset"        -> q1KeysetSql,
     "q2_multi_or"      -> q2MultiOrSql,
