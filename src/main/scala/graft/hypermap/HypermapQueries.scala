@@ -97,7 +97,54 @@ object HypermapQueries {
       |  AS t(eventType, blockNumber, logIndex)
       |ORDER BY blockNumber, logIndex""".stripMargin
 
+  /** T2 full-width check: one log of each of the 7 event types; output the
+    * per-type distinguishing fields. Expected values computed from the
+    * same public EVM rules (keccak/EIP-55) the decoder must honor.
+    */
+  private val GeneAddr = "0x" + "ab" * 20
+  private val ZeroAddr = "0x" + "cd" * 20
+  private val ImplAddr = "0x" + "ef" * 20
+
+  private def allTypesLogs: Seq[Fixtures.Log] = Seq(
+    Fixtures.mint(Root, "os", 100L, 0),
+    Fixtures.fact(Os, "!sig", "sealed".getBytes("UTF-8"), 110L, 0),
+    Fixtures.note(Os, "~ip", "1.2.3.4".getBytes("UTF-8"), 120L, 0),
+    Fixtures.gene(Os, GeneAddr, 130L, 0),
+    Fixtures.zero(ZeroAddr, 140L, 0),
+    Fixtures.transfer("0x" + "00" * 20, "0x" + "11" * 20, "42", 150L, 0),
+    Fixtures.upgraded(ImplAddr, 160L, 0))
+
+  val allTypes: Q = (s, _) => {
+    import s.implicits._
+    Decode.decode(Fixtures.toDF(s, allTypesLogs))
+      .select($"eventType", $"blockNumber",
+        coalesce($"label", lit("")).as("label"),
+        coalesce($"data", lit("")).as("data"),
+        coalesce($"gene", $"to", $"zeroTba", $"implementation", lit("")).as("addr"),
+        coalesce($"id", lit("")).as("id"))
+      .orderBy($"blockNumber")
+  }
+  val allTypesSql: String = {
+    val factData = "0x" + graft.functions.Keccak.bytesToHex("sealed".getBytes("UTF-8"))
+    val noteData = "0x" + graft.functions.Keccak.bytesToHex("1.2.3.4".getBytes("UTF-8"))
+    val gene = EvmCodec.checksumAddress(GeneAddr)
+    val to = EvmCodec.checksumAddress("0x" + "11" * 20)
+    val zero = EvmCodec.checksumAddress(ZeroAddr)
+    val impl = EvmCodec.checksumAddress(ImplAddr)
+    s"""SELECT * FROM (VALUES
+       |  ('Mint', CAST(100 AS BIGINT), 'os', '', '', ''),
+       |  ('Fact', CAST(110 AS BIGINT), '!sig', '$factData', '', ''),
+       |  ('Note', CAST(120 AS BIGINT), '~ip', '$noteData', '', ''),
+       |  ('Gene', CAST(130 AS BIGINT), '', '', '$gene', ''),
+       |  ('Zero', CAST(140 AS BIGINT), '', '', '$zero', ''),
+       |  ('Transfer', CAST(150 AS BIGINT), '', '', '$to', '42'),
+       |  ('Upgraded', CAST(160 AS BIGINT), '', '', '$impl', ''))
+       |  AS t(eventType, blockNumber, label, data, addr, id)
+       |ORDER BY blockNumber""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "hm_all_types"     -> allTypes,
     "hm_decode_counts" -> decodeCounts,
     "hm_entries_fold"  -> entriesFold,
     "hm_event_page"    -> eventPage,
@@ -105,6 +152,7 @@ object HypermapQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "hm_all_types"     -> allTypesSql,
     "hm_decode_counts" -> decodeCountsSql,
     "hm_entries_fold"  -> entriesFoldSql,
     "hm_event_page"    -> eventPageSql,

@@ -136,6 +136,24 @@ class HypermapSpec extends AnyFunSuite {
     assert(canon(a).exceptAll(canon(b)).isEmpty && canon(b).exceptAll(canon(a)).isEmpty)
   }
 
+  test("fold: gene applies only to existing entries (updateOne, no upsert)") {
+    val h = EvmCodec.namehash(Schemas.RootHash, "g")
+    val addr = "0x" + "ab" * 20
+    val logs = Seq(
+      Fixtures.gene(h, addr, 50L, 0), // before Mint → silent no-op
+      Fixtures.mint(Schemas.RootHash, "g", 100L, 0),
+      Fixtures.gene(h, addr, 150L, 0), // after Mint → applied
+      Fixtures.gene(h, "0x" + "cd" * 20, 200L, 0)) // last writer wins
+    val e = EntriesFold.fold(Decode.decode(Fixtures.toDF(spark, logs)))
+    val row = e.where($"namehash" === h).head()
+    assert(row.getAs[String]("gene") == EvmCodec.checksumAddress("0x" + "cd" * 20))
+    assert(row.getAs[Long]("lastUpdateBlock") == 200L)
+    // entry for a never-minted gene target must not exist
+    val e2 = EntriesFold.fold(Decode.decode(Fixtures.toDF(spark,
+      Seq(Fixtures.gene(EvmCodec.namehash(Schemas.RootHash, "ghost"), addr, 10L, 0)))))
+    assert(e2.count() == 0)
+  }
+
   test("incremental entries equals full rebuild after each batch") {
     val all = Fixtures.goldenLogs
     val batches = Seq(all.take(5), all.slice(5, 10), all.drop(10))
