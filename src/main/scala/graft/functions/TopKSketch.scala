@@ -31,26 +31,53 @@ class SpaceSavingSketch(val capacity: Int) extends Serializable {
       case Some((c, e)) => counters.update(item, (c + weight, e))
       case None if counters.size < capacity => counters.update(item, (weight, 0L))
       case None =>
-        // evict deterministic minimum: (count, item) ordering
-        val (minItem, (minC, _)) = counters.minBy { case (i, (c, _)) => (c, i) }
+        // evict deterministic minimum: (count, item) ordering.
+        // Allocation-free linear scan; capacity is a small constant — a
+        // stream-summary/min-heap drops this to O(1) if capacity grows.
+        var minItem: String = null
+        var minC = Long.MaxValue
+        val it = counters.iterator
+        while (it.hasNext) {
+          val (i, (c, _)) = it.next()
+          if (c < minC || (c == minC && (minItem == null || i < minItem))) {
+            minItem = i; minC = c
+          }
+        }
         counters.remove(minItem)
         counters.update(item, (minC + weight, minC))
     }
   }
 
+  /** Minimum counter value, or 0 if the sketch never evicted (not full):
+    * the upper bound on the true count of any item absent from it.
+    */
+  private def minBound: Long =
+    if (counters.size < capacity) 0L
+    else counters.valuesIterator.map(_._1).min
+
+  /** Mergeable-summaries SpaceSaving merge: common items add counts and
+    * errors; an item present on only one side could have occurred up to
+    * the other side's minimum on that side — add it to both the count and
+    * the error so `true ∈ [est - err, est]` keeps holding after merges.
+    */
   def merge(other: SpaceSavingSketch): Unit = {
-    other.counters.foreach { case (i, (c, e)) =>
-      counters.get(i) match {
-        case Some((c0, e0)) => counters.update(i, (c0 + c, e0 + e))
-        case None => counters.update(i, (c, e))
+    val minSelf = minBound
+    val minOther = other.minBound
+    val merged = mutable.HashMap.empty[String, (Long, Long)]
+    counters.foreach { case (i, (c, e)) =>
+      other.counters.get(i) match {
+        case Some((c2, e2)) => merged.update(i, (c + c2, e + e2))
+        case None => merged.update(i, (c + minOther, e + minOther))
       }
     }
-    if (counters.size > capacity) {
-      // keep top-capacity deterministically
-      val kept = counters.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(capacity)
-      counters.clear()
-      kept.foreach { case (i, ce) => counters.update(i, ce) }
+    other.counters.foreach { case (i, (c, e)) =>
+      if (!counters.contains(i)) merged.update(i, (c + minSelf, e + minSelf))
     }
+    counters.clear()
+    if (merged.size > capacity) {
+      merged.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(capacity)
+        .foreach { case (i, ce) => counters.update(i, ce) }
+    } else merged.foreach { case (i, ce) => counters.update(i, ce) }
   }
 
   def topK(k: Int): Seq[(String, Long, Long)] =

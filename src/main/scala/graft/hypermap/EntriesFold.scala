@@ -171,13 +171,21 @@ object EntriesFold {
     import spark.implicits._
     val tkey =
       if (normalizeTransferIds) evm.uint_dec_to_bytes32($"id") else $"id"
-    def keysOf(df: DataFrame): DataFrame = {
-      val m = df.select(explode(array($"childhash", $"parenthash", $"entry",
+    // ROOT is normally excluded (it has no entry, and including it would
+    // drag every top-level Mint into `relevant` each batch). But if a ROOT
+    // entry EXISTS (degenerate minted-as-child case the fold supports), it
+    // must refresh when referenced, or its children set goes stale.
+    val rootHasEntry =
+      !previousEntries.where($"namehash" === ROOT).isEmpty ||
+        !newBatch.where($"childhash" === ROOT).isEmpty
+    def keysOf(df: DataFrame): DataFrame =
+      df.select(explode(array($"childhash", $"parenthash", $"entry",
         when($"eventType" === "Transfer", tkey))).as("k"))
-        .where($"k".isNotNull && $"k" =!= ROOT)
-      m.distinct()
-    }
-    val affected = keysOf(newBatch).cache()
+        .where($"k".isNotNull && (lit(rootHasEntry) || $"k" =!= ROOT))
+        .distinct()
+    // batch-bounded key set; no .cache() — recomputing the projection is
+    // cheaper than leaking one cached plan per micro-batch forever
+    val affected = keysOf(newBatch)
     val relevant = allEvents.where(
       $"childhash".isNotNull || $"parenthash".isNotNull ||
         $"entry".isNotNull || $"eventType" === "Transfer")

@@ -31,7 +31,7 @@ object QueryService {
     val total = filtered.count()
     val w = Window.orderBy(col("blockNumber").desc, col("logIndex").desc)
     val pageDf = filtered.withColumn("rn", row_number().over(w))
-      .where(col("rn") > (p - 1) * l && col("rn") <= p.toLong * l)
+      .where(col("rn") > (p.toLong - 1) * l && col("rn") <= p.toLong * l)
       .drop("rn")
       // re-assert the contract order: the window sort feeds row_number but
       // guarantees nothing about output order after the filter

@@ -109,6 +109,26 @@ object Sinks {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Recover from a crash inside replaceDir's rename window: if `dir` is
+    * missing but a stranded `dir.old-*` exists, rename the newest one
+    * back. Returns true if a recovery happened. Callers that treat
+    * missing-dir as "first run" MUST call this first or a crash window
+    * silently empties the table.
+    */
+  private[graft] def recoverDir(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return false
+    val parent = p.getParent
+    if (parent == null || !fs.exists(parent)) return false
+    val prefix = p.getName + ".old-"
+    val stranded = fs.listStatus(parent)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .sortBy(_.getPath.getName)
+    if (stranded.isEmpty) return false
+    fs.rename(stranded.last.getPath, p)
+  }
+
   /** Write `df` to a fresh directory, then swap it into `dir` (checked
     * two-rename with rollback — see upsert's atomicity note).
     */

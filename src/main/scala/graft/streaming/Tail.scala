@@ -63,15 +63,22 @@ object Tail {
     raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val decoded = Decode.decode(batch, blocks).cache()
-        Sinks.insertIfAbsent(spark, eventsDir, decoded)
-        val allEvents = spark.read.parquet(eventsDir)
-        val prev =
-          if (Sinks.exists(spark, entriesDir)) spark.read.parquet(entriesDir)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.entries)
-        val updated = EntriesFold.incrementalEntries(allEvents, prev, decoded)
-        Sinks.replaceDir(spark, entriesDir, updated)
-        decoded.unpersist()
+        try {
+          val inserted = Sinks.insertIfAbsent(spark, eventsDir, decoded)
+          // all-junk first batch: no events table yet, nothing to fold —
+          // wait for the next poll instead of crashing on a missing path
+          if (inserted > 0 && Sinks.exists(spark, eventsDir)) {
+            val allEvents = spark.read.parquet(eventsDir)
+            // heal a crash that happened mid-swap on a previous batch
+            Sinks.recoverDir(spark, entriesDir)
+            val prev =
+              if (Sinks.exists(spark, entriesDir)) spark.read.parquet(entriesDir)
+              else spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.entries)
+            val updated = EntriesFold.incrementalEntries(allEvents, prev, decoded)
+            Sinks.replaceDir(spark, entriesDir, updated)
+          }
+        } finally decoded.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)
