@@ -437,9 +437,9 @@ object Relational {
   }
   val w2RunningSumSql: String =
     """SELECT user_id, event_id,
-      |       sum(CAST(floor(value) AS BIGINT))
+      |       CAST(sum(CAST(floor(value) AS BIGINT))
       |         OVER (PARTITION BY user_id ORDER BY event_id
-      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_value
       |FROM events WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin
 
   /** U1 — union of per-type projections with missing columns (T2 wide-table

@@ -68,11 +68,11 @@ object Sampling {
   }
   val profileSql: String =
     """SELECT count(*) AS n_rows,
-      |       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+      |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
       |       count(DISTINCT lang) AS distinct_lang,
       |       count(DISTINCT source) AS distinct_source,
       |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-      |       sum(n_chars) AS total_chars
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents""".stripMargin
 
   /** Scale-path variants (xxhash64, no string hashing). */

@@ -45,6 +45,15 @@ def compare(name, spark_df, duck_df):
     issues = []
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver's hash is dtype-sensitive: DuckDB HUGEINT (sum of ints)
+        # lands as float64/object while Spark emits int64 — values equal,
+        # hashes differ. Treat a kind mismatch as a failure.
+        numeric = set("iuf")
+        if av.dtype.kind != bv.dtype.kind and (
+                av.dtype.kind in numeric or bv.dtype.kind in numeric):
+            issues.append(f"col {c}: DTYPE KIND spark={av.dtype} duck={bv.dtype}"
+                          " (driver hash would mismatch)")
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             avf = av.astype(float).to_numpy()
             bvf = bv.astype(float).to_numpy()
