@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Relational.queries ++ hypermap.HypermapQueries.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
-      operators.Sampling.queries
+      operators.Sampling.queries ++ operators.Temporal.queries ++
+      operators.Graph.queries ++ operators.Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
     operators.Relational.oracles ++ hypermap.HypermapQueries.oracles ++
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
-      operators.Sampling.oracles
+      operators.Sampling.oracles ++ operators.Temporal.oracles ++
+      operators.Graph.oracles ++ operators.Sketches.oracles
 }

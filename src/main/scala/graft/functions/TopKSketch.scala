@@ -25,26 +25,33 @@ import scala.collection.mutable
 class SpaceSavingSketch(val capacity: Int) extends Serializable {
   // item -> (count, error). count includes error (overestimate bound).
   val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+  // Ordered index over (count, item): head is the deterministic eviction
+  // victim (min count, ties to the smallest item), making add O(log m)
+  // instead of an O(m) scan per eviction — the difference between a sketch
+  // that keeps up with a 100 TB scan and one that melts when every add
+  // evicts. Kept in lockstep with `counters` by put/remove below.
+  private val order: mutable.TreeSet[(Long, String)] = mutable.TreeSet.empty
+
+  private[functions] def put(item: String, count: Long, err: Long): Unit = {
+    counters.get(item).foreach { case (c, _) => order.remove((c, item)) }
+    counters.update(item, (count, err))
+    order.add((count, item))
+  }
+
+  private def removeMin(): (String, Long) = {
+    val (minC, minItem) = order.head
+    order.remove((minC, minItem))
+    counters.remove(minItem)
+    (minItem, minC)
+  }
 
   def add(item: String, weight: Long = 1L): Unit = {
     counters.get(item) match {
-      case Some((c, e)) => counters.update(item, (c + weight, e))
-      case None if counters.size < capacity => counters.update(item, (weight, 0L))
+      case Some((c, e)) => put(item, c + weight, e)
+      case None if counters.size < capacity => put(item, weight, 0L)
       case None =>
-        // evict deterministic minimum: (count, item) ordering.
-        // Allocation-free linear scan; capacity is a small constant — a
-        // stream-summary/min-heap drops this to O(1) if capacity grows.
-        var minItem: String = null
-        var minC = Long.MaxValue
-        val it = counters.iterator
-        while (it.hasNext) {
-          val (i, (c, _)) = it.next()
-          if (c < minC || (c == minC && (minItem == null || i < minItem))) {
-            minItem = i; minC = c
-          }
-        }
-        counters.remove(minItem)
-        counters.update(item, (minC + weight, minC))
+        val (_, minC) = removeMin()
+        put(item, minC + weight, minC)
     }
   }
 
@@ -53,7 +60,7 @@ class SpaceSavingSketch(val capacity: Int) extends Serializable {
     */
   private def minBound: Long =
     if (counters.size < capacity) 0L
-    else counters.valuesIterator.map(_._1).min
+    else order.head._1
 
   /** Mergeable-summaries SpaceSaving merge: common items add counts and
     * errors; an item present on only one side could have occurred up to
@@ -74,10 +81,11 @@ class SpaceSavingSketch(val capacity: Int) extends Serializable {
       if (!counters.contains(i)) merged.update(i, (c + minSelf, e + minSelf))
     }
     counters.clear()
+    order.clear()
     if (merged.size > capacity) {
       merged.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(capacity)
-        .foreach { case (i, ce) => counters.update(i, ce) }
-    } else merged.foreach { case (i, ce) => counters.update(i, ce) }
+        .foreach { case (i, (c, e)) => put(i, c, e) }
+    } else merged.foreach { case (i, (c, e)) => put(i, c, e) }
   }
 
   def topK(k: Int): Seq[(String, Long, Long)] =
@@ -140,7 +148,7 @@ case class TopKSketchAgg(child: Expression, k: Int, capacity: Int,
     while (i < n) {
       val len = in.readInt()
       val b = new Array[Byte](len); in.readFully(b)
-      sk.counters.update(new String(b, "UTF-8"), (in.readLong(), in.readLong()))
+      sk.put(new String(b, "UTF-8"), in.readLong(), in.readLong())
       i += 1
     }
     sk

@@ -167,6 +167,24 @@ object EntriesFold {
   def incrementalEntries(allEvents: DataFrame, previousEntries: DataFrame,
                          newBatch: DataFrame,
                          normalizeTransferIds: Boolean = false): DataFrame = {
+    val (affected, refreshed) =
+      incrementalDelta(allEvents, previousEntries, newBatch, normalizeTransferIds)
+    previousEntries
+      .join(affected, col("namehash") === col("k"), "left_anti")
+      .unionByName(refreshed)
+  }
+
+  /** The delta form of incremental maintenance: returns
+    * (affected keys as a one-column `k` frame, refreshed entry rows for
+    * those keys). Callers that persist entries in a keyed/bucketed layout
+    * (Sinks.upsertBucketed) write ONLY the refreshed rows — O(touched)
+    * instead of the O(table) union+rewrite of incrementalEntries. Safe as
+    * an upsert because the event log is append-only: a key once folded to
+    * an entry always refolds to one (refreshed never "deletes").
+    */
+  def incrementalDelta(allEvents: DataFrame, previousEntries: DataFrame,
+                       newBatch: DataFrame,
+                       normalizeTransferIds: Boolean = false): (DataFrame, DataFrame) = {
     val spark = allEvents.sparkSession
     import spark.implicits._
     val tkey =
@@ -195,9 +213,7 @@ object EntriesFold {
         "left_semi")
     val refreshed = fold(relevant, normalizeTransferIds)
       .join(affected, $"namehash" === $"k", "left_semi")
-    previousEntries
-      .join(affected, $"namehash" === $"k", "left_anti")
-      .unionByName(refreshed)
+    (affected, refreshed)
   }
 
   /** E10 extension (off by default in parity mode): resolve fullName by

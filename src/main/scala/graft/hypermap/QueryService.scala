@@ -14,8 +14,13 @@ object QueryService {
     * pagination with the reference's [1,100] limit clamp and page>=1 clamp.
     * Returns (page rows, total count) like GetEventsResponse.
     *
-    * Offset pagination needs a global order — fine for dashboard pages;
-    * at 100 TB use keysetPage below (same contract, seekable).
+    * Offset pagination needs a global order; rows 1..page*limit are first
+    * reduced with a distributed top-k (TakeOrderedAndProject — each task
+    * keeps its local top page*limit, only those reach the driver-side
+    * merge), and the offset window runs over that ≤ page*limit-row result.
+    * A row_number window directly over the filtered table would move every
+    * surviving row to one partition — the classic 100 TB cliff. For deep
+    * pages use getEventsAfter below (seekable, no top-k growth).
     */
   def getEvents(events: DataFrame, eventType: Option[String] = None,
                 startDate: Option[String] = None, page: Int = 1,
@@ -30,8 +35,11 @@ object QueryService {
     }
     val total = filtered.count()
     val w = Window.orderBy(col("blockNumber").desc, col("logIndex").desc)
-    val pageDf = filtered.withColumn("rn", row_number().over(w))
-      .where(col("rn") > (p.toLong - 1) * l && col("rn") <= p.toLong * l)
+    val pageDf = filtered
+      .orderBy(col("blockNumber").desc, col("logIndex").desc)
+      .limit(math.min(p.toLong * l, Int.MaxValue.toLong).toInt)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") > (p.toLong - 1) * l)
       .drop("rn")
       // re-assert the contract order: the window sort feeds row_number but
       // guarantees nothing about output order after the filter
@@ -73,6 +81,9 @@ object QueryService {
 
   /** A1/A2 — status counts by type with percentage (status.ts:65-89):
     * one pass over events vs the reference's 7 countDocuments calls.
+    * The unpartitioned window runs AFTER the hash aggregate, over at most
+    * one row per event type (7) — scale-independent, and cheaper than a
+    * cross-join with a separate total (which would scan events twice).
     */
   def statusCounts(events: DataFrame): DataFrame =
     events.groupBy(col("eventType")).count()

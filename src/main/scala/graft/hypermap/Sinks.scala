@@ -32,19 +32,22 @@ object Sinks {
     * arbitrary partition-order row — nondeterministic across runs, while
     * the reference's bulkWrite applies ops in array order).
     */
-  private def dedupeDeterministic(updates: DataFrame): DataFrame = {
+  private def dedupeDeterministic(updates: DataFrame): DataFrame =
+    dedupeDeterministicBy(updates, "event_id")
+
+  private def dedupeDeterministicBy(updates: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val orderCols = updates.schema.fields
-      .filter(f => f.name != "event_id" && (f.dataType match {
+      .filter(f => f.name != keyCol && (f.dataType match {
         case _: ArrayType | _: MapType | _: StructType => false
         case _ => true // scalar types: totally ordered in Spark SQL
       }))
       .map(f => col(f.name).desc_nulls_last)
-    if (orderCols.isEmpty) updates.dropDuplicates("event_id")
+    if (orderCols.isEmpty) updates.dropDuplicates(keyCol)
     else updates
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("event_id")).orderBy(orderCols.toIndexedSeq: _*)))
+        Window.partitionBy(col(keyCol)).orderBy(orderCols.toIndexedSeq: _*)))
       .where(col("__rn") === 1).drop("__rn")
   }
 
@@ -102,6 +105,114 @@ object Sinks {
     }
     fs.delete(old, true)
     (matched, inserted)
+  }
+
+  /** Bucketed copy-on-write upsert — the 100 TB path for S6.
+    *
+    * `upsert` above rewrites the WHOLE table per batch: O(table) write
+    * amplification, unusable once the table dwarfs a batch. This variant
+    * lays the table out as parquet partitioned by
+    * `bucket = pmod(xxhash64(event_id), nBuckets)` and each batch:
+    *
+    *   1. computes the set of buckets the batch touches (≤ nBuckets, and
+    *      ≈ batch-size for small batches — a tail batch of 1k events
+    *      touches at most 1k buckets),
+    *   2. reads ONLY those partitions (partition pruning on `bucket`),
+    *   3. merges last-writer-wins by event_id,
+    *   4. rewrites ONLY those partitions via dynamic partition overwrite.
+    *
+    * Write amplification drops from O(table) to O(table/nBuckets ×
+    * touched-buckets). This is exactly the copy-on-write keyed-table
+    * design of Delta/Hudi; on a cluster with a transactional format the
+    * same layout maps to MERGE + partition pruning. Untouched partitions
+    * are never read or written (UpsertBucketedSpec asserts their files are
+    * byte-identical across batches).
+    *
+    * Atomicity: Spark's dynamic overwrite commits per partition through
+    * the Hadoop commit protocol — a crash can leave touched partitions
+    * mixed old/new (re-running the same idempotent batch repairs them),
+    * but never corrupts untouched partitions. Strictly better than the
+    * full-rewrite swap; production path remains a transactional format.
+    *
+    * Returns (matched/updated, inserted) like `upsert`.
+    */
+  def upsertBucketed(spark: SparkSession, dir: String, updates: DataFrame,
+                     nBuckets: Int = 256, keyCol: String = "event_id"): (Long, Long) = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    recoverBucketed(spark, dir)
+    val bucketed = dedupeDeterministicBy(updates, keyCol)
+      .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
+      .cache()
+    try {
+      if (!exists(spark, dir)) {
+        val n = bucketed.count()
+        bucketed.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir)
+        return (0L, n)
+      }
+      val touched = bucketed.select("bucket").distinct()
+        .collect().map(_.getLong(0)).sorted // ≤ nBuckets values — driver-safe
+      val existingTouched = spark.read.parquet(dir)
+        .where(col("bucket").isin(touched.toIndexedSeq: _*)) // partition pruning
+      val nUpdates = bucketed.count()
+      val matched = bucketed
+        .join(existingTouched.select(keyCol), Seq(keyCol), "left_semi").count()
+      val merged = bucketed.unionByName(
+        existingTouched.join(bucketed.select(keyCol), Seq(keyCol), "left_anti"),
+        allowMissingColumns = true)
+      // Spark refuses to overwrite a path its own plan reads, so the merged
+      // buckets land in a tmp dir and are swapped in per partition — which
+      // is also the crash-safe shape: each bucket flips old→new in one
+      // rename, untouched buckets are never opened.
+      val tmp = dir + ".tmp-" + System.nanoTime()
+      merged.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(dir).getFileSystem(hconf)
+      touched.foreach { b =>
+        val src = new Path(tmp, s"bucket=$b")
+        val dst = new Path(dir, s"bucket=$b")
+        if (fs.exists(src)) {
+          val old = new Path(dir, s".bucket=$b.old-" + System.nanoTime())
+          val hadOld = fs.exists(dst)
+          if (hadOld && !fs.rename(dst, old))
+            throw new java.io.IOException(s"upsertBucketed: cannot move $dst aside")
+          if (!fs.rename(src, dst)) {
+            if (hadOld) fs.rename(old, dst)
+            throw new java.io.IOException(s"upsertBucketed: swap failed for bucket $b (rolled back)")
+          }
+          if (hadOld) fs.delete(old, true)
+        }
+        // A touched bucket always has ≥1 merged row (its update rows are in
+        // `merged`), so a missing src means the write itself failed — the
+        // rename above would have thrown before reaching here.
+      }
+      fs.delete(new Path(tmp), true)
+      (matched, nUpdates - matched)
+    } finally bucketed.unpersist()
+  }
+
+  /** Read a table maintained by upsertBucketed without its layout column. */
+  def readBucketed(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("bucket")
+
+  /** Heal a crash inside upsertBucketed's per-bucket rename window: a
+    * stranded `.bucket=K.old-*` dir whose `bucket=K` is missing is renamed
+    * back (the batch didn't land); one whose `bucket=K` exists is deleted
+    * (the batch landed, cleanup was lost). Hidden (dot-prefixed) dirs are
+    * invisible to parquet readers, so a stranded .old never corrupts reads.
+    */
+  private[graft] def recoverBucketed(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      val i = name.indexOf(".old-")
+      if (st.isDirectory && name.startsWith(".bucket=") && i > 0) {
+        val live = new Path(dir, name.substring(1, i))
+        if (fs.exists(live)) fs.delete(st.getPath, true)
+        else fs.rename(st.getPath, live)
+      }
+    }
   }
 
   private[graft] def exists(spark: SparkSession, dir: String): Boolean = {

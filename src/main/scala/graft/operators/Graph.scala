@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph operators for dedup canonicalization: near-duplicate candidate
+  * pairs (Dedup.lshPairs) form an undirected graph whose connected
+  * components are the duplicate clusters — keep min(doc_id) per component
+  * as the canonical document, drop the rest. The step every large-scale
+  * training-data dedup pipeline runs after MinHash/LSH.
+  *
+  * Mirrors the reference's implicit namespace graph handling (SURVEY.md
+  * §1.1: parentHash edges + children adjacency, maintained by per-event
+  * upserts in `src/lib/services/mongodb.ts:147-195`) — re-expressed as
+  * whole-graph DataFrame iteration instead of point updates.
+  */
+object Graph {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Connected components by iterative min-label propagation.
+    *
+    * Each round every node takes the min label over itself and its
+    * neighbors; converges in O(diameter) rounds. LSH duplicate clusters
+    * are near-cliques (diameter ≤ 2-3), so this beats the O(log n)
+    * large-star/small-star scheme there — propagation does whole-cluster
+    * hops per round and each round is just a join + groupBy.min. For
+    * graphs with long chains, switch to alternating large/small-star
+    * (Kiveris et al., "Connected Components in MapReduce") — same
+    * DataFrame skeleton, different propagation rule.
+    *
+    * Each iteration localCheckpoints the label frame: the loop would
+    * otherwise double the lineage per round and recompile ever-growing
+    * plans (driver-side O(2^iter) analysis).
+    *
+    * @param edges two-column DataFrame of undirected edges
+    * @return (node, cluster) — cluster is the component's min node id
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val Seq(ca, cb) = edges.columns.toSeq.take(2).map(col)
+    val und = edges.select(ca.as("x"), cb.as("y"))
+      .union(edges.select(cb.as("x"), ca.as("y")))
+      .distinct()
+      .persist()
+    var labels = und.select(col("x").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = und
+        .join(labels.withColumnRenamed("node", "y").withColumnRenamed("label", "ylabel"), Seq("y"))
+        .select(col("x").as("node"), col("ylabel").as("label"))
+      val next = neighborMin.union(labels)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .where(col("label") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist()
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+
+  /** cc — duplicate clusters over the LSH candidate pairs (same probe set
+    * as dd_lsh_pairs): each doc in a candidate pair labeled with its
+    * component's min doc_id.
+    */
+  val ccClusters: Q = (s, d) => {
+    import s.implicits._
+    connectedComponents(Dedup.lshPairs(s, d))
+      .select($"node".as("doc_id"), $"cluster")
+      .orderBy($"doc_id")
+  }
+  val ccClustersSql: String = {
+    val mins = (0 until 8).map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(", ")
+    s"""WITH RECURSIVE sig AS (
+       |  SELECT doc_id, $mins
+       |  FROM (SELECT doc_id,
+       |               unnest(list_transform(range(1, len(text)-3), i -> substr(text, i, 5))) AS sh
+       |        FROM documents WHERE doc_id < 200 AND len(text) >= 5)
+       |  GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bsig FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bsig FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bsig = y.bsig
+       |  WHERE x.doc_id < y.doc_id),
+       |und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT x, x FROM und
+       |  UNION
+       |  SELECT u.y, reach.r FROM und u JOIN reach ON u.x = reach.n)
+       |SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map("cc_clusters" -> ccClusters)
+  val oracles: Map[String, String] = Map("cc_clusters" -> ccClustersSql)
+}

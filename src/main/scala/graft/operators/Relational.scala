@@ -255,16 +255,22 @@ object Relational {
   // ------------------------------------------------------------ query surface
 
   /** Q1 — getEvents filter+sort+paginate (events/actions.ts:14-60): page 3,
-    * limit 20, sorted newest-first. Offset pagination = ordered window +
-    * row_number (deterministic offset; `limit()` alone can't express skip).
+    * limit 20, sorted newest-first. A distributed top-k
+    * (TakeOrderedAndProject: per-task top 60, tiny driver merge) feeds the
+    * offset window, so row_number only ever sees page*limit rows. A global
+    * row_number over the filtered table would single-partition the whole
+    * scan — the 100 TB cliff this avoids.
     */
   val q1Page: Q = (s, d) => {
     import s.implicits._
     val w = Window.orderBy($"event_id".desc)
     tbl(s, d, "events")
       .where($"event_type" === "view")
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"event_id".desc)
+      .limit(60)
       .withColumn("rn", row_number().over(w).cast("long"))
-      .where($"rn" > 40 && $"rn" <= 60)
+      .where($"rn" > 40)
       .select($"event_id", $"user_id", $"value", $"rn")
       .orderBy($"event_id".desc)
   }
@@ -463,6 +469,52 @@ object Relational {
       |FROM events WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** A9 — pivot (wide per-type aggregate): the columnar form of the
+    * reference's per-type dashboards (actions.ts:92-110). Explicit pivot
+    * value list keeps the plan a single pass (no distinct-values pre-query)
+    * and the output schema stable.
+    */
+  val a9Pivot: Q = (s, d) => {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    tbl(s, d, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(sum(floor($"value").cast("long")))
+      .na.fill(0L, types)
+      .orderBy($"user_id")
+  }
+  val a9PivotSql: String =
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type='click' THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type='error' THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(sum(CASE WHEN event_type='purchase' THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(sum(CASE WHEN event_type='signup' THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(sum(CASE WHEN event_type='view' THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** W4 — ntile decile assignment over per-user totals. The global window
+    * runs AFTER the aggregate, over |users| rows — fine at dashboard
+    * cardinalities. When |users| itself is huge, exact equal-size buckets
+    * are inherently a global sort; the scale alternative is boundary
+    * assignment from percentile_approx (different remainder semantics),
+    * provided as Sketches.distinctSketchByGroup's quantile sibling.
+    * Tie-break on user_id makes the ntile deterministic.
+    */
+  val w4Ntile: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.orderBy($"total", $"user_id")
+    tbl(s, d, "events")
+      .groupBy($"user_id").agg(sum(floor($"value").cast("long")).as("total"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .orderBy($"user_id")
+  }
+  val w4NtileSql: String =
+    """WITH tot AS (SELECT user_id, CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total
+      |             FROM events GROUP BY user_id)
+      |SELECT user_id, total, CAST(ntile(10) OVER (ORDER BY total, user_id) AS BIGINT) AS decile
+      |FROM tot ORDER BY user_id""".stripMargin
+
   /** D1 — exact distinct (set-op surface, SURVEY §2.6). */
   val d1Distinct: Q = (s, d) => {
     import s.implicits._
@@ -599,6 +651,8 @@ object Relational {
     "e4_last_writer"   -> e4LastWriter,
     "e8_last_update"   -> e8LastUpdate,
     "w2_running_sum"   -> w2RunningSum,
+    "a9_pivot"         -> a9Pivot,
+    "w4_ntile"         -> w4Ntile,
     "u1_union"         -> u1Union,
     "d1_distinct"      -> d1Distinct,
     "tpch_q1"          -> tpchQ1,
@@ -633,6 +687,8 @@ object Relational {
     "e4_last_writer"   -> e4LastWriterSql,
     "e8_last_update"   -> e8LastUpdateSql,
     "w2_running_sum"   -> w2RunningSumSql,
+    "a9_pivot"         -> a9PivotSql,
+    "w4_ntile"         -> w4NtileSql,
     "u1_union"         -> u1UnionSql,
     "d1_distinct"      -> d1DistinctSql,
     "tpch_q1"          -> tpchQ1Sql,

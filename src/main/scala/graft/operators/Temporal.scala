@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{t => tbl}
+
+/** Temporal/ordered operators the reference's event-stream model implies but
+  * Spark lacks as builtins: sessionization, as-of join, range join.
+  *
+  * All three are composed from existing Spark operators (SURVEY.md §2
+  * preference order (a)): one shuffle each, no custom physical plan needed.
+  * The events table orders by a monotone `event_id` (reference sorts on
+  * `(blockNumber, logIndex)` — `src/app/events/actions.ts:45`); these
+  * operators key their windows on the partition column so no global sort
+  * or single-partition window appears at any scale.
+  */
+object Temporal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------ sessionize
+
+  /** Gap-based sessionization: a new session starts when the gap between
+    * consecutive `ordCol` values within a `partCol` group exceeds `gap`.
+    * Returns the input plus a `session_id` column (0-based per group).
+    * One shuffle (window partitioned by `partCol`); the classic
+    * lag→break→running-sum composition, fully codegen'd.
+    */
+  def sessionize(df: DataFrame, partCol: String, ordCol: String, gap: Long): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(ordCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__brk",
+        when(col(ordCol) - lag(col(ordCol), 1).over(w) > gap, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__brk")).over(run))
+      .drop("__brk")
+  }
+
+  /** w3 — per-user session stats over the events table: gap of 300 in
+    * event_id space splits sessions; report sessions per user and the
+    * largest session size.
+    */
+  val w3Sessionize: Q = (s, d) => {
+    import s.implicits._
+    sessionize(tbl(s, d, "events"), "user_id", "event_id", 300L)
+      .groupBy($"user_id", $"session_id").agg(count(lit(1)).as("cnt"))
+      .groupBy($"user_id").agg(
+        count(lit(1)).as("n_sessions"),
+        max($"cnt").as("longest"))
+      .orderBy($"user_id")
+  }
+  val w3SessionizeSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id,
+      |         CASE WHEN event_id - lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) > 300
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_id,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM s)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+      |       CAST(max(cnt) AS BIGINT) AS longest
+      |FROM (SELECT user_id, sid, count(*) AS cnt FROM sess GROUP BY user_id, sid) g
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------- as-of join
+
+  /** As-of join (pandas merge_asof / DuckDB ASOF JOIN semantics): for each
+    * probe row, the build row with the greatest `ordCol` ≤ the probe's,
+    * within the same `partCols` group. Probe columns pass through; build's
+    * `ordCol` and value columns come back as `asof_<name>` (null when no
+    * build row precedes the probe).
+    *
+    * Implementation: union-tag + running `last(ignoreNulls)` — ONE shuffle
+    * keyed by `partCols`, instead of the naive inequality join (which Spark
+    * can only execute as a broadcast-nested-loop or a sort-merge with a
+    * per-key scan). Build rows sort before probe rows at equal `ordCol`
+    * (tag 0 < 1), giving the ≤ bound. Build columns travel inside ONE
+    * struct so all asof_ values come from the same build row even when
+    * some of its columns are null.
+    */
+  def asofJoin(probe: DataFrame, build: DataFrame,
+               partCols: Seq[String], ordCol: String): DataFrame = {
+    val asofSrc = ordCol +: build.columns.filterNot(c =>
+      partCols.contains(c) || c == ordCol).toSeq
+    val probeExtra = probe.columns.filterNot(c =>
+      partCols.contains(c) || c == ordCol).toSeq
+    val common = partCols :+ ordCol
+    val packed = struct(asofSrc.map(c => build.col(c).as(c)): _*)
+    val bSide = build.select(
+      common.map(build.col) ++
+        probeExtra.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) :+
+        packed.as("__asof") :+ lit(0).as("__tag"): _*)
+    val pSide = probe.select(
+      common.map(probe.col) ++ probeExtra.map(probe.col) :+
+        lit(null).cast(bSide.schema("__asof").dataType).as("__asof") :+
+        lit(1).as("__tag"): _*)
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(ordCol), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = bSide.unionByName(pSide)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+    val out = (common ++ probeExtra).map(col) ++
+      asofSrc.map(c => col(s"__asof.$c").as(s"asof_$c"))
+    filled.select(out: _*)
+  }
+
+  /** aj — for each click event (bounded probe set), the latest view event
+    * of the same user at or before it.
+    */
+  val ajAsof: Q = (s, d) => {
+    import s.implicits._
+    val events = tbl(s, d, "events")
+    val probe = events.where($"event_type" === "click" && $"user_id" < 30)
+      .select($"user_id", $"event_id")
+    val build = events.where($"event_type" === "view")
+      .select($"user_id", $"event_id", $"value")
+    asofJoin(probe, build, Seq("user_id"), "event_id")
+      .select($"event_id", $"user_id",
+        $"asof_event_id".as("view_event_id"), $"asof_value".as("view_value"))
+      .orderBy($"event_id")
+  }
+  val ajAsofSql: String =
+    """SELECT c.event_id, c.user_id, v.event_id AS view_event_id, v.value AS view_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id < 30) c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id AND v.event_id <= c.event_id
+      |ORDER BY c.event_id""".stripMargin
+
+  // ------------------------------------------------------------- range join
+
+  /** Binned range join: facts matched to half-open ranges [lo, hi) by
+    * expanding each range into the fixed-width bins it covers and
+    * equi-joining on the fact's bin — turning an inequality join (which
+    * Spark executes as broadcast-nested-loop) into a hash join. A fact
+    * lands in exactly one bin, so no post-join dedup is needed. `binSize`
+    * should be ≥ the typical range width (each range then expands to
+    * O(1) bins).
+    */
+  def binnedRangeJoin(facts: DataFrame, factCol: String,
+                      ranges: DataFrame, loCol: String, hiCol: String,
+                      binSize: Double): DataFrame = {
+    val expanded = ranges.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binSize).cast("long"),
+        floor((col(hiCol) - lit(1e-9)) / binSize).cast("long"))))
+    facts.withColumn("__bin", floor(col(factCol) / binSize).cast("long"))
+      .join(expanded, Seq("__bin"))
+      .where(col(factCol) >= col(loCol) && col(factCol) < col(hiCol))
+      .drop("__bin")
+  }
+
+  /** rj — events bucketed into fixed value bands via the binned range join
+    * (bands broadcast: tiny build side → BroadcastHashJoin on __bin).
+    */
+  val rjRange: Q = (s, d) => {
+    import s.implicits._
+    val bands = s.createDataFrame((0 until 10).map(i => (i, i * 50.0, (i + 1) * 50.0)))
+      .toDF("band_id", "lo", "hi")
+    binnedRangeJoin(tbl(s, d, "events"), "value", broadcast(bands), "lo", "hi", 50.0)
+      .groupBy($"band_id").agg(
+        count(lit(1)).as("n"),
+        sum(floor($"value").cast("long")).as("sum_floor"))
+      .orderBy($"band_id")
+  }
+  val rjRangeSql: String =
+    """WITH bands(band_id, lo, hi) AS (VALUES (0,0.0,50.0),(1,50.0,100.0),(2,100.0,150.0),
+      |  (3,150.0,200.0),(4,200.0,250.0),(5,250.0,300.0),(6,300.0,350.0),(7,350.0,400.0),
+      |  (8,400.0,450.0),(9,450.0,500.0))
+      |SELECT band_id, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor
+      |FROM events JOIN bands ON value >= lo AND value < hi
+      |GROUP BY band_id ORDER BY band_id""".stripMargin
+
+  // ----------------------------------------------------------------- export
+
+  val queries: Map[String, Q] = Map(
+    "w3_sessionize" -> w3Sessionize,
+    "aj_asof"       -> ajAsof,
+    "rj_range"      -> rjRange,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w3_sessionize" -> w3SessionizeSql,
+    "aj_asof"       -> ajAsofSql,
+    "rj_range"      -> rjRangeSql,
+  )
+}

@@ -86,6 +86,44 @@ object Tail {
       .start()
   }
 
+  /** The 100 TB variant of startWithEntries: the entries table lives in
+    * Sinks.upsertBucketed's hash-bucketed layout (keyed by namehash) and
+    * each micro-batch writes ONLY the buckets holding refreshed entries —
+    * per-batch write cost O(touched keys), not O(table), on top of the
+    * already-incremental fold. Read the table back with
+    * `Sinks.readBucketed`. startWithEntries keeps the flat layout for
+    * small tables / plain `spark.read.parquet` consumers.
+    */
+  def startWithEntriesBucketed(spark: SparkSession, rawDir: String, eventsDir: String,
+                               entriesDir: String, checkpointDir: String,
+                               trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+                               blocks: Option[DataFrame] = None,
+                               nBuckets: Int = 256): StreamingQuery = {
+    val raw = spark.readStream.schema(Schemas.rawLogs).json(rawDir)
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val decoded = Decode.decode(batch, blocks).cache()
+        try {
+          val inserted = Sinks.insertIfAbsent(spark, eventsDir, decoded)
+          if (inserted > 0 && Sinks.exists(spark, eventsDir)) {
+            val allEvents = spark.read.parquet(eventsDir)
+            val prev =
+              if (Sinks.exists(spark, entriesDir)) Sinks.readBucketed(spark, entriesDir)
+              else spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.entries)
+            val (_, refreshed) =
+              EntriesFold.incrementalDelta(allEvents, prev, decoded)
+            Sinks.upsertBucketed(spark, entriesDir, refreshed,
+              nBuckets = nBuckets, keyCol = "namehash")
+          }
+        } finally decoded.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** ST7 — progress reporting (index-events.ts:150-155's 15 s ticker):
     * a StreamingQueryListener invoking `onProgress` with (batchId,
     * numInputRows) per completed micro-batch. Returns the listener so

@@ -44,4 +44,41 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).where($"label" === "alice-v2").count() == 1)
     assert(spark.read.parquet(dir).where($"label" === "alice").count() == 0)
   }
+
+  test("upsertBucketed matches upsert semantics and only rewrites touched buckets") {
+    val dir = freshDir()
+    val (m0, i0) = Sinks.upsertBucketed(spark, dir, decoded, nBuckets = 8)
+    assert((m0, i0) == (0L, 14L))
+    assert(Sinks.readBucketed(spark, dir).count() == 14)
+
+    // Snapshot per-bucket file listings before a single-row update batch.
+    def bucketFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().map(f => f.getName + ":" + f.lastModified()).toSet)
+        .toMap
+    }
+    val before = bucketFiles()
+
+    val oneRow = decoded.where($"label" === "alice")
+      .withColumn("label", lit("alice-v2"))
+    val (m1, i1) = Sinks.upsertBucketed(spark, dir, oneRow, nBuckets = 8)
+    assert((m1, i1) == (1L, 0L))
+    val table = Sinks.readBucketed(spark, dir)
+    assert(table.count() == 14)
+    assert(table.where($"label" === "alice-v2").count() == 1)
+    assert(table.where($"label" === "alice").count() == 0)
+
+    // O(touched) not O(table): exactly one bucket's files changed.
+    val after = bucketFiles()
+    val changed = before.keySet.union(after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
+
+    // idempotent redelivery of the same batch
+    val (m2, i2) = Sinks.upsertBucketed(spark, dir, oneRow, nBuckets = 8)
+    assert((m2, i2) == (1L, 0L))
+    assert(Sinks.readBucketed(spark, dir).count() == 14)
+  }
 }
