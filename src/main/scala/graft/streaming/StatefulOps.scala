@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful Structured Streaming operators (§2.7 extensions): explicit
+  * per-key state via flatMapGroupsWithState and watermarked windowed
+  * aggregation — the two streaming shapes the batch surface can't express.
+  *
+  * The reference's stream never needs custom state (its per-chunk loop is
+  * stateless + idempotent upsert, scan-events.ts:148-300), but a tail that
+  * derives SESSIONS (bursts of chain activity per entity) needs a
+  * per-key open-session accumulator that survives micro-batches — exactly
+  * what GroupState provides. State lives in the checkpointed state store:
+  * per-key, partitioned by the grouping key, recovered on restart.
+  */
+object StatefulOps {
+
+  /** One event in an entity's ordered stream; `ord` is any monotone
+    * position (blockNumber, event_id).
+    */
+  case class Ev(key: Long, ord: Long)
+
+  /** Open-session accumulator carried across micro-batches. */
+  case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** A finished session, emitted in append mode. */
+  case class ClosedSession(key: Long, start: Long, end: Long, n: Long)
+
+  /** Streaming gap-sessionization: within each key's stream, a gap of
+    * more than `gap` ordinals closes the open session and emits it; the
+    * open session persists in GroupState across batches. With
+    * `idleTimeoutMs` > 0, idle keys flush their open session via a
+    * processing-time timeout (otherwise a final-session flush happens
+    * only at query teardown — standard append-mode semantics).
+    *
+    * Scale: state is O(active keys) × O(1) per key; the state store is
+    * partitioned by key alongside the shuffle, so this distributes like
+    * any keyed aggregation. Batch-side twin: Temporal.sessionize.
+    */
+  def sessionize(events: Dataset[Ev], gap: Long,
+                 idleTimeoutMs: Long = 0L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, timeoutConf) {
+        (key: Long, evs: Iterator[Ev], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(key, s.start, s.last, s.n))
+          } else {
+            // Batch arrival order within a group is not ordinal order.
+            val sorted = evs.toIndexedSeq.sortBy(_.ord)
+            val closed = Seq.newBuilder[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open = open match {
+                case Some(s) if e.ord - s.last > gap =>
+                  closed += ClosedSession(key, s.start, s.last, s.n)
+                  Some(OpenSession(e.ord, e.ord, 1L))
+                case Some(s) =>
+                  Some(OpenSession(s.start, e.ord, s.n + 1L))
+                case None =>
+                  Some(OpenSession(e.ord, e.ord, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Watermarked tumbling-window counts per group column: append-mode
+    * windowed aggregation that finalizes a window once the watermark
+    * passes its end — the bounded-state form of ST4's running counts
+    * (which, with only 7 keys, never needed a watermark). Late rows
+    * beyond `watermarkDelay` are dropped, state is O(open windows).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, groupCol: String,
+                     windowDur: String, watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(groupCol))
+      .count()
+      .select(col("window.start").as("window_start"), col(groupCol), col("count"))
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{ClosedSession, Ev}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** flatMapGroupsWithState sessionization and watermarked windowed
+  * aggregation semantics over MemoryStream micro-batches.
+  */
+class StatefulStreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("stateful sessionization closes sessions on gaps, state survives batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StatefulOps.sessionize(input.toDS(), gap = 10L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("closed_sessions").start()
+    try {
+      // batch 1: two sessions' worth for key 1 (gap 25 > 10 closes the first)
+      input.addData(Ev(1L, 1L), Ev(1L, 5L), Ev(1L, 30L), Ev(2L, 100L))
+      q.processAllAvailable()
+      val after1 = spark.table("closed_sessions").as[ClosedSession].collect().toSet
+      assert(after1 == Set(ClosedSession(1L, 1L, 5L, 2L)))
+
+      // batch 2: key 1's open session [30] continues at 35, then closes at 60;
+      // key 2's open session closes too. Cross-batch state did the carrying.
+      input.addData(Ev(1L, 35L), Ev(1L, 60L), Ev(2L, 200L))
+      q.processAllAvailable()
+      val after2 = spark.table("closed_sessions").as[ClosedSession].collect().toSet
+      assert(after2 == Set(
+        ClosedSession(1L, 1L, 5L, 2L),
+        ClosedSession(1L, 30L, 35L, 2L),
+        ClosedSession(2L, 100L, 100L, 1L)))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed counts finalize once the watermark passes") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "kind")
+    val q = StatefulOps.windowedCounts(df, "ts", "kind", "1 minute", "30 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("win_counts").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((t("2026-01-01 00:00:05"), "a"), (t("2026-01-01 00:00:40"), "a"),
+        (t("2026-01-01 00:00:50"), "b"))
+      q.processAllAvailable()
+      // watermark (max 00:00:50 - 30s) hasn't passed the window end → nothing final
+      assert(spark.table("win_counts").count() == 0)
+
+      // an event far past the window advances the watermark → window [00:00,00:01) emits
+      input.addData((t("2026-01-01 00:05:00"), "a"))
+      q.processAllAvailable()
+      val out = spark.table("win_counts")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(out == Set(
+        (t("2026-01-01 00:00:00"), "a", 2L),
+        (t("2026-01-01 00:00:00"), "b", 1L)))
+
+      // a late row behind the watermark is dropped, not re-opened
+      input.addData((t("2026-01-01 00:00:59"), "a"))
+      q.processAllAvailable()
+      assert(spark.table("win_counts").count() == 2)
+    } finally q.stop()
+  }
+}
