@@ -76,7 +76,9 @@ object Sinks {
     val deduped = dedupeDeterministic(updates).cache()
     if (!exists(spark, dir)) {
       val n = deduped.count()
-      deduped.write.mode(SaveMode.Overwrite).parquet(dir)
+      // an empty first batch must not create a file-less parquet dir
+      // (unreadable: schema inference fails on every later read)
+      if (n > 0) deduped.write.mode(SaveMode.Overwrite).parquet(dir)
       deduped.unpersist()
       return (0L, n)
     }
@@ -144,16 +146,21 @@ object Sinks {
       .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
       .cache()
     try {
+      val nUpdates = bucketed.count()
+      // An empty batch must not create an empty (file-less) parquet dir —
+      // every later read would die on schema inference — nor rewrite
+      // anything on an existing table.
+      if (nUpdates == 0) return (0L, 0L)
       if (!exists(spark, dir)) {
-        val n = bucketed.count()
         bucketed.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir)
-        return (0L, n)
+        writeBucketSpec(spark, dir, nBuckets, keyCol)
+        return (0L, nUpdates)
       }
+      checkBucketSpec(spark, dir, nBuckets, keyCol)
       val touched = bucketed.select("bucket").distinct()
         .collect().map(_.getLong(0)).sorted // ≤ nBuckets values — driver-safe
       val existingTouched = spark.read.parquet(dir)
         .where(col("bucket").isin(touched.toIndexedSeq: _*)) // partition pruning
-      val nUpdates = bucketed.count()
       val matched = bucketed
         .join(existingTouched.select(keyCol), Seq(keyCol), "left_semi").count()
       val merged = bucketed.unionByName(
@@ -194,15 +201,56 @@ object Sinks {
   def readBucketed(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).drop("bucket")
 
+  /** The table's bucket layout, persisted as a hidden marker file so a
+    * later upsert with a different nBuckets/keyCol fails fast instead of
+    * silently duplicating keys (an update hashed to a different bucket
+    * count lands in a different partition than the row it should replace).
+    */
+  private def writeBucketSpec(spark: SparkSession, dir: String,
+                              nBuckets: Int, keyCol: String): Unit = {
+    val p = new Path(dir, ".graft_bucketspec")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"$nBuckets\n$keyCol\n".getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def checkBucketSpec(spark: SparkSession, dir: String,
+                              nBuckets: Int, keyCol: String): Unit = {
+    val p = new Path(dir, ".graft_bucketspec")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) { writeBucketSpec(spark, dir, nBuckets, keyCol); return }
+    val in = fs.open(p)
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    in.close()
+    lines match {
+      case n :: k :: _ =>
+        require(n.trim == nBuckets.toString && k.trim == keyCol,
+          s"upsertBucketed layout mismatch for $dir: table has nBuckets=${n.trim}, " +
+            s"keyCol=${k.trim}; caller passed nBuckets=$nBuckets, keyCol=$keyCol")
+      case _ => writeBucketSpec(spark, dir, nBuckets, keyCol)
+    }
+  }
+
   /** Heal a crash inside upsertBucketed's per-bucket rename window: a
     * stranded `.bucket=K.old-*` dir whose `bucket=K` is missing is renamed
     * back (the batch didn't land); one whose `bucket=K` exists is deleted
     * (the batch landed, cleanup was lost). Hidden (dot-prefixed) dirs are
     * invisible to parquet readers, so a stranded .old never corrupts reads.
+    * Also sweeps `<dir>.tmp-*` siblings left by a crash between the
+    * tmp-dir write and the swap loop (full-size orphans otherwise).
     */
   private[graft] def recoverBucketed(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = p.getParent
+    if (parent != null && fs.exists(parent)) {
+      val tmpPrefix = p.getName + ".tmp-"
+      fs.listStatus(parent).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(tmpPrefix))
+          fs.delete(st.getPath, true)
+      }
+    }
     if (!fs.exists(p)) return
     fs.listStatus(p).foreach { st =>
       val name = st.getPath.getName

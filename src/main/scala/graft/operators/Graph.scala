@@ -46,7 +46,7 @@ object Graph {
       .withColumn("label", col("node"))
       .localCheckpoint()
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && iter < maxIter) {
       val neighborMin = und
         .join(labels.withColumnRenamed("node", "y").withColumnRenamed("label", "ylabel"), Seq("y"))
@@ -61,6 +61,13 @@ object Graph {
       iter += 1
     }
     und.unpersist()
+    // Unconverged labels are WRONG labels (a component reported as several
+    // clusters) and indistinguishable from right ones — refuse to return
+    // them. Graphs with diameter > maxIter need a larger budget or the
+    // large/small-star rule.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(graph diameter exceeds the iteration budget)")
     labels.select(col("node"), col("label").as("cluster"))
   }
 

@@ -143,6 +143,7 @@ object Temporal {
   def binnedRangeJoin(facts: DataFrame, factCol: String,
                       ranges: DataFrame, loCol: String, hiCol: String,
                       binSize: Double): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
     val expanded = ranges.withColumn("__bin",
       explode(sequence(floor(col(loCol) / binSize).cast("long"),
         floor((col(hiCol) - lit(1e-9)) / binSize).cast("long"))))

@@ -64,7 +64,11 @@ object StatefulOps {
                   closed += ClosedSession(key, s.start, s.last, s.n)
                   Some(OpenSession(e.ord, e.ord, 1L))
                 case Some(s) =>
-                  Some(OpenSession(s.start, e.ord, s.n + 1L))
+                  // A cross-batch late event (ord ≤ last) folds into the
+                  // open session; boundaries only ever widen — letting
+                  // `last` regress would corrupt later gap decisions.
+                  Some(OpenSession(math.min(s.start, e.ord),
+                    math.max(s.last, e.ord), s.n + 1L))
                 case None =>
                   Some(OpenSession(e.ord, e.ord, 1L))
               }

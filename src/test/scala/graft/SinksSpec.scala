@@ -81,4 +81,21 @@ class SinksSpec extends AnyFunSuite {
     assert((m2, i2) == (1L, 0L))
     assert(Sinks.readBucketed(spark, dir).count() == 14)
   }
+
+  test("upsertBucketed: empty batches are no-ops, layout mismatch is rejected") {
+    // an empty FIRST batch must not create an unreadable file-less dir
+    val dir = freshDir()
+    assert(Sinks.upsertBucketed(spark, dir, decoded.where(lit(false)), nBuckets = 8)
+      == (0L, 0L))
+    assert(!Sinks.exists(spark, dir))
+    // seed, then an empty later batch is a no-op
+    Sinks.upsertBucketed(spark, dir, decoded, nBuckets = 8)
+    assert(Sinks.upsertBucketed(spark, dir, decoded.where(lit(false)), nBuckets = 8)
+      == (0L, 0L))
+    assert(Sinks.readBucketed(spark, dir).count() == 14)
+    // a different bucket count would split keys across layouts — refused
+    intercept[IllegalArgumentException] {
+      Sinks.upsertBucketed(spark, dir, decoded, nBuckets = 16)
+    }
+  }
 }

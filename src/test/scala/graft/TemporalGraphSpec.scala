@@ -73,6 +73,16 @@ class TemporalGraphSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents refuses to return unconverged labels") {
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("a", "b") // diameter 5
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(chain, maxIter = 2)
+    }
+    val cc = Graph.connectedComponents(chain, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L) && cc.size == 6)
+  }
+
   test("HLL sketches merge across groups to the exact distinct count") {
     val df = spark.range(0, 5000)
       .select(($"id" % 10).as("g"), ($"id" % 700).as("v"))
