@@ -152,7 +152,11 @@ object Sinks {
       // anything on an existing table.
       if (nUpdates == 0) return (0L, 0L)
       if (!exists(spark, dir)) {
-        bucketed.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir)
+        // repartition by bucket first: without it every task writes to
+        // every bucket dir (tasks × buckets small files — metadata death);
+        // with it each bucket is one task's output, ~1 file per bucket.
+        bucketed.repartition(col("bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir)
         writeBucketSpec(spark, dir, nBuckets, keyCol)
         return (0L, nUpdates)
       }
@@ -171,7 +175,8 @@ object Sinks {
       // is also the crash-safe shape: each bucket flips old→new in one
       // rename, untouched buckets are never opened.
       val tmp = dir + ".tmp-" + System.nanoTime()
-      merged.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
+      merged.repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
       val hconf = spark.sparkContext.hadoopConfiguration
       val fs = new Path(dir).getFileSystem(hconf)
       touched.foreach { b =>
