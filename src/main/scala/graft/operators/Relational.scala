@@ -497,8 +497,8 @@ object Relational {
     * runs AFTER the aggregate, over |users| rows — fine at dashboard
     * cardinalities. When |users| itself is huge, exact equal-size buckets
     * are inherently a global sort; the scale alternative is boundary
-    * assignment from percentile_approx (different remainder semantics),
-    * provided as Sketches.distinctSketchByGroup's quantile sibling.
+    * assignment from a quantile sketch (different remainder semantics),
+    * provided as Sketches.approxNtileBounds/assignByBounds.
     * Tie-break on user_id makes the ntile deterministic.
     */
   val w4Ntile: Q = (s, d) => {

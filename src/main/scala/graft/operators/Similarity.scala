@@ -129,9 +129,81 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) coarse quantization — the other standard ANN
+    * scale path beside LSH: a small centroid set partitions the corpus
+    * into cells; queries probe only the nprobe nearest cells. Centroids
+    * here are a deterministic stride sample of the corpus standing in for
+    * k-means iterations — quantizer quality moves recall, not the
+    * dataflow shape (assignment = broadcast join + max_by; search =
+    * cell-equi-join), which is what must scale.
+    */
+  def ivfCentroids(e: DataFrame, stride: Long): DataFrame =
+    e.where(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  /** Assign each vector to its max-cosine centroid. The tie-break rides
+    * inside one double (round(cos,6)*1e9 - cid: cos steps of 1e-6 become
+    * 1000, cid < 1000 — strictly ordered, exact in double) so the same
+    * max_by works in engines without struct-ordered max_by.
+    */
+  def ivfAssign(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cid"), round(cos("embedding", "ce"), 6).as("c6"))
+      .groupBy(col("vec_id")).agg(
+        max_by(col("cid"), col("c6") * lit(1e9) - col("cid")).as("centroid"),
+        round(max(col("c6")), 6).as("best_cos"))
+
+  /** ANN via IVF: probe the nprobe nearest cells, exact-cosine re-rank.
+    * One broadcast join to pick cells, one equi-join on cell — no cross
+    * product with the corpus.
+    */
+  def annViaIvf(e: DataFrame, probeIds: Seq[Long], k: Int = 3,
+                nprobe: Int = 2, stride: Long = 125L): DataFrame = {
+    val centroids = ivfCentroids(e, stride)
+    val cells = ivfAssign(e, centroids).select(col("vec_id"), col("centroid"))
+    val corpus = e.select(col("vec_id").as("n"), col("embedding").as("en"))
+      .join(cells.select(col("vec_id").as("n"), col("centroid").as("cell")), Seq("n"))
+    val wc = Window.partitionBy(col("q")).orderBy(col("c6").desc, col("cid"))
+    val probeCells = e.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("q"), col("embedding").as("eq"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q"), col("eq"), col("cid"), round(cos("eq", "ce"), 6).as("c6"))
+      .withColumn("r", row_number().over(wc)).where(col("r") <= nprobe)
+      .select(col("q"), col("eq"), col("cid").as("cell"))
+    val scored = probeCells.join(corpus, Seq("cell"))
+      .where(col("q") =!= col("n"))
+      .select(col("q"), col("n"), cos("eq", "en").as("cos"))
+    val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Gate query: IVF cell assignment for a probe set — deterministic and
+    * oracle-checkable (unlike the search path, whose recall is
+    * spec-asserted against brute force).
+    */
+  val ivfAssignQ: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings")
+    ivfAssign(e.where(col("vec_id") < 100), ivfCentroids(e, 125L))
+      .orderBy(col("vec_id"))
+  }
+  val ivfAssignSql: String =
+    """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      |           FROM embeddings WHERE vec_id % 125 = 0)
+      |SELECT e.vec_id,
+      |       max_by(c.cid, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6)
+      |                     * 1000000000 - c.cid) AS centroid,
+      |       round(max(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6)), 6) AS best_cos
+      |FROM embeddings e CROSS JOIN c
+      |WHERE e.vec_id < 100
+      |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce"  -> annBruteforce,
     "ann_lsh_buckets" -> annLshBuckets,
+    "ann_ivf_assign"  -> ivfAssignQ,
   )
 
   /** ann_lsh_buckets is deliberately rows-only (no oracle): the md5-parity
@@ -139,5 +211,6 @@ object Similarity {
     */
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
+    "ann_ivf_assign" -> ivfAssignSql,
   )
 }

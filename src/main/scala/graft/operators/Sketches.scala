@@ -72,6 +72,27 @@ object Sketches {
     sketches.groupBy(col(groupCol))
       .agg(hll_sketch_estimate(hll_union_agg(col("hll_sketch"))).as("approx_distinct"))
 
+  /** Approximate n-tile assignment without a global sort — the scale
+    * alternative to exact ntile (Relational.w4Ntile) when the bucketed
+    * column's cardinality is itself huge: one quantile-sketch pass for
+    * the n-1 boundaries, then a stateless per-row bucket lookup. Equal-
+    * size-bucket remainders differ from exact ntile (boundary ties all
+    * land in one bucket) — that's the trade.
+    */
+  def approxNtileBounds(df: DataFrame, valueCol: String, n: Int,
+                        relativeError: Double = 0.001): Array[Double] = {
+    require(n > 1, "need at least 2 buckets")
+    df.stat.approxQuantile(valueCol,
+      (1 until n).map(_.toDouble / n).toArray, relativeError)
+  }
+
+  def assignByBounds(df: DataFrame, valueCol: String,
+                     bounds: Array[Double]): DataFrame = {
+    val boundsArr = array(bounds.map(lit(_)).toIndexedSeq: _*)
+    df.withColumn("bucket",
+      (lit(1) + size(filter(boundsArr, b => col(valueCol) > b))).cast("long"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sk_hll_bound"      -> hllBound,
     "sk_quantile_bound" -> quantileBound,

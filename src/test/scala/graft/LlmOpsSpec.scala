@@ -55,6 +55,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(found.headOption.contains(0L))
   }
 
+  test("ANN via IVF probes nearest cells and finds planted duplicates") {
+    // identical vector assigns to the same cell → always found at nprobe=1
+    val selfDup = emb.select($"vec_id", $"embedding")
+      .unionByName(emb.where($"vec_id" === 7)
+        .select(lit(777777L).as("vec_id"), $"embedding"))
+    val found = Similarity.annViaIvf(selfDup, Seq(777777L), k = 1, nprobe = 1)
+      .select($"n").as[Long].collect()
+    assert(found.headOption.contains(7L))
+    // probing ALL cells (nprobe = centroid count at stride 125 over
+    // vec_id 0..499 → 4 cells) covers the whole corpus → exactly the
+    // brute-force top-k
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.annBruteforce(spark, sf)
+      .select($"q", $"n").as[(Long, Long)].collect().toSet
+    val allCells = Similarity.annViaIvf(emb, probes, k = 3, nprobe = 4)
+      .select($"q", $"n").as[(Long, Long)].collect().toSet
+    assert(allCells == exact, s"IVF@allcells != brute force: ${allCells.diff(exact)} / ${exact.diff(allCells)}")
+  }
+
+  test("approx ntile bounds agree with exact deciles within tolerance") {
+    val totals = Tables.events(spark, sf)
+      .groupBy($"user_id").agg(sum(floor($"value").cast("long")).as("total"))
+    val bounds = graft.operators.Sketches.approxNtileBounds(
+      totals, "total", 10, relativeError = 0.0)
+    assert(bounds.length == 9 && bounds.sorted.sameElements(bounds))
+    val assigned = graft.operators.Sketches.assignByBounds(totals, "total", bounds)
+    val buckets = assigned.groupBy($"bucket").count()
+      .as[(Long, Long)].collect().toMap
+    val n = totals.count()
+    // every bucket populated and roughly n/10 (boundary-tie slack)
+    assert(buckets.keySet == (1L to 10L).toSet, s"buckets: $buckets")
+    assert(buckets.values.forall(c => c >= n / 20 && c <= n / 4), s"skew: $buckets")
+  }
+
   test("multimodal feature extraction runs via mapPartitions over binary") {
     val media = Multimodal.asMedia(docs)
     val feats = Multimodal.extractFeatures(media)
