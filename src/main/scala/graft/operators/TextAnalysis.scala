@@ -110,11 +110,33 @@ object TextAnalysis {
       |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  /** Text normalization — the canonical pre-dedup cleanup: lowercase,
+    * strip non-alphanumerics, collapse whitespace, trim. Pure per-row
+    * regex/codegen expressions; the character classes used are identical
+    * under Java regex (Spark) and RE2 (DuckDB). Emits a bounded prefix +
+    * length so the gate output stays small.
+    */
+  val normalize: Q = (s, d) => {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    tbl(s, d, "documents").where(col("doc_id") < 200)
+      .select(col("doc_id"),
+        substring(norm, 1, 40).as("norm_prefix"),
+        length(norm).cast("long").as("norm_len"))
+      .orderBy(col("doc_id"))
+  }
+  val normalizeSql: String =
+    """SELECT doc_id,
+      |  substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 40) AS norm_prefix,
+      |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
     "tx_langid"      -> langid,
     "tx_fingerprint" -> fingerprint,
+    "tx_normalize"   -> normalize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -122,5 +144,6 @@ object TextAnalysis {
     "tx_quality"     -> qualitySql,
     "tx_langid"      -> langidSql,
     "tx_fingerprint" -> fingerprintSql,
+    "tx_normalize"   -> normalizeSql,
   )
 }
