@@ -138,12 +138,18 @@ object Sinks {
     *
     * Returns (matched/updated, inserted) like `upsert`.
     */
+  /** The bucket assignment used by upsertBucketed's layout — exposed so
+    * callers (and benchmarks) never re-derive it and drift.
+    */
+  def bucketCol(keyCol: String, nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong))
+
   def upsertBucketed(spark: SparkSession, dir: String, updates: DataFrame,
                      nBuckets: Int = 256, keyCol: String = "event_id"): (Long, Long) = {
     require(nBuckets > 0, "nBuckets must be positive")
     recoverBucketed(spark, dir)
     val bucketed = dedupeDeterministicBy(updates, keyCol)
-      .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
+      .withColumn("bucket", bucketCol(keyCol, nBuckets))
       .cache()
     try {
       val nUpdates = bucketed.count()

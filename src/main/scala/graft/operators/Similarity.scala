@@ -144,16 +144,17 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
   /** Assign each vector to its max-cosine centroid. The tie-break rides
-    * inside one double (round(cos,6)*1e9 - cid: cos steps of 1e-6 become
-    * 1000, cid < 1000 — strictly ordered, exact in double) so the same
-    * max_by works in engines without struct-ordered max_by.
+    * inside one double (round(cos,6)*1e12 - cid: cos steps of 1e-6 become
+    * 1e6 apart, so any cid < 1e6 can never outweigh a genuine cosine
+    * difference; both terms stay exact in double) so the same max_by
+    * works in engines without struct-ordered max_by.
     */
   def ivfAssign(e: DataFrame, centroids: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("cid"), round(cos("embedding", "ce"), 6).as("c6"))
       .groupBy(col("vec_id")).agg(
-        max_by(col("cid"), col("c6") * lit(1e9) - col("cid")).as("centroid"),
+        max_by(col("cid"), col("c6") * lit(1e12) - col("cid")).as("centroid"),
         round(max(col("c6")), 6).as("best_cos"))
 
   /** ANN via IVF: probe the nprobe nearest cells, exact-cosine re-rank.
@@ -175,7 +176,10 @@ object Similarity {
       .select(col("q"), col("eq"), col("cid").as("cell"))
     val scored = probeCells.join(corpus, Seq("cell"))
       .where(col("q") =!= col("n"))
-      .select(col("q"), col("n"), cos("eq", "en").as("cos"))
+      // round(…,6) + n tie-break matches annBruteforce's ranking exactly,
+      // so probing all cells is set-identical to brute force even when two
+      // cosines differ only past the 6th decimal
+      .select(col("q"), col("n"), round(cos("eq", "en"), 6).as("cos"))
     val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -194,7 +198,7 @@ object Similarity {
       |           FROM embeddings WHERE vec_id % 125 = 0)
       |SELECT e.vec_id,
       |       max_by(c.cid, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6)
-      |                     * 1000000000 - c.cid) AS centroid,
+      |                     * 1000000000000 - c.cid) AS centroid,
       |       round(max(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6)), 6) AS best_cos
       |FROM embeddings e CROSS JOIN c
       |WHERE e.vec_id < 100

@@ -89,8 +89,13 @@ object Sketches {
   def assignByBounds(df: DataFrame, valueCol: String,
                      bounds: Array[Double]): DataFrame = {
     val boundsArr = array(bounds.map(lit(_)).toIndexedSeq: _*)
+    // null values get a null bucket — approxQuantile ignored them when
+    // computing the bounds, so folding them into bucket 1 would silently
+    // skew it
     df.withColumn("bucket",
-      (lit(1) + size(filter(boundsArr, b => col(valueCol) > b))).cast("long"))
+      when(col(valueCol).isNull, lit(null))
+        .otherwise(lit(1) + size(filter(boundsArr, b => col(valueCol) > b)))
+        .cast("long"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -21,6 +21,12 @@ class BucketedLayoutSpec extends AnyFunSuite {
     val base = Files.createTempDirectory("graft-bucketed-join")
     val orders = Tables.t(spark, sf, "orders")
     val lineitem = Tables.t(spark, sf, "lineitem")
+    // At sf0.001 both sides fit under the broadcast threshold and a
+    // BroadcastHashJoin would trivially have no shuffle — disable it so
+    // the test exercises what it claims: a SortMergeJoin made
+    // exchange-free purely by the bucketed layout.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       orders.write
         .option("path", base.resolve("orders").toString)
@@ -33,16 +39,20 @@ class BucketedLayoutSpec extends AnyFunSuite {
 
       val joined = spark.table("b_orders")
         .join(spark.table("b_lineitem"), $"o_orderkey" === $"l_orderkey")
-      val shuffles = joined.queryExecution.sparkPlan.collect {
-        case s: ShuffleExchangeExec => s
-      }
+      val plan = joined.queryExecution.sparkPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
       assert(shuffles.isEmpty,
         s"expected shuffle-free co-located join, found: ${shuffles.map(_.nodeName)}")
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"expected a SortMergeJoin, plan was:\n$plan")
 
       // and it computes the same rows as the plain (shuffling) join
       val expected = orders.join(lineitem, $"o_orderkey" === $"l_orderkey").count()
       assert(joined.count() == expected)
     } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
