@@ -45,8 +45,16 @@ object Graph {
     var labels = und.select(col("x").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // Convergence check: labels are min-monotone (each round every label
+    // either stays or strictly decreases, node set fixed), so the label
+    // sum is a strictly decreasing potential — "sum unchanged" ⟺
+    // converged. One cheap aggregate per round instead of a self-join
+    // diff; decimal(38,0) so huge graphs can't overflow the potential.
+    def potential(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevPot = if (labels.isEmpty) null else potential(labels)
     var iter = 0
-    var converged = labels.isEmpty
+    var converged = prevPot == null
     while (!converged && iter < maxIter) {
       val neighborMin = und
         .join(labels.withColumnRenamed("node", "y").withColumnRenamed("label", "ylabel"), Seq("y"))
@@ -54,10 +62,10 @@ object Graph {
       val next = neighborMin.union(labels)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .where(col("label") =!= col("prev")).count()
+      val pot = potential(next)
       labels = next
-      converged = changed == 0
+      converged = pot.compareTo(prevPot) == 0
+      prevPot = pot
       iter += 1
     }
     und.unpersist()
