@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guard: the scale properties PERF.md claims
+  * are asserted here against the actual planned operators, so a future
+  * edit that silently turns a broadcast join into a cartesian product or
+  * re-introduces a global-window pagination fails CI, not the cluster.
+  * (Checks the pre-AQE sparkPlan — deterministic at any data size.)
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+
+  test("s1_scan_filter pushes its predicates into the parquet scan") {
+    val scan = planOf("s1_scan_filter").collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters:") && scan.contains("EqualTo(event_type,click)"),
+      s"expected pushed equality filter, scan was: ${scan.take(400)}")
+  }
+
+  test("q1_page bounds pagination with a distributed top-k, never a global window") {
+    val plan = planOf("q1_page")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject, plan:\n$plan")
+    // the only window sits ABOVE the top-k (input ≤ page*limit rows)
+    val windows = plan.collect { case w: WindowExec => w }
+    windows.foreach { w =>
+      assert(w.collect { case t if t.nodeName.contains("TakeOrderedAndProject") => t }.nonEmpty,
+        s"window not fed by a top-k:\n$w")
+    }
+  }
+
+  test("dimension joins broadcast the small side (s3, rj_range)") {
+    Seq("s3_dim_join", "rj_range").foreach { q =>
+      val bhj = planOf(q).collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"$q: expected a BroadcastHashJoin")
+    }
+  }
+
+  test("no operator plans a nested-loop or cartesian join except declared cross products") {
+    // dd_embedding / ann_bruteforce are DECLARED bounded cross products
+    // (probe-set re-rank); ann_ivf_assign scans each vector against the
+    // O(K) broadcast centroid set — that IS the IVF assignment step.
+    // Everything else must never plan one.
+    val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign")
+    SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
+      val bad = planOf(q).collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      }
+      assert(bad.isEmpty, s"$q plans ${bad.map(_.nodeName).mkString(",")}")
+    }
+  }
+
+  test("per-key windows are partitioned (w2, w3, e1, sessionize path)") {
+    Seq("w2_running_sum", "w3_sessionize", "e1_first_per_key").foreach { q =>
+      val windows = planOf(q).collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$q: expected a window")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q: unpartitioned window — single-partition cliff:\n$w"))
+    }
+  }
+
+  test("asofJoin plans exactly one window shuffle and no join at all") {
+    val plan = planOf("aj_asof")
+    val joins = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.isEmpty, s"as-of join should be join-free (union+window): ${joins.map(_.nodeName)}")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+}
