@@ -73,19 +73,59 @@ object Dedup {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** 2 bands × 4 rows over the 8-hash md5 signature → (doc_id, band, bsig). */
+  private def md5Banded(docs: DataFrame): DataFrame =
+    md5Signatures(docs).select(col("doc_id"),
+      expr("stack(2, 0, md5(concat_ws('|', mh0, mh1, mh2, mh3)), " +
+        "1, md5(concat_ws('|', mh4, mh5, mh6, mh7))) AS (band, bsig)"))
+
   /** LSH banding: 2 bands × 4 rows over the 8-hash signature; candidate
     * pairs = docs sharing any band signature. Bounded probe set.
     */
   val lshPairs: Q = (s, d) => {
-    val sig = md5Signatures(tbl(s, d, "documents").where(col("doc_id") < 200))
-    val banded = sig.select(col("doc_id"),
-      expr("stack(2, 0, md5(concat_ws('|', mh0, mh1, mh2, mh3)), " +
-        "1, md5(concat_ws('|', mh4, mh5, mh6, mh7))) AS (band, bsig)"))
+    val banded = md5Banded(tbl(s, d, "documents").where(col("doc_id") < 200))
     val a = banded.select(col("doc_id").as("a"), col("band"), col("bsig"))
     val b = banded.select(col("doc_id").as("b"), col("band"), col("bsig"))
     a.join(b, Seq("band", "bsig")).where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Incremental dedup candidates: a NEW batch checked against an
+    * EXISTING corpus through band signatures — the shape every growing
+    * training corpus needs. At scale the corpus side is the PERSISTED
+    * signature table (signatureTable below): corpus text is never
+    * re-shingled, and the banded join is bucket-bounded, never
+    * batch × corpus.
+    */
+  val ddIncremental: Q = (s, d) => {
+    val banded = md5Banded(tbl(s, d, "documents").where(col("doc_id") < 260))
+    val batch = banded.where(col("doc_id") >= 200)
+      .select(col("doc_id").as("new_id"), col("band"), col("bsig"))
+    val corpus = banded.where(col("doc_id") < 200)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bsig"))
+    batch.join(corpus, Seq("band", "bsig"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+  val ddIncrementalSql: String = {
+    val mins = (0 until NumHashes)
+      .map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(", ")
+    s"""WITH sig AS (
+       |  SELECT doc_id, $mins
+       |  FROM (SELECT doc_id,
+       |               unnest(list_transform(range(1, len(text)-3), i -> substr(text, i, 5))) AS sh
+       |        FROM documents WHERE doc_id < 260 AND len(text) >= 5)
+       |  GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bsig FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bsig FROM sig)
+       |SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+       |FROM (SELECT * FROM banded WHERE doc_id >= 200) b
+       |JOIN (SELECT * FROM banded WHERE doc_id < 200) c
+       |  ON b.band = c.band AND b.bsig = c.bsig
+       |ORDER BY new_id, corpus_id""".stripMargin
   }
   val lshPairsSql: String = {
     val mins = (0 until NumHashes)
@@ -204,21 +244,48 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs from xxhash64 signatures: `bands` bands of
-    * k/bands rows; one shuffle keyed by (band, bucket).
+  /** The corpus's persisted signature state: compute once per document at
+    * ingest, store alongside the corpus, band on read. Re-used by every
+    * later incremental batch (incrementalCandidates) without touching
+    * corpus text again.
     */
-  def lshCandidatePairs(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
-    val sig = minhashSignatures(docs, k)
+  def signatureTable(docs: DataFrame, k: Int = 32): DataFrame =
+    minhashSignatures(docs, k)
+
+  /** Band xxhash64 signatures → (doc_id, band, bucket). */
+  private def xxBanded(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val bandCols = (0 until bands).map { bnd =>
       val cols = (bnd * rows until (bnd + 1) * rows).map(j => col(s"mh$j"))
       struct(lit(bnd).as("band"), xxhash64(cols: _*).as("bucket"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** LSH candidate pairs from xxhash64 signatures: `bands` bands of
+    * k/bands rows; one shuffle keyed by (band, bucket).
+    */
+  def lshCandidatePairs(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+    val banded = xxBanded(minhashSignatures(docs, k), k, bands)
     banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+  }
+
+  /** Incremental candidates at scale: band the batch's fresh signatures
+    * against the corpus's persisted signatureTable. Returns
+    * (new_id, corpus_id); verify survivors with exact Jaccard over just
+    * the candidate docs (nearDuplicates' verify stage).
+    */
+  def incrementalCandidates(newDocs: DataFrame, corpusSigs: DataFrame,
+                            k: Int = 32, bands: Int = 8): DataFrame = {
+    val batch = xxBanded(minhashSignatures(newDocs, k), k, bands)
+      .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+    val corpus = xxBanded(corpusSigs, k, bands)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
+    batch.join(corpus, Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id")).distinct()
   }
 
   /** End-to-end near-dup detection: LSH candidates verified by exact
@@ -252,6 +319,7 @@ object Dedup {
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_simhash"      -> simhash,
     "dd_embedding"    -> embeddingNearDup,
+    "dd_incremental"  -> ddIncremental,
   )
 
   val oracles: Map[String, String] = Map(
@@ -261,5 +329,6 @@ object Dedup {
     "dd_ngram_jaccard" -> ngramJaccardSql,
     "dd_simhash"      -> simhashSql,
     "dd_embedding"    -> embeddingNearDupSql,
+    "dd_incremental"  -> ddIncrementalSql,
   )
 }

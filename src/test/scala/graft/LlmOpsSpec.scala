@@ -55,6 +55,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(found.headOption.contains(0L))
   }
 
+  test("incremental dedup finds a new batch's dup against persisted corpus signatures") {
+    val corpus = docs.where($"doc_id" < 60).select($"doc_id", $"text")
+    val sigs = Dedup.signatureTable(corpus) // persisted once at ingest
+    val d0 = corpus.where($"doc_id" === 0).select($"text").as[String].head()
+    val batch = Seq((5000L, d0), (5001L, "completely unrelated fresh text"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.incrementalCandidates(batch, sigs)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((5000L, 0L)), s"planted dup not found: $cands")
+    assert(!cands.exists(_._1 == 5001L) || cands.count(_._1 == 5001L) < 10,
+      "novel doc matched implausibly many corpus docs")
+  }
+
   test("ANN via IVF probes nearest cells and finds planted duplicates") {
     // identical vector assigns to the same cell → always found at nprobe=1
     val selfDup = emb.select($"vec_id", $"embedding")
