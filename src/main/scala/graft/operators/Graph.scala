@@ -37,6 +37,15 @@ object Graph {
     * @return (node, cluster) — cluster is the component's min node id
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // The sum-potential convergence check below is exact only for
+    // integral ids (decimal cast of a fractional/string id would round or
+    // null out and corrupt the check silently) — enforce rather than
+    // guess. Map other id types to longs (zipWithUniqueId / xxhash64)
+    // before calling.
+    edges.schema.fields.take(2).foreach { f =>
+      require(Set("byte", "short", "integer", "long")(f.dataType.typeName),
+        s"connectedComponents needs integral node ids; ${f.name} is ${f.dataType.typeName}")
+    }
     val Seq(ca, cb) = edges.columns.toSeq.take(2).map(col)
     val und = edges.select(ca.as("x"), cb.as("y"))
       .union(edges.select(cb.as("x"), ca.as("y")))
@@ -52,7 +61,7 @@ object Graph {
     // diff; decimal(38,0) so huge graphs can't overflow the potential.
     def potential(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevPot = if (labels.isEmpty) null else potential(labels)
+    var prevPot = potential(labels) // null on an empty graph → converged
     var iter = 0
     var converged = prevPot == null
     while (!converged && iter < maxIter) {

@@ -11,6 +11,7 @@ import java.nio.file.Files
   */
 class EtlJobSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
+  import spark.implicits._
 
   private def writeRaw(): (String, String) = {
     val base = Files.createTempDirectory("graft-etl")
@@ -31,10 +32,8 @@ class EtlJobSpec extends AnyFunSuite {
     // entries table ≡ a direct fold of the decoded golden logs
     val entries = spark.read.parquet(s"$outDir/entries")
     val expected = EntriesFold.fold(Decode.decode(Fixtures.toDF(spark, Fixtures.goldenLogs)))
-    assert(entries.select("namehash").as[String](spark.implicits.newStringEncoder)
-      .collect().sorted.toSeq ==
-      expected.select("namehash").as[String](spark.implicits.newStringEncoder)
-        .collect().sorted.toSeq)
+    assert(entries.select("namehash").as[String].collect().sorted.toSeq ==
+      expected.select("namehash").as[String].collect().sorted.toSeq)
 
     // idempotent re-run: nothing new inserted, tables unchanged
     val again = EtlJob.run(spark, rawDir, outDir)

@@ -49,8 +49,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // dd_embedding / ann_bruteforce are DECLARED bounded cross products
     // (probe-set re-rank); ann_ivf_assign scans each vector against the
     // O(K) broadcast centroid set — that IS the IVF assignment step.
+    // cc_clusters is excluded because building its "plan" executes the
+    // whole driver-side CC loop and returns only the final checkpointed
+    // select — expensive and blind to the in-loop joins.
     // Everything else must never plan one.
-    val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign")
+    val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign", "cc_clusters")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
