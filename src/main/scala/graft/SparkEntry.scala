@@ -21,7 +21,8 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
       operators.Sampling.queries ++ operators.Temporal.queries ++
-      operators.Graph.queries ++ operators.Sketches.queries
+      operators.Graph.queries ++ operators.Sketches.queries ++
+      operators.Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
       operators.Sampling.oracles ++ operators.Temporal.oracles ++
-      operators.Graph.oracles ++ operators.Sketches.oracles
+      operators.Graph.oracles ++ operators.Sketches.oracles ++
+      operators.Skew.oracles
 }

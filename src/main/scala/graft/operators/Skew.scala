@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables.{t => tbl}
 
 /** Skew-mitigation utilities (SURVEY.md §7 / PERF.md): salting for hot
   * keys where AQE's runtime skew handling isn't available (e.g. inside
@@ -38,4 +39,25 @@ object Skew {
       explode(sequence(lit(0L), lit(buckets - 1L))))
     f.join(d, Seq(key, "__salt")).drop("__salt")
   }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Gate query: the salted two-phase aggregate must equal the plain
+    * GROUP BY — the oracle IS the unsalted form, so correctness of the
+    * decomposition is hash-checked, not just spec-asserted.
+    */
+  val swSaltedAgg: Q = (s, d) => {
+    import s.implicits._
+    saltedSumCount(tbl(s, d, "events"),
+      $"event_type", floor($"value").cast("long"), $"event_id", buckets = 16)
+      .select($"k".as("event_type"), $"total", $"cnt")
+      .orderBy($"event_type")
+  }
+  val swSaltedAggSql: String =
+    """SELECT event_type, CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total,
+      |       count(*) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map("sw_salted_agg" -> swSaltedAgg)
+  val oracles: Map[String, String] = Map("sw_salted_agg" -> swSaltedAggSql)
 }
