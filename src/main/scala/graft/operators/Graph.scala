@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph operators for dedup canonicalization: near-duplicate candidate
@@ -51,27 +51,33 @@ object Graph {
       .union(edges.select(cb.as("x"), ca.as("y")))
       .distinct()
       .persist()
-    var labels = und.select(col("x").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
     // Convergence check: labels are min-monotone (each round every label
     // either stays or strictly decreases, node set fixed), so the label
     // sum is a strictly decreasing potential — "sum unchanged" ⟺
-    // converged. One cheap aggregate per round instead of a self-join
-    // diff; decimal(38,0) so huge graphs can't overflow the potential.
-    def potential(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevPot = potential(labels) // null on an empty graph → converged
+    // converged. The potential rides the SAME job that materializes the
+    // round's checkpoint (Observation metrics are collected as a
+    // side-output of the localCheckpoint action), so each round is ONE
+    // Spark job, not checkpoint + a separate aggregate — at gate scale
+    // the loop is scheduling-bound and this halves it; at cluster scale
+    // it halves driver round-trips. decimal(38,0) so huge graphs can't
+    // overflow the potential.
+    def checkpointWithPotential(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = Observation()
+      val out = df
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("pot"))
+        .localCheckpoint()
+      (out, obs.get.get("pot").orNull.asInstanceOf[java.math.BigDecimal])
+    }
+    var (labels, prevPot) = checkpointWithPotential(
+      und.select(col("x").as("node")).distinct().withColumn("label", col("node")))
     var iter = 0
-    var converged = prevPot == null
+    var converged = prevPot == null // null on an empty graph → converged
     while (!converged && iter < maxIter) {
       val neighborMin = und
         .join(labels.withColumnRenamed("node", "y").withColumnRenamed("label", "ylabel"), Seq("y"))
         .select(col("x").as("node"), col("ylabel").as("label"))
-      val next = neighborMin.union(labels)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
-      val pot = potential(next)
+      val (next, pot) = checkpointWithPotential(
+        neighborMin.union(labels).groupBy("node").agg(min("label").as("label")))
       labels = next
       converged = pot.compareTo(prevPot) == 0
       prevPot = pot
@@ -86,6 +92,91 @@ object Graph {
       s"connectedComponents did not converge in $maxIter rounds " +
         "(graph diameter exceeds the iteration budget)")
     labels.select(col("node"), col("label").as("cluster"))
+  }
+
+  /** Connected components by alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", 2014) — the
+    * scale path for graphs whose diameter exceeds a sane round budget.
+    * Min-label propagation (above) does one hop per round = O(diameter)
+    * rounds; the star operations contract whole subtrees onto their
+    * minimum per round and converge in O(log n) rounds regardless of
+    * diameter — a 1M-hop chain resolves in ~20 rounds, not 1M.
+    *
+    * Each operation is a groupBy.min + join-back on the edge list (never
+    * collect_list — per-node neighbor sets stay distributed, so a
+    * 100M-degree hub can't OOM a task). Convergence = the canonical edge
+    * set is a fixpoint of both stars, detected by (count, xxhash64-sum)
+    * over the edge set collected by the SAME job that checkpoints the
+    * round (Observation); a false "converged" needs a 64-bit hash-sum
+    * collision between consecutive rounds (~2^-64, documented risk of
+    * the check, not the labels).
+    *
+    * @param edges two-column DataFrame of undirected edges (integral ids)
+    * @return (node, cluster) — cluster is the component's min node id;
+    *         matches connectedComponents on every input
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    edges.schema.fields.take(2).foreach { f =>
+      require(Set("byte", "short", "integer", "long")(f.dataType.typeName),
+        s"connectedComponentsStar needs integral node ids; ${f.name} is ${f.dataType.typeName}")
+    }
+    val Seq(ca, cb) = edges.columns.toSeq.take(2).map(col)
+
+    // large-star: every node attaches its strictly-larger neighbors to
+    // the min of its neighborhood (incl. itself).
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = und.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("mn"), col("a")).as("m"))
+      und.join(mins, "a").where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+    }
+    // small-star: every node attaches its smaller neighbors (and itself)
+    // to the min of those.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.where(col("a") =!= col("b")).select(
+        greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      val mins = dir.groupBy(col("a")).agg(min(col("b")).as("m"))
+      dir.join(mins, "a").select(col("b").as("a"), col("m").as("b"))
+        .union(mins.select(col("a"), col("m").as("b")))
+        .where(col("a") =!= col("b"))
+    }
+
+    def canon(e: DataFrame): DataFrame = e.where(col("a") =!= col("b")).select(
+      greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .distinct()
+
+    def checkpointWithSig(df: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
+      val obs = Observation()
+      val out = df.observe(obs,
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")).as("h"))
+        .localCheckpoint()
+      val m = obs.get
+      (out, (m("n").asInstanceOf[Long],
+        m.get("h").orNull.asInstanceOf[java.math.BigDecimal]))
+    }
+
+    var (cur, sig) = checkpointWithSig(canon(edges.select(ca.as("a"), cb.as("b"))))
+    var iter = 0
+    var converged = sig._1 == 0L // edgeless graph: nothing to label below
+    while (!converged && iter < maxIter) {
+      val (next, nextSig) = checkpointWithSig(canon(smallStar(largeStar(cur))))
+      converged = nextSig == sig
+      cur = next
+      sig = nextSig
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // Fixpoint edge set is a union of stars (a = member, b = root min).
+    // Left-join back onto the full node set so nodes whose only edges
+    // were self-loops (dropped by canon) still label themselves — same
+    // contract as connectedComponents.
+    val nodes = edges.select(ca.as("node"))
+      .union(edges.select(cb.as("node"))).distinct()
+    nodes.join(cur.withColumnRenamed("a", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("b"), col("node")).as("cluster"))
   }
 
   /** cc — duplicate clusters over the LSH candidate pairs (same probe set
@@ -123,6 +214,21 @@ object Graph {
        |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
   }
 
-  val queries: Map[String, Q] = Map("cc_clusters" -> ccClusters)
-  val oracles: Map[String, String] = Map("cc_clusters" -> ccClustersSql)
+  /** cc via alternating stars — identical clusters to cc_clusters, taken
+    * through the O(log n)-round path, oracle-checked against the same
+    * recursive-CTE ground truth.
+    */
+  val ccStarClusters: Q = (s, d) => {
+    import s.implicits._
+    connectedComponentsStar(Dedup.lshPairs(s, d))
+      .select($"node".as("doc_id"), $"cluster")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "cc_clusters" -> ccClusters,
+    "cc_star"     -> ccStarClusters)
+  val oracles: Map[String, String] = Map(
+    "cc_clusters" -> ccClustersSql,
+    "cc_star"     -> ccClustersSql)
 }

@@ -83,6 +83,46 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(cc.values.toSet == Set(1L) && cc.size == 6)
   }
 
+  test("connectedComponentsStar matches min-label propagation on mixed graphs") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L), (30L, 30L)).toDF("a", "b") // incl. self-loop-only node
+    val star = Graph.connectedComponentsStar(edges).as[(Long, Long)].collect().toMap
+    val prop = Graph.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(star == prop)
+    assert(star(30L) == 30L)
+  }
+
+  test("connectedComponentsStar matches a local union-find on a random graph") {
+    // Deterministic pseudo-random edges over 400 nodes (hash-derived, no RNG).
+    val raw = (0 until 300).map { i =>
+      val a = (i * 2654435761L) % 400
+      val b = (i * 40503L + 17L) % 400
+      (a, b)
+    }
+    val parent = scala.collection.mutable.ArrayBuffer.tabulate(400)(_.toLong)
+    def find(x: Int): Int = if (parent(x) == x) x else { val r = find(parent(x).toInt); parent(x) = r; r }
+    raw.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val touched = raw.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = touched.map(n => n -> find(n.toInt).toLong).toMap
+    val got = Graph.connectedComponentsStar(raw.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("connectedComponentsStar resolves a long chain in logarithmic rounds") {
+    // Chain of 512 nodes: min-label would need ~512 rounds; the star
+    // budget of 12 pairs proves O(log n) convergence (2*ceil(log2 n) is
+    // the paper's bound; observed ≲ log2 n pairs).
+    val n = 512L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Graph.connectedComponentsStar(chain, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L) && cc.size == n)
+  }
+
   test("HLL sketches merge across groups to the exact distinct count") {
     val df = spark.range(0, 5000)
       .select(($"id" % 10).as("g"), ($"id" % 700).as("v"))
