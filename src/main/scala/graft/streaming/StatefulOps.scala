@@ -82,6 +82,28 @@ object StatefulOps {
       }
   }
 
+  /** Streaming deduplication with BOUNDED state: drop rows whose `idCols`
+    * were already seen, keeping only ids whose event time is within
+    * `watermarkDelay` of the stream's watermark — the streaming twin of
+    * the batch `dropDuplicates`/anti-join dedup (S5) for sources that
+    * can redeliver within a bounded horizon.
+    *
+    * The reference's at-least-once tail relies on the SINK to absorb
+    * redelivery (idempotent upsert by event id, extract-events.ts:108-116);
+    * this dedups in-flight instead, so a non-idempotent sink (append-only
+    * files, a message bus) still sees each id once. Unbounded
+    * `dropDuplicates` state grows O(all ids ever) and dies at 100 TB;
+    * dropDuplicatesWithinWatermark evicts ids older than the watermark,
+    * so state is O(ids per watermark window) — sized by the redelivery
+    * horizon (a chain tail re-scans only recent blocks), not stream
+    * lifetime.
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           watermarkDelay: String,
+                           idCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Watermarked tumbling-window counts per group column: append-mode
     * windowed aggregation that finalizes a window once the watermark
     * passes its end — the bounded-state form of ST4's running counts

@@ -38,6 +38,39 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops redelivered ids, then evicts expired state") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "event_id")
+    val q = StatefulOps.dedupWithinWatermark(df, "ts", "30 seconds", Seq("event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("deduped").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((t("2026-01-01 00:00:05"), 1L), (t("2026-01-01 00:00:10"), 2L))
+      q.processAllAvailable()
+      // same batch ids pass through once
+      assert(spark.table("deduped").count() == 2)
+
+      // batch 2 redelivers id 1 within the watermark horizon → dropped;
+      // id 3 is new → emitted
+      input.addData((t("2026-01-01 00:00:12"), 1L), (t("2026-01-01 00:00:20"), 3L))
+      q.processAllAvailable()
+      val ids2 = spark.table("deduped").as[(Timestamp, Long)].collect().map(_._2).toSeq
+      assert(ids2.sorted == Seq(1L, 2L, 3L))
+
+      // advance the watermark far past the ids' expiry, then redeliver id 1:
+      // its dedup state was evicted, so it re-emits — the documented bounded-
+      // state trade (redelivery beyond the horizon is the sink's job again)
+      input.addData((t("2026-01-01 00:10:00"), 99L))
+      q.processAllAvailable()
+      input.addData((t("2026-01-01 00:10:05"), 1L))
+      q.processAllAvailable()
+      val ids4 = spark.table("deduped").as[(Timestamp, Long)].collect().map(_._2).toSeq
+      assert(ids4.count(_ == 1L) == 2 && ids4.length == 5)
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts finalize once the watermark passes") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
