@@ -36,19 +36,27 @@ object Graph {
     * @param edges two-column DataFrame of undirected edges
     * @return (node, cluster) — cluster is the component's min node id
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // The sum-potential convergence check below is exact only for
-    // integral ids (decimal cast of a fractional/string id would round or
-    // null out and corrupt the check silently) — enforce rather than
-    // guess. Map other id types to longs (zipWithUniqueId / xxhash64)
-    // before calling.
+  // The convergence checks in both algorithms are exact only for integral
+  // ids (decimal cast of a fractional/string id would round or null out
+  // and corrupt the check silently) — enforce rather than guess. Map
+  // other id types to longs (zipWithUniqueId / xxhash64) before calling.
+  // Edges with a null endpoint carry no connectivity information and
+  // would label-propagate asymmetrically — both algorithms drop them so
+  // the two entry points stay interchangeable.
+  private def cleanEdges(edges: DataFrame, opName: String): DataFrame = {
     edges.schema.fields.take(2).foreach { f =>
       require(Set("byte", "short", "integer", "long")(f.dataType.typeName),
-        s"connectedComponents needs integral node ids; ${f.name} is ${f.dataType.typeName}")
+        s"$opName needs integral node ids; ${f.name} is ${f.dataType.typeName}")
     }
     val Seq(ca, cb) = edges.columns.toSeq.take(2).map(col)
-    val und = edges.select(ca.as("x"), cb.as("y"))
-      .union(edges.select(cb.as("x"), ca.as("y")))
+    edges.select(ca.as("a"), cb.as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+  }
+
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = cleanEdges(edges, "connectedComponents")
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
       .distinct()
       .persist()
     // Convergence check: labels are min-monotone (each round every label
@@ -116,11 +124,7 @@ object Graph {
     *         matches connectedComponents on every input
     */
   def connectedComponentsStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    edges.schema.fields.take(2).foreach { f =>
-      require(Set("byte", "short", "integer", "long")(f.dataType.typeName),
-        s"connectedComponentsStar needs integral node ids; ${f.name} is ${f.dataType.typeName}")
-    }
-    val Seq(ca, cb) = edges.columns.toSeq.take(2).map(col)
+    val cleaned = cleanEdges(edges, "connectedComponentsStar")
 
     // large-star: every node attaches its strictly-larger neighbors to
     // the min of its neighborhood (incl. itself).
@@ -157,7 +161,7 @@ object Graph {
         m.get("h").orNull.asInstanceOf[java.math.BigDecimal]))
     }
 
-    var (cur, sig) = checkpointWithSig(canon(edges.select(ca.as("a"), cb.as("b"))))
+    var (cur, sig) = checkpointWithSig(canon(cleaned))
     var iter = 0
     var converged = sig._1 == 0L // edgeless graph: nothing to label below
     while (!converged && iter < maxIter) {
@@ -173,8 +177,8 @@ object Graph {
     // Left-join back onto the full node set so nodes whose only edges
     // were self-loops (dropped by canon) still label themselves — same
     // contract as connectedComponents.
-    val nodes = edges.select(ca.as("node"))
-      .union(edges.select(cb.as("node"))).distinct()
+    val nodes = cleaned.select(col("a").as("node"))
+      .union(cleaned.select(col("b").as("node"))).distinct()
     nodes.join(cur.withColumnRenamed("a", "node"), Seq("node"), "left")
       .select(col("node"), coalesce(col("b"), col("node")).as("cluster"))
   }

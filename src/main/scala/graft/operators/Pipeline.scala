@@ -9,9 +9,10 @@ import graft.Tables.{t => tbl}
   * pipeline runs: normalize → language gate → quality gate → exact dedup →
   * keep. Each stage exists as a standalone operator (TextAnalysis, Dedup);
   * this operator proves they COMPOSE into one declarative plan: a single
-  * scan, narrow per-row expressions for every gate, and exactly one
-  * shuffle (the dedup key) end to end — at 100 TB the pipeline runs at
-  * scan speed plus one keyed exchange, instead of one pass per stage.
+  * scan, narrow per-row expressions for every gate, and one keyed
+  * shuffle (the dedup key) plus the presentation sort — at 100 TB the
+  * pipeline runs at scan speed plus one keyed exchange, instead of one
+  * pass per stage.
   *
   * Mirrors the reference's multi-stage shape (decode → validity filter →
   * idempotent dedup, SURVEY.md §2.2 T1/T6 + §2.1 S5) lifted to the
@@ -21,7 +22,7 @@ object Pipeline {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val stopSqlList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+  private val stopSqlList = TextAnalysis.stopSqlList
 
   /** Per-doc stage columns, all narrow: token stats, stopword ratio
     * (language gate), normalized text, and the dedup key — md5 of the
@@ -41,7 +42,7 @@ object Pipeline {
       .withColumn("norm_key", md5(substring(norm, 1, 60)))
       .withColumn("norm_len", length(norm).cast("long"))
       .withColumn("lang_ok", col("stop_ratio") >= 0.02)
-      .withColumn("qual_ok", col("stop_ratio") >= 0.02 && col("n_toks") >= 20L)
+      .withColumn("qual_ok", col("lang_ok") && col("n_toks") >= 20L)
   }
   private val stagedSql: String =
     s"""SELECT doc_id,

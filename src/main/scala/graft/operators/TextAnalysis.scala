@@ -17,7 +17,11 @@ object TextAnalysis {
     * language-ID scoring).
     */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
-  private val stopSqlList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** The stopword list as a SQL IN-list fragment — shared with Pipeline so
+    * the Spark predicates and DuckDB oracles can never drift apart.
+    */
+  val stopSqlList: String = Stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Token counting: whitespace tokens plus a BPE-ish proxy (4 chars ≈ 1
     * token, the common LLM heuristic) for budget estimation.

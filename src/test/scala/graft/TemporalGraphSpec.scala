@@ -92,6 +92,15 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(star(30L) == 30L)
   }
 
+  test("both CC variants drop null-endpoint edges identically") {
+    val edges = Seq((Option(1L), Option(2L)), (Option(3L), Option.empty[Long]),
+      (Option.empty[Long], Option.empty[Long])).toDF("a", "b")
+    val star = Graph.connectedComponentsStar(edges).as[(Long, Long)].collect().toMap
+    val prop = Graph.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(star == prop)
+    assert(star == Map(1L -> 1L, 2L -> 1L)) // null edges carry no connectivity
+  }
+
   test("connectedComponentsStar matches a local union-find on a random graph") {
     // Deterministic pseudo-random edges over 400 nodes (hash-derived, no RNG).
     val raw = (0 until 300).map { i =>
