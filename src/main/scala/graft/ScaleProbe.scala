@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Temporal
+import graft.operators.{Graph, Temporal}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,16 @@ object ScaleProbe {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         events.select($"user_id", sum(floor($"value").cast("long")).over(w).as("rv"))
           .where($"rv" < 0).count() // forces full evaluation, tiny result
+      },
+      // The adversarial CC input: ONE component shaped as an n/100-hop
+      // chain (every 100th id linked in sequence). Min-label propagation
+      // would need n/100 rounds — hours of driver round-trips; the star
+      // path must land in ~2·log2 rounds or the O(log n) claim is talk.
+      timeIt("cc_star_chain") {
+        val chain = spark.range(n / 100 - 1)
+          .select(($"id" * 100).as("a"), (($"id" + 1) * 100).as("b"))
+        Graph.connectedComponentsStar(chain, maxIter = 40)
+          .agg(count_distinct(col("cluster"))).as[Long].head()
       })
 
     val fields = results.map { case (l, s, r) => s""""$l":{"sec":$s,"rows":$r}""" }

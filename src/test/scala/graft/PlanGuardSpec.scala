@@ -53,7 +53,8 @@ class PlanGuardSpec extends AnyFunSuite {
     // whole driver-side CC loop and returns only the final checkpointed
     // select — expensive and blind to the in-loop joins.
     // Everything else must never plan one.
-    val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign", "cc_clusters")
+    val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign",
+      "cc_clusters", "cc_star")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
@@ -70,6 +71,28 @@ class PlanGuardSpec extends AnyFunSuite {
       windows.foreach(w => assert(w.partitionSpec.nonEmpty,
         s"$q: unpartitioned window — single-partition cliff:\n$w"))
     }
+  }
+
+  test("pl_corpus_clean keeps every gate narrow: one keyed shuffle, pruned scan") {
+    // Exchange placement happens in executedPlan preparation (sparkPlan
+    // predates EnsureRequirements); AQE off so the tree is inspectable
+    // without executing.
+    val plan = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try SparkEntry.queries("pl_corpus_clean")(spark, sf)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val hashed = plan.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(hashed.size == 1,
+      s"expected exactly one keyed shuffle (the dedup key), got ${hashed.size}")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+    val scan = plan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("doc_id") && scan.contains("text") && !scan.contains("lang"),
+      s"scan should read only doc_id+text: ${scan.take(300)}")
   }
 
   test("asofJoin plans exactly one window shuffle and no join at all") {
