@@ -104,6 +104,32 @@ object StatefulOps {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join: match rows of two live streams on an
+    * equi-key where the right event lands within [left ts, left ts +
+    * within] — the ad-attribution / request-response correlation shape.
+    * Both sides are watermarked, and the time-range condition is what
+    * lets Spark BOUND the join state: a buffered left row is evictable
+    * once the watermark passes its ts + within, a right row once the
+    * watermark passes its ts, so state is O(events per horizon) per key
+    * partition — without the range condition stream-stream join state
+    * grows forever. Inner-join matches emit as soon as both sides
+    * arrive (cross-batch: the earlier side waits in the state store).
+    *
+    * Column names must be disjoint across the two inputs (standard
+    * stream-stream join requirement — alias before calling).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   watermarkDelay: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+  }
+
   /** Watermarked tumbling-window counts per group column: append-mode
     * windowed aggregation that finalizes a window once the watermark
     * passes its end — the bounded-state form of ST4's running counts

@@ -71,6 +71,36 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches across batches within the bound") {
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val joined = StatefulOps.intervalJoin(
+      imps.toDF().toDF("imp_ts", "ad_id"),
+      clicks.toDF().toDF("click_ts", "c_ad_id"),
+      "ad_id", "c_ad_id", "imp_ts", "click_ts",
+      watermarkDelay = "30 seconds", within = "10 seconds")
+    val q = joined.select("ad_id", "imp_ts", "click_ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attributed").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1: impressions only — nothing to emit, ads wait in state
+      imps.addData((t("2026-01-01 00:00:05"), 1L), (t("2026-01-01 00:00:05"), 2L))
+      q.processAllAvailable()
+      assert(spark.table("attributed").count() == 0)
+
+      // batch 2: ad 1 clicked within 10 s (cross-batch match), ad 2
+      // clicked 25 s later (outside the bound), ad 3 never shown
+      clicks.addData((t("2026-01-01 00:00:12"), 1L),
+        (t("2026-01-01 00:00:30"), 2L), (t("2026-01-01 00:00:14"), 3L))
+      q.processAllAvailable()
+      val out = spark.table("attributed")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      assert(out == Set((1L, t("2026-01-01 00:00:05"), t("2026-01-01 00:00:12"))))
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts finalize once the watermark passes") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
