@@ -75,6 +75,31 @@ object Sampling {
       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents""".stripMargin
 
+  /** Domain-mixture sampling — reweighting a corpus toward target
+    * per-domain proportions, the knob every pretraining mix sweeps.
+    * Each language keeps a different hash-threshold slice (en 9/16,
+    * es 6/16, zh 4/16, rest 2/16), so the output mixture is the target
+    * mixture in expectation while staying fully deterministic and
+    * reproducible per key. Narrow (no shuffle): the rate CASE and the
+    * hash threshold are per-row expressions.
+    */
+  val mixture: Q = (s, d) => {
+    val thr = when(col("lang") === "en", "9")
+      .when(col("lang") === "es", "6")
+      .when(col("lang") === "zh", "4")
+      .otherwise("2")
+    tbl(s, d, "documents")
+      .where(md5(concat(lit("mix:"), col("doc_id"))) < thr)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+  val mixtureSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE md5('mix:' || doc_id) <
+      |  CASE WHEN lang = 'en' THEN '9' WHEN lang = 'es' THEN '6'
+      |       WHEN lang = 'zh' THEN '4' ELSE '2' END
+      |ORDER BY doc_id""".stripMargin
+
   /** Scale-path variants (xxhash64, no string hashing). */
   def reservoir(df: DataFrame, group: String, key: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(group)).orderBy(xxhash64(lit("rsv"), col(key)), col(key))
@@ -112,6 +137,7 @@ object Sampling {
   val queries: Map[String, Q] = Map(
     "sp_reservoir"  -> reservoirPerGroup,
     "sp_stratified" -> stratifiedSample,
+    "sp_mixture"    -> mixture,
     "pf_profile"    -> profile,
     "sk_top_tokens" -> topTokens,
   )
@@ -119,6 +145,7 @@ object Sampling {
   val oracles: Map[String, String] = Map(
     "sp_reservoir"  -> reservoirPerGroupSql,
     "sp_stratified" -> stratifiedSampleSql,
+    "sp_mixture"    -> mixtureSql,
     "pf_profile"    -> profileSql,
     "sk_top_tokens" -> topTokensSql,
   )

@@ -135,12 +135,74 @@ object TextAnalysis {
       |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  /** Intra-document repetition (the Gopher-style quality gate): fraction
+    * of word bigrams that are duplicates of an earlier bigram in the SAME
+    * document. Boilerplate, template spam, and degenerate generations
+    * score high; `rep_ok` applies the standard ≤5% cut. Narrow per-row
+    * array expressions — runs at scan speed.
+    */
+  val repetition: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .withColumn("grams", expr(
+        "transform(sequence(1, size(toks)-1), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1)))"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
+        ((size(col("grams")) - size(array_distinct(col("grams")))).cast("double") /
+          size(col("grams")).cast("double")).as("dup_ratio"),
+        (((size(col("grams")) - size(array_distinct(col("grams")))).cast("double") /
+          size(col("grams")).cast("double")) <= 0.05).as("rep_ok"))
+      .orderBy(col("doc_id"))
+  val repetitionSql: String =
+    """SELECT doc_id, len(grams) AS n_grams,
+      |  len(list_distinct(grams)) AS n_distinct,
+      |  CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_ratio,
+      |  CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) <= 0.05 AS rep_ok
+      |FROM (SELECT doc_id,
+      |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |      WHERE len(toks) >= 2)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Concat-and-chunk sequence packing — how pretraining turns documents
+    * into fixed-budget training sequences: within each lang stream, docs
+    * are laid end-to-end in doc_id order and assigned to the sequence
+    * their starting token offset falls in. One shuffle (the per-lang
+    * window); integral cumulative sums so the assignment is bit-exact on
+    * any engine. True bin packing (no straddling) is the same plan with
+    * a greedy reset — this is the form production pipelines actually run.
+    */
+  val pack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tbl(s, d, "documents")
+      .withColumn("n_tok", ceil(length(col("text")) / 4.0).cast("long"))
+      .withColumn("cum_prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        expr("cum_prev div 2048").as("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+  val packSql: String =
+    """SELECT doc_id, lang, n_tok, CAST(cum_prev // 2048 AS BIGINT) AS seq_id FROM (
+      |  SELECT doc_id, lang, CAST(ceil(len(text) / 4.0) AS BIGINT) AS n_tok,
+      |    COALESCE(sum(CAST(ceil(len(text) / 4.0) AS BIGINT)) OVER (
+      |      PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
     "tx_langid"      -> langid,
     "tx_fingerprint" -> fingerprint,
     "tx_normalize"   -> normalize,
+    "tx_repetition"  -> repetition,
+    "tx_pack"        -> pack,
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,5 +211,7 @@ object TextAnalysis {
     "tx_langid"      -> langidSql,
     "tx_fingerprint" -> fingerprintSql,
     "tx_normalize"   -> normalizeSql,
+    "tx_repetition"  -> repetitionSql,
+    "tx_pack"        -> packSql,
   )
 }
