@@ -75,13 +75,15 @@ object Sampling {
       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents""".stripMargin
 
-  /** Domain-mixture sampling — reweighting a corpus toward target
-    * per-domain proportions, the knob every pretraining mix sweeps.
-    * Each language keeps a different hash-threshold slice (en 9/16,
-    * es 6/16, zh 4/16, rest 2/16), so the output mixture is the target
-    * mixture in expectation while staying fully deterministic and
-    * reproducible per key. Narrow (no shuffle): the rate CASE and the
-    * hash threshold are per-row expressions.
+  /** Domain-mixture sampling — reweighting a corpus by per-domain keep
+    * rates, the knob every pretraining mix sweeps. Each language keeps
+    * a different hash-threshold slice of its documents (en 9/16,
+    * es 6/16, zh 4/16, rest 2/16), deterministically per key, so the
+    * sample is reproducible across runs and engines. The OUTPUT mix is
+    * input_share × rate: to hit a target output proportion, set each
+    * rate ∝ target_share / input_share (one count-by-domain pass
+    * upstream gives the input shares). Narrow (no shuffle): the rate
+    * CASE and the hash threshold are per-row expressions.
     */
   val mixture: Q = (s, d) => {
     val thr = when(col("lang") === "en", "9")

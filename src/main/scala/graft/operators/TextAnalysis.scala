@@ -148,23 +148,23 @@ object TextAnalysis {
       .withColumn("grams", expr(
         "transform(sequence(1, size(toks)-1), " +
           "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1)))"))
-      .select(col("doc_id"),
-        size(col("grams")).cast("long").as("n_grams"),
-        size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
-        ((size(col("grams")) - size(array_distinct(col("grams")))).cast("double") /
-          size(col("grams")).cast("double")).as("dup_ratio"),
-        (((size(col("grams")) - size(array_distinct(col("grams")))).cast("double") /
-          size(col("grams")).cast("double")) <= 0.05).as("rep_ok"))
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("grams"))).cast("long"))
+      .withColumn("dup_ratio",
+        (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        col("dup_ratio"), (col("dup_ratio") <= 0.05).as("rep_ok"))
       .orderBy(col("doc_id"))
   val repetitionSql: String =
-    """SELECT doc_id, len(grams) AS n_grams,
-      |  len(list_distinct(grams)) AS n_distinct,
-      |  CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_ratio,
-      |  CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) <= 0.05 AS rep_ok
-      |FROM (SELECT doc_id,
-      |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
-      |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-      |      WHERE len(toks) >= 2)
+    """SELECT doc_id, n_grams, n_distinct, dup_ratio, dup_ratio <= 0.05 AS rep_ok
+      |FROM (SELECT doc_id, n_grams, n_distinct,
+      |        CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS dup_ratio
+      |      FROM (SELECT doc_id, len(grams) AS n_grams,
+      |              len(list_distinct(grams)) AS n_distinct
+      |            FROM (SELECT doc_id,
+      |                    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+      |                  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |                  WHERE len(toks) >= 2)))
       |ORDER BY doc_id""".stripMargin
 
   /** Concat-and-chunk sequence packing — how pretraining turns documents

@@ -13,6 +13,8 @@ class StatefulStreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  private def t(s: String) = Timestamp.valueOf(s)
+
   test("stateful sessionization closes sessions on gaps, state survives batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]
@@ -46,7 +48,6 @@ class StatefulStreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("append").format("memory")
       .queryName("deduped").start()
     try {
-      def t(s: String) = Timestamp.valueOf(s)
       input.addData((t("2026-01-01 00:00:05"), 1L), (t("2026-01-01 00:00:10"), 2L))
       q.processAllAvailable()
       // same batch ids pass through once
@@ -84,7 +85,6 @@ class StatefulStreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("append").format("memory")
       .queryName("attributed").start()
     try {
-      def t(s: String) = Timestamp.valueOf(s)
       // batch 1: impressions only — nothing to emit, ads wait in state
       imps.addData((t("2026-01-01 00:00:05"), 1L), (t("2026-01-01 00:00:05"), 2L))
       q.processAllAvailable()
@@ -109,7 +109,6 @@ class StatefulStreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("append").format("memory")
       .queryName("win_counts").start()
     try {
-      def t(s: String) = Timestamp.valueOf(s)
       input.addData((t("2026-01-01 00:00:05"), "a"), (t("2026-01-01 00:00:40"), "a"),
         (t("2026-01-01 00:00:50"), "b"))
       q.processAllAvailable()
