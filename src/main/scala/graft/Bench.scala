@@ -16,6 +16,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(appName = "graft-bench")
+    // The driver parses the JSON line from a merged stdout+stderr capture;
+    // a WARN landing on stderr while the line is mid-write tears it
+    // (observed: rounds 1 and 3 recorded parsed:null). Log nothing during
+    // the run, and print only after spark.stop() below, when no Spark
+    // thread can interleave.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Warmup: run EVERY query once so whole-stage-codegen compilation,
     // JIT, and parquet footer caches are absorbed before timing. First-call
@@ -38,7 +44,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CheckpointBridge
 
 /** Graph operators for dedup canonicalization: near-duplicate candidate
   * pairs (Dedup.lshPairs) form an undirected graph whose connected
@@ -86,6 +87,12 @@ object Graph {
         .select(col("x").as("node"), col("ylabel").as("label"))
       val (next, pot) = checkpointWithPotential(
         neighborMin.union(labels).groupBy("node").agg(min("label").as("label")))
+      // next is fully materialized (eager localCheckpoint), so the prior
+      // round's blocks are dead — free them now instead of letting every
+      // round's label table pile up in executor storage memory until the
+      // ContextCleaner happens to run (at 100 TB a label table is
+      // O(|nodes|); maxIter leaked copies would evict real caches).
+      CheckpointBridge.freeCheckpoint(labels)
       labels = next
       converged = pot.compareTo(prevPot) == 0
       prevPot = pot
@@ -166,6 +173,7 @@ object Graph {
     var converged = sig._1 == 0L // edgeless graph: nothing to label below
     while (!converged && iter < maxIter) {
       val (next, nextSig) = checkpointWithSig(canon(smallStar(largeStar(cur))))
+      CheckpointBridge.freeCheckpoint(cur) // superseded round, see connectedComponents
       converged = nextSig == sig
       cur = next
       sig = nextSig

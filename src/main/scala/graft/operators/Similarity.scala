@@ -204,10 +204,46 @@ object Similarity {
       |WHERE e.vec_id < 100
       |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
 
+  /** Gate query: the IVF search path END-TO-END (assign → nprobe=2 cell
+    * probe → exact re-rank, top-3 for probes vec_id < 5). Deterministic
+    * stride centroids, 6-decimal rounding, and id tie-breaks at every
+    * ranking step make the whole approximate path hash-checkable against
+    * SQL — not just spec-asserted recall.
+    */
+  val ivfSearchQ: Q = (s, d) => {
+    annViaIvf(tbl(s, d, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L))
+      .select(col("q"), col("n"), col("cos"), col("rank").cast("long").as("rank"))
+      .orderBy(col("q"), col("rank"))
+  }
+  val ivfSearchSql: String =
+    """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      |           FROM embeddings WHERE vec_id % 125 = 0),
+      |asg AS (SELECT e.vec_id AS n,
+      |               max_by(c.cid, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6)
+      |                             * 1000000000000 - c.cid) AS cell
+      |        FROM embeddings e CROSS JOIN c GROUP BY e.vec_id),
+      |pc AS (SELECT q, eq, cid AS cell FROM (
+      |         SELECT e.vec_id AS q, CAST(e.embedding AS DOUBLE[]) AS eq, c.cid,
+      |                row_number() OVER (PARTITION BY e.vec_id
+      |                  ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6) DESC,
+      |                           c.cid) AS r
+      |         FROM embeddings e CROSS JOIN c WHERE e.vec_id < 5)
+      |       WHERE r <= 2),
+      |scored AS (SELECT pc.q, a.n,
+      |                  round(list_cosine_similarity(pc.eq, CAST(y.embedding AS DOUBLE[])), 6) AS cos
+      |           FROM pc JOIN asg a ON a.cell = pc.cell
+      |                   JOIN embeddings y ON y.vec_id = a.n
+      |           WHERE pc.q != a.n)
+      |SELECT q, n, cos, CAST(rank AS BIGINT) AS rank FROM (
+      |  SELECT q, n, cos, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce"  -> annBruteforce,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_ivf_assign"  -> ivfAssignQ,
+    "ann_ivf_search"  -> ivfSearchQ,
   )
 
   /** ann_lsh_buckets is deliberately rows-only (no oracle): the md5-parity
@@ -216,5 +252,6 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_ivf_assign" -> ivfAssignSql,
+    "ann_ivf_search" -> ivfSearchSql,
   )
 }

@@ -13,3 +13,29 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge to the RDD behind a (local)checkpointed Dataset. A checkpointed
+  * Dataset's logical plan is a `LogicalRDD` wrapping the materialized
+  * blocks; iterative algorithms (Graph.connectedComponents*) need the
+  * handle to unpersist superseded rounds — Dataset itself exposes no way
+  * to free a checkpoint. Returns None for non-checkpoint plans, so a
+  * caller can never unpersist an RDD it doesn't own.
+  */
+object CheckpointBridge {
+  import org.apache.spark.rdd.RDD
+  import org.apache.spark.sql.Dataset
+  import org.apache.spark.sql.execution.LogicalRDD
+
+  def checkpointedRdd(ds: Dataset[_]): Option[RDD[_]] =
+    ds.queryExecution.logical match {
+      case l: LogicalRDD => Some(l.rdd)
+      case _             => None
+    }
+
+  /** Drop the blocks behind a checkpointed Dataset (no-op otherwise).
+    * ONLY call once nothing downstream will read `ds` again: a
+    * localCheckpoint has no lineage to recompute from.
+    */
+  def freeCheckpoint(ds: Dataset[_]): Unit =
+    checkpointedRdd(ds).foreach(_.unpersist(blocking = false))
+}

@@ -54,7 +54,7 @@ class PlanGuardSpec extends AnyFunSuite {
     // select — expensive and blind to the in-loop joins.
     // Everything else must never plan one.
     val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign",
-      "cc_clusters", "cc_star")
+      "ann_ivf_search", "cc_clusters", "cc_star")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
