@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.CheckpointBridge
+import graft.Tables.{t => tbl}
 
 /** Graph operators for dedup canonicalization: near-duplicate candidate
   * pairs (Dedup.lshPairs) form an undirected graph whose connected
@@ -131,7 +132,10 @@ object Graph {
     *         matches connectedComponents on every input
     */
   def connectedComponentsStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    val cleaned = cleanEdges(edges, "connectedComponentsStar")
+    // Evaluated twice after the loop (node-set union) on top of whatever
+    // upstream pipeline produced the edges (LSH banding here) — persist so
+    // the input pipeline runs once, not three times.
+    val cleaned = cleanEdges(edges, "connectedComponentsStar").persist()
 
     // large-star: every node attaches its strictly-larger neighbors to
     // the min of its neighborhood (incl. itself).
@@ -187,8 +191,15 @@ object Graph {
     // contract as connectedComponents.
     val nodes = cleaned.select(col("a").as("node"))
       .union(cleaned.select(col("b").as("node"))).distinct()
-    nodes.join(cur.withColumnRenamed("a", "node"), Seq("node"), "left")
+    // Eager checkpoint: materialize the O(|nodes|) labeling while
+    // `cleaned` is still cached, then drop both the input cache and the
+    // fixpoint edge set — the caller holds only the final small frame.
+    val out = nodes.join(cur.withColumnRenamed("a", "node"), Seq("node"), "left")
       .select(col("node"), coalesce(col("b"), col("node")).as("cluster"))
+      .localCheckpoint()
+    cleaned.unpersist(blocking = false)
+    CheckpointBridge.freeCheckpoint(cur)
+    out
   }
 
   /** cc — duplicate clusters over the LSH candidate pairs (same probe set
@@ -237,10 +248,69 @@ object Graph {
       .orderBy($"doc_id")
   }
 
+  /** Cluster-representative selection — the step a dedup pipeline runs
+    * AFTER clustering: per duplicate cluster keep ONE canonical document
+    * (longest text wins, min doc_id on ties — any deterministic quality
+    * key slots in) and count what gets dropped. One broadcast-able join
+    * (cluster labels are O(candidate docs), tiny next to the corpus) and
+    * one keyed aggregation — at 100 TB the corpus never shuffles: the
+    * final keep/drop filter is a broadcast semi-join against the drop set.
+    *
+    * Tie-break encoding: (n_chars, -doc_id) packed into one exact double
+    * (n_chars ≤ 2^20, doc_id ≤ 2^31 ⇒ n_chars*2^31+doc_id < 2^52) so the
+    * same max_by works verbatim in both engines.
+    */
+  val ddCanonical: Q = (s, d) => {
+    import s.implicits._
+    val labels = connectedComponents(Dedup.lshPairs(s, d))
+    val docs = tbl(s, d, "documents").select($"doc_id", $"n_chars")
+    labels.join(docs, $"node" === $"doc_id")
+      .groupBy($"cluster")
+      .agg(
+        max_by($"doc_id", $"n_chars" * lit(2147483648L) - $"doc_id").as("keep_doc"),
+        count(lit(1)).as("members"),
+        max($"n_chars").as("keep_chars"))
+      .where($"members" > 1)
+      .orderBy($"cluster")
+  }
+  val ddCanonicalSql: String = {
+    // Same recursive-CTE component labeling as ccClustersSql, then pick
+    // the representative per non-singleton cluster.
+    val mins = (0 until 8).map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(", ")
+    s"""WITH RECURSIVE sig AS (
+       |  SELECT doc_id, $mins
+       |  FROM (SELECT doc_id,
+       |               unnest(list_transform(range(1, len(text)-3), i -> substr(text, i, 5))) AS sh
+       |        FROM documents WHERE doc_id < 200 AND len(text) >= 5)
+       |  GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bsig FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bsig FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bsig = y.bsig
+       |  WHERE x.doc_id < y.doc_id),
+       |und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT x, x FROM und
+       |  UNION
+       |  SELECT u.y, reach.r FROM und u JOIN reach ON u.x = reach.n),
+       |lab AS (SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY n)
+       |SELECT cluster,
+       |       max_by(d.doc_id, d.n_chars * 2147483648 - d.doc_id) AS keep_doc,
+       |       count(*) AS members,
+       |       max(d.n_chars) AS keep_chars
+       |FROM lab JOIN documents d USING (doc_id)
+       |GROUP BY cluster HAVING count(*) > 1 ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "cc_clusters" -> ccClusters,
-    "cc_star"     -> ccStarClusters)
+    "cc_clusters"  -> ccClusters,
+    "cc_star"      -> ccStarClusters,
+    "dd_canonical" -> ddCanonical)
   val oracles: Map[String, String] = Map(
-    "cc_clusters" -> ccClustersSql,
-    "cc_star"     -> ccClustersSql)
+    "cc_clusters"  -> ccClustersSql,
+    "cc_star"      -> ccClustersSql,
+    "dd_canonical" -> ddCanonicalSql)
 }

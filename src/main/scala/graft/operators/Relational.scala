@@ -605,6 +605,83 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** TPC-H Q5-shaped: 6-table join — revenue by nation for one region and
+    * one order-date year. Join order matters at 100 TB: lineitem (the fact)
+    * shuffles ONCE on l_orderkey against the date-filtered orders; every
+    * dimension (customer, supplier, nation, region) broadcasts. The
+    * c_nationkey = s_nationkey condition rides the supplier broadcast join
+    * as a residual — no extra shuffle.
+    */
+  val tpchQ5: Q = (s, d) => {
+    import s.implicits._
+    val reg = tbl(s, d, "region").where($"r_name" === "ASIA").select($"r_regionkey")
+    val nat = tbl(s, d, "nation").join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cus = tbl(s, d, "customer").join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_nationkey")
+    val ord = tbl(s, d, "orders")
+      .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+             $"o_orderdate" <  lit("1997-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val sup = tbl(s, d, "supplier").select($"s_suppkey", $"s_nationkey")
+    tbl(s, d, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cus), $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+        .cast("decimal(30,4)")).cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+  val tpchQ5Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** A10 — GROUPING SETS beyond rollup's prefix lattice: (status, priority),
+    * (priority) alone, and grand total — an aggregation shape rollup/cube
+    * can't express. Single pass (Spark expands the sets in one Expand node,
+    * not one scan per set). grouping_id disambiguates a real NULL key from
+    * a subtotal row, so the coalesce to 'ALL' is unambiguous.
+    */
+  val a10GroupingSets: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "orders")
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"),
+        grouping_id().as("gid"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"gid", $"n", $"total")
+      .orderBy($"gid", $"status", $"priority")
+  }
+  val a10GroupingSetsSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      |ORDER BY gid, status, priority""".stripMargin
+
   /** Semi-join (E4/E5 existence check, mongodb.ts:200-222): orders whose
     * customer is in a segment — EXISTS, not a widening join.
     */
@@ -657,6 +734,8 @@ object Relational {
     "d1_distinct"      -> d1Distinct,
     "tpch_q1"          -> tpchQ1,
     "tpch_q3"          -> tpchQ3,
+    "tpch_q5"          -> tpchQ5,
+    "a10_grouping_sets" -> a10GroupingSets,
     "j1_star_join"     -> j1StarJoin,
     "j2_semi_join"     -> j2SemiJoin,
   )
@@ -693,6 +772,8 @@ object Relational {
     "d1_distinct"      -> d1DistinctSql,
     "tpch_q1"          -> tpchQ1Sql,
     "tpch_q3"          -> tpchQ3Sql,
+    "tpch_q5"          -> tpchQ5Sql,
+    "a10_grouping_sets" -> a10GroupingSetsSql,
     "j1_star_join"     -> j1StarJoinSql,
     "j2_semi_join"     -> j2SemiJoinSql,
   )

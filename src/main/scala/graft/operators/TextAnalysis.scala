@@ -195,6 +195,44 @@ object TextAnalysis {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** tx_entropy — per-document unigram (word) Shannon entropy, the quality
+    * signal that separates natural text (mid-entropy) from boilerplate/spam
+    * (low — few distinct tokens dominate) and random noise (max). Shape:
+    * explode → count per (doc, token) → entropy per doc; two keyed
+    * aggregations on the SAME key, so Catalyst reuses one shuffle — the
+    * histogram never leaves its partition for the second agg. The window
+    * total avoids a self-join on doc_id.
+    *
+    * Float parity: summation order differs between engines, so the result
+    * is rounded to 6 decimals — drift for ≤1e4 terms is ≤1e-12, five
+    * orders below the rounding grain.
+    */
+  val entropy: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = tbl(s, d, "documents")
+      .where($"doc_id" < 300)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val n = sum($"c").over(Window.partitionBy($"doc_id"))
+    counts
+      .select($"doc_id", ($"c".cast("double") / n).as("p"))
+      .groupBy($"doc_id")
+      .agg(round(-sum($"p" * log2($"p")), 6).as("entropy"))
+      .orderBy($"doc_id")
+  }
+  val entropySql: String =
+    """WITH c AS (
+      |  SELECT doc_id, tok, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents WHERE doc_id < 300)
+      |  GROUP BY doc_id, tok),
+      |p AS (SELECT doc_id,
+      |             CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY doc_id) AS p
+      |      FROM c)
+      |SELECT doc_id, round(-sum(p * log2(p)), 6) AS entropy
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
@@ -203,6 +241,7 @@ object TextAnalysis {
     "tx_normalize"   -> normalize,
     "tx_repetition"  -> repetition,
     "tx_pack"        -> pack,
+    "tx_entropy"     -> entropy,
   )
 
   val oracles: Map[String, String] = Map(
@@ -213,5 +252,6 @@ object TextAnalysis {
     "tx_normalize"   -> normalizeSql,
     "tx_repetition"  -> repetitionSql,
     "tx_pack"        -> packSql,
+    "tx_entropy"     -> entropySql,
   )
 }
