@@ -45,7 +45,7 @@ object Pipeline {
       .withColumn("qual_ok", col("lang_ok") && col("n_toks") >= 20L)
   }
   private val stagedSql: String =
-    s"""SELECT doc_id,
+    s"""SELECT doc_id, lang, text,
        |  len(string_split(text, ' ')) AS n_toks,
        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopSqlList))) AS DOUBLE)
        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
@@ -90,11 +90,89 @@ object Pipeline {
        |                      THEN norm_key END) AS n_kept
        |FROM ($stagedSql)""".stripMargin
 
+  /** pl_pretrain — the WHOLE pre-training data pipeline in one declarative
+    * plan: quality/language gates → prefix-fingerprint dedup →
+    * decontamination (drop docs sharing a word-3-gram with the held-out
+    * eval slice, and the eval docs themselves) → deterministic per-lang
+    * mixture sampling → sequence packing. What lands in the optimizer is
+    * one corpus scan for the gates + dedup (narrow expressions + one keyed
+    * window), one explode-side gram pass for decontamination whose eval
+    * side BROADCASTS, and one per-lang window for packing — no stage
+    * materializes an intermediate table.
+    *
+    * At 100 TB: the gram anti-join is a broadcast bloom in practice, the
+    * mixture gate is a pure per-row hash predicate, and packing's window
+    * partitions by lang — bounded state per partition. Nothing in the
+    * plan is a global sort except the presentation ORDER BY.
+    */
+  val pretrain: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    // gates + prefix dedup (same stages as pl_corpus_clean, keeping text)
+    val survivors = staged(docs).where(col("qual_ok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("norm_key")).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+    // decontamination: eval slice out, plus anything sharing a 3-gram
+    val evalGrams = Dedup.docNGrams(docs.where(col("doc_id") % 97 === 0), 3)
+      .select(col("gram")).distinct()
+    val contaminated = Dedup.docNGrams(
+        survivors.select(col("doc_id"), col("text")), 3)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select(col("doc_id")).distinct()
+    val clean = survivors
+      .where(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // deterministic domain mixture (same rates as sp_mixture)
+    val thr = when(col("lang") === "en", "9").when(col("lang") === "es", "6")
+      .when(col("lang") === "zh", "4").otherwise("2")
+    val mixed = clean.where(md5(concat(lit("mix:"), col("doc_id"))) < thr)
+    // sequence packing: per-lang integral token cumsum → 512-token seqs
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mixed
+      .withColumn("cum_prev", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        expr("cum_prev div 512").as("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+  val pretrainSql: String =
+    s"""WITH st AS ($stagedSql),
+       |sv AS (
+       |  SELECT doc_id, lang, text, n_toks FROM st
+       |  WHERE stop_ratio >= 0.02 AND n_toks >= 20
+       |  QUALIFY row_number() OVER (PARTITION BY norm_key ORDER BY doc_id) = 1),
+       |ev AS (
+       |  SELECT DISTINCT unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+       |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+       |                string_split(text, ' ')[i+2])) AS gram
+       |  FROM documents WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 3),
+       |bad AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+       |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+       |                  string_split(text, ' ')[i+2])) AS gram
+       |    FROM sv WHERE len(string_split(text, ' ')) >= 3) g
+       |  JOIN ev USING (gram)),
+       |mixed AS (
+       |  SELECT doc_id, lang, n_toks FROM sv
+       |  WHERE doc_id % 97 != 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |    AND md5('mix:' || doc_id) <
+       |      CASE WHEN lang = 'en' THEN '9' WHEN lang = 'es' THEN '6'
+       |           WHEN lang = 'zh' THEN '4' ELSE '2' END)
+       |SELECT doc_id, lang, n_toks,
+       |  CAST(COALESCE(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS seq_id
+       |FROM mixed ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pl_corpus_clean" -> corpusClean,
-    "pl_funnel"       -> funnel)
+    "pl_funnel"       -> funnel,
+    "pl_pretrain"     -> pretrain)
 
   val oracles: Map[String, String] = Map(
     "pl_corpus_clean" -> corpusCleanSql,
-    "pl_funnel"       -> funnelSql)
+    "pl_funnel"       -> funnelSql,
+    "pl_pretrain"     -> pretrainSql)
 }

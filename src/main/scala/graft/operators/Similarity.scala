@@ -239,11 +239,84 @@ object Similarity {
       |  FROM scored)
       |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
 
+  /** ann_pq — product quantization, the memory-side ANN scale path (IVF
+    * shrinks the SEARCH, PQ shrinks the VECTORS): 64 dims → 4 subspaces of
+    * 16; each sub-vector is replaced by the id of its nearest codebook
+    * centroid (4 bytes/vector instead of 256), and query-time distance is
+    * ADC — the sum of precomputed query-to-centroid sub-distances looked
+    * up by code. At 100 TB the encoded corpus is ~1/64 the raw size and
+    * the scan never touches raw vectors; this query runs the whole path:
+    * encode → ADC lookup-table join → top-3 per probe.
+    *
+    * Deterministic stand-in codebook (stride vectors, like IVF's) and
+    * 6-decimal rounding before every argmin/rank make the path
+    * hash-checkable; a k-means codebook drops in without changing shape.
+    */
+  val annPq: Q = (s, d) => pqSearch(tbl(s, d, "embeddings"), stride = 125L)
+
+  /** Parametric PQ path — `stride` picks the deterministic codebook density
+    * (every stride-th vector's sub-vectors become centroids); tests use a
+    * denser codebook on the tiny scale factors.
+    */
+  def pqSearch(embeddings: DataFrame, stride: Long, probeMax: Long = 5L,
+               k: Int = 3): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val subs = e.select(col("vec_id"), explode(expr(
+      "transform(sequence(0, 3), j -> named_struct('j', j, 'sv', slice(emb, 16*j+1, 16)))")).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+    val csubs = subs.where(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("j"), col("sv").as("csv"))
+    val d2 = expr(
+      "aggregate(zip_with(sv, csv, (x, y) -> (x-y)*(x-y)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+    // encode: nearest sub-centroid per (vector, subspace); packed argmin
+    // key = round(d2,6)*1e9 + cid (d2 ≤ ~1e2 ⇒ exact-ordered in double).
+    val codes = subs.join(broadcast(csubs), Seq("j"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min_by(col("cid"), round(d2, 6) * lit(1e9) + col("cid")).as("code"))
+      .select(col("vec_id").as("n"), col("j"), col("code"))
+    // ADC lookup table: probe sub-vector → every centroid, same distance.
+    val qd = subs.where(col("vec_id") < probeMax)
+      .select(col("vec_id").as("q"), col("j"), col("sv"))
+      .join(broadcast(csubs), Seq("j"))
+      .select(col("q"), col("j"), col("cid").as("code"), d2.as("qd2"))
+    val adist = codes.join(broadcast(qd), Seq("j", "code"))
+      .groupBy(col("q"), col("n"))
+      .agg(round(sum(col("qd2")), 6).as("adist"))
+      .where(col("q") =!= col("n"))
+    val w = Window.partitionBy(col("q")).orderBy(col("adist"), col("n"))
+    adist.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("q"), col("rank"))
+  }
+  val annPqSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |js AS (SELECT unnest(range(0, 4)) AS j),
+      |sub AS (SELECT vec_id, j, emb[16*j+1 : 16*j+16] AS sv FROM e CROSS JOIN js),
+      |csub AS (SELECT vec_id AS cid, j, sv AS csv FROM sub WHERE vec_id % 125 = 0),
+      |codes AS (
+      |  SELECT sub.vec_id AS n, j,
+      |         min_by(cid, round(list_distance(sv, csv)^2, 6) * 1e9 + cid) AS code
+      |  FROM sub JOIN csub USING (j) GROUP BY n, j),
+      |qd AS (
+      |  SELECT sub.vec_id AS q, j, cid AS code, list_distance(sv, csv)^2 AS qd2
+      |  FROM sub JOIN csub USING (j) WHERE sub.vec_id < 5),
+      |adist AS (
+      |  SELECT q, n, round(sum(qd2), 6) AS adist
+      |  FROM codes JOIN qd USING (j, code)
+      |  GROUP BY q, n HAVING q != n)
+      |SELECT q, n, adist, rank FROM (
+      |  SELECT q, n, adist,
+      |         row_number() OVER (PARTITION BY q ORDER BY adist, n) AS rank
+      |  FROM adist)
+      |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce"  -> annBruteforce,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_ivf_assign"  -> ivfAssignQ,
     "ann_ivf_search"  -> ivfSearchQ,
+    "ann_pq"          -> annPq,
   )
 
   /** ann_lsh_buckets is deliberately rows-only (no oracle): the md5-parity
@@ -253,5 +326,6 @@ object Similarity {
     "ann_bruteforce" -> annBruteforceSql,
     "ann_ivf_assign" -> ivfAssignSql,
     "ann_ivf_search" -> ivfSearchSql,
+    "ann_pq"         -> annPqSql,
   )
 }

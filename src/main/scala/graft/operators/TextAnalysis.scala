@@ -233,6 +233,57 @@ object TextAnalysis {
       |SELECT doc_id, round(-sum(p * log2(p)), 6) AS entropy
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** tx_tfidf — corpus-TF-IDF: document frequency across the corpus slice,
+    * smoothed idf, per-document top term. The classic relevance/keyword
+    * extraction primitive; also the shape of any "rare-token" quality
+    * gate. Two aggregations over the SAME (doc_id, tok) shuffle (term
+    * counts, then per-doc top-1) plus one broadcast-able token-level df
+    * table — the corpus text is scanned once. At 100 TB the df table is
+    * O(vocab) — millions of rows, broadcast or bucketed — while the
+    * doc-level side streams.
+    *
+    * Determinism: scores rounded to 6 decimals BEFORE ranking, ties broken
+    * lexicographically — identical rank both engines regardless of float
+    * summation order.
+    */
+  val tfidf: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = tbl(s, d, "documents")
+      .where($"doc_id" < 300)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val nDocs = tf.select(countDistinct($"doc_id").as("n_docs"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("tok")).crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"tok",
+        round($"tf" * (log(($"n_docs" + 1).cast("double") / ($"df" + 1)) + 1), 6)
+          .as("score"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")))
+      .where($"rn" === 1)
+      .select($"doc_id", $"tok".as("top_tok"), $"score".as("top_score"))
+      .orderBy($"doc_id")
+  }
+  val tfidfSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents WHERE doc_id < 300)
+      |  GROUP BY doc_id, tok),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |scored AS (
+      |  SELECT doc_id, tok,
+      |         round(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1), 6) AS score
+      |  FROM tf JOIN df USING (tok) CROSS JOIN nd)
+      |SELECT doc_id, tok AS top_tok, score AS top_score
+      |FROM (SELECT doc_id, tok, score,
+      |             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+      |      FROM scored)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
@@ -242,6 +293,7 @@ object TextAnalysis {
     "tx_repetition"  -> repetition,
     "tx_pack"        -> pack,
     "tx_entropy"     -> entropy,
+    "tx_tfidf"       -> tfidf,
   )
 
   val oracles: Map[String, String] = Map(
@@ -253,5 +305,6 @@ object TextAnalysis {
     "tx_repetition"  -> repetitionSql,
     "tx_pack"        -> packSql,
     "tx_entropy"     -> entropySql,
+    "tx_tfidf"       -> tfidfSql,
   )
 }

@@ -121,4 +121,69 @@ class LlmOpsSpec extends AnyFunSuite {
     val counts = frames.groupBy($"media_id").count().select($"count").as[Long].collect()
     assert(counts.forall(_ == 4))
   }
+
+  test("PQ machinery is exact when the codebook is the corpus (stride=1), " +
+       "and a planted duplicate is always found at rank 1") {
+    // Quantization LOSS depends on codebook quality and data geometry
+    // (64-dim synthetic noise concentrates distances: NN margins ~3%, so
+    // recall through a coarse codebook is inherently poor — measured, not
+    // a bug). The operator's contracts are: (a) with a perfect codebook
+    // ADC ranking IS exact L2 ranking; (b) a duplicate vector shares all
+    // four codes with its original, so its ADC distance is minimal and it
+    // ranks first for that probe.
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val exact3 = (0L until 5L).map { q =>
+      q -> vecs.collect { case (n, v) if n != q => (l2(vecs(q), v), n) }
+        .toSeq.sorted.take(3).map(_._2)
+    }.toMap
+    val pq1 = operators.Similarity.pqSearch(emb, stride = 1L)
+      .select($"q", $"n", $"rank").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    (0L until 5L).foreach { q =>
+      assert(pq1(q) == exact3(q), s"PQ@stride=1 != exact L2 for probe $q")
+    }
+    val planted = emb.select($"vec_id", $"embedding")
+      .unionByName(emb.where($"vec_id" === 3)
+        .select(lit(777777L).as("vec_id"), $"embedding"))
+    val top = operators.Similarity.pqSearch(planted, stride = 25L)
+      .where($"q" === 3 && $"rank" === 1).select($"n").as[Long].head()
+    assert(top == 777777L, s"planted dup of probe 3 ranked below 1: got $top")
+  }
+
+  test("dd_canonical keeps exactly one representative per duplicate cluster, " +
+       "and it has the cluster's max n_chars") {
+    val canon = operators.Graph.ddCanonical(spark, sf)
+      .select($"cluster", $"keep_doc", $"members", $"keep_chars")
+      .as[(Long, Long, Long, Long)].collect()
+    val labels = operators.Graph.ccClusters(spark, sf)
+      .select($"doc_id", $"cluster").as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val chars = docs.select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    canon.foreach { case (cl, keep, members, keepChars) =>
+      val cluster = labels(cl)
+      assert(cluster.contains(keep), s"rep $keep not in cluster $cl")
+      assert(members == cluster.size)
+      assert(keepChars == cluster.map(chars).max)
+      assert(chars(keep) == keepChars)
+    }
+    assert(canon.map(_._1).distinct.length == canon.length)
+  }
+
+  test("pl_pretrain survivors exclude the eval slice and all contaminated docs") {
+    val out = operators.Pipeline.pretrain(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out.nonEmpty)
+    assert(out.forall(_ % 97 != 0), "eval-slice doc leaked into the training mix")
+    // no survivor shares a 3-gram with the eval slice
+    val evalGrams = Dedup.docNGrams(docs.where($"doc_id" % 97 === 0), 3)
+      .select($"gram").as[String].collect().toSet
+    val survivorGrams = Dedup.docNGrams(
+        docs.where($"doc_id".isin(out.toSeq: _*)), 3)
+      .select($"doc_id", $"gram").as[(Long, String)].collect()
+    val leaked = survivorGrams.filter { case (_, g) => evalGrams.contains(g) }
+    assert(leaked.isEmpty, s"contaminated docs survived: ${leaked.take(5).toSeq}")
+  }
 }

@@ -53,8 +53,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // whole driver-side CC loop and returns only the final checkpointed
     // select — expensive and blind to the in-loop joins.
     // Everything else must never plan one.
+    // tx_tfidf joins a ONE-ROW aggregate (corpus doc count) — a 1-row
+    // broadcast NLJ is the right physical plan for a scalar join.
     val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign",
-      "ann_ivf_search", "cc_clusters", "cc_star")
+      "ann_ivf_search", "cc_clusters", "cc_star", "dd_canonical",
+      "tx_tfidf")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
