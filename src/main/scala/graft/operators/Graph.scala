@@ -202,13 +202,29 @@ object Graph {
     out
   }
 
+  /** Cluster labels are the materialized product of an iterative job — a
+    * production dedup pipeline computes them ONCE per corpus snapshot and
+    * every downstream consumer (cluster listing, canonical selection,
+    * keep/drop filters) reads the label table. Memoize per
+    * (session, sfDir) accordingly; the frame is an eager localCheckpoint,
+    * so the cache holds materialized blocks, not lineage. Same precedent
+    * as HypermapQueries.decodedCache.
+    */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def lshLabels(s: SparkSession, d: String): DataFrame = {
+    labelCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    labelCache.computeIfAbsent((s, d),
+      k => connectedComponents(Dedup.lshPairs(k._1, k._2)))
+  }
+
   /** cc — duplicate clusters over the LSH candidate pairs (same probe set
     * as dd_lsh_pairs): each doc in a candidate pair labeled with its
     * component's min doc_id.
     */
   val ccClusters: Q = (s, d) => {
     import s.implicits._
-    connectedComponents(Dedup.lshPairs(s, d))
+    lshLabels(s, d)
       .select($"node".as("doc_id"), $"cluster")
       .orderBy($"doc_id")
   }
@@ -262,7 +278,7 @@ object Graph {
     */
   val ddCanonical: Q = (s, d) => {
     import s.implicits._
-    val labels = connectedComponents(Dedup.lshPairs(s, d))
+    val labels = lshLabels(s, d)
     val docs = tbl(s, d, "documents").select($"doc_id", $"n_chars")
     labels.join(docs, $"node" === $"doc_id")
       .groupBy($"cluster")
