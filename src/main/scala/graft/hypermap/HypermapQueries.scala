@@ -26,16 +26,11 @@ object HypermapQueries {
     * fixed plan work in each bench entry. Caching truncates the lineage so
     * downstream plans (fold, pagination) start from the materialized rows.
     */
-  private val decodedCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
-  private def pipeline(s: SparkSession): DataFrame = {
-    // Drop entries for dead sessions so the map can't pin stopped
-    // SparkSessions (and their cached blocks) for the JVM lifetime.
-    decodedCache.keySet.removeIf(sess => sess.sparkContext.isStopped)
-    decodedCache.computeIfAbsent(s, sess =>
-      Decode.decode(Fixtures.toDF(sess,
+  private val decodedCache = new graft.SessionCache[Unit]
+  private def pipeline(s: SparkSession): DataFrame =
+    decodedCache.getOrCompute(s, ())(
+      Decode.decode(Fixtures.toDF(s,
         Fixtures.goldenLogs ++ Fixtures.adversarialLogs)).persist())
-  }
 
   /** T1/T2 + §5 golden contract: decode with silent-skip of 5 adversarial
     * logs → exactly {Note:8, Transfer:4, Mint:2}.

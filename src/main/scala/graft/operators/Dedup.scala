@@ -312,12 +312,37 @@ object Dedup {
 
   // ------------------------------------------------------- decontamination
 
+  /** Distinct word n-grams per document — shared by dcOverlap's two sides
+    * and the pl_pretrain composition. element_at is 1-indexed, matching
+    * DuckDB list indexing, so the gram construction is
+    * verbatim-identical in both engines.
+    */
+  def docNGrams(df: DataFrame, n: Int): DataFrame = {
+    val parts = (0 until n).map(j => s"element_at(toks, i+$j)").mkString(", ")
+    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', $parts))")).as("gram"))
+      .distinct()
+  }
+
+  /** DuckDB counterpart of docNGrams: the unnest expression + length
+    * guard, generated from the same `n` so the oracles can't drift.
+    */
+  def ngramUnnestSql(n: Int): String = {
+    val parts = (0 until n).map(j => s"string_split(text, ' ')[i+$j]")
+      .mkString(" || ' ' || ")
+    s"unnest(list_transform(range(1, len(string_split(text, ' ')) - ${n - 2}), i -> $parts))"
+  }
+  def ngramGuardSql(n: Int): String = s"len(string_split(text, ' ')) >= $n"
+
   /** dc_overlap — train/eval decontamination by word-3-gram overlap: flag
     * every training document sharing at least one 3-gram with the held-out
     * eval slice, with the count of distinct shared grams as evidence.
     * (Real pipelines use 8-13-token grams; the synthetic corpus' vocab is
     * ~30 words, so 3 grams is the length where overlap actually occurs —
-    * the operator is length-parametric in `nGramOverlap` below.)
+    * the operator is length-parametric via `docNGrams`.)
     * The standard pre-training hygiene step (eval-set leakage detection).
     *
     * Scale shape: the eval side is tiny by construction (benchmarks are
@@ -329,20 +354,8 @@ object Dedup {
     *
     * Eval slice = doc_id % 97 == 0 (deterministic stand-in for a real
     * benchmark table); train probe capped at doc_id < 300 to bound gate
-    * cost. element_at is 1-indexed, matching DuckDB list indexing, so the
-    * gram construction is verbatim-identical in both engines.
+    * cost.
     */
-  /** Distinct word n-grams per document — shared by dcOverlap's two sides. */
-  def docNGrams(df: DataFrame, n: Int): DataFrame = {
-    val parts = (0 until n).map(j => s"element_at(toks, i+$j)").mkString(", ")
-    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= n)
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> concat_ws(' ', $parts))")).as("gram"))
-      .distinct()
-  }
-
   val dcOverlap: Q = (s, d) => {
     val docs = tbl(s, d, "documents")
     val evalGrams = docNGrams(docs.where(col("doc_id") % 97 === 0), 3)
@@ -353,18 +366,15 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
   val dcOverlapSql: String =
-    """WITH g AS (
-      |  SELECT doc_id,
-      |         unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
-      |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
-      |                string_split(text, ' ')[i+2])) AS gram
-      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      |gd AS (SELECT DISTINCT doc_id, gram FROM g),
-      |ev AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 97 = 0),
-      |tr AS (SELECT doc_id, gram FROM gd WHERE doc_id < 300 AND doc_id % 97 != 0)
-      |SELECT doc_id, count(*) AS shared_grams
-      |FROM tr JOIN ev USING (gram)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH g AS (
+       |  SELECT doc_id, ${ngramUnnestSql(3)} AS gram
+       |  FROM documents WHERE ${ngramGuardSql(3)}),
+       |gd AS (SELECT DISTINCT doc_id, gram FROM g),
+       |ev AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id, gram FROM gd WHERE doc_id < 300 AND doc_id % 97 != 0)
+       |SELECT doc_id, count(*) AS shared_grams
+       |FROM tr JOIN ev USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------- export
 

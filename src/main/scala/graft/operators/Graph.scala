@@ -103,10 +103,15 @@ object Graph {
     // Unconverged labels are WRONG labels (a component reported as several
     // clusters) and indistinguishable from right ones — refuse to return
     // them. Graphs with diameter > maxIter need a larger budget or the
-    // large/small-star rule.
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds " +
-        "(graph diameter exceeds the iteration budget)")
+    // large/small-star rule. Free the final checkpoint before throwing —
+    // callers that retry (e.g. the bench loop swallows failures) must not
+    // accumulate one orphaned label table per attempt.
+    if (!converged) {
+      CheckpointBridge.freeCheckpoint(labels)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph diameter exceeds the iteration budget)")
+    }
     labels.select(col("node"), col("label").as("cluster"))
   }
 
@@ -183,8 +188,12 @@ object Graph {
       sig = nextSig
       iter += 1
     }
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponentsStar did not converge in $maxIter rounds")
+    if (!converged) { // free before throwing, see connectedComponents
+      cleaned.unpersist(blocking = false)
+      CheckpointBridge.freeCheckpoint(cur)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    }
     // Fixpoint edge set is a union of stars (a = member, b = root min).
     // Left-join back onto the full node set so nodes whose only edges
     // were self-loops (dropped by canon) still label themselves — same
@@ -210,13 +219,9 @@ object Graph {
     * so the cache holds materialized blocks, not lineage. Same precedent
     * as HypermapQueries.decodedCache.
     */
-  private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def lshLabels(s: SparkSession, d: String): DataFrame = {
-    labelCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    labelCache.computeIfAbsent((s, d),
-      k => connectedComponents(Dedup.lshPairs(k._1, k._2)))
-  }
+  private val labelCache = new graft.SessionCache[String]
+  private def lshLabels(s: SparkSession, d: String): DataFrame =
+    labelCache.getOrCompute(s, d)(connectedComponents(Dedup.lshPairs(s, d)))
 
   /** cc — duplicate clusters over the LSH candidate pairs (same probe set
     * as dd_lsh_pairs): each doc in a candidate pair labeled with its
@@ -228,7 +233,12 @@ object Graph {
       .select($"node".as("doc_id"), $"cluster")
       .orderBy($"doc_id")
   }
-  val ccClustersSql: String = {
+  /** Shared recursive-CTE ground truth for the LSH pair graph (same probe
+    * set + banding as Dedup.lshPairs): everything through `reach` is the
+    * component labeling; ccClustersSql and ddCanonicalSql both build on
+    * it so the LSH parameters live in ONE place.
+    */
+  private val ccReachCte: String = {
     val mins = (0 until 8).map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(", ")
     s"""WITH RECURSIVE sig AS (
        |  SELECT doc_id, $mins
@@ -248,10 +258,13 @@ object Graph {
        |reach(n, r) AS (
        |  SELECT x, x FROM und
        |  UNION
-       |  SELECT u.y, reach.r FROM und u JOIN reach ON u.x = reach.n)
+       |  SELECT u.y, reach.r FROM und u JOIN reach ON u.x = reach.n)""".stripMargin
+  }
+
+  val ccClustersSql: String =
+    s"""$ccReachCte
        |SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster
        |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
-  }
 
   /** cc via alternating stars — identical clusters to cc_clusters, taken
     * through the O(log n)-round path, oracle-checked against the same
@@ -289,29 +302,8 @@ object Graph {
       .where($"members" > 1)
       .orderBy($"cluster")
   }
-  val ddCanonicalSql: String = {
-    // Same recursive-CTE component labeling as ccClustersSql, then pick
-    // the representative per non-singleton cluster.
-    val mins = (0 until 8).map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(", ")
-    s"""WITH RECURSIVE sig AS (
-       |  SELECT doc_id, $mins
-       |  FROM (SELECT doc_id,
-       |               unnest(list_transform(range(1, len(text)-3), i -> substr(text, i, 5))) AS sh
-       |        FROM documents WHERE doc_id < 200 AND len(text) >= 5)
-       |  GROUP BY doc_id),
-       |banded AS (
-       |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bsig FROM sig
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS band, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bsig FROM sig),
-       |pairs AS (
-       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bsig = y.bsig
-       |  WHERE x.doc_id < y.doc_id),
-       |und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
-       |reach(n, r) AS (
-       |  SELECT x, x FROM und
-       |  UNION
-       |  SELECT u.y, reach.r FROM und u JOIN reach ON u.x = reach.n),
+  val ddCanonicalSql: String =
+    s"""$ccReachCte,
        |lab AS (SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY n)
        |SELECT cluster,
        |       max_by(d.doc_id, d.n_chars * 2147483648 - d.doc_id) AS keep_doc,
@@ -319,7 +311,6 @@ object Graph {
        |       max(d.n_chars) AS keep_chars
        |FROM lab JOIN documents d USING (doc_id)
        |GROUP BY cluster HAVING count(*) > 1 ORDER BY cluster""".stripMargin
-  }
 
   val queries: Map[String, Q] = Map(
     "cc_clusters"  -> ccClusters,

@@ -122,10 +122,9 @@ object Pipeline {
     val clean = survivors
       .where(col("doc_id") % 97 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
-    // deterministic domain mixture (same rates as sp_mixture)
-    val thr = when(col("lang") === "en", "9").when(col("lang") === "es", "6")
-      .when(col("lang") === "zh", "4").otherwise("2")
-    val mixed = clean.where(md5(concat(lit("mix:"), col("doc_id"))) < thr)
+    // deterministic domain mixture — Sampling.mixtureThr IS sp_mixture's
+    val mixed = clean.where(
+      md5(concat(lit("mix:"), col("doc_id"))) < Sampling.mixtureThr)
     // sequence packing: per-lang integral token cumsum → 512-token seqs
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -142,25 +141,18 @@ object Pipeline {
        |  WHERE stop_ratio >= 0.02 AND n_toks >= 20
        |  QUALIFY row_number() OVER (PARTITION BY norm_key ORDER BY doc_id) = 1),
        |ev AS (
-       |  SELECT DISTINCT unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
-       |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
-       |                string_split(text, ' ')[i+2])) AS gram
-       |  FROM documents WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 3),
+       |  SELECT DISTINCT ${Dedup.ngramUnnestSql(3)} AS gram
+       |  FROM documents WHERE doc_id % 97 = 0 AND ${Dedup.ngramGuardSql(3)}),
        |bad AS (
        |  SELECT DISTINCT doc_id FROM (
-       |    SELECT doc_id,
-       |           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
-       |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
-       |                  string_split(text, ' ')[i+2])) AS gram
-       |    FROM sv WHERE len(string_split(text, ' ')) >= 3) g
+       |    SELECT doc_id, ${Dedup.ngramUnnestSql(3)} AS gram
+       |    FROM sv WHERE ${Dedup.ngramGuardSql(3)}) g
        |  JOIN ev USING (gram)),
        |mixed AS (
        |  SELECT doc_id, lang, n_toks FROM sv
        |  WHERE doc_id % 97 != 0
        |    AND doc_id NOT IN (SELECT doc_id FROM bad)
-       |    AND md5('mix:' || doc_id) <
-       |      CASE WHEN lang = 'en' THEN '9' WHEN lang = 'es' THEN '6'
-       |           WHEN lang = 'zh' THEN '4' ELSE '2' END)
+       |    AND md5('mix:' || doc_id) < ${Sampling.mixtureThrSql})
        |SELECT doc_id, lang, n_toks,
        |  CAST(COALESCE(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS seq_id

@@ -85,22 +85,27 @@ object Sampling {
     * upstream gives the input shares). Narrow (no shuffle): the rate
     * CASE and the hash threshold are per-row expressions.
     */
-  val mixture: Q = (s, d) => {
-    val thr = when(col("lang") === "en", "9")
-      .when(col("lang") === "es", "6")
-      .when(col("lang") === "zh", "4")
-      .otherwise("2")
+  /** The per-lang mix rates, defined ONCE in Column and SQL form — shared
+    * by sp_mixture and the pl_pretrain composition so the mix can't
+    * silently diverge between them. md5-prefix < '9' keeps ~9/16 of the
+    * hash space, etc.
+    */
+  val mixtureThr: org.apache.spark.sql.Column =
+    when(col("lang") === "en", "9").when(col("lang") === "es", "6")
+      .when(col("lang") === "zh", "4").otherwise("2")
+  val mixtureThrSql: String =
+    """CASE WHEN lang = 'en' THEN '9' WHEN lang = 'es' THEN '6'
+      |       WHEN lang = 'zh' THEN '4' ELSE '2' END""".stripMargin
+
+  val mixture: Q = (s, d) =>
     tbl(s, d, "documents")
-      .where(md5(concat(lit("mix:"), col("doc_id"))) < thr)
+      .where(md5(concat(lit("mix:"), col("doc_id"))) < mixtureThr)
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
-  }
   val mixtureSql: String =
-    """SELECT doc_id, lang FROM documents
-      |WHERE md5('mix:' || doc_id) <
-      |  CASE WHEN lang = 'en' THEN '9' WHEN lang = 'es' THEN '6'
-      |       WHEN lang = 'zh' THEN '4' ELSE '2' END
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE md5('mix:' || doc_id) < $mixtureThrSql
+       |ORDER BY doc_id""".stripMargin
 
   /** Scale-path variants (xxhash64, no string hashing). */
   def reservoir(df: DataFrame, group: String, key: String, k: Int): DataFrame = {

@@ -259,13 +259,11 @@ object Similarity {
     * then measures search cost against a built index, which is the
     * operation's real steady-state shape.
     */
-  private val pqCodesCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val pqCodesCache = new graft.SessionCache[String]
 
   val annPq: Q = (s, d) => {
-    pqCodesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val codes = pqCodesCache.computeIfAbsent((s, d),
-      k => pqEncode(tbl(k._1, k._2, "embeddings"), stride = 125L).localCheckpoint())
+    val codes = pqCodesCache.getOrCompute(s, d)(
+      pqEncode(tbl(s, d, "embeddings"), stride = 125L).localCheckpoint())
     pqSearch(tbl(s, d, "embeddings"), stride = 125L, codes = Some(codes))
   }
 
@@ -284,12 +282,17 @@ object Similarity {
     "aggregate(zip_with(sv, csv, (x, y) -> (x-y)*(x-y)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
 
   /** Encode: nearest sub-centroid per (vector, subspace); packed argmin
-    * key = round(d2,6)*1e9 + cid (d2 ≤ ~1e2 ⇒ exact-ordered in double).
+    * key = round(d2,6)*1e12 + cid. The 1e12 multiplier makes a 1e-6
+    * distance step worth 1e6 in key space — six orders above any cid
+    * (cid < 1e6 by construction at every scale factor), so the id
+    * tie-break can never outweigh a genuine distance difference.
+    * (1e9 would collapse at ≥1000 centroid ids: a 1e-6-farther centroid
+    * with a smaller cid would win.)
     */
   def pqEncode(embeddings: DataFrame, stride: Long): DataFrame =
     pqSubs(embeddings).join(broadcast(pqCsubs(embeddings, stride)), Seq("j"))
       .groupBy(col("vec_id"), col("j"))
-      .agg(min_by(col("cid"), round(pqD2, 6) * lit(1e9) + col("cid")).as("code"))
+      .agg(min_by(col("cid"), round(pqD2, 6) * lit(1e12) + col("cid")).as("code"))
       .select(col("vec_id").as("n"), col("j"), col("code"))
 
   /** Parametric PQ search — `stride` picks the deterministic codebook
@@ -314,6 +317,9 @@ object Similarity {
       .where(col("rank") <= k)
       .orderBy(col("q"), col("rank"))
   }
+  // d2 in the oracle is the SAME left-to-right sum of squared diffs as
+  // pqD2 (list_distance would sqrt-then-square — a 1-2 ulp drift that
+  // could flip a round(·,6) at a boundary and desync the argmin).
   val annPqSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |js AS (SELECT unnest(range(0, 4)) AS j),
@@ -321,10 +327,11 @@ object Similarity {
       |csub AS (SELECT vec_id AS cid, j, sv AS csv FROM sub WHERE vec_id % 125 = 0),
       |codes AS (
       |  SELECT sub.vec_id AS n, j,
-      |         min_by(cid, round(list_distance(sv, csv)^2, 6) * 1e9 + cid) AS code
+      |         min_by(cid, round(list_sum(list_transform(range(1, 17), i -> (sv[i]-csv[i])*(sv[i]-csv[i]))), 6) * 1e12 + cid) AS code
       |  FROM sub JOIN csub USING (j) GROUP BY n, j),
       |qd AS (
-      |  SELECT sub.vec_id AS q, j, cid AS code, list_distance(sv, csv)^2 AS qd2
+      |  SELECT sub.vec_id AS q, j, cid AS code,
+      |         list_sum(list_transform(range(1, 17), i -> (sv[i]-csv[i])*(sv[i]-csv[i]))) AS qd2
       |  FROM sub JOIN csub USING (j) WHERE sub.vec_id < 5),
       |adist AS (
       |  SELECT q, n, round(sum(qd2), 6) AS adist

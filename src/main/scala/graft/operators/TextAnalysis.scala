@@ -205,7 +205,13 @@ object TextAnalysis {
     *
     * Float parity: summation order differs between engines, so the result
     * is rounded to 6 decimals — drift for ≤1e4 terms is ≤1e-12, five
-    * orders below the rounding grain.
+    * orders below the rounding grain. Caveat (applies to tx_tfidf too):
+    * log2/ln are NOT IEEE-correctly-rounded, so JVM and libm may differ
+    * by 1 ulp on identical inputs; a value landing within that of a
+    * 0.5e-6 rounding boundary would round apart. P ≈ 2e-7 per value —
+    * negligible here and empirically stable on the fixed gate data, but
+    * unlike the add/mul/div-only queries this one is probabilistically,
+    * not structurally, exact.
     */
   val entropy: Q = (s, d) => {
     import s.implicits._
