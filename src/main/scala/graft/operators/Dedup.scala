@@ -376,10 +376,56 @@ object Dedup {
        |FROM tr JOIN ev USING (gram)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The 100 TB decontamination path the dc_overlap scaladoc promises:
+    * the eval gram set compressed to a Bloom filter (KBs instead of the
+    * exact set's memory), corpus grams pre-filtered by `mightContain`,
+    * then an EXACT confirm join over only the bloom-positive slice — so
+    * false positives cost a second look at ~fpp of the grams, never a
+    * wrong flag. Result is therefore identical to the exact overlap
+    * (asserted in LlmOpsSpec), while the broadcast payload stays
+    * constant-size no matter how many benchmarks the eval side holds.
+    * The UDF probe is off the codegen path, but it runs only on the
+    * gram stream, not the corpus scan.
+    */
+  def bloomContaminated(train: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                        fpp: Double = 0.01): DataFrame = {
+    val evalGrams = docNGrams(evalDocs, n).select(col("gram"))
+    val expected = math.max(evalGrams.count(), 1L)
+    val bf = evalGrams.stat.bloomFilter("gram", expected, fpp)
+    val bfB = train.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => bfB.value.mightContainString(g))
+    docNGrams(train, n)
+      .where(mightContain(col("gram")))        // cheap pre-filter, ~fpp FPs
+      .join(evalGrams.distinct(), Seq("gram")) // exact confirm on the slice
+      .select(col("doc_id")).distinct()
+  }
+
+  /** dc_bloom — the bloom path as a gate query: because of the exact
+    * confirm join its answer is IDENTICAL to the exact overlap, so the
+    * same DuckDB oracle checks the whole bloom pipeline (build → probe →
+    * confirm) hash-exactly; fpp only moves the confirm-join input size.
+    */
+  val dcBloom: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    bloomContaminated(
+      docs.where(col("doc_id") < 300 && col("doc_id") % 97 =!= 0),
+      docs.where(col("doc_id") % 97 === 0))
+      .orderBy(col("doc_id"))
+  }
+  val dcBloomSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, ${ngramUnnestSql(3)} AS gram
+       |  FROM documents WHERE ${ngramGuardSql(3)}),
+       |gd AS (SELECT DISTINCT doc_id, gram FROM g),
+       |ev AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id, gram FROM gd WHERE doc_id < 300 AND doc_id % 97 != 0)
+       |SELECT DISTINCT doc_id FROM tr JOIN ev USING (gram) ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------- export
 
   val queries: Map[String, Q] = Map(
     "dc_overlap"      -> dcOverlap,
+    "dc_bloom"        -> dcBloom,
     "dd_exact_stats"  -> exactStats,
     "dd_minhash_sig"  -> minhashSig,
     "dd_lsh_pairs"    -> lshPairs,
@@ -391,6 +437,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dc_overlap"      -> dcOverlapSql,
+    "dc_bloom"        -> dcBloomSql,
     "dd_exact_stats"  -> exactStatsSql,
     "dd_minhash_sig"  -> minhashSigSql,
     "dd_lsh_pairs"    -> lshPairsSql,

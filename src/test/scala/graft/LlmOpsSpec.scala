@@ -172,6 +172,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(canon.map(_._1).distinct.length == canon.length)
   }
 
+  test("bloom-filter decontamination flags exactly the exact-overlap doc set") {
+    val evalDocs = docs.where($"doc_id" % 97 === 0)
+    val train = docs.where($"doc_id" % 97 =!= 0)
+    val exact = Dedup.docNGrams(train, 3)
+      .join(Dedup.docNGrams(evalDocs, 3).select($"gram").distinct(), Seq("gram"))
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    val bloomed = Dedup.bloomContaminated(train, evalDocs)
+      .as[Long].collect().toSet
+    assert(exact.nonEmpty, "probe data produced no overlap — test is vacuous")
+    assert(bloomed == exact,
+      s"bloom+confirm != exact: extra=${(bloomed -- exact).take(5)} missing=${(exact -- bloomed).take(5)}")
+  }
+
   test("pl_pretrain survivors exclude the eval slice and all contaminated docs") {
     val out = operators.Pipeline.pretrain(spark, sf)
       .select($"doc_id").as[Long].collect().toSet
