@@ -469,6 +469,60 @@ object Relational {
       |FROM events WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** U2/U3 — INTERSECT / EXCEPT (SURVEY §2.6 set-operation completeness):
+    * users who both clicked and purchased / clicked but never purchased.
+    * Spark plans both as aggregated joins (semi/anti after distinct) —
+    * one shuffle on the compared key, no row-pair blowup.
+    */
+  val u2Intersect: Q = (s, d) => {
+    import s.implicits._
+    val ev = tbl(s, d, "events")
+    ev.where($"event_type" === "click").select($"user_id")
+      .intersect(ev.where($"event_type" === "purchase").select($"user_id"))
+      .orderBy($"user_id")
+  }
+  val u2IntersectSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  val u3Except: Q = (s, d) => {
+    import s.implicits._
+    val ev = tbl(s, d, "events")
+    ev.where($"event_type" === "click").select($"user_id")
+      .except(ev.where($"event_type" === "purchase").select($"user_id"))
+      .orderBy($"user_id")
+  }
+  val u3ExceptSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  /** W5 — RANGE-frame window (value-based frame, vs w2's row cumsum):
+    * per-type moving sum over an event_id RANGE of 100 — rows with equal
+    * ordering values share a frame, which ROWS frames can't express.
+    * Integer-valued summand keeps the hash compare drift-free.
+    */
+  val w5RangeFrame: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"event_id")
+      .rangeBetween(-100L, Window.currentRow)
+    tbl(s, d, "events")
+      .where($"event_id" < 2000L)
+      .select($"event_id", $"event_type",
+        sum(floor($"value").cast("long")).over(w).as("moving"))
+      .orderBy($"event_id", $"event_type")
+  }
+  val w5RangeFrameSql: String =
+    """SELECT event_id, event_type,
+      |       sum(CAST(floor(value) AS BIGINT)) OVER (
+      |         PARTITION BY event_type ORDER BY event_id
+      |         RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS moving
+      |FROM events WHERE event_id < 2000
+      |ORDER BY event_id, event_type""".stripMargin
+
   /** A9 — pivot (wide per-type aggregate): the columnar form of the
     * reference's per-type dashboards (actions.ts:92-110). Explicit pivot
     * value list keeps the plan a single pass (no distinct-values pre-query)
@@ -731,6 +785,9 @@ object Relational {
     "a9_pivot"         -> a9Pivot,
     "w4_ntile"         -> w4Ntile,
     "u1_union"         -> u1Union,
+    "u2_intersect"     -> u2Intersect,
+    "u3_except"        -> u3Except,
+    "w5_range_frame"   -> w5RangeFrame,
     "d1_distinct"      -> d1Distinct,
     "tpch_q1"          -> tpchQ1,
     "tpch_q3"          -> tpchQ3,
@@ -769,6 +826,9 @@ object Relational {
     "a9_pivot"         -> a9PivotSql,
     "w4_ntile"         -> w4NtileSql,
     "u1_union"         -> u1UnionSql,
+    "u2_intersect"     -> u2IntersectSql,
+    "u3_except"        -> u3ExceptSql,
+    "w5_range_frame"   -> w5RangeFrameSql,
     "d1_distinct"      -> d1DistinctSql,
     "tpch_q1"          -> tpchQ1Sql,
     "tpch_q3"          -> tpchQ3Sql,
