@@ -33,20 +33,31 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
     }
 
+    // A query that throws must never masquerade as a timing: record the
+    // failure per pass and report it in the JSON line instead of a number.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = sorted.map { case (name, fn) =>
       val times = Seq.fill(3) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            errors.getOrElseUpdate(name, t.getClass.getSimpleName + ": " +
+              Option(t.getMessage).getOrElse("").take(120))
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       name -> times(1)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.filterNot { case (k, _) => errors.contains(k) }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val errJson = errors.map { case (k, m) =>
+      s"\"" + k + "\":\"" + m.replaceAll("[\"\\\\\n\r]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     spark.stop()
     println()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

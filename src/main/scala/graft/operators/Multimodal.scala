@@ -94,8 +94,11 @@ object Multimodal {
       |       octet_length(encode(text)) AS n_bytes, source AS origin
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** Gate query (rows-only): stub features through the real mapPartitions
-    * path — asserts the batched binary pipeline executes distributed.
+  /** Gate query: stub features through the real mapPartitions path —
+    * asserts the batched binary pipeline executes distributed. The stub
+    * histogram is deterministic, so it IS oracle-checkable: bin b counts
+    * bytes with low nibble b (byte % 16), which DuckDB reads straight off
+    * the hex encoding's second digit per byte.
     */
   val mediaFeatures: Q = (s, d) => {
     val f = extractFeatures(asMedia(tbl(s, d, "documents").where(col("doc_id") < 50)))
@@ -104,6 +107,18 @@ object Multimodal {
       round(element_at(col("features"), 2), 6).as("bin1"))
       .orderBy(col("media_id"))
   }
+  val mediaFeaturesSql: String =
+    """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+      |                  octet_length(encode(text)) AS n
+      |           FROM documents WHERE doc_id < 50)
+      |SELECT doc_id AS media_id,
+      |  round(len(list_filter(range(0, n), i ->
+      |    strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1 = 0))
+      |    / CAST(greatest(n, 1) AS DOUBLE), 6) AS bin0,
+      |  round(len(list_filter(range(0, n), i ->
+      |    strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1 = 1))
+      |    / CAST(greatest(n, 1) AS DOUBLE), 6) AS bin1
+      |FROM b ORDER BY media_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "mm_media_meta" -> mediaMeta,
@@ -112,5 +127,6 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm_media_meta" -> mediaMetaSql,
+    "mm_features"   -> mediaFeaturesSql,
   )
 }

@@ -470,7 +470,10 @@ object Relational {
       |ORDER BY event_id""".stripMargin
 
   /** U2/U3 — INTERSECT / EXCEPT (SURVEY §2.6 set-operation completeness):
-    * users who both clicked and purchased / clicked but never purchased.
+    * users who both clicked and purchased / early event-ids that are not
+    * errors (every user hits every type at test scale, so a user-level
+    * EXCEPT would be vacuously empty — the id-range form removes ~20% of
+    * its left side at all sfs, exercising real anti-join rows).
     * Spark plans both as aggregated joins (semi/anti after distinct) —
     * one shuffle on the compared key, no row-pair blowup.
     */
@@ -490,15 +493,15 @@ object Relational {
   val u3Except: Q = (s, d) => {
     import s.implicits._
     val ev = tbl(s, d, "events")
-    ev.where($"event_type" === "click").select($"user_id")
-      .except(ev.where($"event_type" === "purchase").select($"user_id"))
-      .orderBy($"user_id")
+    ev.where($"event_id" < 1000L).select($"event_id")
+      .except(ev.where($"event_type" === "error").select($"event_id"))
+      .orderBy($"event_id")
   }
   val u3ExceptSql: String =
-    """SELECT user_id FROM events WHERE event_type = 'click'
+    """SELECT event_id FROM events WHERE event_id < 1000
       |EXCEPT
-      |SELECT user_id FROM events WHERE event_type = 'purchase'
-      |ORDER BY user_id""".stripMargin
+      |SELECT event_id FROM events WHERE event_type = 'error'
+      |ORDER BY event_id""".stripMargin
 
   /** W5 — RANGE-frame window (value-based frame, vs w2's row cumsum):
     * per-type moving sum over an event_id RANGE of 100 — rows with equal
@@ -517,9 +520,9 @@ object Relational {
   }
   val w5RangeFrameSql: String =
     """SELECT event_id, event_type,
-      |       sum(CAST(floor(value) AS BIGINT)) OVER (
+      |       CAST(sum(CAST(floor(value) AS BIGINT)) OVER (
       |         PARTITION BY event_type ORDER BY event_id
-      |         RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS moving
+      |         RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving
       |FROM events WHERE event_id < 2000
       |ORDER BY event_id, event_type""".stripMargin
 

@@ -98,14 +98,28 @@ object Similarity {
       .drop("tb")
   }
 
-  /** Bucket histogram — the rows-only gate query for the LSH path (recall
-    * vs brute force is asserted in SimilaritySpec).
+  /** Bucket histogram — the gate query for the LSH path (recall vs brute
+    * force is additionally asserted in SimilaritySpec). Hash-checkable:
+    * the oracle re-derives the identical md5-parity hyperplanes in SQL
+    * (sign = low bit of the digest's first byte = parity of its second
+    * hex digit) and replays the same left-to-right double dot product.
     */
   val annLshBuckets: Q = (s, d) => {
     withLshBucket(tbl(s, d, "embeddings"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
   }
+  val annLshBucketsSql: String =
+    """SELECT bucket, count(*) AS n FROM (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(0, 8), p ->
+      |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+      |             CAST(embedding[i+1] AS DOUBLE) *
+      |             CASE WHEN substr(md5(p || ':' || i), 2, 1) IN ('1','3','5','7','9','b','d','f')
+      |                  THEN 1.0 ELSE -1.0 END)) > 0
+      |           THEN 1 << p ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM embeddings)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   /** ANN via multi-table bucket join (the scale path): candidates share any
     * table's bucket; exact cosine only on distinct candidates; top-k per
@@ -253,17 +267,17 @@ object Similarity {
     * hash-checkable; a k-means codebook drops in without changing shape.
     */
   /** The encoded corpus (vec → 4 codes) is PQ's INDEX — built once per
-    * corpus snapshot, reused by every search. Memoize it per
-    * (session, sfDir) as materialized blocks (eager localCheckpoint),
-    * mirroring Graph.labelCache / HypermapQueries.decodedCache: bench
-    * then measures search cost against a built index, which is the
-    * operation's real steady-state shape.
+    * corpus snapshot, reused by every search. Round 4 memoized it as
+    * eager localCheckpoint blocks; the driver bench showed those blocks
+    * not serving in a fresh JVM under memory pressure (7.97 s recorded vs
+    * 0.40 s warm locally). Now a persisted parquet artifact via
+    * IndexStore: built once per (sfDir, stride, encoder version), then
+    * every search — any pass, any JVM — scans the index table, which is
+    * the operation's real steady-state shape at 100 TB.
     */
-  private val pqCodesCache = new graft.SessionCache[String]
-
   val annPq: Q = (s, d) => {
-    val codes = pqCodesCache.getOrCompute(s, d)(
-      pqEncode(tbl(s, d, "embeddings"), stride = 125L).localCheckpoint())
+    val codes = graft.IndexStore.materialize(s, s"pq_codes_v1_${d}_s125")(
+      pqEncode(tbl(s, d, "embeddings"), stride = 125L))
     pqSearch(tbl(s, d, "embeddings"), stride = 125L, codes = Some(codes))
   }
 
@@ -351,13 +365,11 @@ object Similarity {
     "ann_pq"          -> annPq,
   )
 
-  /** ann_lsh_buckets is deliberately rows-only (no oracle): the md5-parity
-    * hyperplanes are Spark-side constants.
-    */
   val oracles: Map[String, String] = Map(
-    "ann_bruteforce" -> annBruteforceSql,
-    "ann_ivf_assign" -> ivfAssignSql,
-    "ann_ivf_search" -> ivfSearchSql,
-    "ann_pq"         -> annPqSql,
+    "ann_bruteforce"  -> annBruteforceSql,
+    "ann_lsh_buckets" -> annLshBucketsSql,
+    "ann_ivf_assign"  -> ivfAssignSql,
+    "ann_ivf_search"  -> ivfSearchSql,
+    "ann_pq"          -> annPqSql,
   )
 }
