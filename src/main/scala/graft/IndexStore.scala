@@ -15,10 +15,34 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * loss and JVM restarts. Eviction can't touch it and a fresh session
   * pays only a footer read.
   *
-  * Keys must encode every input that changes the artifact (source dir +
-  * builder version + parameters); the store never invalidates on its own.
+  * Keys must encode every input that changes the artifact: source CONTENT
+  * (via [[fingerprint]] — path alone is not enough, a regenerated corpus
+  * at the same path must never serve a stale index) + builder version +
+  * parameters. The store never invalidates; a changed fingerprint simply
+  * keys a fresh build and the old artifact ages out with its snapshot.
   */
 object IndexStore {
+
+  /** Cheap content fingerprint of a source file/directory: every data
+    * file's (relative name, length, mtime) folded into one MD5. Reading
+    * zero data bytes keeps it O(file count) — the same freshness contract
+    * file-based build systems use, and exactly what a catalog snapshot id
+    * (Delta/Iceberg version) would replace on a real lakehouse. Missing
+    * paths fingerprint as "absent" rather than throwing: the build itself
+    * owns that error.
+    */
+  def fingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val base = new java.io.File(path)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if (!base.exists()) md.update("absent".getBytes("UTF-8"))
+    else walk(base).foreach { f =>
+      md.update(s"${f.getName}:${f.length}:${f.lastModified}\n".getBytes("UTF-8"))
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
   private def root: java.io.File = new java.io.File(
     sys.env.getOrElse("GRAFT_INDEX_DIR",
       System.getProperty("java.io.tmpdir") + "/graft-index"))

@@ -276,7 +276,11 @@ object Similarity {
     * the operation's real steady-state shape at 100 TB.
     */
   val annPq: Q = (s, d) => {
-    val codes = graft.IndexStore.materialize(s, s"pq_codes_v1_${d}_s125")(
+    // Key = source CONTENT fingerprint, not just the path: a regenerated
+    // corpus at the same sfDir keys a fresh build instead of silently
+    // serving last snapshot's codes.
+    val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
+    val codes = graft.IndexStore.materialize(s, s"pq_codes_v1_${d}_${fp}_s125")(
       pqEncode(tbl(s, d, "embeddings"), stride = 125L))
     pqSearch(tbl(s, d, "embeddings"), stride = 125L, codes = Some(codes))
   }

@@ -185,6 +185,29 @@ class LlmOpsSpec extends AnyFunSuite {
       s"bloom+confirm != exact: extra=${(bloomed -- exact).take(5)} missing=${(exact -- bloomed).take(5)}")
   }
 
+  test("IndexStore: content fingerprint changes when the source mutates, " +
+       "and a changed fingerprint keys a fresh build") {
+    val src = java.nio.file.Files.createTempDirectory("graft-fp-src").toFile
+    val f = new java.io.File(src, "part-0.parquet")
+    java.nio.file.Files.write(f.toPath, "v1".getBytes("UTF-8"))
+    val fp1 = IndexStore.fingerprint(src.getAbsolutePath)
+    assert(fp1 == IndexStore.fingerprint(src.getAbsolutePath), "fingerprint unstable")
+    // mutate content (length changes, so mtime granularity can't mask it)
+    java.nio.file.Files.write(f.toPath, "v2-longer".getBytes("UTF-8"))
+    val fp2 = IndexStore.fingerprint(src.getAbsolutePath)
+    assert(fp1 != fp2, "regenerated source must change the fingerprint")
+    // same key → served from the store; new fingerprint → fresh build
+    var builds = 0
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    def mk(fp: String) = IndexStore.materialize(spark, s"fp_spec_${run}_$fp") {
+      builds += 1; Seq((1L, fp)).toDF("id", "fp")
+    }
+    mk(fp1); mk(fp1)
+    assert(builds == 1, "unchanged content must be served from the store")
+    mk(fp2)
+    assert(builds == 2, "changed fingerprint must key a fresh build")
+  }
+
   test("pl_pretrain survivors exclude the eval slice and all contaminated docs") {
     val out = operators.Pipeline.pretrain(spark, sf)
       .select($"doc_id").as[Long].collect().toSet
