@@ -19,21 +19,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   */
 object VectorOps {
 
-  /** Cosine similarity of two float arrays (index-order accumulation).
-    * Returns null (boxed) when lengths differ or any element is null —
-    * exactly what the zip_with/aggregate lambda formulation yields (a
-    * null product nullifies the whole sum), so swapping the kernel in
-    * never changes results.
+  /** Cosine similarity of two numeric arrays (index-order accumulation).
+    * Each side is float or double, flagged by the caller from its Catalyst
+    * element type (float → double widening is exact, so a float side and
+    * its double-cast twin produce bit-identical results — which keeps
+    * DuckDB oracle hashes stable whether a side is a raw float embedding
+    * or a trained double centroid). Returns null (boxed) when lengths
+    * differ or any element is null — exactly what the zip_with/aggregate
+    * lambda formulation yields (a null product nullifies the whole sum),
+    * so swapping the kernel in never changes results.
     */
-  def cosineF(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def cosineF(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -61,28 +65,37 @@ object VectorOps {
   }
 }
 
-/** cosine(a, b) over array<float> columns — codegen'd fused loop. */
+/** cosine(a, b) over array<float|double> columns — codegen'd fused loop. */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   // null even on non-null inputs: length mismatch or null elements
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
+  private def isFloat(dt: DataType): Option[Boolean] = dt match {
+    case ArrayType(FloatType, _)  => Some(true)
+    case ArrayType(DoubleType, _) => Some(false)
+    case _                        => None
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+    (isFloat(left.dataType), isFloat(right.dataType)) match {
+      case (Some(_), Some(_)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
+        s"cosine_sim expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
     }
   }
 
+  private lazy val aFloat = isFloat(left.dataType).get
+  private lazy val bFloat = isFloat(right.dataType).get
+
   protected override def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorOps.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""java.lang.Double ${ev.value}$$boxed = graft.functions.VectorOps.cosineF($a, $b);
+      s"""java.lang.Double ${ev.value}$$boxed = graft.functions.VectorOps.cosineF($a, $b, $aFloat, $bFloat);
          |if (${ev.value}$$boxed == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ${ev.value}$$boxed.doubleValue(); }
          |""".stripMargin)

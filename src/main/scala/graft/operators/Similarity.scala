@@ -157,6 +157,89 @@ object Similarity {
     e.where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
+  // ------------------------------------------------------------ k-means
+
+  /** Lloyd-refined IVF centroids: `iters` k-means iterations as plain
+    * DataFrame aggregations, seeded by the deterministic stride sample.
+    * Each iteration = assign (broadcast centroid cross + max_by, the same
+    * shape as ivfAssign) + update (component-wise mean per cluster). A
+    * centroid keeps the cid of its seed; clusters that lose every member
+    * simply drop out. At 100 TB the assign is one broadcast pass over the
+    * corpus and the update shuffles (cluster, dim) partial sums — k·dim
+    * rows — so iteration cost is O(scan), never O(n²).
+    *
+    * Cross-engine determinism (the whole path is DuckDB-oracle-checked):
+    *   - components are quantized to exact longs: floor(x·1e6) — floor,
+    *     not round, because a float×1e6 product can sit exactly on a
+    *     half-integer (x = 1/128 → 7812.5) where HALF_UP engines may
+    *     disagree, but an exact-integer product (x = j/64) is a point
+    *     where floor is unambiguous;
+    *   - the mean sum(long)/(count·1e6) divides exactly-representable
+    *     doubles (|sum| ≪ 2^53), so summation order can't move an ulp;
+    *   - round(·, 6) + cid tie-break on assignment, as everywhere else.
+    */
+  def lloydCentroids(e: DataFrame, stride: Long, iters: Int): DataFrame = {
+    val comps = e.select(col("vec_id"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        floor(col("x") * lit(1e6)).cast("long").as("xq"))
+    var cents: DataFrame = ivfCentroids(e, stride)
+    for (_ <- 1 to iters) {
+      val asg = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          round(cos("embedding", "ce"), 6).as("c6"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), col("c6") * lit(1e12) - col("cid")).as("cid"))
+      cents = asg.join(comps, Seq("vec_id"))
+        .groupBy(col("cid"), col("i"))
+        .agg(round(sum(col("xq")) / (count(lit(1)) * lit(1e6)), 6).as("cx"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("ps"))
+        .select(col("cid"), expr("transform(ps, p -> p.cx)").as("ce"))
+    }
+    cents
+  }
+
+  /** DuckDB mirror of [[lloydCentroids]]: the same stride seed, assign,
+    * and quantized-mean update unrolled as chained CTEs (c0 → a1 → m1 →
+    * c1 → …). Generated from the same (stride, iters) so the two engines
+    * can't drift. The final centroid CTE is `c$iters`; the flat per-
+    * component view is `m$iters`.
+    */
+  def lloydCteSql(stride: Long, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |dims AS (SELECT unnest(range(0, $Dim)) AS i),
+              |comp AS (SELECT vec_id, i, CAST(floor(emb[i+1]*1e6) AS BIGINT) AS xq
+              |         FROM e CROSS JOIN dims),
+              |c0 AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id % $stride = 0)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+                |a$t AS (SELECT e.vec_id,
+                |              max_by(cid, round(list_cosine_similarity(e.emb, ce), 6)*1e12 - cid) AS cid
+                |       FROM e CROSS JOIN c${t - 1} GROUP BY e.vec_id),
+                |m$t AS (SELECT a$t.cid, comp.i, round(sum(comp.xq)/(count(*)*1e6), 6) AS cx
+                |       FROM a$t JOIN comp USING (vec_id) GROUP BY a$t.cid, comp.i),
+                |c$t AS (SELECT cid, list(cx ORDER BY i) AS ce FROM m$t GROUP BY cid)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Gate query: the trained IVF centroid table itself, flattened to
+    * (cid, i, cx) so the TRAINING step — not just its consumers — is
+    * hash-checked against the SQL-unrolled Lloyd iterations.
+    */
+  val kmeansTrainQ: Q = (s, d) => {
+    lloydCentroids(tbl(s, d, "embeddings"), stride = 125L, iters = 2)
+      .select(col("cid"), posexplode(col("ce")).as(Seq("i", "cx")))
+      .select(col("cid"), col("i").cast("long").as("i"), col("cx"))
+      .orderBy(col("cid"), col("i"))
+  }
+  val kmeansTrainSql: String =
+    s"""WITH ${lloydCteSql(125L, 2)}
+       |SELECT cid, i, cx FROM m2 ORDER BY cid, i""".stripMargin
+
   /** Assign each vector to its max-cosine centroid. The tie-break rides
     * inside one double (round(cos,6)*1e12 - cid: cos steps of 1e-6 become
     * 1e6 apart, so any cid < 1e6 can never outweigh a genuine cosine
@@ -173,18 +256,20 @@ object Similarity {
 
   /** ANN via IVF: probe the nprobe nearest cells, exact-cosine re-rank.
     * One broadcast join to pick cells, one equi-join on cell — no cross
-    * product with the corpus.
+    * product with the corpus. Pass trained `centroids` (lloydCentroids)
+    * for production recall; defaults to the stride seed.
     */
   def annViaIvf(e: DataFrame, probeIds: Seq[Long], k: Int = 3,
-                nprobe: Int = 2, stride: Long = 125L): DataFrame = {
-    val centroids = ivfCentroids(e, stride)
-    val cells = ivfAssign(e, centroids).select(col("vec_id"), col("centroid"))
+                nprobe: Int = 2, stride: Long = 125L,
+                centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(e, stride))
+    val cells = ivfAssign(e, cents).select(col("vec_id"), col("centroid"))
     val corpus = e.select(col("vec_id").as("n"), col("embedding").as("en"))
       .join(cells.select(col("vec_id").as("n"), col("centroid").as("cell")), Seq("n"))
     val wc = Window.partitionBy(col("q")).orderBy(col("c6").desc, col("cid"))
     val probeCells = e.where(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("q"), col("embedding").as("eq"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(cents))
       .select(col("q"), col("eq"), col("cid"), round(cos("eq", "ce"), 6).as("c6"))
       .withColumn("r", row_number().over(wc)).where(col("r") <= nprobe)
       .select(col("q"), col("eq"), col("cid").as("cell"))
@@ -198,50 +283,63 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Gate query: IVF cell assignment for a probe set — deterministic and
-    * oracle-checkable (unlike the search path, whose recall is
-    * spec-asserted against brute force).
+  /** Trained centroids as a persisted artifact: like the PQ code index,
+    * a quantizer is trained once per corpus snapshot and read by every
+    * assign/search — IndexStore keys it on content fingerprint + training
+    * parameters, so a regenerated corpus retrains and a same-snapshot
+    * session pays only a footer read. Doubles roundtrip parquet exactly,
+    * so the artifact is hash-identical to the live computation.
+    */
+  private def trainedIvf(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
+    graft.IndexStore.materialize(s, s"ivf_centroids_v1_${d}_${fp}_s125_lloyd2")(
+      lloydCentroids(tbl(s, d, "embeddings"), stride = 125L, iters = 2))
+  }
+
+  /** Gate query: IVF cell assignment for a probe set against the TRAINED
+    * (Lloyd-refined) centroids — the oracle re-runs the full training in
+    * SQL, so assignment correctness is checked end-to-end from the seed.
     */
   val ivfAssignQ: Q = (s, d) => {
     val e = tbl(s, d, "embeddings")
-    ivfAssign(e.where(col("vec_id") < 100), ivfCentroids(e, 125L))
+    ivfAssign(e.where(col("vec_id") < 100), trainedIvf(s, d))
       .orderBy(col("vec_id"))
   }
   val ivfAssignSql: String =
-    """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-      |           FROM embeddings WHERE vec_id % 125 = 0)
+    s"""WITH ${lloydCteSql(125L, 2)}
       |SELECT e.vec_id,
-      |       max_by(c.cid, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6)
-      |                     * 1000000000000 - c.cid) AS centroid,
-      |       round(max(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6)), 6) AS best_cos
-      |FROM embeddings e CROSS JOIN c
+      |       max_by(c2.cid, round(list_cosine_similarity(e.emb, c2.ce), 6)
+      |                     * 1000000000000 - c2.cid) AS centroid,
+      |       round(max(round(list_cosine_similarity(e.emb, c2.ce), 6)), 6) AS best_cos
+      |FROM e CROSS JOIN c2
       |WHERE e.vec_id < 100
       |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
 
-  /** Gate query: the IVF search path END-TO-END (assign → nprobe=2 cell
-    * probe → exact re-rank, top-3 for probes vec_id < 5). Deterministic
-    * stride centroids, 6-decimal rounding, and id tie-breaks at every
-    * ranking step make the whole approximate path hash-checkable against
-    * SQL — not just spec-asserted recall.
+  /** Gate query: the IVF search path END-TO-END (Lloyd-trained centroids
+    * → assign → nprobe=2 cell probe → exact re-rank, top-3 for probes
+    * vec_id < 5). Deterministic training, 6-decimal rounding, and id
+    * tie-breaks at every ranking step make the whole approximate path —
+    * including the k-means — hash-checkable against SQL, not just
+    * spec-asserted recall.
     */
   val ivfSearchQ: Q = (s, d) => {
-    annViaIvf(tbl(s, d, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L))
+    annViaIvf(tbl(s, d, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L),
+        centroids = Some(trainedIvf(s, d)))
       .select(col("q"), col("n"), col("cos"), col("rank").cast("long").as("rank"))
       .orderBy(col("q"), col("rank"))
   }
   val ivfSearchSql: String =
-    """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-      |           FROM embeddings WHERE vec_id % 125 = 0),
+    s"""WITH ${lloydCteSql(125L, 2)},
       |asg AS (SELECT e.vec_id AS n,
-      |               max_by(c.cid, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6)
-      |                             * 1000000000000 - c.cid) AS cell
-      |        FROM embeddings e CROSS JOIN c GROUP BY e.vec_id),
+      |               max_by(c2.cid, round(list_cosine_similarity(e.emb, c2.ce), 6)
+      |                             * 1000000000000 - c2.cid) AS cell
+      |        FROM e CROSS JOIN c2 GROUP BY e.vec_id),
       |pc AS (SELECT q, eq, cid AS cell FROM (
-      |         SELECT e.vec_id AS q, CAST(e.embedding AS DOUBLE[]) AS eq, c.cid,
+      |         SELECT e.vec_id AS q, e.emb AS eq, c2.cid,
       |                row_number() OVER (PARTITION BY e.vec_id
-      |                  ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6) DESC,
-      |                           c.cid) AS r
-      |         FROM embeddings e CROSS JOIN c WHERE e.vec_id < 5)
+      |                  ORDER BY round(list_cosine_similarity(e.emb, c2.ce), 6) DESC,
+      |                           c2.cid) AS r
+      |         FROM e CROSS JOIN c2 WHERE e.vec_id < 5)
       |       WHERE r <= 2),
       |scored AS (SELECT pc.q, a.n,
       |                  round(list_cosine_similarity(pc.eq, CAST(y.embedding AS DOUBLE[])), 6) AS cos
@@ -276,13 +374,18 @@ object Similarity {
     * the operation's real steady-state shape at 100 TB.
     */
   val annPq: Q = (s, d) => {
-    // Key = source CONTENT fingerprint, not just the path: a regenerated
-    // corpus at the same sfDir keys a fresh build instead of silently
-    // serving last snapshot's codes.
+    // Keys = source CONTENT fingerprint + training params, not just the
+    // path: a regenerated corpus at the same sfDir retrains and re-encodes
+    // instead of silently serving last snapshot's artifacts. Codebook and
+    // code index are separate artifacts because they have different
+    // consumers (codebook: every query's ADC table; codes: the scan side).
     val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
-    val codes = graft.IndexStore.materialize(s, s"pq_codes_v1_${d}_${fp}_s125")(
-      pqEncode(tbl(s, d, "embeddings"), stride = 125L))
-    pqSearch(tbl(s, d, "embeddings"), stride = 125L, codes = Some(codes))
+    val cb = graft.IndexStore.materialize(s, s"pq_codebook_v2_${d}_${fp}_s125_lloyd2")(
+      lloydSubCodebooks(tbl(s, d, "embeddings"), stride = 125L, iters = 2))
+    val codes = graft.IndexStore.materialize(s, s"pq_codes_v2_${d}_${fp}_s125_lloyd2")(
+      pqEncode(tbl(s, d, "embeddings"), stride = 125L, codebook = Some(cb)))
+    pqSearch(tbl(s, d, "embeddings"), stride = 125L,
+      codes = Some(codes), codebook = Some(cb))
   }
 
   private def pqSubs(embeddings: DataFrame): DataFrame =
@@ -299,16 +402,71 @@ object Similarity {
   private val pqD2 = expr(
     "aggregate(zip_with(sv, csv, (x, y) -> (x-y)*(x-y)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
 
+  /** Lloyd-refined PQ sub-codebooks: k-means per subspace j, seeded by
+    * the stride sample — the same assign/update dance as lloydCentroids
+    * but keyed by (vec_id, j) with squared-L2 (pqD2) as the metric, and
+    * the mean is the exact Lloyd update. Determinism identical to
+    * lloydCentroids (floor(x·1e6) quantized sums, round(·,6), packed id
+    * tie-breaks); the DuckDB mirror is [[pqLloydCteSql]].
+    */
+  def lloydSubCodebooks(e: DataFrame, stride: Long, iters: Int): DataFrame = {
+    val subs = pqSubs(e)
+    val comps = subs.select(col("vec_id"), col("j"),
+        posexplode(col("sv")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("j"), col("i").cast("long").as("i"),
+        floor(col("x") * lit(1e6)).cast("long").as("xq"))
+    var cb: DataFrame = pqCsubs(e, stride)
+    for (_ <- 1 to iters) {
+      val asg = subs.join(broadcast(cb), Seq("j"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min_by(col("cid"), round(pqD2, 6) * lit(1e12) + col("cid")).as("cid"))
+      cb = asg.join(comps, Seq("vec_id", "j"))
+        .groupBy(col("j"), col("cid"), col("i"))
+        .agg(round(sum(col("xq")) / (count(lit(1)) * lit(1e6)), 6).as("cx"))
+        .groupBy(col("cid"), col("j"))
+        .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("ps"))
+        .select(col("cid"), col("j"), expr("transform(ps, p -> p.cx)").as("csv"))
+    }
+    cb
+  }
+
+  /** DuckDB mirror of [[lloydSubCodebooks]] as chained CTEs ending in
+    * `sc$iters` (cid, j, csv). Assumes CTEs `e`, `js`, `sub` are already
+    * in scope (the shared PQ preamble).
+    */
+  def pqLloydCteSql(stride: Long, iters: Int): String = {
+    val d2 = "list_sum(list_transform(range(1, 17), i -> (sv[i]-csv[i])*(sv[i]-csv[i])))"
+    val sb = new StringBuilder
+    sb ++= s"""sc0 AS (SELECT vec_id AS cid, j, sv AS csv FROM sub WHERE vec_id % $stride = 0),
+              |sdims AS (SELECT unnest(range(0, 16)) AS i),
+              |scomp AS (SELECT vec_id, j, i, CAST(floor(sv[i+1]*1e6) AS BIGINT) AS xq
+              |          FROM sub CROSS JOIN sdims)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+                |sa$t AS (SELECT sub.vec_id, sub.j,
+                |               min_by(cid, round($d2, 6)*1e12 + cid) AS cid
+                |        FROM sub JOIN sc${t - 1} USING (j) GROUP BY sub.vec_id, sub.j),
+                |sm$t AS (SELECT sa$t.j, sa$t.cid, scomp.i, round(sum(scomp.xq)/(count(*)*1e6), 6) AS cx
+                |        FROM sa$t JOIN scomp USING (vec_id, j) GROUP BY sa$t.j, sa$t.cid, scomp.i),
+                |sc$t AS (SELECT cid, j, list(cx ORDER BY i) AS csv FROM sm$t GROUP BY cid, j)""".stripMargin
+    }
+    sb.toString
+  }
+
   /** Encode: nearest sub-centroid per (vector, subspace); packed argmin
     * key = round(d2,6)*1e12 + cid. The 1e12 multiplier makes a 1e-6
     * distance step worth 1e6 in key space — six orders above any cid
     * (cid < 1e6 by construction at every scale factor), so the id
     * tie-break can never outweigh a genuine distance difference.
     * (1e9 would collapse at ≥1000 centroid ids: a 1e-6-farther centroid
-    * with a smaller cid would win.)
+    * with a smaller cid would win.) Pass a trained `codebook`
+    * (lloydSubCodebooks) for production quantization error; defaults to
+    * the stride seed.
     */
-  def pqEncode(embeddings: DataFrame, stride: Long): DataFrame =
-    pqSubs(embeddings).join(broadcast(pqCsubs(embeddings, stride)), Seq("j"))
+  def pqEncode(embeddings: DataFrame, stride: Long,
+               codebook: Option[DataFrame] = None): DataFrame =
+    pqSubs(embeddings)
+      .join(broadcast(codebook.getOrElse(pqCsubs(embeddings, stride))), Seq("j"))
       .groupBy(col("vec_id"), col("j"))
       .agg(min_by(col("cid"), round(pqD2, 6) * lit(1e12) + col("cid")).as("code"))
       .select(col("vec_id").as("n"), col("j"), col("code"))
@@ -319,12 +477,14 @@ object Similarity {
     * pre-built `codes` index to skip the encode.
     */
   def pqSearch(embeddings: DataFrame, stride: Long, probeMax: Long = 5L,
-               k: Int = 3, codes: Option[DataFrame] = None): DataFrame = {
-    val idx = codes.getOrElse(pqEncode(embeddings, stride))
+               k: Int = 3, codes: Option[DataFrame] = None,
+               codebook: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook.getOrElse(pqCsubs(embeddings, stride))
+    val idx = codes.getOrElse(pqEncode(embeddings, stride, codebook))
     // ADC lookup table: probe sub-vector → every centroid, same distance.
     val qd = pqSubs(embeddings.where(col("vec_id") < probeMax))
       .select(col("vec_id").as("q"), col("j"), col("sv"))
-      .join(broadcast(pqCsubs(embeddings, stride)), Seq("j"))
+      .join(broadcast(cb), Seq("j"))
       .select(col("q"), col("j"), col("cid").as("code"), pqD2.as("qd2"))
     val adist = idx.join(broadcast(qd), Seq("j", "code"))
       .groupBy(col("q"), col("n"))
@@ -337,20 +497,21 @@ object Similarity {
   }
   // d2 in the oracle is the SAME left-to-right sum of squared diffs as
   // pqD2 (list_distance would sqrt-then-square — a 1-2 ulp drift that
-  // could flip a round(·,6) at a boundary and desync the argmin).
+  // could flip a round(·,6) at a boundary and desync the argmin). The
+  // codebook is the full Lloyd training re-run in SQL (pqLloydCteSql).
   val annPqSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |js AS (SELECT unnest(range(0, 4)) AS j),
       |sub AS (SELECT vec_id, j, emb[16*j+1 : 16*j+16] AS sv FROM e CROSS JOIN js),
-      |csub AS (SELECT vec_id AS cid, j, sv AS csv FROM sub WHERE vec_id % 125 = 0),
+      |${pqLloydCteSql(125L, 2)},
       |codes AS (
       |  SELECT sub.vec_id AS n, j,
       |         min_by(cid, round(list_sum(list_transform(range(1, 17), i -> (sv[i]-csv[i])*(sv[i]-csv[i]))), 6) * 1e12 + cid) AS code
-      |  FROM sub JOIN csub USING (j) GROUP BY n, j),
+      |  FROM sub JOIN sc2 USING (j) GROUP BY n, j),
       |qd AS (
       |  SELECT sub.vec_id AS q, j, cid AS code,
       |         list_sum(list_transform(range(1, 17), i -> (sv[i]-csv[i])*(sv[i]-csv[i]))) AS qd2
-      |  FROM sub JOIN csub USING (j) WHERE sub.vec_id < 5),
+      |  FROM sub JOIN sc2 USING (j) WHERE sub.vec_id < 5),
       |adist AS (
       |  SELECT q, n, round(sum(qd2), 6) AS adist
       |  FROM codes JOIN qd USING (j, code)
@@ -362,18 +523,20 @@ object Similarity {
       |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "ann_bruteforce"  -> annBruteforce,
-    "ann_lsh_buckets" -> annLshBuckets,
-    "ann_ivf_assign"  -> ivfAssignQ,
-    "ann_ivf_search"  -> ivfSearchQ,
-    "ann_pq"          -> annPq,
+    "ann_bruteforce"    -> annBruteforce,
+    "ann_lsh_buckets"   -> annLshBuckets,
+    "ann_kmeans_train"  -> kmeansTrainQ,
+    "ann_ivf_assign"    -> ivfAssignQ,
+    "ann_ivf_search"    -> ivfSearchQ,
+    "ann_pq"            -> annPq,
   )
 
   val oracles: Map[String, String] = Map(
-    "ann_bruteforce"  -> annBruteforceSql,
-    "ann_lsh_buckets" -> annLshBucketsSql,
-    "ann_ivf_assign"  -> ivfAssignSql,
-    "ann_ivf_search"  -> ivfSearchSql,
-    "ann_pq"          -> annPqSql,
+    "ann_bruteforce"    -> annBruteforceSql,
+    "ann_lsh_buckets"   -> annLshBucketsSql,
+    "ann_kmeans_train"  -> kmeansTrainSql,
+    "ann_ivf_assign"    -> ivfAssignSql,
+    "ann_ivf_search"    -> ivfSearchSql,
+    "ann_pq"            -> annPqSql,
   )
 }

@@ -87,6 +87,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(allCells == exact, s"IVF@allcells != brute force: ${allCells.diff(exact)} / ${exact.diff(allCells)}")
   }
 
+  test("Lloyd-trained IVF and PQ recall planted near-neighbors at >= 0.9") {
+    // plant a slightly-perturbed copy of each probe vector: its true
+    // nearest neighbor, which a production-quality quantizer must find
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    val perturbed = emb.where($"vec_id" < 5)
+      .select(($"vec_id" + 700000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x + 0.001 AS FLOAT))").as("embedding"))
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(perturbed)
+    val trained = Similarity.lloydCentroids(corpus, stride = 125L, iters = 2)
+    val ivfTop = Similarity.annViaIvf(corpus, probes, k = 3, nprobe = 2,
+        centroids = Some(trained))
+      .select($"q", $"n").as[(Long, Long)].collect().groupBy(_._1)
+    val ivfRecall = probes.count(q =>
+      ivfTop.get(q).exists(_.exists(_._2 == q + 700000L))).toDouble / probes.size
+    assert(ivfRecall >= 0.9, s"trained-IVF recall@3 too low: $ivfRecall")
+    val cb = Similarity.lloydSubCodebooks(corpus, stride = 125L, iters = 2)
+    val pqTop = Similarity.pqSearch(corpus, stride = 125L, codebook = Some(cb))
+      .select($"q", $"n").as[(Long, Long)].collect().groupBy(_._1)
+    val pqRecall = probes.count(q =>
+      pqTop.get(q).exists(_.exists(_._2 == q + 700000L))).toDouble / probes.size
+    assert(pqRecall >= 0.9, s"trained-PQ recall@3 too low: $pqRecall")
+  }
+
   test("approx ntile bounds agree with exact deciles within tolerance") {
     val totals = Tables.events(spark, sf)
       .groupBy($"user_id").agg(sum(floor($"value").cast("long")).as("total"))

@@ -55,9 +55,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // Everything else must never plan one.
     // tx_tfidf joins a ONE-ROW aggregate (corpus doc count) — a 1-row
     // broadcast NLJ is the right physical plan for a scalar join.
+    // ann_kmeans_train is the Lloyd assign step: corpus × O(K) broadcast
+    // centroids per iteration — the same declared shape as ann_ivf_assign.
     val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign",
-      "ann_ivf_search", "cc_clusters", "cc_star", "dd_canonical",
-      "tx_tfidf")
+      "ann_ivf_search", "ann_kmeans_train", "cc_clusters", "cc_star",
+      "dd_canonical", "tx_tfidf")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
