@@ -273,20 +273,29 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
   }
 
+  /** Candidate pairs BETWEEN two signature tables (band equi-join) —
+    * the building block the incremental paths share: batch↔corpus uses
+    * (batchSigs, corpusSigs); batch-internal uses (batchSigs, batchSigs)
+    * with the a<b filter doing the dedup/self-pair drop.
+    */
+  def bandedPairs(sigsA: DataFrame, sigsB: DataFrame,
+                  k: Int = 32, bands: Int = 8): DataFrame = {
+    val a = xxBanded(sigsA, k, bands)
+      .select(col("doc_id").as("a"), col("band"), col("bucket"))
+    val b = xxBanded(sigsB, k, bands)
+      .select(col("doc_id").as("b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket")).select(col("a"), col("b")).distinct()
+  }
+
   /** Incremental candidates at scale: band the batch's fresh signatures
     * against the corpus's persisted signatureTable. Returns
     * (new_id, corpus_id); verify survivors with exact Jaccard over just
     * the candidate docs (nearDuplicates' verify stage).
     */
   def incrementalCandidates(newDocs: DataFrame, corpusSigs: DataFrame,
-                            k: Int = 32, bands: Int = 8): DataFrame = {
-    val batch = xxBanded(minhashSignatures(newDocs, k), k, bands)
-      .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
-    val corpus = xxBanded(corpusSigs, k, bands)
-      .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
-    batch.join(corpus, Seq("band", "bucket"))
-      .select(col("new_id"), col("corpus_id")).distinct()
-  }
+                            k: Int = 32, bands: Int = 8): DataFrame =
+    bandedPairs(minhashSignatures(newDocs, k), corpusSigs, k, bands)
+      .select(col("a").as("new_id"), col("b").as("corpus_id"))
 
   /** End-to-end near-dup detection: LSH candidates verified by exact
     * shingle Jaccard ≥ threshold. Returns (a, b, jaccard).

@@ -72,6 +72,37 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup→LSH→incremental CC equals one-shot batch clustering " +
+       "(2-batch replay with redelivery overlap)") {
+    implicit val sql = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .where($"doc_id" < 200).select($"doc_id", $"text")
+    val all = docs.as[(Long, String)].collect().toSeq
+    val b1 = all.take(110)
+    val b2 = all.drop(100) // 10 docs redelivered across the batch boundary
+    val input = MemoryStream[(Long, String)]
+    @volatile var st = graft.streaming.IncrementalClusters.empty(spark)
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = graft.streaming.IncrementalClusters.foldBatch(st, b); ()
+      }
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val inc = st.labels.as[(Long, Long)].collect().toMap
+    val oneShot = graft.operators.Graph.connectedComponentsStar(
+        graft.operators.Dedup.lshCandidatePairs(docs))
+      .as[(Long, Long)].collect().toMap
+    assert(inc.nonEmpty, "no clusters formed — fixture makes the test vacuous")
+    assert(inc == oneShot,
+      s"streaming labels != batch labels: only-inc=${(inc.toSet -- oneShot.toSet).take(5)} " +
+        s"only-batch=${(oneShot.toSet -- inc.toSet).take(5)}")
+    // redelivered ids were absorbed: signature state is one row per doc
+    assert(st.sigs.count() == all.size)
+  }
+
   test("stream-stream interval join matches across batches within the bound") {
     implicit val sql = spark.sqlContext
     val imps = MemoryStream[(Timestamp, Long)]

@@ -132,6 +132,46 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(cc.values.toSet == Set(1L) && cc.size == n)
   }
 
+  test("incrementalComponents equals batch recompute after merging a new edge batch") {
+    // seed graph: three components {1,2}, {3,4}, {10,11} and an untouched
+    // one {100,101}; batch merges {1,2}+{3,4} (via 2-3), creates a
+    // brand-new-nodes cluster {20,21}, and chains it into {10,11} (11-20)
+    val seed = Seq((1L, 2L), (3L, 4L), (10L, 11L), (100L, 101L)).toDF("a", "b")
+    val batch = Seq((2L, 3L), (20L, 21L), (11L, 20L)).toDF("a", "b")
+    val full = Graph.connectedComponents(seed.unionByName(batch))
+      .as[(Long, Long)].collect().toMap
+    val inc = Graph.incrementalComponents(Graph.connectedComponentsStar(seed), batch)
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full, s"incremental $inc != recompute $full")
+    // a second batch folds into the incrementally-maintained labels too
+    val batch2 = Seq((4L, 100L), (7L, 8L)).toDF("a", "b")
+    val full2 = Graph.connectedComponents(
+        seed.unionByName(batch).unionByName(batch2))
+      .as[(Long, Long)].collect().toMap
+    val incLabels = Graph.incrementalComponents(
+      Graph.connectedComponentsStar(seed), batch)
+    val inc2 = Graph.incrementalComponents(incLabels, batch2)
+      .as[(Long, Long)].collect().toMap
+    assert(inc2 == full2, s"second increment $inc2 != recompute $full2")
+  }
+
+  test("incrementalComponents on a random graph split into three ingest batches") {
+    // Deterministic pseudo-random edges over 300 nodes, replayed as
+    // base + two increments; labels must equal the one-shot recompute.
+    val raw = (0 until 240).map { i =>
+      ((i * 2654435761L) % 300, (i * 40503L + 17L) % 300)
+    }
+    val (b0, rest) = raw.splitAt(120)
+    val (b1, b2) = rest.splitAt(60)
+    val oneShot = Graph.connectedComponentsStar(raw.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val l0 = Graph.connectedComponentsStar(b0.toDF("a", "b"))
+    val l1 = Graph.incrementalComponents(l0, b1.toDF("a", "b"))
+    val l2 = Graph.incrementalComponents(l1, b2.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(l2 == oneShot)
+  }
+
   test("HLL sketches merge across groups to the exact distinct count") {
     val df = spark.range(0, 5000)
       .select(($"id" % 10).as("g"), ($"id" % 700).as("v"))
