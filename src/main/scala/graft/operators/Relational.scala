@@ -709,6 +709,47 @@ object Relational {
       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q18-shaped (large-volume customer): a HAVING-filtered aggregate
+    * feeding a join — the one aggregate shape the rest of the suite
+    * doesn't exercise. Spark-first plan: lineitem aggregates ONCE per
+    * order (the HAVING filter and the output quantity reuse the same
+    * aggregation — the classic Q18 double-scan is folded away), then the
+    * small surviving key set joins orders and customer. At 100 TB the
+    * fact shuffles once on l_orderkey; the survivors of HAVING are a few
+    * permil of orders, so the orders/customer joins run on a sliver.
+    * Decimal-then-double on l_quantity (double in parquet) keeps the sum
+    * order-independent and the HAVING cut exact in both engines; unique
+    * o_orderkey in the sort makes the LIMIT row set deterministic.
+    */
+  val tpchQ18: Q = (s, d) => {
+    import s.implicits._
+    val big = tbl(s, d, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).as("qty"))
+      .where($"qty" > 200)
+    val ord = tbl(s, d, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+    val cus = tbl(s, d, "customer").select($"c_custkey", $"c_name")
+    big.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cus), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"qty".cast("double").as("total_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+      .limit(100)
+  }
+  val tpchQ18Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |       CAST(qty AS DOUBLE) AS total_qty
+      |FROM big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
+
   /** A10 — GROUPING SETS beyond rollup's prefix lattice: (status, priority),
     * (priority) alone, and grand total — an aggregation shape rollup/cube
     * can't express. Single pass (Spark expands the sets in one Expand node,
@@ -795,6 +836,7 @@ object Relational {
     "tpch_q1"          -> tpchQ1,
     "tpch_q3"          -> tpchQ3,
     "tpch_q5"          -> tpchQ5,
+    "tpch_q18"         -> tpchQ18,
     "a10_grouping_sets" -> a10GroupingSets,
     "j1_star_join"     -> j1StarJoin,
     "j2_semi_join"     -> j2SemiJoin,
@@ -836,6 +878,7 @@ object Relational {
     "tpch_q1"          -> tpchQ1Sql,
     "tpch_q3"          -> tpchQ3Sql,
     "tpch_q5"          -> tpchQ5Sql,
+    "tpch_q18"         -> tpchQ18Sql,
     "a10_grouping_sets" -> a10GroupingSetsSql,
     "j1_star_join"     -> j1StarJoinSql,
     "j2_semi_join"     -> j2SemiJoinSql,
