@@ -15,8 +15,105 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(10_000_000L)
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("corpus"))
+      corpusProbe(args.lift(1).map(_.toInt).getOrElse(10))
+    else eventsProbe(args.headOption.map(_.toLong).getOrElse(10_000_000L))
+
+  /** Scaling probe for the LLM-pipeline headliners (pl_corpus_clean,
+    * pl_pretrain, the LSH candidate path): replicate the sf0.1 documents
+    * corpus `mult`× and compare 1× vs mult× wall-clock on the SAME query
+    * code — sf0.1 → sf1-equivalent evidence for PERF.md.
+    *
+    * Replication must preserve each probe's WORKLOAD SHAPE, and the two
+    * families need different replicas:
+    *   - pl_* (gates → window dedup → gram join): EXACT text replicas
+    *     (doc_id shifted). Stopword/quality gates see the true token
+    *     distribution, the norm-key window gets mult-member groups (no
+    *     skew cliff), the gram join grows linearly. Output rows stay ~1×
+    *     (replicas dedup away) — the INPUT work is what scales.
+    *   - LSH banding: per-replica CHARACTER ROTATION (bijective a-z map,
+    *     spaces fixed; the corpus is lowercase+space only). Within a
+    *     replica every shingle-equality relation — hence every Jaccard —
+    *     is exactly the original corpus'; across replicas shingles are
+    *     disjoint. Verified: at 20× the candidate set contains ZERO
+    *     cross-replica pairs. (Word-suffix replicas fail BOTH ways:
+    *     suffixed words break the stopword gate, and the shared `_k`
+    *     substrings blow up within-replica shingle collisions ~70× —
+    *     measured, which is why this probe rotates.)
+    *
+    * Caveat on the LSH probe's ROW counts: rotation preserves Jaccard but
+    * re-rolls every hash, and this synthetic corpus' ~30-word vocab puts
+    * the BULK pairwise Jaccard near the 8×4 banding threshold — so each
+    * replica's internal false-positive count is a heavy-tailed draw
+    * (measured 12.8k–450k across 20 rotations vs 55.9k for the identity).
+    * Total candidate rows therefore scale noisily even though the work
+    * per row doesn't; the sec-ratio is the signal, the row-ratio is the
+    * corpus' variance. Real corpora (larger vocab, bulk Jaccard far below
+    * threshold) don't sit on this cliff.
+    */
+  def corpusProbe(mult: Int): Unit = {
+    // only 25 distinct non-identity rotations exist; at mult ≥ 27 the
+    // rotation wraps and wrap-twin replicas are IDENTICAL — cross-replica
+    // duplicate pairs then inflate the LSH count quadratically (measured
+    // at 30×: 4.4M pairs vs ~1.7M linear), which is exactly the artifact
+    // this probe is built to exclude
+    require(mult <= 26, s"corpus probe supports mult <= 26, got $mult")
+    val spark: SparkSession = GraftSession.local(appName = "graft-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = Tables.documents(spark, "/root/testdata/sf0.1")
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft-scaleprobe")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def dirFor(m: Int, mode: String): String = {
+      val d = new java.io.File(base, s"docs_${mode}_x$m")
+      if (!new java.io.File(d, "_SUCCESS").exists()) {
+        val reps = (0 until m).map { k =>
+          if (k == 0) src
+          else {
+            val text =
+              if (mode == "exact") col("text")
+              else translate(col("text"), alpha,
+                alpha.drop(k % 26) + alpha.take(k % 26))
+            // shift ≡ 0 (mod 97): pl_pretrain's eval slice (doc_id % 97)
+            // must select the SAME texts in every replica, or each replica
+            // donates a fresh eval slice and contamination (which is
+            // superlinear in eval-set size on this tiny-vocab corpus)
+            // swallows the whole corpus — measured: survivors drop to 0
+            src.select((col("doc_id") + lit(k * 9_700_000L)).as("doc_id"),
+              text.as("text"), col("lang"), col("source"), col("n_chars"))
+          }
+        }
+        reps.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite")
+          .parquet(new java.io.File(d, "documents.parquet").getAbsolutePath)
+        // dir-level marker: the table write's own _SUCCESS sits inside
+        // documents.parquet/; this one marks the whole replica dir
+        new java.io.FileOutputStream(new java.io.File(d, "_SUCCESS")).close()
+      }
+      d.getAbsolutePath
+    }
+    def timeIt(f: => Long): (Double, Long) = {
+      f // warm: codegen + JIT + page cache
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val probes: Seq[(String, String, String => Long)] = Seq(
+      ("pl_corpus_clean", "exact", d => operators.Pipeline.corpusClean(spark, d).count()),
+      ("pl_pretrain", "exact", d => operators.Pipeline.pretrain(spark, d).count()),
+      ("dd_lsh_candidates", "rot", d => operators.Dedup.lshCandidatePairs(
+        Tables.documents(spark, d).select(col("doc_id"), col("text"))).count()))
+    val fields = probes.map { case (label, mode, f) =>
+      val (s1, r1) = timeIt(f(dirFor(1, mode)))
+      val (sm, rm) = timeIt(f(dirFor(mult, mode)))
+      s""""$label":{"sec_1x":$s1,"sec_${mult}x":$sm,"ratio":${sm / s1},"rows_1x":$r1,"rows_${mult}x":$rm}"""
+    }
+    spark.stop()
+    println()
+    println(s"""{"mult":$mult,${fields.mkString(",")}}""")
+  }
+
+  def eventsProbe(n: Long): Unit = {
     val spark: SparkSession = GraftSession.local(appName = "graft-scale-probe")
     import spark.implicits._
 
