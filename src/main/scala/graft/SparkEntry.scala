@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Similarity.queries ++ operators.Multimodal.queries ++
       operators.Sampling.queries ++ operators.Temporal.queries ++
       operators.Graph.queries ++ operators.Sketches.queries ++
-      operators.Skew.queries ++ operators.Pipeline.queries
+      operators.Skew.queries ++ operators.Pipeline.queries ++
+      operators.Privacy.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
       operators.Sampling.oracles ++ operators.Temporal.oracles ++
       operators.Graph.oracles ++ operators.Sketches.oracles ++
-      operators.Skew.oracles ++ operators.Pipeline.oracles
+      operators.Skew.oracles ++ operators.Pipeline.oracles ++
+      operators.Privacy.oracles
 }

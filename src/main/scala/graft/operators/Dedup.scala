@@ -179,6 +179,57 @@ object Dedup {
       |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
       |ORDER BY a, b""".stripMargin
 
+  /** Substring-level duplication signal (the word-k-gram approximation of
+    * suffix-array exact-substring dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): a k-gram position is
+    * "duplicated" when its gram occurs ≥2 times anywhere in the corpus
+    * (another doc OR a repeat in the same doc); per doc we report the
+    * fraction of duplicated positions — the score a span-removal pass
+    * thresholds on.
+    *
+    * Scale shape: one explode (doc scan) → one shuffle keyed on the gram
+    * for the global count → one shuffle back to doc_id. Gram cardinality
+    * is O(corpus tokens), so the count table is hash-partitioned, never
+    * collected or broadcast; at 100 TB both shuffles are map-side-combined
+    * hash aggregations. No pairwise anything.
+    */
+  val DupK = 5
+
+  def dupNgramStats(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= DupK)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $DupK), i -> concat_ws(' ', slice(toks, i + 1, $DupK)))"))
+        .as("gram"))
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+    grams.join(counts, Seq("gram"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams").cast("double"), 6)
+          .as("dup_frac"))
+  }
+
+  val dupNgrams: Q = (s, d) =>
+    dupNgramStats(tbl(s, d, "documents")).orderBy(col("doc_id"))
+
+  val dupNgramsSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(0, len(toks) - $DupK + 1),
+       |                i -> array_to_string(toks[i + 1 : i + $DupK], ' '))) AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |  WHERE len(toks) >= $DupK),
+       |c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram)
+       |SELECT doc_id, count(*) AS n_grams,
+       |       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       round(CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) AS dup_frac
+       |FROM g JOIN c USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** SimHash: 16-bit signatures from token-level md5 parities. */
   val simhash: Q = (s, d) => {
     val toks = tbl(s, d, "documents").where(col("doc_id") < 50)
@@ -440,6 +491,7 @@ object Dedup {
     "dd_lsh_pairs"    -> lshPairs,
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_simhash"      -> simhash,
+    "dd_dup_ngrams"   -> dupNgrams,
     "dd_embedding"    -> embeddingNearDup,
     "dd_incremental"  -> ddIncremental,
   )
@@ -452,6 +504,7 @@ object Dedup {
     "dd_lsh_pairs"    -> lshPairsSql,
     "dd_ngram_jaccard" -> ngramJaccardSql,
     "dd_simhash"      -> simhashSql,
+    "dd_dup_ngrams"   -> dupNgramsSql,
     "dd_embedding"    -> embeddingNearDupSql,
     "dd_incremental"  -> ddIncrementalSql,
   )

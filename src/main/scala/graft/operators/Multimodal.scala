@@ -71,14 +71,18 @@ object Multimodal {
     * with the same output shape.
     */
   def sampleFrames(media: DataFrame, n: Int): DataFrame =
-    media.select(col("media_id"),
-      posexplode(split_part_bytes(col("content"), n)))
+    media.where(octet_length(col("content")) >= n)
+      .select(col("media_id"),
+        posexplode(split_part_bytes(col("content"), n)))
       .withColumnsRenamed(Map("pos" -> "frame_idx", "col" -> "frame"))
 
+  // Frame length/offset use explicit floor() (not bare CAST of a double):
+  // Spark CAST truncates but DuckDB CAST rounds half-even, so the oracle
+  // could only mirror this arithmetic with floor spelled out on both sides.
   private def split_part_bytes(content: org.apache.spark.sql.Column, n: Int) =
     expr(s"transform(sequence(0, $n - 1), i -> " +
-      "substring(content, CAST(i * (octet_length(content) / " + n + ") AS INT) + 1, " +
-      s"CAST(octet_length(content) / $n AS INT)))")
+      s"substring(content, CAST(i * floor(octet_length(content) / $n) AS INT) + 1, " +
+      s"CAST(floor(octet_length(content) / $n) AS INT)))")
 
   /** Gate query: metadata projection over the media view — binary plumbing
     * whose scalar shadows (lengths, first byte) DuckDB can verify.
@@ -120,13 +124,39 @@ object Multimodal {
       |    / CAST(greatest(n, 1) AS DOUBLE), 6) AS bin1
       |FROM b ORDER BY media_id""".stripMargin
 
+  /** Gate query: frame sampling through the real posexplode path. Frames
+    * are byte slices of the payload, so DuckDB verifies them exactly off
+    * the hex encoding: frame i of a payload with floor(n/4)-byte frames is
+    * a substring of hex(payload). Verifies index, length, AND content.
+    */
+  val mediaFrames: Q = (s, d) => {
+    val m = asMedia(tbl(s, d, "documents").where(col("doc_id") < 80))
+    sampleFrames(m, 4)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        octet_length(col("frame")).cast("long").as("frame_len"),
+        hex(col("frame")).as("frame_hex"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+  val mediaFramesSql: String =
+    """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+      |                  CAST(floor(octet_length(encode(text)) / 4) AS INT) AS fl
+      |           FROM documents
+      |           WHERE doc_id < 80 AND octet_length(encode(text)) >= 4)
+      |SELECT doc_id AS media_id, i AS frame_idx,
+      |       CAST(fl AS BIGINT) AS frame_len,
+      |       substr(h, i * fl * 2 + 1, fl * 2) AS frame_hex
+      |FROM b, (SELECT unnest(range(0, 4)) AS i)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_media_meta" -> mediaMeta,
     "mm_features"   -> mediaFeatures,
+    "mm_frames"     -> mediaFrames,
   )
 
   val oracles: Map[String, String] = Map(
     "mm_media_meta" -> mediaMetaSql,
     "mm_features"   -> mediaFeaturesSql,
+    "mm_frames"     -> mediaFramesSql,
   )
 }

@@ -290,6 +290,70 @@ object TextAnalysis {
       |      FROM scored)
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** tx_lm_score — corpus-trained bigram language-model scoring: the cheap
+    * statistical stand-in for perplexity-based quality filtering (the CCNet
+    * / Gopher recipe — score every doc under an n-gram LM trained on the
+    * corpus itself, drop the tails). Add-one smoothing:
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V); doc score = mean ln P over
+    * its bigram positions.
+    *
+    * Scale shape: one corpus scan explodes bigrams; c2 is a map-side-
+    * combined hash agg keyed on the bigram (O(distinct bigrams), hash-
+    * partitioned, never collected); the doc-side rejoin keys on the same
+    * bigram so Catalyst reuses the exchange; c1 (unigram-left counts,
+    * O(vocab)) and V (a scalar) broadcast. At 100 TB: two shuffles total.
+    *
+    * Determinism: mean over doubles is summation-order-sensitive in the
+    * last bits, so the score rounds to 6 dp (the tx_tfidf convention) —
+    * values sit at magnitude ~-5 where double noise is ~1e-13.
+    */
+  val lmScore: Q = (s, d) => {
+    import s.implicits._
+    val bigrams = tbl(s, d, "documents")
+      .withColumn("toks", split($"text", " "))
+      .where(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))"))
+        .as("bg"))
+    val c2 = bigrams.groupBy($"bg").agg(count(lit(1)).as("c2"))
+    val c1 = c2
+      .select(substring_index($"bg", " ", 1).as("w1"), $"c2")
+      .groupBy($"w1").agg(sum($"c2").as("c1"))
+    val v = bigrams
+      .select(explode(split($"bg", " ")).as("tok"))
+      .agg(countDistinct($"tok").as("v"))
+    bigrams
+      .join(c2, Seq("bg"))
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(($"c2" + 1).cast("double") / ($"c1" + $"v").cast("double"))), 6)
+          .as("lm_score"))
+      .orderBy($"doc_id")
+  }
+  val lmScoreSql: String =
+    """WITH bg AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, len(toks) - 1),
+      |                i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 2),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+      |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+      |       FROM c2 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v
+      |      FROM (SELECT unnest(string_split(bg, ' ')) AS tok FROM bg))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(avg(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))), 6)
+      |         AS lm_score
+      |FROM bg
+      |JOIN c2 USING (bg)
+      |JOIN c1 ON c1.w1 = string_split(bg, ' ')[1]
+      |CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
@@ -300,6 +364,7 @@ object TextAnalysis {
     "tx_pack"        -> pack,
     "tx_entropy"     -> entropy,
     "tx_tfidf"       -> tfidf,
+    "tx_lm_score"    -> lmScore,
   )
 
   val oracles: Map[String, String] = Map(
@@ -312,5 +377,6 @@ object TextAnalysis {
     "tx_pack"        -> packSql,
     "tx_entropy"     -> entropySql,
     "tx_tfidf"       -> tfidfSql,
+    "tx_lm_score"    -> lmScoreSql,
   )
 }

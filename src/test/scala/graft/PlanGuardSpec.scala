@@ -57,9 +57,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // broadcast NLJ is the right physical plan for a scalar join.
     // ann_kmeans_train is the Lloyd assign step: corpus × O(K) broadcast
     // centroids per iteration — the same declared shape as ann_ivf_assign.
+    // tx_lm_score joins the ONE-ROW vocabulary-size aggregate the same way
+    // tx_tfidf joins its doc count.
     val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign",
       "ann_ivf_search", "ann_kmeans_train", "cc_clusters", "cc_star",
-      "dd_canonical", "tx_tfidf")
+      "dd_canonical", "tx_tfidf", "tx_lm_score")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
