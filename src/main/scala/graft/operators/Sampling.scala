@@ -51,6 +51,27 @@ object Sampling {
     """SELECT doc_id, lang, n_chars FROM documents
       |WHERE md5('smp:' || doc_id) < '4' ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/val/test split (~75/12.5/12.5 via md5 prefix
+    * ranges — hex is uniform, so '0'..'b' ≈ 12/16). Assignment depends
+    * only on the doc key: stable under retries, repartitioning, engine
+    * swaps, and corpus growth (a doc never migrates between splits when
+    * new docs arrive — the property eval-set hygiene requires). Narrow,
+    * zero-shuffle; at 100 TB this is a free column on the scan.
+    */
+  val split3: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("h", md5(concat(lit("spl:"), col("doc_id"))))
+      .select(col("doc_id"),
+        when(col("h") < "c", "train").when(col("h") < "e", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  val split3Sql: String =
+    """SELECT doc_id,
+      |       CASE WHEN md5('spl:' || doc_id) < 'c' THEN 'train'
+      |            WHEN md5('spl:' || doc_id) < 'e' THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Column profiling: null/distinct/min/max per column — the cheap
     * data-quality gate before a training run (one pass, all aggregates
     * fused).
@@ -145,6 +166,7 @@ object Sampling {
     "sp_reservoir"  -> reservoirPerGroup,
     "sp_stratified" -> stratifiedSample,
     "sp_mixture"    -> mixture,
+    "sp_split"      -> split3,
     "pf_profile"    -> profile,
     "sk_top_tokens" -> topTokens,
   )
@@ -153,6 +175,7 @@ object Sampling {
     "sp_reservoir"  -> reservoirPerGroupSql,
     "sp_stratified" -> stratifiedSampleSql,
     "sp_mixture"    -> mixtureSql,
+    "sp_split"      -> split3Sql,
     "pf_profile"    -> profileSql,
     "sk_top_tokens" -> topTokensSql,
   )

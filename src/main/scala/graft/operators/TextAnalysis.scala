@@ -290,6 +290,37 @@ object TextAnalysis {
       |      FROM scored)
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** GPT-2-style regex pre-tokenization (the split a BPE tokenizer applies
+    * BEFORE merges: contractions, space-prefixed letter runs, digit runs,
+    * punctuation runs, whitespace). The canonical GPT-2 pattern uses \p{L}
+    * classes and a lookahead; this is the lookahead-free ASCII variant so
+    * the SAME literal runs under Java regex (Spark, codegen'd
+    * regexp_extract_all) and RE2 (DuckDB oracle). Narrow per-row work —
+    * scan speed at 100 TB, and the honest cost model for "how many BPE
+    * tokens is this corpus" budgeting (vs the 4-chars heuristic in
+    * [[tokens]]).
+    */
+  val PretokenRe: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"""
+
+  def pretokenize(text: org.apache.spark.sql.Column) =
+    regexp_extract_all(text, lit(PretokenRe), lit(0))
+
+  val pretokens: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("pre", pretokenize(col("text")))
+      .select(col("doc_id"),
+        size(col("pre")).cast("long").as("n_pre"),
+        size(array_distinct(col("pre"))).cast("long").as("n_distinct_pre"))
+      .orderBy(col("doc_id"))
+  val pretokensSql: String = {
+    val re = PretokenRe.replace("'", "''") // SQL string-literal escaping
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$re')) AS n_pre,
+       |  len(list_distinct(regexp_extract_all(text, '$re'))) AS n_distinct_pre
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** tx_lm_score — corpus-trained bigram language-model scoring: the cheap
     * statistical stand-in for perplexity-based quality filtering (the CCNet
     * / Gopher recipe — score every doc under an n-gram LM trained on the
@@ -365,6 +396,7 @@ object TextAnalysis {
     "tx_entropy"     -> entropy,
     "tx_tfidf"       -> tfidf,
     "tx_lm_score"    -> lmScore,
+    "tx_pretokens"   -> pretokens,
   )
 
   val oracles: Map[String, String] = Map(
@@ -378,5 +410,6 @@ object TextAnalysis {
     "tx_entropy"     -> entropySql,
     "tx_tfidf"       -> tfidfSql,
     "tx_lm_score"    -> lmScoreSql,
+    "tx_pretokens"   -> pretokensSql,
   )
 }

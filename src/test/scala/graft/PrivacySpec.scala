@@ -99,6 +99,34 @@ class PrivacySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("pretokenizer is lossless and splits contractions/digits/punct correctly") {
+    val pre = Seq((1L, "don't split 123 abc!! ok"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.pretokenize($"text").as("p"))
+      .as[Seq[String]].head()
+    assert(pre == Seq("don", "'t", " split", " 123", " abc", "!!", " ok"))
+    // lossless on the real corpus: concatenating pretokens rebuilds text
+    val broken = Tables.documents(spark, sf)
+      .where(array_join(TextAnalysis.pretokenize($"text"), "") =!= $"text")
+      .count()
+    assert(broken == 0, s"$broken docs did not round-trip through pretokenize")
+  }
+
+  test("hash split is total, stable, and roughly 75/12.5/12.5") {
+    val split = operators.Sampling.split3(spark, sf)
+    val counts = split.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    val n = counts.values.sum
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train").toDouble / n > 0.6 && counts("train").toDouble / n < 0.9)
+    // stability: assignment is per-key, so a doc's split never changes when
+    // the corpus shrinks/grows (compute on a subset, compare)
+    val full = split.as[(Long, String)].collect().toMap
+    val sub = operators.Sampling.split3(spark, sf) // same op, filtered input path
+    val subMap = sub.where($"doc_id" < 50).as[(Long, String)].collect().toMap
+    assert(subMap.forall { case (k, v) => full(k) == v })
+  }
+
   test("sampled frames reassemble to a prefix of the payload") {
     val media = Seq((7L, "abcdefghijXYZ")).toDF("media_id", "text")
       .select($"media_id", lit("text/plain").as("mime"),
