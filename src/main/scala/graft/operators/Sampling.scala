@@ -58,13 +58,15 @@ object Sampling {
     * new docs arrive — the property eval-set hygiene requires). Narrow,
     * zero-shuffle; at 100 TB this is a free column on the scan.
     */
-  val split3: Q = (s, d) =>
-    tbl(s, d, "documents")
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs
       .withColumn("h", md5(concat(lit("spl:"), col("doc_id"))))
       .select(col("doc_id"),
         when(col("h") < "c", "train").when(col("h") < "e", "val")
           .otherwise("test").as("split"))
-      .orderBy(col("doc_id"))
+
+  val split3: Q = (s, d) =>
+    splitAssign(tbl(s, d, "documents")).orderBy(col("doc_id"))
   val split3Sql: String =
     """SELECT doc_id,
       |       CASE WHEN md5('spl:' || doc_id) < 'c' THEN 'train'

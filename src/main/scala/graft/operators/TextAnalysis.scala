@@ -299,9 +299,17 @@ object TextAnalysis {
     * scan speed at 100 TB, and the honest cost model for "how many BPE
     * tokens is this corpus" budgeting (vs the 4-chars heuristic in
     * [[tokens]]).
+    *
+    * The punctuation fallback INCLUDES the apostrophe (GPT-2's fallback is
+    * `[^\s\p{L}\p{N}]+`, which includes it too): a bare apostrophe that does
+    * not start a contraction (quotes `'hello'`, possessives `dogs'`) must
+    * still match some alternative or it is silently dropped and the split
+    * is no longer lossless. Contractions are unaffected — leftmost-first
+    * alternation (identical in Java regex and RE2) tries the contraction
+    * branch before the fallback.
     */
   val PretokenRe: String =
-    """'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"""
+    """'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
 
   def pretokenize(text: org.apache.spark.sql.Column) =
     regexp_extract_all(text, lit(PretokenRe), lit(0))
@@ -374,9 +382,10 @@ object TextAnalysis {
     val v = c2
       .select(explode(split($"bg", " ")).as("tok"))
       .agg(countDistinct($"tok").as("v"))
-    // broadcast is right while the counts artifact fits (vocab-bounded);
-    // for a vocabulary too large to broadcast, drop the hint and this is
-    // a shuffle join against the persisted counts table — same plan shape.
+    // c1 (O(vocab)) and v (scalar) are safely broadcast at any scale; c2 is
+    // DISTINCT-BIGRAM-bounded — O(min(corpus tokens, V^2)) — which grows
+    // with the corpus, so at 100 TB drop the c2 hint and it becomes a
+    // shuffle join against the persisted counts table, same plan shape.
     bigramsOf(tbl(s, d, "documents"))
       .join(broadcast(c2), Seq("bg"))
       .withColumn("w1", substring_index($"bg", " ", 1))

@@ -105,6 +105,17 @@ class PrivacySpec extends AnyFunSuite {
       .select(TextAnalysis.pretokenize($"text").as("p"))
       .as[Seq[String]].head()
     assert(pre == Seq("don", "'t", " split", " 123", " abc", "!!", " ok"))
+    // non-contraction apostrophes (quotes, possessives) must not be dropped:
+    // the fallback class includes the apostrophe, and the contraction branch
+    // still wins leftmost-first for real contractions
+    val apos = Seq((2L, "the dogs' bones: 'hello' rock 'n roll"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.pretokenize($"text").as("p"))
+      .as[Seq[String]].head()
+    assert(apos.mkString == "the dogs' bones: 'hello' rock 'n roll",
+      s"apostrophe round-trip broke: $apos")
+    assert(apos.contains("'") && apos.contains(" '"),
+      s"bare apostrophes should surface as punctuation tokens: $apos")
     // lossless on the real corpus: concatenating pretokens rebuilds text
     val broken = Tables.documents(spark, sf)
       .where(array_join(TextAnalysis.pretokenize($"text"), "") =!= $"text")
@@ -120,10 +131,13 @@ class PrivacySpec extends AnyFunSuite {
     assert(counts.keySet == Set("train", "val", "test"))
     assert(counts("train").toDouble / n > 0.6 && counts("train").toDouble / n < 0.9)
     // stability: assignment is per-key, so a doc's split never changes when
-    // the corpus shrinks/grows (compute on a subset, compare)
+    // the corpus shrinks/grows — run the assignment on a genuinely REDUCED
+    // input (a 50-doc corpus) and require it to agree with the full run
     val full = split.as[(Long, String)].collect().toMap
-    val sub = operators.Sampling.split3(spark, sf) // same op, filtered input path
-    val subMap = sub.where($"doc_id" < 50).as[(Long, String)].collect().toMap
+    val subMap = operators.Sampling
+      .splitAssign(Tables.documents(spark, sf).where($"doc_id" < 50))
+      .as[(Long, String)].collect().toMap
+    assert(subMap.nonEmpty, "reduced corpus should not be empty")
     assert(subMap.forall { case (k, v) => full(k) == v })
   }
 
