@@ -24,14 +24,22 @@ import graft.operators.{Dedup, Graph}
   *   5. append the batch signatures to the corpus state.
   *
   * State is two tables — signatures O(corpus docs × k longs) and labels
-  * O(paired docs) — eagerly localCheckpointed each fold so lineage can't
-  * grow across batches (same hygiene as the CC loops; the superseded
-  * round's blocks are freed immediately). On a production cluster both
-  * tables would live as parquet/Delta tables keyed like IndexStore
-  * artifacts and the fold would MERGE into them; the dataflow per batch
-  * is identical, and both shapes recover on restart (checkpointed source
-  * offsets replay the unabsorbed batches; absorbed doc_ids anti-join
-  * away, so re-folding a delivered batch is a no-op).
+  * O(paired docs) — and ships in two durability shapes:
+  *
+  *   - [[start]]: in-memory localCheckpoints, re-checkpointed each fold so
+  *     lineage can't grow across batches. Fast, but NOT restart-recoverable:
+  *     a JVM restart resumes source offsets from the checkpoint dir while
+  *     the state restarts from [[empty]] — already-absorbed batches are not
+  *     redelivered, so their state is lost. Use only when the stream can be
+  *     replayed from offset zero (drop the checkpoint dir to re-fold).
+  *   - [[startDurable]]: state persisted per batch as versioned parquet
+  *     artifacts under a state dir, committed via an atomically-renamed
+  *     manifest, reloaded on restart. The batch fold is idempotent
+  *     (absorbed doc_ids anti-join away), so the crash window between
+  *     state commit and source-offset commit is safe: the redelivered
+  *     batch re-folds as a no-op. This is the real deployment shape — at
+  *     100 TB the two artifacts are catalog tables (Delta/Iceberg) and the
+  *     manifest rename is the catalog's snapshot commit.
   */
 object IncrementalClusters {
 
@@ -73,8 +81,9 @@ object IncrementalClusters {
     CorpusState(sigs, labels)
   }
 
-  /** Attach the fold to a streaming document source. Caller owns the
-    * returned query's lifecycle; current state is read via `state()`.
+  /** Attach the fold to a streaming document source with in-memory state
+    * (see class doc for the durability caveat). Caller owns the returned
+    * query's lifecycle; current state is read via `state()`.
     */
   def start(docsStream: DataFrame, checkpointDir: String,
             k: Int = 32, bands: Int = 8): (org.apache.spark.sql.streaming.StreamingQuery, () => CorpusState) = {
@@ -84,6 +93,111 @@ object IncrementalClusters {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         st = foldBatch(st, batch, k, bands)
+        ()
+      }
+      .start()
+    (q, () => st)
+  }
+
+  // ---------------------------------------------------------------------
+  // Durable state: versioned parquet artifacts + manifest commit.
+  //
+  // Layout under stateDir:
+  //   v{batchId}/sigs/    parquet (+_SUCCESS)
+  //   v{batchId}/labels/  parquet (+_SUCCESS)
+  //   _LATEST             text file holding the committed batchId
+  //
+  // Commit protocol (poor-man's snapshot log, same as Sinks' swap):
+  // write both version dirs, then atomically rename a tmp manifest over
+  // _LATEST, then GC superseded versions. A reader never follows a
+  // half-written version: _LATEST moves only after both _SUCCESS markers
+  // exist, and if _LATEST itself is missing/torn the loader falls back to
+  // the newest COMPLETE version on disk.
+  // ---------------------------------------------------------------------
+
+  private def versionDirs(stateDir: java.io.File): Seq[(Long, java.io.File)] =
+    Option(stateDir.listFiles()).getOrElse(Array.empty)
+      .collect { case f if f.isDirectory && f.getName.matches("v\\d+") =>
+        (f.getName.drop(1).toLong, f) }
+      .toSeq.sortBy(_._1)
+
+  private def isComplete(vDir: java.io.File): Boolean =
+    new java.io.File(vDir, "sigs/_SUCCESS").exists() &&
+      new java.io.File(vDir, "labels/_SUCCESS").exists()
+
+  /** The committed version under `stateDir`, if any: the manifest's target
+    * when it is readable and complete, else the newest complete version.
+    */
+  def committedVersion(stateDir: String): Option[Long] = {
+    val base = new java.io.File(stateDir)
+    val fromManifest =
+      try {
+        val m = new java.io.File(base, "_LATEST")
+        if (!m.exists()) None
+        else Some(new String(java.nio.file.Files.readAllBytes(m.toPath),
+          "UTF-8").trim.toLong)
+      } catch { case _: Exception => None }
+    fromManifest.filter(v => isComplete(new java.io.File(base, s"v$v")))
+      .orElse(versionDirs(base).filter(p => isComplete(p._2)).lastOption.map(_._1))
+  }
+
+  /** Load the committed durable state, or None if nothing is committed. */
+  def loadState(spark: SparkSession, stateDir: String): Option[CorpusState] =
+    committedVersion(stateDir).map { v =>
+      val vDir = new java.io.File(stateDir, s"v$v")
+      CorpusState(
+        spark.read.parquet(new java.io.File(vDir, "sigs").getPath),
+        spark.read.parquet(new java.io.File(vDir, "labels").getPath))
+    }
+
+  /** Commit `state` as version `version`. Idempotent: if this version is
+    * already complete on disk (a redelivered batch after a crash between
+    * state commit and offset commit), the write is skipped — the fold that
+    * produced `state` was a no-op against the recovered state, so the
+    * bytes would be identical anyway, and skipping avoids a re-write
+    * window over the only complete copy.
+    */
+  def persistState(state: CorpusState, stateDir: String, version: Long): Unit = {
+    val base = new java.io.File(stateDir)
+    base.mkdirs()
+    val vDir = new java.io.File(base, s"v$version")
+    if (!isComplete(vDir)) {
+      state.sigs.write.mode("overwrite")
+        .parquet(new java.io.File(vDir, "sigs").getPath)
+      state.labels.write.mode("overwrite")
+        .parquet(new java.io.File(vDir, "labels").getPath)
+    }
+    val tmp = new java.io.File(base, s"_LATEST.tmp.$version")
+    java.nio.file.Files.write(tmp.toPath, version.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(base, "_LATEST").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC strictly after the manifest points away from the old versions
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    versionDirs(base).filter(_._1 < version).foreach(p => rm(p._2))
+  }
+
+  /** [[start]] with durable state: resumes from the committed state under
+    * `stateDir` (paired with the source offsets under `checkpointDir`) and
+    * commits the folded state before each batch completes. Restart with
+    * the same two dirs recovers exactly; see the commit-protocol note
+    * above for the crash windows.
+    */
+  def startDurable(docsStream: DataFrame, checkpointDir: String, stateDir: String,
+                   k: Int = 32, bands: Int = 8): (org.apache.spark.sql.streaming.StreamingQuery, () => CorpusState) = {
+    val spark = docsStream.sparkSession
+    @volatile var st = loadState(spark, stateDir).getOrElse(empty(spark))
+    val q = docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val folded = foldBatch(st, batch, k, bands)
+        persistState(folded, stateDir, batchId)
+        // serve reads from the durable files; free the fold's blocks
+        org.apache.spark.sql.graftbridge.CheckpointBridge.freeCheckpoint(folded.sigs)
+        org.apache.spark.sql.graftbridge.CheckpointBridge.freeCheckpoint(folded.labels)
+        st = loadState(spark, stateDir).getOrElse(folded)
         ()
       }
       .start()

@@ -103,6 +103,58 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(st.sigs.count() == all.size)
   }
 
+  test("durable corpus state survives a restart: kill after batch 1, " +
+       "restart with same checkpoint+state dirs, fold batch 2 ≡ one-shot batch") {
+    import graft.streaming.IncrementalClusters
+    val tmp = java.nio.file.Files.createTempDirectory("graft_durable").toFile
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+    val ckDir = new java.io.File(tmp, "ck").getPath
+    val stDir = new java.io.File(tmp, "state").getPath
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .where($"doc_id" < 200).select($"doc_id", $"text")
+    val all = docs.as[(Long, String)].collect().toSeq
+    val b1 = all.take(110)
+    val b2 = all.drop(110)
+    def stream() = spark.readStream
+      .schema("doc_id long, text string").json(inDir.getPath)
+
+    // run 1: deliver batch 1, then "kill" (stop the query)
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").json(inDir.getPath)
+    val (q1, _) = IncrementalClusters.startDurable(stream(), ckDir, stDir)
+    try { q1.processAllAvailable() } finally q1.stop()
+
+    // a fresh process sees the committed batch-1 state, not empty
+    val recovered = IncrementalClusters.loadState(spark, stDir)
+      .getOrElse(fail("no durable state committed after batch 1"))
+    assert(recovered.sigs.count() == b1.size)
+
+    // re-folding the delivered batch (the crash window between state
+    // commit and offset commit) is a no-op against the recovered state
+    val refold = IncrementalClusters.foldBatch(recovered, b1.toDF("doc_id", "text"))
+    assert(refold.sigs.count() == b1.size)
+    assert(refold.labels.as[(Long, Long)].collect().toMap ==
+      recovered.labels.as[(Long, Long)].collect().toMap)
+
+    // run 2 (the restart): same checkpoint dir → batch 1 is NOT redelivered,
+    // so only durable state can make the final labels match the batch run
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").json(inDir.getPath)
+    val (q2, state2) = IncrementalClusters.startDurable(stream(), ckDir, stDir)
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val inc = state2().labels.as[(Long, Long)].collect().toMap
+    val oneShot = graft.operators.Graph.connectedComponentsStar(
+        graft.operators.Dedup.lshCandidatePairs(docs))
+      .as[(Long, Long)].collect().toMap
+    assert(inc.nonEmpty, "no clusters formed — fixture makes the test vacuous")
+    assert(inc == oneShot,
+      s"post-restart labels != batch labels: only-inc=${(inc.toSet -- oneShot.toSet).take(5)} " +
+        s"only-batch=${(oneShot.toSet -- inc.toSet).take(5)}")
+    assert(state2().sigs.count() == all.size)
+    // superseded versions were GC'd; exactly one committed version remains
+    val vdirs = new java.io.File(stDir).listFiles().filter(_.getName.startsWith("v"))
+    assert(vdirs.length == 1, s"expected 1 version dir, got ${vdirs.map(_.getName).toSeq}")
+  }
+
   test("stream-stream interval join matches across batches within the bound") {
     implicit val sql = spark.sqlContext
     val imps = MemoryStream[(Timestamp, Long)]
