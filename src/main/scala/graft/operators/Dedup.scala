@@ -234,6 +234,94 @@ object Dedup {
        |FROM g JOIN c USING (gram)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Span-level duplicate REMOVAL — the second half of the Lee et al.
+    * recipe ([[dupNgramStats]] scores; this one edits): every token
+    * position covered by a k-gram that occurs ≥2 times corpus-wide is
+    * dropped, and the survivors are re-joined into the cleaned text, with
+    * removed token/char counts for the budgeting report.
+    *
+    * Scale shape — same as the scorer plus one bounded explode: corpus
+    * scan → gram-keyed count shuffle → rejoin of only DUPLICATED gram
+    * occurrences → k-wide position explode (O(k × dup positions), k=5) →
+    * anti-join against the token stream → per-doc re-assembly. No
+    * pairwise work, nothing collected; the per-doc sort happens inside a
+    * hash aggregate, not a global order.
+    *
+    * Docs shorter than k tokens carry no grams and pass through verbatim
+    * (left join + coalesce) — a doc whose every position is duplicated
+    * comes out as the empty string, not a dropped row, so the output stays
+    * row-aligned with the input corpus.
+    */
+  def spanRemoval(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val toks = base.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val slices = (0 until DupK).map(i =>
+      slice(col("toks"), lit(i + 1), size(col("toks")) - (DupK - 1)))
+    val gramCols = (0 until DupK).map(i => col(s"z.$i"))
+    val grams = base
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= DupK)
+      .select(col("doc_id"), posexplode(arrays_zip(slices: _*)).as(Seq("start", "z")))
+      .select(col("doc_id"), col("start"), concat_ws(" ", gramCols: _*).as("gram"))
+    val dupOcc = grams.join(
+      grams.groupBy(col("gram")).agg(count(lit(1)).as("n")).where(col("n") >= 2),
+      Seq("gram"))
+    val covered = dupOcc
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(DupK - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id")).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"),
+        sum(length(col("tok"))).as("kept_chars"))
+    base
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"),
+        (length(col("text")) - (size(split(col("text"), " ")) - 1)).cast("long")
+          .as("tok_chars"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        (col("tok_chars") - coalesce(col("kept_chars"), lit(0L))).as("n_chars_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  val spanRemovalQ: Q = (s, d) =>
+    spanRemoval(tbl(s, d, "documents")).orderBy(col("doc_id"))
+
+  val spanRemovalSql: String =
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |tp AS (
+       |  SELECT doc_id, u.pos AS pos, u.tok AS tok
+       |  FROM (SELECT doc_id,
+       |               unnest(list_transform(range(0, len(toks)),
+       |                      i -> {'pos': i, 'tok': toks[i + 1]})) AS u
+       |        FROM d)),
+       |gs AS (
+       |  SELECT doc_id, u.start AS start, u.gram AS gram
+       |  FROM (SELECT doc_id,
+       |               unnest(list_transform(range(0, len(toks) - $DupK + 1),
+       |                      i -> {'start': i,
+       |                            'gram': array_to_string(toks[i + 1 : i + $DupK], ' ')})) AS u
+       |        FROM d WHERE len(toks) >= $DupK)),
+       |c AS (SELECT gram FROM gs GROUP BY gram HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT doc_id, start + j AS pos
+       |        FROM gs JOIN c USING (gram), range(0, $DupK) t(j)),
+       |kept AS (SELECT tp.* FROM tp ANTI JOIN cov USING (doc_id, pos)),
+       |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       |              count(*) AS n_kept, sum(len(tok)) AS kept_chars
+       |       FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(len(toks) AS BIGINT) AS n_toks,
+       |       CAST(len(toks) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       |       CAST((len(text) - (len(toks) - 1)) - coalesce(kept_chars, 0) AS BIGINT)
+       |         AS n_chars_removed,
+       |       coalesce(clean_text, '') AS clean_text
+       |FROM d LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** SimHash: 16-bit signatures from token-level md5 parities. */
   val simhash: Q = (s, d) => {
     val toks = tbl(s, d, "documents").where(col("doc_id") < 50)
@@ -496,6 +584,7 @@ object Dedup {
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_simhash"      -> simhash,
     "dd_dup_ngrams"   -> dupNgrams,
+    "dd_span_removal" -> spanRemovalQ,
     "dd_embedding"    -> embeddingNearDup,
     "dd_incremental"  -> ddIncremental,
   )
@@ -509,6 +598,7 @@ object Dedup {
     "dd_ngram_jaccard" -> ngramJaccardSql,
     "dd_simhash"      -> simhashSql,
     "dd_dup_ngrams"   -> dupNgramsSql,
+    "dd_span_removal" -> spanRemovalSql,
     "dd_embedding"    -> embeddingNearDupSql,
     "dd_incremental"  -> ddIncrementalSql,
   )

@@ -69,6 +69,22 @@ class PrivacySpec extends AnyFunSuite {
     assert(row == ((6L, 2L)))
   }
 
+  test("span removal drops exactly the positions covered by duplicated k-grams") {
+    val docs = Seq(
+      (1L, "a b c d e unique tail one"),   // shares "a b c d e" with doc 2
+      (2L, "x a b c d e y z w q"),
+      (3L, "short doc"),                   // < k tokens: passes through verbatim
+      (4L, "p q r s t p q r s t"),         // within-doc dup: fully covered
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanRemoval(docs).orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 8L, 5L, 5L, "unique tail one"),
+      (2L, 10L, 5L, 5L, "x y z w q"),
+      (3L, 2L, 0L, 0L, "short doc"),
+      (4L, 10L, 10L, 10L, ""))) // row survives even when everything is removed
+  }
+
   test("bigram LM scores repeated common phrasing above unseen-bigram soup") {
     val corpus = (0L until 20L).map(i => (i, "the cat sat on the mat")) :+
       (99L, "zx qv wk jh bn pm")
