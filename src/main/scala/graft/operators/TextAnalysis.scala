@@ -329,6 +329,135 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------ BPE
+
+  /** BPE vocabulary training — the merge-pair iteration that completes the
+    * tokenizer story [[PretokenRe]] starts: N rounds of "count adjacent
+    * symbol pairs over the word-type histogram, merge the most frequent
+    * pair everywhere", the classic Sennrich et al. recipe every modern
+    * tokenizer trains with.
+    *
+    * Scale shape: the CORPUS is scanned exactly once, to build the
+    * pretoken histogram (map-side-combined hash agg — word types, not
+    * occurrences). Every training iteration then runs over that
+    * vocab-sized table (the shape HF tokenizers uses), so 100 TB changes
+    * the histogram build, not the loop. The per-iteration `.collect()` is
+    * ONE row (the argmax pair) — driver-bounded by construction, N rows
+    * total over a whole training run.
+    *
+    * Cross-engine exactness (same discipline as `lloydCentroids`): words
+    * are carried as sentinel-wrapped symbol strings — each symbol `s`
+    * becomes `\u0001s\u0002` — so applying a merge is a plain
+    * non-overlapping left-to-right `replace` of `⟨l⟩⟨r⟩` with `⟨lr⟩`,
+    * which is bit-identical in Spark and DuckDB and has no shared-boundary
+    * ambiguity (adjacent occurrences never overlap, and `a a a` under
+    * merge (a,a) correctly yields `aa a`). Pair counts are exact longs;
+    * the argmax tie-breaks on (count DESC, lhs, rhs) — binary string
+    * order in both engines.
+    */
+  private val BpeS1 = "\u0001"
+  private val BpeS2 = "\u0002"
+  val BpeN = 30
+
+  /** (wrapped, freq) word-type histogram: one corpus scan. */
+  private def bpeWords0(docs: DataFrame): DataFrame =
+    docs.select(explode(pretokenize(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(?s)(.)", s"$BpeS1$$1$BpeS2").as("wrapped"),
+        col("freq"))
+
+  private def bpeSyms(wrapped: String): org.apache.spark.sql.Column =
+    split(expr(s"substr($wrapped, 2, length($wrapped) - 2)"), s"$BpeS2$BpeS1")
+
+  /** Train `n` merges; returns (merge_rank, lhs, rhs) in training order. */
+  def bpeTrain(docs: DataFrame, n: Int = BpeN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words0 = bpeWords0(docs).localCheckpoint(true)
+    var words = words0
+    val merges = Seq.newBuilder[(Long, String, String)]
+    for (t <- 1 to n) {
+      val best = words
+        .select(bpeSyms("wrapped").as("syms"), col("freq"))
+        .where(size(col("syms")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("z"), col("freq"))
+        .groupBy(col("z.0").as("lhs"), col("z.1").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()(0) // 1 row: the argmax pair (driver-bounded, N total)
+      val (l, r) = (best.getString(0), best.getString(1))
+      merges += ((t.toLong, l, r))
+      words = words.withColumn("wrapped",
+        replace(col("wrapped"), lit(s"$BpeS1$l$BpeS2$BpeS1$r$BpeS2"),
+          lit(s"$BpeS1$l$r$BpeS2")))
+    }
+    org.apache.spark.sql.graftbridge.CheckpointBridge.freeCheckpoint(words0)
+    merges.result().toDF("merge_rank", "lhs", "rhs")
+  }
+
+  /** Tokenize with a trained merge table: wrap, apply the merges in rank
+    * order (the merge list is vocab-sized, folded into one codegen'd
+    * replace chain — no per-row interpretation), unwrap.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val wrapped0 = regexp_replace(col("w"), "(?s)(.)", s"$BpeS1$$1$BpeS2")
+    val mergedCol = merges.foldLeft(wrapped0) { case (c, (l, r)) =>
+      replace(c, lit(s"$BpeS1$l$BpeS2$BpeS1$r$BpeS2"), lit(s"$BpeS1$l$r$BpeS2"))
+    }
+    docs.select(col("doc_id"), posexplode(pretokenize(col("text"))).as(Seq("pre_idx", "w")))
+      .withColumn("m", mergedCol)
+      .select(col("doc_id"), col("pre_idx"), bpeSyms("m").as("bpe_toks"))
+  }
+
+  val bpeTrainQ: Q = (s, d) =>
+    bpeTrain(tbl(s, d, "documents"), BpeN).orderBy(col("merge_rank"))
+
+  /** DuckDB mirror of [[bpeTrain]]: the same histogram, pair-count,
+    * argmax, and wrapped-replace update unrolled as chained CTEs
+    * (w0 → p1 → b1 → w1 → …), generated from the same N so the engines
+    * can't drift.
+    */
+  def bpeCteSql(n: Int): String = {
+    val re = PretokenRe.replace("'", "''")
+    val sb = new StringBuilder
+    sb ++= s"""w0 AS MATERIALIZED (
+              |  SELECT regexp_replace(w, '(?s)(.)', chr(1) || '\\1' || chr(2), 'g') AS wrapped,
+              |         freq
+              |  FROM (SELECT w, count(*) AS freq
+              |        FROM (SELECT unnest(regexp_extract_all(text, '$re')) AS w FROM documents)
+              |        GROUP BY w))""".stripMargin
+    for (t <- 1 to n) {
+      sb ++= s""",
+                |p$t AS MATERIALIZED (
+                |  SELECT u.l AS lhs, u.r AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+                |  FROM (SELECT unnest(list_transform(range(0, len(syms) - 1),
+                |               i -> {'l': syms[i + 1], 'r': syms[i + 2]})) AS u, freq
+                |        FROM (SELECT string_split(substr(wrapped, 2, length(wrapped) - 2),
+                |                                  chr(2) || chr(1)) AS syms, freq
+                |              FROM w${t - 1})
+                |        WHERE len(syms) >= 2)
+                |  GROUP BY u.l, u.r),
+                |b$t AS MATERIALIZED (SELECT lhs, rhs FROM p$t ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+                |w$t AS MATERIALIZED (SELECT replace(wrapped, chr(1) || lhs || chr(2) || chr(1) || rhs || chr(2),
+                |                       chr(1) || lhs || rhs || chr(2)) AS wrapped, freq
+                |       FROM w${t - 1} CROSS JOIN b$t)""".stripMargin
+    }
+    sb.toString
+  }
+
+  val bpeTrainSql: String = {
+    val ranks = (1 to BpeN)
+      .map(t => s"SELECT CAST($t AS BIGINT) AS merge_rank, lhs, rhs FROM b$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCteSql(BpeN)}
+       |SELECT * FROM (
+       |  $ranks)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** tx_lm_score — corpus-trained bigram language-model scoring: the cheap
     * statistical stand-in for perplexity-based quality filtering (the CCNet
     * / Gopher recipe — score every doc under an n-gram LM trained on the
@@ -430,6 +559,7 @@ object TextAnalysis {
     "tx_tfidf"       -> tfidf,
     "tx_lm_score"    -> lmScore,
     "tx_pretokens"   -> pretokens,
+    "tx_bpe_train"   -> bpeTrainQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -444,5 +574,6 @@ object TextAnalysis {
     "tx_tfidf"       -> tfidfSql,
     "tx_lm_score"    -> lmScoreSql,
     "tx_pretokens"   -> pretokensSql,
+    "tx_bpe_train"   -> bpeTrainSql,
   )
 }

@@ -139,6 +139,33 @@ class PrivacySpec extends AnyFunSuite {
     assert(broken == 0, s"$broken docs did not round-trip through pretokenize")
   }
 
+  test("BPE training learns the classic merges and encodes a held-out word") {
+    // Sennrich-style fixture: low×5, lower×2, newest×6, widest×3.
+    // Hand-computed merge order with (count DESC, lhs, rhs) tie-breaks:
+    //   (e,s)=9 beats (s,t)=9 lexicographically; then (es,t)=9;
+    //   (l,o)=7 beats (o,w)=7; then (lo,w)=7; then (e,w)=6 beats
+    //   (n,e)=6 and (w,est)=6.
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(corpus, 5)
+      .as[(Long, String, String)].collect().toSeq
+    assert(merges == Seq(
+      (1L, "e", "s"), (2L, "es", "t"), (3L, "l", "o"),
+      (4L, "lo", "w"), (5L, "e", "w")))
+    // held-out word: "lowest" → l o w e s t → low est under these merges
+    val toks = TextAnalysis.bpeEncode(
+        Seq((99L, "lowest")).toDF("doc_id", "text"),
+        merges.map { case (_, l, r) => (l, r) })
+      .select($"bpe_toks").as[Seq[String]].head()
+    assert(toks == Seq("low", "est"))
+    // determinism across runs (fresh plan, same argmax path)
+    val again = TextAnalysis.bpeTrain(corpus, 5)
+      .as[(Long, String, String)].collect().toSeq
+    assert(again == merges)
+  }
+
   test("hash split is total, stable, and roughly 75/12.5/12.5") {
     val split = operators.Sampling.split3(spark, sf)
     val counts = split.groupBy($"split").count()
