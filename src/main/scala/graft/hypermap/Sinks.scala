@@ -134,7 +134,9 @@ object Sinks {
     * the Hadoop commit protocol — a crash can leave touched partitions
     * mixed old/new (re-running the same idempotent batch repairs them),
     * but never corrupts untouched partitions. Strictly better than the
-    * full-rewrite swap; production path remains a transactional format.
+    * full-rewrite swap. For snapshot-consistent readers during a crash
+    * window use [[upsertCommitted]], which commits the whole multi-bucket
+    * batch in one atomic manifest rename.
     *
     * Returns (matched/updated, inserted) like `upsert`.
     */
@@ -211,6 +213,196 @@ object Sinks {
   /** Read a table maintained by upsertBucketed without its layout column. */
   def readBucketed(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).drop("bucket")
+
+  // ----------------------------------------------------- manifest commit
+
+  /** Manifest-committed bucketed upsert — closes [[upsertBucketed]]'s one
+    * remaining gap: cross-bucket atomicity. The in-place variant flips
+    * touched buckets one rename at a time, so a crash mid-loop exposes a
+    * MIXED table (some buckets new, some old) until the idempotent batch
+    * is re-run. Here readers resolve data only through a manifest, so the
+    * whole multi-bucket batch commits in ONE atomic rename — the
+    * poor-man's Delta log.
+    *
+    * Layout under `dir`:
+    *   _MANIFEST                the committed snapshot: a header line
+    *                            `nBuckets keyCol`, then `bucket gen` lines
+    *   gen-<nonce>/bucket=K/…   immutable per-commit parquet data
+    *
+    * Commit protocol: write the merged touched buckets into a fresh gen
+    * dir; hsync a tmp manifest mapping touched buckets to the new gen
+    * (untouched entries unchanged); rename it over _MANIFEST via
+    * FileContext Rename.OVERWRITE (atomic on HDFS and POSIX); GC gen dirs
+    * the manifest no longer references. A crash anywhere before the
+    * rename leaves the previous snapshot fully intact (the orphan gen is
+    * swept on the next call); after the rename the new snapshot is
+    * complete. There is no observable mixed state.
+    *
+    * Reads stay pruned: the manifest maps each bucket to exactly one gen
+    * dir, so a point/bucket read opens only `gen/bucket=K` paths — the
+    * same file-skipping as the in-place layout, resolved through the
+    * snapshot instead of the live directory tree. Generations accumulate
+    * one per batch; when they exceed `maxGens` the commit folds the whole
+    * table into a single gen first (amortized O(table/maxGens) per batch —
+    * the same economics as Delta checkpoint compaction).
+    */
+  def upsertCommitted(spark: SparkSession, dir: String, updates: DataFrame,
+                      nBuckets: Int = 256, keyCol: String = "event_id",
+                      maxGens: Int = 16): (Long, Long) =
+    upsertCommittedImpl(spark, dir, updates, nBuckets, keyCol, maxGens,
+      crashBeforeCommit = false)
+
+  private[graft] final case class Manifest(
+      nBuckets: Int, keyCol: String, buckets: Map[Long, String])
+
+  private def manifestPath(dir: String) = new Path(dir, "_MANIFEST")
+
+  private[graft] def readManifest(spark: SparkSession, dir: String): Option[Manifest] = {
+    val p = manifestPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val Array(n, k) = lines.head.split(" ", 2)
+      val buckets = lines.tail.map { l =>
+        val Array(b, g) = l.split(" ", 2); (b.toLong, g)
+      }.toMap
+      Some(Manifest(n.toInt, k, buckets))
+    }
+  }
+
+  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new Path(dir, s"_MANIFEST.tmp-${System.nanoTime()}")
+    val fs = tmp.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    val body = (s"${m.nBuckets} ${m.keyCol}" +:
+      m.buckets.toSeq.sortBy(_._1).map { case (b, g) => s"$b $g" })
+      .mkString("", "\n", "\n")
+    out.write(body.getBytes("UTF-8"))
+    out.hsync() // durable before it can become the committed snapshot
+    out.close()
+    // atomic replace: readers see either the old or the new manifest
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+      .rename(tmp, manifestPath(dir), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Live data for `buckets` (all when None), WITH the bucket column. */
+  private def readLive(spark: SparkSession, dir: String, m: Manifest,
+                       buckets: Option[Seq[Long]]): DataFrame = {
+    val live = buckets match {
+      case Some(bs) => m.buckets.view.filterKeys(bs.toSet).toMap
+      case None     => m.buckets
+    }
+    require(live.nonEmpty, s"readLive: no committed data for $buckets in $dir")
+    live.groupBy(_._2).toSeq.sortBy(_._1).map { case (gen, bs) =>
+      val paths = bs.keys.toSeq.sorted.map(b => s"$dir/$gen/bucket=$b")
+      spark.read.option("basePath", s"$dir/$gen").parquet(paths: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Read a manifest-committed table without its layout column. */
+  def readCommitted(spark: SparkSession, dir: String): DataFrame = {
+    val m = readManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    readLive(spark, dir, m, None).drop("bucket")
+  }
+
+  /** Delete gen dirs and tmp manifests the committed snapshot does not
+    * reference — orphans from a crash between gen write and manifest
+    * rename, or superseded by a later commit. Safe at any time: readers
+    * only follow the manifest.
+    */
+  private def gcUnreferenced(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val referenced = readManifest(spark, dir).map(_.buckets.values.toSet)
+      .getOrElse(Set.empty)
+    fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if ((st.isDirectory && name.startsWith("gen-") && !referenced.contains(name)) ||
+          (!st.isDirectory && name.startsWith("_MANIFEST.tmp-")))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  private def bucketsWritten(spark: SparkSession, genPath: String): Seq[Long] = {
+    val p = new Path(genPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .collect { case st if st.isDirectory && st.getPath.getName.startsWith("bucket=") =>
+        st.getPath.getName.stripPrefix("bucket=").toLong }
+      .sorted
+  }
+
+  private[graft] def upsertCommittedImpl(
+      spark: SparkSession, dir: String, updates: DataFrame,
+      nBuckets: Int, keyCol: String, maxGens: Int,
+      crashBeforeCommit: Boolean): (Long, Long) = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    gcUnreferenced(spark, dir) // sweep any crashed commit's orphans
+    val bucketed = dedupeDeterministicBy(updates, keyCol)
+      .withColumn("bucket", bucketCol(keyCol, nBuckets))
+      .cache()
+    try {
+      val nUpdates = bucketed.count()
+      if (nUpdates == 0) return (0L, 0L)
+      val gen = s"gen-${System.nanoTime()}"
+      val genPath = s"$dir/$gen"
+      readManifest(spark, dir) match {
+        case None =>
+          bucketed.repartition(col("bucket"))
+            .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(genPath)
+          if (crashBeforeCommit) throw new RuntimeException("injected crash before commit")
+          writeManifest(spark, dir, Manifest(nBuckets, keyCol,
+            bucketsWritten(spark, genPath).map(_ -> gen).toMap))
+          (0L, nUpdates)
+        case Some(m) =>
+          require(m.nBuckets == nBuckets && m.keyCol == keyCol,
+            s"upsertCommitted layout mismatch for $dir: table has " +
+              s"nBuckets=${m.nBuckets}, keyCol=${m.keyCol}; caller passed " +
+              s"nBuckets=$nBuckets, keyCol=$keyCol")
+          val touched = bucketed.select("bucket").distinct()
+            .collect().map(_.getLong(0)).sorted.toSeq // ≤ nBuckets — driver-safe
+          val liveTouched = touched.filter(m.buckets.contains)
+          val existingTouched =
+            if (liveTouched.isEmpty) None
+            else Some(readLive(spark, dir, m, Some(liveTouched)))
+          val matched = existingTouched.fold(0L)(e =>
+            bucketed.join(e.select(keyCol), Seq(keyCol), "left_semi").count())
+          val merged = existingTouched.fold(bucketed: DataFrame)(e =>
+            bucketed.unionByName(
+              e.join(bucketed.select(keyCol), Seq(keyCol), "left_anti"),
+              allowMissingColumns = true))
+          merged.repartition(col("bucket"))
+            .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(genPath)
+          if (crashBeforeCommit) throw new RuntimeException("injected crash before commit")
+          writeManifest(spark, dir,
+            m.copy(buckets = m.buckets ++ touched.map(_ -> gen)))
+          gcUnreferenced(spark, dir)
+          compactIfNeeded(spark, dir, maxGens)
+          (matched, nUpdates - matched)
+      }
+    } finally bucketed.unpersist()
+  }
+
+  /** Fold every bucket into one fresh gen when the snapshot references
+    * more than `maxGens` generations — itself a manifest commit, so it
+    * inherits the same crash-safety.
+    */
+  private def compactIfNeeded(spark: SparkSession, dir: String, maxGens: Int): Unit = {
+    val m = readManifest(spark, dir).getOrElse(return)
+    if (m.buckets.values.toSet.size <= maxGens) return
+    val gen = s"gen-${System.nanoTime()}"
+    readLive(spark, dir, m, None).repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(s"$dir/$gen")
+    writeManifest(spark, dir, m.copy(buckets = m.buckets.keys.map(_ -> gen).toMap))
+    gcUnreferenced(spark, dir)
+  }
 
   /** The table's bucket layout, persisted as a hidden marker file so a
     * later upsert with a different nBuckets/keyCol fails fast instead of

@@ -98,4 +98,72 @@ class SinksSpec extends AnyFunSuite {
       Sinks.upsertBucketed(spark, dir, decoded, nBuckets = 16)
     }
   }
+
+  test("upsertCommitted is an idempotent LWW merge with manifest-pruned reads") {
+    val dir = freshDir()
+    val (m0, i0) = Sinks.upsertCommitted(spark, dir, decoded, nBuckets = 8)
+    assert((m0, i0) == (0L, 14L))
+    val (m1, i1) = Sinks.upsertCommitted(spark, dir, decoded, nBuckets = 8)
+    assert((m1, i1) == (14L, 0L))
+    assert(Sinks.readCommitted(spark, dir).count() == 14)
+    // one-row update: only its bucket moves to the new gen
+    val manifestBefore = Sinks.readManifest(spark, dir).get
+    val oneRow = decoded.where($"label" === "alice")
+      .withColumn("label", lit("alice-v2"))
+    val (m2, i2) = Sinks.upsertCommitted(spark, dir, oneRow, nBuckets = 8)
+    assert((m2, i2) == (1L, 0L))
+    val manifestAfter = Sinks.readManifest(spark, dir).get
+    val moved = manifestBefore.buckets.keySet.filter(b =>
+      manifestBefore.buckets(b) != manifestAfter.buckets(b))
+    assert(moved.size == 1, s"expected exactly 1 bucket to move gens, got $moved")
+    assert(Sinks.readCommitted(spark, dir).where($"label" === "alice-v2").count() == 1)
+    assert(Sinks.readCommitted(spark, dir).where($"label" === "alice").count() == 0)
+    assert(Sinks.readCommitted(spark, dir).count() == 14)
+    // layout mismatch refused
+    intercept[IllegalArgumentException] {
+      Sinks.upsertCommitted(spark, dir, decoded, nBuckets = 16)
+    }
+  }
+
+  test("upsertCommitted: crash before the manifest rename leaves the old " +
+       "snapshot fully visible; re-run applies the batch and sweeps orphans") {
+    val dir = freshDir()
+    Sinks.upsertCommitted(spark, dir, decoded, nBuckets = 8)
+    val before = Sinks.readCommitted(spark, dir)
+      .orderBy($"event_id").collect().toSeq
+    val mutated = decoded.withColumn("label",
+      when($"label" === "alice", "alice-v2").otherwise($"label"))
+    // kill between the gen write and the commit — the in-place variant's
+    // "between bucket swaps" window, except here nothing is exposed
+    intercept[RuntimeException] {
+      Sinks.upsertCommittedImpl(spark, dir, mutated, nBuckets = 8,
+        keyCol = "event_id", maxGens = 16, crashBeforeCommit = true)
+    }
+    assert(Sinks.readCommitted(spark, dir).orderBy($"event_id").collect().toSeq
+      == before, "reader saw a torn snapshot after a mid-commit crash")
+    // the redelivered batch commits fully and the orphan gen is GC'd
+    val (m2, i2) = Sinks.upsertCommitted(spark, dir, mutated, nBuckets = 8)
+    assert((m2, i2) == (14L, 0L))
+    assert(Sinks.readCommitted(spark, dir).where($"label" === "alice-v2").count() == 1)
+    val referenced = Sinks.readManifest(spark, dir).get.buckets.values.toSet
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-")).map(_.getName).toSet
+    assert(onDisk == referenced,
+      s"orphan gens not swept: on-disk=$onDisk referenced=$referenced")
+  }
+
+  test("upsertCommitted compacts generations past maxGens without changing data") {
+    val dir = freshDir()
+    Sinks.upsertCommitted(spark, dir, decoded, nBuckets = 8)
+    // 3 single-row batches with maxGens=2: each adds a gen, compaction folds
+    for (i <- 1 to 3) {
+      val oneRow = decoded.where($"label" === "alice")
+        .withColumn("label", lit(s"alice-v$i"))
+      Sinks.upsertCommitted(spark, dir, oneRow, nBuckets = 8, maxGens = 2)
+    }
+    val gens = Sinks.readManifest(spark, dir).get.buckets.values.toSet
+    assert(gens.size <= 2, s"compaction did not bound generations: $gens")
+    assert(Sinks.readCommitted(spark, dir).count() == 14)
+    assert(Sinks.readCommitted(spark, dir).where($"label" === "alice-v3").count() == 1)
+  }
 }
