@@ -329,6 +329,157 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ quality classifier
+
+  /** tx_clf_score — hashing-trick logistic quality scorer: the
+    * fastText-lite stand-in every quality-filter pipeline runs (train a
+    * tiny linear classifier on a labeled slice, score the whole corpus,
+    * keep the top). Features are token-frequency counts hashed into
+    * [[ClfD]] buckets (bias rides as pseudo-feature j = -1 with x = 1);
+    * training is [[ClfIters]] full-batch gradient steps of logistic
+    * regression over the labeled slice, all as DataFrame aggregations.
+    *
+    * Scale shape: feature extraction is one corpus scan (explode →
+    * map-side-combined count keyed (doc, bucket)); each training step
+    * touches only the labeled SLICE joined against a broadcast
+    * weight table of D+1 rows; scoring is one pass over the features
+    * with the same broadcast. At 100 TB the slice is the thing that
+    * stays small (human labels are expensive), and the feature table is
+    * a persisted artifact — nothing here collects or cross-joins the
+    * corpus.
+    *
+    * Cross-engine exactness (lloydCentroids discipline): the token→bucket
+    * hash is md5-hex-digit arithmetic (identical in both engines, no
+    * engine hash involved); x and every weight update are quantized to
+    * 6 dp, so the ~1e-15 noise from float summation order and libm exp
+    * differences is five orders of magnitude below the rounding
+    * granularity; labels derive from exact integer ratios. The DuckDB
+    * oracle re-runs the entire training as unrolled MATERIALIZED CTEs.
+    */
+  val ClfD = 64
+  val ClfIters = 3
+  val ClfLr = 0.5
+  val ClfSliceMax = 200L
+  val ClfLabelThresh = 0.04
+
+  private def clfBucket(tok: String): String =
+    s"CAST(((instr('0123456789abcdef', substr(md5($tok), 1, 1)) - 1) * 16 + " +
+      s"instr('0123456789abcdef', substr(md5($tok), 2, 1)) - 1) % $ClfD AS BIGINT)"
+
+  /** (doc_id, j, x): 6dp-quantized hashed token frequencies + bias row. */
+  def clfFeatures(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .withColumn("n", size(split(col("text"), " ")))
+      .select(col("doc_id"), col("n"), explode(split(col("text"), " ")).as("tok"))
+    toks
+      .withColumn("j", expr(clfBucket("tok")))
+      .groupBy(col("doc_id"), col("j"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("j"),
+        round(col("cnt") / col("n").cast("double"), 6).as("x"))
+      .unionByName(docs.select(col("doc_id"), lit(-1L).as("j"), lit(1.0).as("x")))
+  }
+
+  /** The gate's labeled slice: cheap stop-ratio quality proxy (a real
+    * pipeline plugs human labels into the same shape).
+    */
+  def clfLabels(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") < ClfSliceMax)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        when(size(expr(s"filter(toks, t -> t IN ($stopSqlList))")).cast("double")
+          / size(col("toks")).cast("double") >= ClfLabelThresh, 1.0)
+          .otherwise(0.0).as("y"))
+
+  /** Train on (doc_id, y) labels; returns the (j, w) weight table. */
+  def clfTrain(feats: DataFrame, labels: DataFrame): DataFrame = {
+    val spark = feats.sparkSession
+    val sliceFeats = feats.join(labels.select("doc_id"), Seq("doc_id"), "left_semi")
+    val ns = labels.agg(count(lit(1)).cast("double").as("ns"))
+    var w: DataFrame = spark.range(-1L, ClfD.toLong)
+      .select(col("id").as("j"), lit(0.0).as("w"))
+    for (_ <- 1 to ClfIters) {
+      val z = sliceFeats.join(broadcast(w), Seq("j"))
+        .groupBy(col("doc_id")).agg(sum(col("x") * col("w")).as("z"))
+      val g = z.join(labels, Seq("doc_id"))
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y")).as("g"))
+      val grad = sliceFeats.join(g, Seq("doc_id"))
+        .groupBy(col("j")).agg(sum(col("g") * col("x")).as("gs"))
+        .crossJoin(broadcast(ns))
+        .select(col("j"), (col("gs") / col("ns")).as("grad"))
+      w = w.join(grad, Seq("j"), "left")
+        .select(col("j"),
+          round(col("w") - lit(ClfLr) * coalesce(col("grad"), lit(0.0)), 6).as("w"))
+    }
+    w
+  }
+
+  /** Score every doc with a trained weight table. */
+  def clfScoreWith(feats: DataFrame, w: DataFrame): DataFrame =
+    feats.join(broadcast(w), Seq("j"))
+      .groupBy(col("doc_id"))
+      .agg(round(lit(1.0) / (lit(1.0) + exp(-sum(col("x") * col("w")))), 6)
+        .as("clf_score"))
+
+  private val clfCache = new graft.SessionCache[String]
+  val clfScore: Q = (s, d) => {
+    val feats = clfCache.getOrCompute(s, d)(
+      clfFeatures(tbl(s, d, "documents")).localCheckpoint(true))
+    val w = clfTrain(feats, clfLabels(tbl(s, d, "documents")))
+    clfScoreWith(feats, w).orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror: feature build, labels, and all [[ClfIters]] gradient
+    * steps unrolled as MATERIALIZED CTEs (w{t-1} is referenced twice per
+    * step — materialization stops exponential inlining, as in
+    * [[bpeCteSql]]).
+    */
+  val clfScoreSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH toks AS MATERIALIZED (
+              |  SELECT doc_id, n, unnest(toks) AS tok
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+              |               len(string_split(text, ' ')) AS n
+              |        FROM documents)),
+              |feats AS MATERIALIZED (
+              |  SELECT doc_id, j, round(count(*) / CAST(n AS DOUBLE), 6) AS x
+              |  FROM (SELECT doc_id, n, ${clfBucket("tok")} AS j FROM toks)
+              |  GROUP BY doc_id, j, n
+              |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM documents),
+              |lab AS MATERIALIZED (
+              |  SELECT doc_id,
+              |         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+              |                          t -> t IN ($stopSqlList))) AS DOUBLE)
+              |                / len(string_split(text, ' ')) >= $ClfLabelThresh
+              |              THEN 1.0 ELSE 0.0 END AS y
+              |  FROM documents WHERE doc_id < $ClfSliceMax),
+              |ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM lab),
+              |sf AS MATERIALIZED (SELECT f.* FROM feats f SEMI JOIN lab USING (doc_id)),
+              |w0 AS (SELECT unnest(range(-1, $ClfD)) AS j, 0.0 AS w)""".stripMargin
+    for (t <- 1 to ClfIters) {
+      sb ++= s""",
+                |z$t AS MATERIALIZED (
+                |  SELECT doc_id, sum(x * w) AS z
+                |  FROM sf JOIN w${t - 1} USING (j) GROUP BY doc_id),
+                |g$t AS MATERIALIZED (
+                |  SELECT doc_id, (1.0 / (1.0 + exp(-z)) - y) AS g
+                |  FROM z$t JOIN lab USING (doc_id)),
+                |w$t AS MATERIALIZED (
+                |  SELECT wp.j, round(wp.w - $ClfLr * coalesce(gr.grad, 0), 6) AS w
+                |  FROM w${t - 1} wp
+                |  LEFT JOIN (SELECT j, sum(g * x) / (SELECT ns FROM ns) AS grad
+                |             FROM sf JOIN g$t USING (doc_id) GROUP BY j) gr
+                |    USING (j))""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS clf_score
+              |FROM (SELECT doc_id, sum(x * w) AS z
+              |      FROM feats JOIN w$ClfIters USING (j) GROUP BY doc_id)
+              |ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
+
   // ------------------------------------------------------------------ BPE
 
   /** BPE vocabulary training — the merge-pair iteration that completes the
@@ -560,6 +711,7 @@ object TextAnalysis {
     "tx_lm_score"    -> lmScore,
     "tx_pretokens"   -> pretokens,
     "tx_bpe_train"   -> bpeTrainQ,
+    "tx_clf_score"   -> clfScore,
   )
 
   val oracles: Map[String, String] = Map(
@@ -575,5 +727,6 @@ object TextAnalysis {
     "tx_lm_score"    -> lmScoreSql,
     "tx_pretokens"   -> pretokensSql,
     "tx_bpe_train"   -> bpeTrainSql,
+    "tx_clf_score"   -> clfScoreSql,
   )
 }

@@ -139,6 +139,32 @@ class PrivacySpec extends AnyFunSuite {
     assert(broken == 0, s"$broken docs did not round-trip through pretokenize")
   }
 
+  test("hashing-trick classifier recalls planted spam labels") {
+    // 40 docs: 10 contain the marker token, labels = marker presence.
+    // After 3 gradient steps the marker bucket's weight should dominate,
+    // so every marker doc must outscore every clean doc.
+    val docs = (0 until 40).map { i =>
+      val base = s"filler words number ${i % 7} more filler text here"
+      (i.toLong, if (i % 4 == 0) s"$base zzspam zzspam zzspam" else base)
+    }.toDF("doc_id", "text")
+    val labels = docs.select($"doc_id",
+      when($"text".contains("zzspam"), 1.0).otherwise(0.0).as("y"))
+    val feats = TextAnalysis.clfFeatures(docs)
+    val w = TextAnalysis.clfTrain(feats, labels)
+    val scored = TextAnalysis.clfScoreWith(feats, w)
+      .join(labels, Seq("doc_id"))
+      .as[(Long, Double, Double)].collect().toSeq
+    val spamScores = scored.filter(_._3 == 1.0).map(_._2)
+    val cleanScores = scored.filter(_._3 == 0.0).map(_._2)
+    assert(spamScores.size == 10 && cleanScores.size == 30)
+    assert(spamScores.min > cleanScores.max,
+      s"classifier failed to separate: spam min=${spamScores.min} " +
+        s"clean max=${cleanScores.max}")
+    // determinism across two training runs
+    val w2 = TextAnalysis.clfTrain(feats, labels)
+    assert(w.orderBy($"j").collect().toSeq == w2.orderBy($"j").collect().toSeq)
+  }
+
   test("BPE training learns the classic merges and encodes a held-out word") {
     // Sennrich-style fixture: low×5, lower×2, newest×6, widest×3.
     // Hand-computed merge order with (count DESC, lhs, rhs) tie-breaks:
