@@ -32,27 +32,92 @@ object ZOrder {
     */
   val Bits = 8
 
-  /** Interleave the low [[Bits]] bits of two non-negative longs:
-    * z = Σᵢ ((x>>i)&1)·2^(2i) + ((y>>i)&1)·2^(2i+1). Callers normalize
-    * dimensions into [0, 2^Bits) first (bucketing preserves locality).
+  /** Interleave the low [[Bits]] bits of n non-negative longs: bit i of
+    * dimension k lands at position i·n + k. Callers normalize dimensions
+    * into [0, 2^Bits) first (bucketing preserves locality).
     */
-  def zvalue(x: Column, y: Column): Column =
-    (0 until Bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+  def zvalueN(dims: Seq[Column]): Column = {
+    require(dims.nonEmpty && dims.size * Bits <= 62,
+      s"zvalueN: ${dims.size} dims × $Bits bits must fit a long")
+    val n = dims.size
+    (0 until Bits).flatMap { i =>
+      dims.zipWithIndex.map { case (c, k) =>
+        shiftleft(shiftright(c, i).bitwiseAND(1), i * n + k)
+      }
     }.reduce(_ + _)
+  }
 
-  /** Write `df` z-clustered on two pre-bucketed dimension columns: range
-    * partition on the z-value (balanced files even under skew — range
-    * boundaries come from a sample), sort within partitions so row-group
-    * stats are tight, drop the helper column on disk.
+  /** 2-dim special case (x in even bits, y in odd). */
+  def zvalue(x: Column, y: Column): Column = zvalueN(Seq(x, y))
+
+  /** Add a Hilbert-curve index column for (x, y) in [0, 2^bits)² — the
+    * other classic space-filling layout key. Hilbert never takes the
+    * Morton curve's quadrant-boundary jumps (consecutive indices are
+    * always grid neighbors), which tightens per-file envelopes on box
+    * workloads at the cost of heavier key arithmetic. The canonical
+    * top-down bit algorithm (extract quadrant, accumulate
+    * s²·quadrant-rank, rotate the frame) unrolled over the bit levels.
+    *
+    * Shaped as a DataFrame transformer, not a Column: each level's
+    * (x, y, d) state must land in NAMED columns, because a single nested
+    * Column expression references the previous level's x and y several
+    * times and the tree (and its codegen) grows exponentially in `bits` —
+    * measured as a multi-minute analysis hang at 8 bits. Named attributes
+    * keep it linear, CollapseProject leaves multiply-referenced non-cheap
+    * aliases alone, and every level stays inside whole-stage codegen.
     */
+  def withHilbert(df: DataFrame, x: Column, y: Column, out: String,
+                  bits: Int = Bits): DataFrame = {
+    val n = 1L << bits
+    var cur = df
+      .withColumn("__hx", x.cast("long"))
+      .withColumn("__hy", y.cast("long"))
+      .withColumn(out, lit(0L))
+    var s = n >> 1
+    while (s > 0) {
+      cur = cur
+        .withColumn("__rx", when(col("__hx").bitwiseAND(s) > 0, 1L).otherwise(0L))
+        .withColumn("__ry", when(col("__hy").bitwiseAND(s) > 0, 1L).otherwise(0L))
+        .withColumn(out,
+          col(out) + lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        .withColumn("__ht", col("__hx"))
+        .withColumn("__hx",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(n - 1) - col("__hy")).otherwise(col("__hy")))
+            .otherwise(col("__hx")))
+        .withColumn("__hy",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(n - 1) - col("__ht")).otherwise(col("__ht")))
+            .otherwise(col("__hy")))
+      s >>= 1
+    }
+    cur.drop("__hx", "__hy", "__rx", "__ry", "__ht")
+  }
+
+  /** Write `df` clustered by an arbitrary curve key: range partition on
+    * the key (balanced files even under skew — range boundaries come from
+    * a sample), sort within partitions so row-group stats are tight, drop
+    * the helper column on disk.
+    */
+  def writeClustered(df: DataFrame, key: Column, path: String, files: Int): Unit =
+    df.withColumn("__k", key)
+      .repartitionByRange(files, col("__k"))
+      .sortWithinPartitions(col("__k"))
+      .drop("__k")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Morton layout on two pre-bucketed dimension columns. */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
                     path: String, files: Int): Unit =
-    df.withColumn("__z", zvalue(col(xCol), col(yCol)))
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    writeClustered(df, zvalue(col(xCol), col(yCol)), path, files)
+
+  /** Hilbert layout on two pre-bucketed dimension columns. */
+  def writeHilbertOrdered(df: DataFrame, xCol: String, yCol: String,
+                          path: String, files: Int): Unit =
+    withHilbert(df, col(xCol), col(yCol), "__k")
+      .repartitionByRange(files, col("__k"))
+      .sortWithinPartitions(col("__k"))
+      .drop("__k")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Gate: the z-curve over (user bucket, event bucket) on the events
@@ -79,11 +144,86 @@ object ZOrder {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** Gate: the 3-dim Morton curve over (user, event, value) buckets —
+    * verifies the n-dim interleave bit-for-bit.
+    */
+  val zorder3Curve: Q = (s, d) => {
+    val mask = (1 << Bits) - 1
+    tbl(s, d, "events")
+      .select(col("event_id"),
+        zvalueN(Seq(
+          col("user_id").bitwiseAND(mask),
+          col("event_id").bitwiseAND(mask),
+          // explicit floor: a bare double→long CAST truncates in Spark but
+          // ROUNDS in DuckDB — floor is the one spelling both agree on
+          floor(col("value")).cast("long").bitwiseAND(mask))).cast("long").as("zvalue3"))
+      .orderBy(col("event_id"))
+  }
+
+  val zorder3CurveSql: String = {
+    val mask = (1 << Bits) - 1
+    val terms = (0 until Bits).flatMap { i =>
+      Seq(s"(((x >> $i) & 1) << ${i * 3})",
+        s"(((y >> $i) & 1) << ${i * 3 + 1})",
+        s"(((z >> $i) & 1) << ${i * 3 + 2})")
+    }.mkString(" + ")
+    s"""SELECT event_id, CAST($terms AS BIGINT) AS zvalue3
+       |FROM (SELECT event_id, user_id & $mask AS x, event_id & $mask AS y,
+       |             CAST(floor(value) AS BIGINT) & $mask AS z
+       |      FROM events)
+       |ORDER BY event_id""".stripMargin
+  }
+
+  /** Gate: the Hilbert index over the same (user, event) buckets as
+    * ly_zorder — the unrolled rotate-and-accumulate levels mirrored in
+    * SQL so the curve arithmetic is hash-checked cross-engine.
+    */
+  val hilbertCurve: Q = (s, d) => {
+    val mask = (1 << Bits) - 1
+    withHilbert(tbl(s, d, "events"),
+      col("user_id").bitwiseAND(mask), col("event_id").bitwiseAND(mask), "hvalue")
+      .select(col("event_id"), col("hvalue").cast("long").as("hvalue"))
+      .orderBy(col("event_id"))
+  }
+
+  val hilbertCurveSql: String = {
+    val mask = (1 << Bits) - 1
+    val n = 1L << Bits
+    var inner =
+      s"""SELECT event_id, CAST(0 AS BIGINT) AS d,
+         |       CAST(user_id & $mask AS BIGINT) AS x,
+         |       CAST(event_id & $mask AS BIGINT) AS y
+         |FROM events""".stripMargin
+    var s0 = n >> 1
+    while (s0 > 0) {
+      inner =
+        s"""SELECT event_id,
+           |  d + ${s0 * s0} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+           |                         WHEN rx = 0 AND ry = 1 THEN 1
+           |                         WHEN rx = 1 AND ry = 1 THEN 2
+           |                         ELSE 3 END) AS d,
+           |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - y ELSE y END)
+           |       ELSE x END AS x,
+           |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - x ELSE x END)
+           |       ELSE y END AS y
+           |FROM (SELECT event_id, d, x, y,
+           |             CASE WHEN (x & $s0) > 0 THEN 1 ELSE 0 END AS rx,
+           |             CASE WHEN (y & $s0) > 0 THEN 1 ELSE 0 END AS ry
+           |      FROM ($inner))""".stripMargin
+      s0 >>= 1
+    }
+    s"SELECT event_id, d AS hvalue FROM ($inner) ORDER BY event_id"
+  }
+
   val queries: Map[String, Q] = Map(
-    "ly_zorder" -> zorderCurve,
+    "ly_zorder"  -> zorderCurve,
+    "ly_zorder3" -> zorder3Curve,
+    "ly_hilbert" -> hilbertCurve,
   )
 
   val oracles: Map[String, String] = Map(
-    "ly_zorder" -> zorderCurveSql,
+    "ly_zorder"  -> zorderCurveSql,
+    "ly_zorder3" -> zorder3CurveSql,
+    "ly_hilbert" -> hilbertCurveSql,
   )
 }

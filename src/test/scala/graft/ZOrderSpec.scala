@@ -26,6 +26,36 @@ class ZOrderSpec extends AnyFunSuite {
     assert(rows == Seq(0L, 1L, 2L, 3L, 0x5555L, 0xAAAAL, 0x6666L))
   }
 
+  test("zvalueN generalizes: 3-dim interleave known vectors, 2-dim case unchanged") {
+    val rows = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (255L, 0L, 0L))
+      .toDF("x", "y", "z")
+      .select(ZOrder.zvalueN(Seq($"x", $"y", $"z")).cast("long")).as[Long].collect().toSeq
+    // bit i of dim k -> position 3i+k; x=255 -> bits {0,3,...,21} = (8^8-1)/7
+    assert(rows == Seq(1L, 2L, 4L, (math.pow(8, 8).toLong - 1) / 7))
+    val two = Seq((170L, 85L)).toDF("x", "y")
+      .select(ZOrder.zvalueN(Seq($"x", $"y")).cast("long")).as[Long].head()
+    assert(two == 0x6666L) // identical to the 2-dim zvalue vector above
+  }
+
+  test("hilbertIndex is a bijective curve: 64x64 corner = indices 0..4095, " +
+       "consecutive indices are grid neighbors") {
+    val grid = ZOrder.withHilbert(
+        spark.range(64L * 64)
+          .select(($"id" % 64).as("x"), expr("id DIV 64").as("y")),
+        $"x", $"y", "h")
+      .select($"x", $"y", $"h")
+      .as[(Long, Long, Long)].collect().toSeq
+    // the (0,0)-quadrant of each recursion level is visited first, so the
+    // 64x64 corner of the 256x256 curve owns exactly indices 0..4095
+    assert(grid.map(_._3).sorted == (0L until 4096L).toSeq,
+      "hilbert indices of the corner subgrid are not a permutation of 0..4095")
+    val byH = grid.sortBy(_._3)
+    byH.sliding(2).foreach { case Seq((x0, y0, h0), (x1, y1, _)) =>
+      val dist = math.abs(x1 - x0) + math.abs(y1 - y0)
+      assert(dist == 1, s"curve jumps at h=$h0: ($x0,$y0)->($x1,$y1)")
+    }
+  }
+
   test("one z-layout prunes files on BOTH dims; a single-dim sort fails the other dim") {
     val events = Tables.events(spark, sf)
       .select($"event_id", $"user_id", $"event_type", $"value")
@@ -75,5 +105,19 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zX <= total / 2 && zY <= total / 2,
       s"z-order should prune both dims: x=$zX, y=$zY of $total")
     assert(aX <= total / 2, s"sanity: leading-dim pruning works in layout A: $aX")
+
+    // layout C: Hilbert on the same buckets — must also prune both dims;
+    // its no-jump locality should keep it at or under Morton's touch count
+    // on this box workload (PERF.md records the measured values)
+    ZOrder.writeHilbertOrdered(bucketed, "xb", "yb", s"$tmp/by_h", NFiles)
+    val hX = filesTouched(s"$tmp/by_h", x = (64, 95))
+    val hY = filesTouched(s"$tmp/by_h", y = (64, 95))
+    assert(hX <= total / 2 && hY <= total / 2,
+      s"hilbert should prune both dims: x=$hX, y=$hY of $total")
+    assert(hX + hY <= zX + zY + 2,
+      s"hilbert materially worse than morton on the box workload: " +
+        s"hilbert=($hX,$hY) morton=($zX,$zY)")
+    info(s"files touched of $total: morton x=$zX y=$zY, hilbert x=$hX y=$hY, " +
+      s"single-dim x=$aX y=$aY")
   }
 }
