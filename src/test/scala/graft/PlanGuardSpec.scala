@@ -38,8 +38,10 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
-  test("dimension joins broadcast the small side (s3, rj_range)") {
-    Seq("s3_dim_join", "rj_range").foreach { q =>
+  test("dimension joins broadcast the small side (s3, rj_range, clf weights)") {
+    // tx_clf_score: the corpus-side feature scan must join the 65-row
+    // weight table by broadcast hash, never shuffle the corpus for it
+    Seq("s3_dim_join", "rj_range", "tx_clf_score").foreach { q =>
       val bhj = planOf(q).collect { case j: BroadcastHashJoinExec => j }
       assert(bhj.nonEmpty, s"$q: expected a BroadcastHashJoin")
     }
@@ -59,9 +61,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // centroids per iteration — the same declared shape as ann_ivf_assign.
     // tx_lm_score joins the ONE-ROW vocabulary-size aggregate the same way
     // tx_tfidf joins its doc count.
+    // tx_clf_score joins the ONE-ROW labeled-slice count (gradient
+    // normalizer) per training step — the same 1-row-broadcast-NLJ class.
     val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign",
       "ann_ivf_search", "ann_kmeans_train", "cc_clusters", "cc_star",
-      "dd_canonical", "tx_tfidf", "tx_lm_score")
+      "dd_canonical", "tx_tfidf", "tx_lm_score", "tx_clf_score")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
