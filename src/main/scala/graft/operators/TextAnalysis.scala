@@ -625,6 +625,61 @@ object TextAnalysis {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  /** tx_bpe_encode — the ENCODE half of the tokenizer, oracle-checked
+    * end-to-end: train [[BpeN]] merges, apply them to every document, and
+    * report per-doc BPE token counts (the real token budget the 4-chars
+    * heuristic in [[tokens]] approximates). The trained merge table is
+    * collected once (N rows) and folded into a single codegen'd replace
+    * chain over the corpus scan — at 100 TB this is the one-pass
+    * tokenize-and-count every training-data pipeline runs. The oracle
+    * re-trains AND re-encodes in SQL (the train CTEs from [[bpeCteSql]]
+    * plus one replace level per merge over the pretoken stream).
+    */
+  // trained merge tables are per-corpus-snapshot artifacts: train once per
+  // (session, dir), reuse across encode calls (the IndexStore discipline,
+  // held as N driver rows since that's all a merge table is)
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(String, String)]]()
+
+  def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+    bpeMergeCache.keySet.removeIf(e => e._1.sparkContext.isStopped)
+    bpeMergeCache.computeIfAbsent((s, d), { _ =>
+      import s.implicits._
+      bpeTrain(tbl(s, d, "documents"), BpeN)
+        .as[(Long, String, String)].collect().toSeq // N rows — driver-bounded
+        .map { case (_, l, r) => (l, r) }
+    })
+  }
+
+  val bpeEncodeQ: Q = (s, d) =>
+    bpeEncode(tbl(s, d, "documents"), trainedMerges(s, d))
+      .groupBy(col("doc_id"))
+      .agg(sum(size(col("bpe_toks"))).cast("long").as("n_bpe"))
+      .orderBy(col("doc_id"))
+
+  val bpeEncodeSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ${bpeCteSql(BpeN)},
+              |e0 AS MATERIALIZED (
+              |  SELECT doc_id,
+              |         regexp_replace(w, '(?s)(.)', chr(1) || '\\1' || chr(2), 'g') AS wrapped
+              |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '${PretokenRe.replace("'", "''")}')) AS w
+              |        FROM documents))""".stripMargin
+    for (t <- 1 to BpeN) {
+      sb ++= s""",
+                |e$t AS MATERIALIZED (
+                |  SELECT doc_id, replace(wrapped, chr(1) || lhs || chr(2) || chr(1) || rhs || chr(2),
+                |                         chr(1) || lhs || rhs || chr(2)) AS wrapped
+                |  FROM e${t - 1} CROSS JOIN b$t)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT doc_id,
+              |       CAST(sum(len(string_split(substr(wrapped, 2, length(wrapped) - 2),
+              |                                 chr(2) || chr(1)))) AS BIGINT) AS n_bpe
+              |FROM e$BpeN GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
+
   /** tx_lm_score — corpus-trained bigram language-model scoring: the cheap
     * statistical stand-in for perplexity-based quality filtering (the CCNet
     * / Gopher recipe — score every doc under an n-gram LM trained on the
@@ -727,6 +782,7 @@ object TextAnalysis {
     "tx_lm_score"    -> lmScore,
     "tx_pretokens"   -> pretokens,
     "tx_bpe_train"   -> bpeTrainQ,
+    "tx_bpe_encode"  -> bpeEncodeQ,
     "tx_clf_score"   -> clfScore,
   )
 
@@ -743,6 +799,7 @@ object TextAnalysis {
     "tx_lm_score"    -> lmScoreSql,
     "tx_pretokens"   -> pretokensSql,
     "tx_bpe_train"   -> bpeTrainSql,
+    "tx_bpe_encode"  -> bpeEncodeSql,
     "tx_clf_score"   -> clfScoreSql,
   )
 }
