@@ -311,6 +311,29 @@ object Sinks {
     readLive(spark, dir, m, None).drop("bucket")
   }
 
+  /** Point lookup against a manifest-committed table: hash the keys to
+    * their buckets (the same expression the write path uses, so the two
+    * can never drift) and open ONLY those gen/bucket paths — at 256
+    * buckets a single-key lookup reads 1/256th of the table's files by
+    * construction, no matter how many generations the snapshot spans.
+    * This is the reference's indexed `findOne` (actions.ts point reads)
+    * re-expressed as manifest-resolved file pruning.
+    */
+  def lookupCommitted(spark: SparkSession, dir: String,
+                      keys: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val m = readManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    val buckets = keys.toDF(m.keyCol)
+      .select(bucketCol(m.keyCol, m.nBuckets)).as[Long].collect().toSeq.distinct
+    val live = buckets.filter(m.buckets.contains)
+    if (live.isEmpty) return readLive(spark, dir, m, None)
+      .where(lit(false)).drop("bucket") // keys hash only to absent buckets
+    readLive(spark, dir, m, Some(live))
+      .where(col(m.keyCol).isin(keys: _*))
+      .drop("bucket")
+  }
+
   /** Delete gen dirs and tmp manifests the committed snapshot does not
     * reference — orphans from a crash between gen write and manifest
     * rename, or superseded by a later commit. Safe at any time: readers

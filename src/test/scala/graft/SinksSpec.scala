@@ -152,6 +152,27 @@ class SinksSpec extends AnyFunSuite {
       s"orphan gens not swept: on-disk=$onDisk referenced=$referenced")
   }
 
+  test("lookupCommitted opens only the keys' bucket paths") {
+    val dir = freshDir()
+    Sinks.upsertCommitted(spark, dir, decoded, nBuckets = 8)
+    val key = decoded.select($"event_id").as[String].head()
+    val hit = Sinks.lookupCommitted(spark, dir, Seq(key))
+    assert(hit.count() == 1)
+    assert(hit.select($"event_id").as[String].head() == key)
+    // pruning is structural: the plan's input files cover exactly the
+    // buckets the keys hash to, not the whole table
+    val expected = Seq(key).toDF("event_id")
+      .select(Sinks.bucketCol("event_id", 8)).as[Long].collect().toSet
+    val openedBuckets = hit.inputFiles
+      .map(f => "bucket=(\\d+)".r.findFirstMatchIn(f).get.group(1).toLong).toSet
+    assert(openedBuckets == expected,
+      s"lookup opened buckets $openedBuckets, keys hash to $expected")
+    assert(hit.inputFiles.length < Sinks.readCommitted(spark, dir).inputFiles.length,
+      "lookup did not prune below a full-table read")
+    // a key hashing to a bucket with no data returns empty, not an error
+    assert(Sinks.lookupCommitted(spark, dir, Seq("no-such-key")).count() == 0)
+  }
+
   test("upsertCommitted compacts generations past maxGens without changing data") {
     val dir = freshDir()
     Sinks.upsertCommitted(spark, dir, decoded, nBuckets = 8)
