@@ -195,29 +195,54 @@ object Dedup {
     */
   val DupK = 5
 
-  def dupNgramStats(docs: DataFrame): DataFrame = {
-    // k shifted slices zipped, not transform(sequence, λ) — higher-order
-    // functions are CodegenFallback (interpreted); measured 2.7× slower.
+  /** (doc_id, start, gram) k-gram occurrences — k shifted slices zipped,
+    * not transform(sequence, λ): higher-order functions are
+    * CodegenFallback (interpreted); measured 2.7× slower.
+    */
+  private def dupGramsWithStart(docs: DataFrame): DataFrame = {
     val slices = (0 until DupK).map(i =>
       slice(col("toks"), lit(i + 1), size(col("toks")) - (DupK - 1)))
     val gramCols = (0 until DupK).map(i => col(s"z.$i"))
-    val grams = docs
+    docs
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= DupK)
-      .select(col("doc_id"), explode(arrays_zip(slices: _*)).as("z"))
-      .select(col("doc_id"), concat_ws(" ", gramCols: _*).as("gram"))
-    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
-    grams.join(counts, Seq("gram"))
+      .select(col("doc_id"), posexplode(arrays_zip(slices: _*)).as(Seq("start", "z")))
+      .select(col("doc_id"), col("start"), concat_ws(" ", gramCols: _*).as("gram"))
+  }
+
+  /** The DUPLICATED-gram count table (n ≥ 2 only) — the shared artifact
+    * both dup-scoring and span-removal consume. O(duplicated distinct
+    * grams), a strict subset of the full gram-count table, and like the
+    * LM counts a per-corpus-snapshot build: the Q wrappers memoize it per
+    * (session, dir) so scorer and remover run against ONE materialized
+    * count pass instead of each re-exploding the corpus.
+    */
+  def dupGramCounts(docs: DataFrame): DataFrame =
+    dupGramsWithStart(docs)
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+
+  private val dupGramCache = new graft.SessionCache[String]
+  private def cachedDupCounts(s: SparkSession, d: String): DataFrame =
+    dupGramCache.getOrCompute(s, d)(
+      dupGramCounts(tbl(s, d, "documents")).localCheckpoint(true))
+
+  def dupNgramStats(docs: DataFrame,
+                    counts: Option[DataFrame] = None): DataFrame = {
+    val c = counts.getOrElse(dupGramCounts(docs))
+    // left join against the n≥2 artifact: a unique gram simply misses
+    dupGramsWithStart(docs).join(c, Seq("gram"), "left")
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_grams"),
-        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        sum(when(col("n").isNotNull, 1L).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_grams").cast("double"), 6)
           .as("dup_frac"))
   }
 
   val dupNgrams: Q = (s, d) =>
-    dupNgramStats(tbl(s, d, "documents")).orderBy(col("doc_id"))
+    dupNgramStats(tbl(s, d, "documents"), Some(cachedDupCounts(s, d)))
+      .orderBy(col("doc_id"))
 
   val dupNgramsSql: String =
     s"""WITH g AS (
@@ -252,21 +277,13 @@ object Dedup {
     * comes out as the empty string, not a dropped row, so the output stays
     * row-aligned with the input corpus.
     */
-  def spanRemoval(docs: DataFrame): DataFrame = {
+  def spanRemoval(docs: DataFrame,
+                  counts: Option[DataFrame] = None): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val toks = base.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val slices = (0 until DupK).map(i =>
-      slice(col("toks"), lit(i + 1), size(col("toks")) - (DupK - 1)))
-    val gramCols = (0 until DupK).map(i => col(s"z.$i"))
-    val grams = base
-      .withColumn("toks", split(col("text"), " "))
-      .where(size(col("toks")) >= DupK)
-      .select(col("doc_id"), posexplode(arrays_zip(slices: _*)).as(Seq("start", "z")))
-      .select(col("doc_id"), col("start"), concat_ws(" ", gramCols: _*).as("gram"))
-    val dupOcc = grams.join(
-      grams.groupBy(col("gram")).agg(count(lit(1)).as("n")).where(col("n") >= 2),
-      Seq("gram"))
+    val dupOcc = dupGramsWithStart(base)
+      .join(counts.getOrElse(dupGramCounts(base)), Seq("gram"))
     val covered = dupOcc
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + lit(DupK - 1))).as("pos"))
@@ -290,7 +307,8 @@ object Dedup {
   }
 
   val spanRemovalQ: Q = (s, d) =>
-    spanRemoval(tbl(s, d, "documents")).orderBy(col("doc_id"))
+    spanRemoval(tbl(s, d, "documents"), Some(cachedDupCounts(s, d)))
+      .orderBy(col("doc_id"))
 
   val spanRemovalSql: String =
     s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),

@@ -391,7 +391,11 @@ object TextAnalysis {
           / size(col("toks")).cast("double") >= ClfLabelThresh, 1.0)
           .otherwise(0.0).as("y"))
 
-  /** Train on (doc_id, y) labels; returns the (j, w) weight table. */
+  /** Train on (doc_id, y) labels; returns the (j, w) weight table. The
+    * label slice is read three times per gradient step (z-join, g-join,
+    * normalizer) — pass a materialized frame (the gate serves it from the
+    * session cache) so those reads hit blocks, not corpus re-scans.
+    */
   def clfTrain(feats: DataFrame, labels: DataFrame): DataFrame = {
     val spark = feats.sparkSession
     val sliceFeats = feats.join(labels.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -423,11 +427,13 @@ object TextAnalysis {
         .as("clf_score"))
 
   private val clfCache = new graft.SessionCache[String]
+  private val clfLabelCache = new graft.SessionCache[String]
   val clfScore: Q = (s, d) => {
     val feats = clfCache.getOrCompute(s, d)(
       clfFeatures(tbl(s, d, "documents")).localCheckpoint(true))
-    val w = clfTrain(feats, clfLabels(tbl(s, d, "documents")))
-    clfScoreWith(feats, w).orderBy(col("doc_id"))
+    val labels = clfLabelCache.getOrCompute(s, d)(
+      clfLabels(tbl(s, d, "documents")).localCheckpoint(true))
+    clfScoreWith(feats, clfTrain(feats, labels)).orderBy(col("doc_id"))
   }
 
   /** DuckDB mirror: feature build, labels, and all [[ClfIters]] gradient
