@@ -124,6 +124,44 @@ object Tail {
       .start()
   }
 
+  /** startWithEntriesBucketed with snapshot-consistent readers: the
+    * entries table lives behind Sinks.upsertCommitted's manifest, so a
+    * reader concurrent with (or interrupted by) a micro-batch sees either
+    * the previous or the next complete snapshot — never the mid-swap mix
+    * the in-place bucketed layout can expose. Same O(touched-bucket)
+    * write cost; read the table back with `Sinks.readCommitted`.
+    */
+  def startWithEntriesCommitted(spark: SparkSession, rawDir: String, eventsDir: String,
+                                entriesDir: String, checkpointDir: String,
+                                trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+                                blocks: Option[DataFrame] = None,
+                                nBuckets: Int = 256): StreamingQuery = {
+    val raw = spark.readStream.schema(Schemas.rawLogs).json(rawDir)
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val decoded = Decode.decode(batch, blocks).cache()
+        try {
+          val inserted = Sinks.insertIfAbsent(spark, eventsDir, decoded)
+          if (inserted > 0 && Sinks.exists(spark, eventsDir)) {
+            val allEvents = spark.read.parquet(eventsDir)
+            val prev =
+              if (Sinks.readManifest(spark, entriesDir).isDefined)
+                Sinks.readCommitted(spark, entriesDir)
+              else spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.entries)
+            val (_, refreshed) =
+              EntriesFold.incrementalDelta(allEvents, prev, decoded)
+            Sinks.upsertCommitted(spark, entriesDir, refreshed,
+              nBuckets = nBuckets, keyCol = "namehash")
+          }
+        } finally decoded.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** ST7 — progress reporting (index-events.ts:150-155's 15 s ticker):
     * a StreamingQueryListener invoking `onProgress` with (batchId,
     * numInputRows) per completed micro-batch. Returns the listener so

@@ -111,6 +111,32 @@ class StreamingSpec extends AnyFunSuite {
       canon(rebuilt).exceptAll(canon(streamedEntries)).isEmpty)
   }
 
+  test("manifest-committed entries tail converges to the batch rebuild") {
+    val base = Files.createTempDirectory("graft-stream-committed")
+    val rawDir = base.resolve("raw").toString
+    new java.io.File(rawDir).mkdirs()
+    val all = Fixtures.goldenLogs
+    Fixtures.toDF(spark, all.take(8)).coalesce(1).write.json(rawDir + "/b1")
+    val q = Tail.startWithEntriesCommitted(spark, rawDir + "/*/",
+      base.resolve("ev").toString, base.resolve("en").toString,
+      base.resolve("ck").toString, trigger = Trigger.ProcessingTime("1 second"),
+      nBuckets = 8)
+    q.processAllAvailable()
+    Fixtures.toDF(spark, all.drop(8)).coalesce(1).write.json(rawDir + "/b2")
+    q.processAllAvailable()
+    q.stop()
+    val streamedEntries = graft.hypermap.Sinks.readCommitted(
+      spark, base.resolve("en").toString)
+    val rebuilt = EntriesFold.fold(Decode.decode(Fixtures.toDF(spark, all)))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("children", sort_array($"children"))
+      .withColumn("notes", sort_array(map_entries($"notes")))
+      .withColumn("facts", sort_array(map_entries($"facts")))
+      .select(rebuilt.columns.sorted.map(col).toIndexedSeq: _*)
+    assert(canon(streamedEntries).exceptAll(canon(rebuilt)).isEmpty &&
+      canon(rebuilt).exceptAll(canon(streamedEntries)).isEmpty)
+  }
+
   test("ST7 progress listener reports batch input rows") {
     val base = Files.createTempDirectory("graft-stream-progress")
     val rawDir = base.resolve("raw").toString
