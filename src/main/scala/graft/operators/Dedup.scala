@@ -223,7 +223,7 @@ object Dedup {
       .where(col("n") >= 2)
 
   private val dupGramCache = new graft.SessionCache[String]
-  private def cachedDupCounts(s: SparkSession, d: String): DataFrame =
+  private[operators] def cachedDupCounts(s: SparkSession, d: String): DataFrame =
     dupGramCache.getOrCompute(s, d)(
       dupGramCounts(tbl(s, d, "documents")).localCheckpoint(true))
 

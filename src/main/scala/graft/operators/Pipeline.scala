@@ -158,13 +158,47 @@ object Pipeline {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS seq_id
        |FROM mixed ORDER BY doc_id""".stripMargin
 
+  /** pl_distill — span-level dedup composed into the pipeline: remove
+    * corpus-duplicated 5-gram spans from every doc (Dedup.spanRemoval,
+    * served by the shared memoized dup-gram artifact), drop docs that
+    * are too short or lost half their content to duplication, and report
+    * the per-language distilled token budget. The shape a pretrain data
+    * refresh runs after ingesting a scrape: one corpus scan + the
+    * artifact join, one groupBy — removal composes with the report
+    * instead of materializing an intermediate cleaned table.
+    */
+  val distill: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val cleaned = Dedup.spanRemoval(docs, Some(Dedup.cachedDupCounts(s, d)))
+    cleaned
+      .where(col("n_toks") >= 10L && col("n_removed") * 2 < col("n_toks"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks") - col("n_removed")).as("kept_tokens"),
+        round(avg(col("n_removed").cast("double") / col("n_toks").cast("double")), 6)
+          .as("avg_removed_frac"))
+      .orderBy(col("lang"))
+  }
+  val distillSql: String = {
+    val sr = Dedup.spanRemovalSql.stripSuffix(" ORDER BY doc_id")
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_toks - n_removed) AS BIGINT) AS kept_tokens,
+       |  round(avg(CAST(n_removed AS DOUBLE) / n_toks), 6) AS avg_removed_frac
+       |FROM ($sr) sr JOIN documents USING (doc_id)
+       |WHERE n_toks >= 10 AND n_removed * 2 < n_toks
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "pl_corpus_clean" -> corpusClean,
     "pl_funnel"       -> funnel,
-    "pl_pretrain"     -> pretrain)
+    "pl_pretrain"     -> pretrain,
+    "pl_distill"      -> distill)
 
   val oracles: Map[String, String] = Map(
     "pl_corpus_clean" -> corpusCleanSql,
     "pl_funnel"       -> funnelSql,
-    "pl_pretrain"     -> pretrainSql)
+    "pl_pretrain"     -> pretrainSql,
+    "pl_distill"      -> distillSql)
 }
