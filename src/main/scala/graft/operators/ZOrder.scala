@@ -106,6 +106,68 @@ object ZOrder {
       .drop("__k")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** n-dimensional Hilbert index via Skilling's transpose algorithm
+    * (Skilling 2004, "Programming the Hilbert curve" — the standard
+    * public formulation): per bit level, each axis conditionally inverts
+    * or exchanges low bits against axis 0 ("inverse undo"), then a Gray
+    * encode and a parity correction, and the transposed coordinates
+    * interleave into the index (axis 0 most significant per level). Same
+    * named-column-per-step discipline as [[withHilbert]] — every step is
+    * a handful of integer/CASE projections inside whole-stage codegen.
+    * The 2-dim special case traces a valid Hilbert curve but in a
+    * different orientation than [[withHilbert]]'s canonical rotate form;
+    * both satisfy the bijectivity + unit-step property ZOrderSpec
+    * asserts.
+    */
+  def withHilbertN(df: DataFrame, dims: Seq[Column], out: String,
+                   bits: Int = Bits): DataFrame = {
+    val n = dims.size
+    require(n >= 2 && n * bits <= 62, s"withHilbertN: $n dims × $bits bits must fit a long")
+    var cur = df
+    for (i <- 0 until n) cur = cur.withColumn(s"__x$i", dims(i).cast("long"))
+    // inverse undo: from the top bit down, invert or exchange against axis 0
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      for (i <- 0 until n) {
+        cur = cur
+          .withColumn("__b", col(s"__x$i").bitwiseAND(q) > 0)
+          .withColumn("__t", col("__x0").bitwiseXOR(col(s"__x$i")).bitwiseAND(p))
+          .withColumn("__n0",
+            when(col("__b"), col("__x0").bitwiseXOR(p))
+              .otherwise(col("__x0").bitwiseXOR(col("__t"))))
+          .withColumn("__ni",
+            when(col("__b"), col(s"__x$i"))
+              .otherwise(col(s"__x$i").bitwiseXOR(col("__t"))))
+        cur = cur.withColumn("__x0", col("__n0"))
+        if (i != 0) cur = cur.withColumn(s"__x$i", col("__ni"))
+      }
+      q >>= 1
+    }
+    // Gray encode (sequential: each axis folds in its predecessor's NEW value)
+    for (i <- 1 until n) cur = cur
+      .withColumn(s"__x$i", col(s"__x$i").bitwiseXOR(col(s"__x${i - 1}")))
+    // parity correction from the last axis's bits
+    var tExpr: Column = lit(0L)
+    q = 1L << (bits - 1)
+    while (q > 1) {
+      tExpr = tExpr.bitwiseXOR(
+        when(col(s"__x${n - 1}").bitwiseAND(q) > 0, q - 1).otherwise(0L))
+      q >>= 1
+    }
+    cur = cur.withColumn("__gt", tExpr)
+    for (i <- 0 until n) cur = cur
+      .withColumn(s"__x$i", col(s"__x$i").bitwiseXOR(col("__gt")))
+    // interleave the transposed coords: bit q of axis i → position q·n + (n−1−i)
+    val d = (0 until bits).flatMap { qq =>
+      (0 until n).map { i =>
+        shiftleft(shiftright(col(s"__x$i"), qq).bitwiseAND(1), qq * n + (n - 1 - i))
+      }
+    }.reduce(_ + _)
+    cur.withColumn(out, d)
+      .drop(((0 until n).map(i => s"__x$i") ++ Seq("__b", "__t", "__n0", "__ni", "__gt")): _*)
+  }
+
   /** Morton layout on two pre-bucketed dimension columns. */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
                     path: String, files: Int): Unit =
@@ -215,15 +277,83 @@ object ZOrder {
     s"SELECT event_id, d AS hvalue FROM ($inner) ORDER BY event_id"
   }
 
+  /** Gate: the 3-dim Skilling Hilbert index over (user, event, value)
+    * buckets — every transpose step mirrored in SQL.
+    */
+  val hilbert3Curve: Q = (s, d) => {
+    val mask = (1 << Bits) - 1
+    withHilbertN(tbl(s, d, "events"),
+      Seq(col("user_id").bitwiseAND(mask),
+        col("event_id").bitwiseAND(mask),
+        floor(col("value")).cast("long").bitwiseAND(mask)), "hvalue3")
+      .select(col("event_id"), col("hvalue3").cast("long").as("hvalue3"))
+      .orderBy(col("event_id"))
+  }
+
+  /** SQL mirror of [[withHilbertN]] for n=3: one chained subquery per
+    * transpose step (linear chain, each level referenced once — no
+    * MATERIALIZED needed), xor via DuckDB's xor(). Generated from the
+    * same (Bits, n) so the engines can't drift.
+    */
+  val hilbert3CurveSql: String = {
+    val n = 3
+    val mask = (1 << Bits) - 1
+    val axes = (0 until n).map(i => s"x$i")
+    var inner =
+      s"""SELECT event_id,
+         |       CAST(user_id & $mask AS BIGINT) AS x0,
+         |       CAST(event_id & $mask AS BIGINT) AS x1,
+         |       CAST(floor(value) AS BIGINT) & $mask AS x2
+         |FROM events""".stripMargin
+    def level(selects: Seq[String]): Unit =
+      inner = s"SELECT event_id, ${selects.mkString(", ")}\nFROM ($inner)"
+    var q = 1L << (Bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      for (i <- 0 until n) {
+        val cond = s"(x$i & $q) > 0"
+        val t = s"(xor(x0, x$i) & $p)"
+        level(axes.map {
+          case "x0" => s"CASE WHEN $cond THEN xor(x0, $p) ELSE xor(x0, $t) END AS x0"
+          case a if a == s"x$i" =>
+            s"CASE WHEN $cond THEN x$i ELSE xor(x$i, $t) END AS x$i"
+          case a => a
+        })
+      }
+      q >>= 1
+    }
+    for (i <- 1 until n) // sequential Gray fold, one level per axis
+      level(axes.map { case a if a == s"x$i" => s"xor(x$i, x${i - 1}) AS x$i"; case a => a })
+    val gtTerms = {
+      var terms = Seq.empty[String]
+      var qq = 1L << (Bits - 1)
+      while (qq > 1) {
+        terms :+= s"CASE WHEN (x${n - 1} & $qq) > 0 THEN ${qq - 1} ELSE 0 END"
+        qq >>= 1
+      }
+      terms.reduce((a, b) => s"xor($a, $b)")
+    }
+    level(axes :+ s"$gtTerms AS gt")
+    level(axes.map(a => s"xor($a, gt) AS $a"))
+    val interleave = (0 until Bits).flatMap { qq =>
+      (0 until n).map(i => s"(((x$i >> $qq) & 1) << ${qq * n + (n - 1 - i)})")
+    }.mkString(" + ")
+    s"""SELECT event_id, CAST($interleave AS BIGINT) AS hvalue3
+       |FROM ($inner)
+       |ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "ly_zorder"  -> zorderCurve,
-    "ly_zorder3" -> zorder3Curve,
-    "ly_hilbert" -> hilbertCurve,
+    "ly_zorder"   -> zorderCurve,
+    "ly_zorder3"  -> zorder3Curve,
+    "ly_hilbert"  -> hilbertCurve,
+    "ly_hilbert3" -> hilbert3Curve,
   )
 
   val oracles: Map[String, String] = Map(
-    "ly_zorder"  -> zorderCurveSql,
-    "ly_zorder3" -> zorder3CurveSql,
-    "ly_hilbert" -> hilbertCurveSql,
+    "ly_zorder"   -> zorderCurveSql,
+    "ly_zorder3"  -> zorder3CurveSql,
+    "ly_hilbert"  -> hilbertCurveSql,
+    "ly_hilbert3" -> hilbert3CurveSql,
   )
 }

@@ -56,6 +56,37 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("withHilbertN is a bijective unit-step curve over the FULL space (3 dims, 2 dims)") {
+    // bits=4 → the whole 16³ cube: indices must be a permutation of
+    // 0..4095 and consecutive indices must be grid neighbors — no
+    // corner-subcube assumption needed, this is the entire domain
+    val cube = ZOrder.withHilbertN(
+        spark.range(16L * 16 * 16).select(
+          ($"id" % 16).as("x"),
+          (expr("id DIV 16") % 16).as("y"),
+          expr("id DIV 256").as("z")),
+        Seq($"x", $"y", $"z"), "h", bits = 4)
+      .select($"x", $"y", $"z", $"h")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(cube.map(_._4).sorted == (0L until 4096L).toSeq,
+      "3-dim hilbert is not a bijection onto 0..4095")
+    cube.sortBy(_._4).sliding(2).foreach {
+      case Seq((x0, y0, z0, h0), (x1, y1, z1, _)) =>
+        val dist = math.abs(x1 - x0) + math.abs(y1 - y0) + math.abs(z1 - z0)
+        assert(dist == 1, s"3-dim curve jumps at h=$h0: ($x0,$y0,$z0)->($x1,$y1,$z1)")
+    }
+    // 2-dim sanity on the same implementation (full 16x16 space)
+    val sq = ZOrder.withHilbertN(
+        spark.range(16L * 16).select(($"id" % 16).as("x"), expr("id DIV 16").as("y")),
+        Seq($"x", $"y"), "h", bits = 4)
+      .select($"x", $"y", $"h").as[(Long, Long, Long)].collect().toSeq
+    assert(sq.map(_._3).sorted == (0L until 256L).toSeq)
+    sq.sortBy(_._3).sliding(2).foreach { case Seq((x0, y0, h0), (x1, y1, _)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"2-dim skilling curve jumps at h=$h0")
+    }
+  }
+
   test("one z-layout prunes files on BOTH dims; a single-dim sort fails the other dim") {
     val events = Tables.events(spark, sf)
       .select($"event_id", $"user_id", $"event_type", $"value")
