@@ -87,6 +87,43 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("3-dim layouts prune every dimension; Hilbert stays at or under Morton") {
+    val events = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"value")
+      .withColumn("xb", ($"user_id" * 17).bitwiseAND(255))
+      .withColumn("yb", shiftright($"event_id", 2).bitwiseAND(255))
+      .withColumn("zb", floor($"value").cast("long").bitwiseAND(255))
+    val tmp = Files.createTempDirectory("zorder3").toString
+    ZOrder.writeClustered(events,
+      ZOrder.zvalueN(Seq($"xb", $"yb", $"zb")), s"$tmp/by_z3", NFiles)
+    ZOrder.withHilbertN(events, Seq($"xb", $"yb", $"zb"), "__k")
+      .repartitionByRange(NFiles, $"__k").sortWithinPartitions($"__k").drop("__k")
+      .write.mode("overwrite").parquet(s"$tmp/by_h3")
+
+    def touched(path: String, dim: String): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(dim)).as("lo"), max(col(dim)).as("hi"))
+        .where($"hi" >= 64 && $"lo" <= 95)
+        .count()
+    def total(path: String): Long =
+      spark.read.parquet(path).select(input_file_name()).distinct().count()
+
+    for (path <- Seq(s"$tmp/by_z3", s"$tmp/by_h3")) {
+      val n = total(path)
+      for (dim <- Seq("xb", "yb", "zb")) {
+        val t = touched(path, dim)
+        assert(t < n, s"$path: no pruning on $dim ($t of $n)")
+      }
+    }
+    val z3 = Seq("xb", "yb", "zb").map(touched(s"$tmp/by_z3", _)).sum
+    val h3 = Seq("xb", "yb", "zb").map(touched(s"$tmp/by_h3", _)).sum
+    assert(h3 <= z3 + 3,
+      s"3-dim hilbert materially worse than morton: hilbert=$h3 morton=$z3")
+    info(s"3-dim files touched (sum over 3 slab queries): morton=$z3 hilbert=$h3 " +
+      s"of ${total(s"$tmp/by_z3")} files")
+  }
+
   test("one z-layout prunes files on BOTH dims; a single-dim sort fails the other dim") {
     val events = Tables.events(spark, sf)
       .select($"event_id", $"user_id", $"event_type", $"value")
