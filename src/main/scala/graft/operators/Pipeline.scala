@@ -190,15 +190,49 @@ object Pipeline {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** pl_pack_bpe — sequence packing driven by the TRAINED tokenizer's
+    * real counts: encode every doc with the corpus-trained BPE merges
+    * (tx_bpe_train's artifact, served from its cache) and pack per-lang
+    * 512-token sequences from the actual BPE token counts, not the
+    * whitespace proxy tx_pack uses. This is what a production packing
+    * pass consumes — budgets in model tokens. One replace-chain scan for
+    * the counts + one per-lang window; the oracle re-trains, re-encodes,
+    * and re-packs in SQL.
+    */
+  val packBpe: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val counts = TextAnalysis
+      .bpeEncode(docs, TextAnalysis.trainedMerges(s, d))
+      .groupBy(col("doc_id"))
+      .agg(sum(size(col("bpe_toks"))).cast("long").as("n_bpe"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("cum_prev", coalesce(sum(col("n_bpe")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_bpe"),
+        expr("cum_prev div 512").as("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+  val packBpeSql: String = {
+    val be = TextAnalysis.bpeEncodeSql.stripSuffix(" ORDER BY doc_id")
+    s"""SELECT doc_id, lang, n_bpe,
+       |  CAST(COALESCE(sum(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS seq_id
+       |FROM ($be) be JOIN documents USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "pl_corpus_clean" -> corpusClean,
     "pl_funnel"       -> funnel,
     "pl_pretrain"     -> pretrain,
-    "pl_distill"      -> distill)
+    "pl_distill"      -> distill,
+    "pl_pack_bpe"     -> packBpe)
 
   val oracles: Map[String, String] = Map(
     "pl_corpus_clean" -> corpusCleanSql,
     "pl_funnel"       -> funnelSql,
     "pl_pretrain"     -> pretrainSql,
-    "pl_distill"      -> distillSql)
+    "pl_distill"      -> distillSql,
+    "pl_pack_bpe"     -> packBpeSql)
 }
