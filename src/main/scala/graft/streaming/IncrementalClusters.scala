@@ -58,9 +58,13 @@ object IncrementalClusters {
       Seq.empty[(Long, Long)].toDF("node", "cluster"))
   }
 
-  /** Fold one micro-batch of (doc_id, text) into the state. */
-  def foldBatch(state: CorpusState, batch: DataFrame,
-                k: Int = 32, bands: Int = 8): CorpusState = {
+  /** The fold's data work, shared by both durability shapes: the batch's
+    * NEW signatures (redelivered/duplicate doc_ids absorbed) and the
+    * updated label table. Both returned frames are localCheckpointed;
+    * the caller owns freeing them.
+    */
+  private def foldCore(state: CorpusState, batch: DataFrame,
+                       k: Int, bands: Int): (DataFrame, DataFrame) = {
     // 1. absorb redelivery + batch-internal id dups (exactly-once fold)
     val fresh = batch.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id")
@@ -74,7 +78,13 @@ object IncrementalClusters {
     // 4. incremental CC fold — O(touched), never a corpus recompute
     val labels = Graph.incrementalComponents(
       state.labels, crossEdges.unionByName(innerEdges)).localCheckpoint()
-    // 5. persist the batch's signatures into the corpus state
+    (batchSigs, labels)
+  }
+
+  /** Fold one micro-batch of (doc_id, text) into the state. */
+  def foldBatch(state: CorpusState, batch: DataFrame,
+                k: Int = 32, bands: Int = 8): CorpusState = {
+    val (batchSigs, labels) = foldCore(state, batch, k, bands)
     val sigs = state.sigs.unionByName(batchSigs).localCheckpoint()
     org.apache.spark.sql.graftbridge.CheckpointBridge.freeCheckpoint(state.sigs)
     org.apache.spark.sql.graftbridge.CheckpointBridge.freeCheckpoint(state.labels)
@@ -103,16 +113,27 @@ object IncrementalClusters {
   // Durable state: versioned parquet artifacts + manifest commit.
   //
   // Layout under stateDir:
-  //   v{batchId}/sigs/    parquet (+_SUCCESS)
-  //   v{batchId}/labels/  parquet (+_SUCCESS)
+  //   v{batchId}/sigs/    parquet (+_SUCCESS) — the signatures ADDED at
+  //                       this batch (a delta), or the full table when
+  //                       this version is a compaction (sigs/_FULL marker)
+  //   v{batchId}/labels/  parquet (+_SUCCESS) — full label snapshot
   //   _LATEST             text file holding the committed batchId
   //
+  // Signatures are immutable per doc, so the per-batch write is O(batch),
+  // not O(corpus): the live signature table is the UNION of every sig
+  // segment at or below the committed version (deduped by doc_id — heals
+  // the crash window between a compaction's manifest swap and its GC).
+  // Labels are O(paired docs) and genuinely change each batch, so they
+  // snapshot per version. When segments exceed maxSegs the commit writes
+  // the full union once (_FULL) and GC drops the older segments — the
+  // same amortization as Sinks.upsertCommitted's generation compaction.
+  //
   // Commit protocol (poor-man's snapshot log, same as Sinks' swap):
-  // write both version dirs, then atomically rename a tmp manifest over
-  // _LATEST, then GC superseded versions. A reader never follows a
-  // half-written version: _LATEST moves only after both _SUCCESS markers
-  // exist, and if _LATEST itself is missing/torn the loader falls back to
-  // the newest COMPLETE version on disk.
+  // write the version dir, then atomically rename a tmp manifest over
+  // _LATEST, then GC. A reader never follows a half-written version:
+  // _LATEST moves only after both _SUCCESS markers exist, and if _LATEST
+  // itself is missing/torn the loader falls back to the newest COMPLETE
+  // version on disk.
   // ---------------------------------------------------------------------
 
   private def versionDirs(stateDir: java.io.File): Seq[(Long, java.io.File)] =
@@ -141,30 +162,46 @@ object IncrementalClusters {
       .orElse(versionDirs(base).filter(p => isComplete(p._2)).lastOption.map(_._1))
   }
 
-  /** Load the committed durable state, or None if nothing is committed. */
+  /** Complete sig segments at or below `upTo`, oldest first. */
+  private def sigSegments(stateDir: String, upTo: Long): Seq[java.io.File] =
+    versionDirs(new java.io.File(stateDir))
+      .filter { case (v, d) => v <= upTo && new java.io.File(d, "sigs/_SUCCESS").exists() }
+      .map(p => new java.io.File(p._2, "sigs"))
+
+  /** Load the committed durable state, or None if nothing is committed.
+    * Signatures are the union of every live segment, deduped by doc_id
+    * (duplicates exist only in the compaction-swap-to-GC crash window,
+    * where a _FULL segment briefly coexists with the deltas it folded).
+    */
   def loadState(spark: SparkSession, stateDir: String): Option[CorpusState] =
     committedVersion(stateDir).map { v =>
-      val vDir = new java.io.File(stateDir, s"v$v")
+      val segs = sigSegments(stateDir, v)
       CorpusState(
-        spark.read.parquet(new java.io.File(vDir, "sigs").getPath),
-        spark.read.parquet(new java.io.File(vDir, "labels").getPath))
+        spark.read.parquet(segs.map(_.getPath): _*).dropDuplicates("doc_id"),
+        spark.read.parquet(new java.io.File(stateDir, s"v$v/labels").getPath))
     }
 
-  /** Commit `state` as version `version`. Idempotent: if this version is
-    * already complete on disk (a redelivered batch after a crash between
-    * state commit and offset commit), the write is skipped — the fold that
-    * produced `state` was a no-op against the recovered state, so the
+  /** Commit a batch's DELTA (new signatures + the full label snapshot) as
+    * `version`; when `fullSigs` is set the sigs dir is the complete table
+    * (a compaction) and gets the _FULL marker. Idempotent: if this version
+    * is already complete on disk (a redelivered batch after a crash
+    * between state commit and offset commit), the write is skipped — the
+    * redelivered fold was a no-op against the recovered state, so the
     * bytes would be identical anyway, and skipping avoids a re-write
     * window over the only complete copy.
     */
-  def persistState(state: CorpusState, stateDir: String, version: Long): Unit = {
+  private def persistVersion(sigs: DataFrame, labels: DataFrame, stateDir: String,
+                             version: Long, fullSigs: Boolean): Unit = {
     val base = new java.io.File(stateDir)
     base.mkdirs()
     val vDir = new java.io.File(base, s"v$version")
     if (!isComplete(vDir)) {
-      state.sigs.write.mode("overwrite")
-        .parquet(new java.io.File(vDir, "sigs").getPath)
-      state.labels.write.mode("overwrite")
+      val sigDir = new java.io.File(vDir, "sigs")
+      sigs.write.mode("overwrite").parquet(sigDir.getPath)
+      if (fullSigs)
+        java.nio.file.Files.write(
+          new java.io.File(sigDir, "_FULL").toPath, Array.emptyByteArray)
+      labels.write.mode("overwrite")
         .parquet(new java.io.File(vDir, "labels").getPath)
     }
     val tmp = new java.io.File(base, s"_LATEST.tmp.$version")
@@ -172,32 +209,61 @@ object IncrementalClusters {
     java.nio.file.Files.move(tmp.toPath, new java.io.File(base, "_LATEST").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // GC strictly after the manifest points away from the old versions
+    // GC strictly after the manifest points at the new version: drop
+    // segments folded into the newest _FULL, old label snapshots, and
+    // whole versions with neither live sigs nor the current labels
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
     }
-    versionDirs(base).filter(_._1 < version).foreach(p => rm(p._2))
+    val newestFull = versionDirs(base)
+      .filter { case (v, d) => v <= version && new java.io.File(d, "sigs/_FULL").exists() }
+      .lastOption.map(_._1).getOrElse(-1L)
+    versionDirs(base).foreach { case (v, d) =>
+      if (v < newestFull) rm(d)
+      else if (v < version) rm(new java.io.File(d, "labels"))
+    }
   }
+
+  /** Back-compat full-state commit (used by tooling/tests that hold a
+    * complete state): persists the whole signature table as a _FULL
+    * segment.
+    */
+  def persistState(state: CorpusState, stateDir: String, version: Long): Unit =
+    persistVersion(state.sigs, state.labels, stateDir, version, fullSigs = true)
 
   /** [[start]] with durable state: resumes from the committed state under
     * `stateDir` (paired with the source offsets under `checkpointDir`) and
-    * commits the folded state before each batch completes. Restart with
-    * the same two dirs recovers exactly; see the commit-protocol note
-    * above for the crash windows.
+    * commits each batch's sig DELTA + label snapshot before the batch
+    * completes — per-batch write cost O(batch + labels), never O(corpus).
+    * Segments fold into one _FULL table when they exceed `maxSegs`.
+    * Restart with the same two dirs recovers exactly; see the
+    * commit-protocol note above for the crash windows.
     */
   def startDurable(docsStream: DataFrame, checkpointDir: String, stateDir: String,
-                   k: Int = 32, bands: Int = 8): (org.apache.spark.sql.streaming.StreamingQuery, () => CorpusState) = {
+                   k: Int = 32, bands: Int = 8, maxSegs: Int = 16): (org.apache.spark.sql.streaming.StreamingQuery, () => CorpusState) = {
     val spark = docsStream.sparkSession
     @volatile var st = loadState(spark, stateDir).getOrElse(empty(spark))
     val q = docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val folded = foldBatch(st, batch, k, bands)
-        persistState(folded, stateDir, batchId)
-        // serve reads from the durable files; free the fold's blocks
-        org.apache.spark.sql.graftbridge.CheckpointBridge.freeCheckpoint(folded.sigs)
-        org.apache.spark.sql.graftbridge.CheckpointBridge.freeCheckpoint(folded.labels)
-        st = loadState(spark, stateDir).getOrElse(folded)
+        val prev = st
+        val (batchSigs, labels) = foldCore(prev, batch, k, bands)
+        if (batchSigs.isEmpty && committedVersion(stateDir).isDefined) {
+          // fully-absorbed redelivery of an already-committed state:
+          // nothing changed, don't mint an empty version
+          org.apache.spark.sql.graftbridge.CheckpointBridge.freeCheckpoint(batchSigs)
+          org.apache.spark.sql.graftbridge.CheckpointBridge.freeCheckpoint(labels)
+        } else {
+          val compact = sigSegments(stateDir, Long.MaxValue).size + 1 > maxSegs
+          if (compact)
+            persistVersion(prev.sigs.unionByName(batchSigs), labels,
+              stateDir, batchId, fullSigs = true)
+          else
+            persistVersion(batchSigs, labels, stateDir, batchId, fullSigs = false)
+          org.apache.spark.sql.graftbridge.CheckpointBridge.freeCheckpoint(batchSigs)
+          org.apache.spark.sql.graftbridge.CheckpointBridge.freeCheckpoint(labels)
+          st = loadState(spark, stateDir).getOrElse(prev)
+        }
         ()
       }
       .start()

@@ -150,10 +150,48 @@ class StatefulStreamingSpec extends AnyFunSuite {
       s"post-restart labels != batch labels: only-inc=${(inc.toSet -- oneShot.toSet).take(5)} " +
         s"only-batch=${(oneShot.toSet -- inc.toSet).take(5)}")
     assert(state2().sigs.count() == all.size)
-    // superseded versions were GC'd; exactly one committed version remains
-    val vdirs = new java.io.File(stDir).listFiles().filter(_.getName.startsWith("v"))
-    assert(vdirs.length == 1, s"expected 1 version dir, got ${vdirs.map(_.getName).toSeq}")
+    // per-batch commits are sig DELTAS: two segments live (one per batch),
+    // and only the committed version keeps a label snapshot
+    val vdirs = new java.io.File(stDir).listFiles()
+      .filter(_.getName.startsWith("v")).sortBy(_.getName)
+    assert(vdirs.length == 2, s"expected 2 delta segments, got ${vdirs.map(_.getName).toSeq}")
+    val withLabels = vdirs.filter(d => new java.io.File(d, "labels/_SUCCESS").exists())
+    assert(withLabels.map(_.getName).toSeq == Seq(s"v${IncrementalClusters.committedVersion(stDir).get}"),
+      "only the committed version should hold a label snapshot")
+    // delta sizes: batch-sized, not corpus-sized (the O(batch) write claim)
+    val seg0 = spark.read.parquet(new java.io.File(vdirs(0), "sigs").getPath).count()
+    val seg1 = spark.read.parquet(new java.io.File(vdirs(1), "sigs").getPath).count()
+    assert(seg0 == b1.size && seg1 == b2.size,
+      s"segments should be per-batch deltas: $seg0/$seg1 vs ${b1.size}/${b2.size}")
   }
+
+  test("durable corpus state compacts sig segments past maxSegs") {
+    import graft.streaming.IncrementalClusters
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toFile
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+    val ckDir = new java.io.File(tmp, "ck").getPath
+    val stDir = new java.io.File(tmp, "state").getPath
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .where($"doc_id" < 120).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    // three batches with maxSegs=2: the third commit must fold to one _FULL
+    for (b <- all.grouped(40).toSeq) {
+      b.toDF("doc_id", "text").coalesce(1).write.mode("append").json(inDir.getPath)
+      val (q, _) = IncrementalClusters.startDurable(stream(inDir), ckDir, stDir,
+        maxSegs = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val segs = new java.io.File(stDir).listFiles()
+      .filter(d => d.getName.startsWith("v") &&
+        new java.io.File(d, "sigs/_SUCCESS").exists())
+    assert(segs.length == 1, s"expected 1 compacted segment, got ${segs.map(_.getName).toSeq}")
+    assert(new java.io.File(segs.head, "sigs/_FULL").exists(), "compacted segment not marked _FULL")
+    val st = IncrementalClusters.loadState(spark, stDir).get
+    assert(st.sigs.count() == all.size)
+  }
+
+  private def stream(inDir: java.io.File) =
+    spark.readStream.schema("doc_id long, text string").json(inDir.getPath)
 
   test("stream-stream interval join matches across batches within the bound") {
     implicit val sql = spark.sqlContext
