@@ -750,6 +750,122 @@ object Relational {
       |JOIN customer ON c_custkey = o_custkey
       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
 
+  /** TPC-H Q6-shaped (forecast revenue): the pure-scan aggregate — no
+    * join, no group, just predicates × one sum. The whole query should
+    * collapse to a single WholeStageCodegen scan stage with every
+    * predicate in PushedFilters; at 100 TB this is the query shape that
+    * proves pushdown works, because any unpushed filter shows up as a
+    * full-corpus decode. Decimal accumulate, double out (suite rule).
+    */
+  val tpchQ6: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "lineitem")
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+             $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
+             $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+             $"l_quantity" < 24)
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") *
+            $"l_discount".cast("decimal(18,2)")).cast("decimal(30,4)"))
+        .cast("double").as("revenue"))
+  }
+  val tpchQ6Sql: String =
+    """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                    CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+      |            AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10-shaped (returned-item reporting): revenue lost to returns
+    * per customer, top 20. Spark-first plan inversion: the textbook Q10
+    * joins customer/nation BEFORE aggregating (grouping by five customer
+    * attributes); here the fact aggregates FIRST on o_custkey alone —
+    * lineitem shuffles once against the quarter-filtered orders, and the
+    * customer/nation attributes broadcast onto the ~|customers| aggregate
+    * rows afterwards. Same result (custkey is the key), but the big
+    * shuffle carries one bigint instead of names/balances — at 100 TB
+    * that's the difference between shuffling keys and shuffling the
+    * customer table. Revenue is projected to double before ranking so
+    * both engines order identical values.
+    */
+  val tpchQ10: Q = (s, d) => {
+    import s.implicits._
+    val ord = tbl(s, d, "orders")
+      .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+             $"o_orderdate" <  lit("1996-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val rev = tbl(s, d, "lineitem")
+      .where($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+        .cast("decimal(30,4)")).cast("double").as("revenue"))
+    val cus = tbl(s, d, "customer")
+      .join(broadcast(tbl(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+    rev.join(broadcast(cus), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+  val tpchQ10Sql: String =
+    """SELECT c_custkey, c_name,
+      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |           AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+      |       c_acctbal, n_name
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q14-shaped (promotion effect): conditional share of revenue —
+    * one month of the fact, part dimension broadcast, a CASE inside the
+    * sum. The two sums ride ONE aggregation over one scan (no
+    * second pass for the denominator). Both decimal sums are cast to
+    * double before the division so the quotient is the same double in
+    * both engines; round-6 by suite convention.
+    */
+  val tpchQ14: Q = (s, d) => {
+    import s.implicits._
+    val prt = tbl(s, d, "part").select($"p_partkey", $"p_type")
+    tbl(s, d, "lineitem")
+      .where($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+             $"l_shipdate" <  lit("1996-04-01").cast("timestamp"))
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+      .join(broadcast(prt), $"l_partkey" === $"p_partkey")
+      .withColumn("disc_price",
+        ($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+          .cast("decimal(30,4)"))
+      .agg(
+        sum(when($"p_type" === "PROMO", $"disc_price")).cast("double").as("promo"),
+        sum($"disc_price").cast("double").as("total"))
+      .select(round($"promo" * 100 / $"total", 6).as("promo_revenue"))
+  }
+  val tpchQ14Sql: String =
+    """SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc_price END) AS DOUBLE)
+      |             * 100 /
+      |             CAST(sum(disc_price) AS DOUBLE), 6) AS promo_revenue
+      |FROM (
+      |  SELECT p_type,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |              AS DECIMAL(30,4)) AS disc_price
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00')""".stripMargin
+
   /** A10 — GROUPING SETS beyond rollup's prefix lattice: (status, priority),
     * (priority) alone, and grand total — an aggregation shape rollup/cube
     * can't express. Single pass (Spark expands the sets in one Expand node,
@@ -837,6 +953,9 @@ object Relational {
     "tpch_q3"          -> tpchQ3,
     "tpch_q5"          -> tpchQ5,
     "tpch_q18"         -> tpchQ18,
+    "tpch_q6"          -> tpchQ6,
+    "tpch_q10"         -> tpchQ10,
+    "tpch_q14"         -> tpchQ14,
     "a10_grouping_sets" -> a10GroupingSets,
     "j1_star_join"     -> j1StarJoin,
     "j2_semi_join"     -> j2SemiJoin,
@@ -879,6 +998,9 @@ object Relational {
     "tpch_q3"          -> tpchQ3Sql,
     "tpch_q5"          -> tpchQ5Sql,
     "tpch_q18"         -> tpchQ18Sql,
+    "tpch_q6"          -> tpchQ6Sql,
+    "tpch_q10"         -> tpchQ10Sql,
+    "tpch_q14"         -> tpchQ14Sql,
     "a10_grouping_sets" -> a10GroupingSetsSql,
     "j1_star_join"     -> j1StarJoinSql,
     "j2_semi_join"     -> j2SemiJoinSql,

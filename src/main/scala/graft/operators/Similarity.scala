@@ -351,6 +351,66 @@ object Similarity {
       |  FROM scored)
       |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
 
+  // --------------------------------------------------------- SemDeDup
+
+  /** dd_semdedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * semantic near-duplicate pruning through the trained coarse quantizer.
+    * One broadcast assign pass puts every vector in a Lloyd-trained
+    * k-means cell (exactly [[ivfAssign]]); vectors are then compared ONLY
+    * within their cell, and a vector is dropped when some lower-id
+    * cell-mate has cosine ≥ tau with it (greedy keep-lowest-id — the
+    * deterministic analogue of the paper's keep-one-per-duplicate-group,
+    * and the same canonical rule as dd_canonical / dd_embedding).
+    *
+    * Scale shape: the within-cell compare is a self-equi-join on the cell
+    * id, so total work is Σ|cell|² — and k is chosen to grow with n
+    * (SemDeDup uses fixed expected cell size, e.g. ~10k vectors), so the
+    * per-key fan-out is bounded and the corpus is never crossed with
+    * itself. At 100 TB: assign is one broadcast pass over the scan, the
+    * pair stage shuffles once on the cell id, and skewed cells fall out
+    * of AQE skew-join splitting. The reference has no embedding-space
+    * dedup; this extends the dedup family to semantic space on the same
+    * artifacts (trained centroids) the ANN path already persists.
+    */
+  def semDedup(e: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
+    val asg = ivfAssign(e, centroids).select(col("vec_id"), col("centroid"))
+    val m = e.select(col("vec_id"), col("embedding")).join(asg, Seq("vec_id"))
+    val lo = m.select(col("centroid"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val hi = m.select(col("centroid"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val wit = lo.join(hi, Seq("centroid")).where(col("va") < col("vb"))
+      .select(col("vb"), col("va"), round(cos("ea", "eb"), 6).as("c6"))
+      .where(col("c6") >= lit(tau))
+      .groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("dup_of"), max(col("c6")).as("max_cos"))
+    asg.join(wit, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid"), col("dup_of"), col("max_cos"))
+  }
+
+  private val SemTau = 0.33
+
+  /** Gate: SemDeDup end-to-end — Lloyd training → cell assign → within-
+    * cell cosine witnesses — hash-checked against the full pipeline
+    * re-run in SQL. Kept rows carry null dup_of, so the gate pins the
+    * keep-set and the witness structure, not just the drop count.
+    */
+  val semDedupQ: Q = (s, d) =>
+    semDedup(tbl(s, d, "embeddings"), trainedIvf(s, d), tau = SemTau)
+      .orderBy(col("vec_id"))
+  val semDedupSql: String =
+    s"""WITH ${lloydCteSql(125L, 2)},
+      |asg AS (SELECT e.vec_id,
+      |               max_by(c2.cid, round(list_cosine_similarity(e.emb, c2.ce), 6)
+      |                             * 1000000000000 - c2.cid) AS centroid
+      |        FROM e CROSS JOIN c2 GROUP BY e.vec_id),
+      |m AS (SELECT asg.vec_id, asg.centroid, e.emb FROM asg JOIN e USING (vec_id)),
+      |wit AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of,
+      |               max(round(list_cosine_similarity(a.emb, b.emb), 6)) AS max_cos
+      |        FROM m a JOIN m b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+      |        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= $SemTau
+      |        GROUP BY b.vec_id)
+      |SELECT asg.vec_id, asg.centroid, wit.dup_of, wit.max_cos
+      |FROM asg LEFT JOIN wit USING (vec_id) ORDER BY asg.vec_id""".stripMargin
+
   /** ann_pq — product quantization, the memory-side ANN scale path (IVF
     * shrinks the SEARCH, PQ shrinks the VECTORS): 64 dims → 4 subspaces of
     * 16; each sub-vector is replaced by the id of its nearest codebook
@@ -529,6 +589,7 @@ object Similarity {
     "ann_ivf_assign"    -> ivfAssignQ,
     "ann_ivf_search"    -> ivfSearchQ,
     "ann_pq"            -> annPq,
+    "dd_semdedup"       -> semDedupQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -538,5 +599,6 @@ object Similarity {
     "ann_ivf_assign"    -> ivfAssignSql,
     "ann_ivf_search"    -> ivfSearchSql,
     "ann_pq"            -> annPqSql,
+    "dd_semdedup"       -> semDedupSql,
   )
 }

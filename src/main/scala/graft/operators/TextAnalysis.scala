@@ -754,8 +754,12 @@ object TextAnalysis {
           .as("lm_score"))
       .orderBy($"doc_id")
   }
-  val lmScoreSql: String =
-    """WITH bg AS (
+  /** Shared CTE block for the bigram-LM oracles: training counts +
+    * per-doc scoring as `lmsc(doc_id, n_bigrams, lm_score)` — reused by
+    * tx_lm_score and tx_pp_bucket so the two gates cannot drift.
+    */
+  private val lmCteSql: String =
+    """bg AS (
       |  SELECT doc_id,
       |         unnest(list_transform(range(0, len(toks) - 1),
       |                i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS bg
@@ -765,15 +769,60 @@ object TextAnalysis {
       |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
       |       FROM c2 GROUP BY 1),
       |v AS (SELECT count(DISTINCT tok) AS v
-      |      FROM (SELECT unnest(string_split(bg, ' ')) AS tok FROM c2))
-      |SELECT doc_id, count(*) AS n_bigrams,
-      |       round(avg(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))), 6)
-      |         AS lm_score
-      |FROM bg
-      |JOIN c2 USING (bg)
-      |JOIN c1 ON c1.w1 = string_split(bg, ' ')[1]
-      |CROSS JOIN v
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |      FROM (SELECT unnest(string_split(bg, ' ')) AS tok FROM c2)),
+      |lmsc AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |         round(avg(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))), 6)
+      |           AS lm_score
+      |  FROM bg
+      |  JOIN c2 USING (bg)
+      |  JOIN c1 ON c1.w1 = string_split(bg, ' ')[1]
+      |  CROSS JOIN v
+      |  GROUP BY doc_id)""".stripMargin
+
+  val lmScoreSql: String =
+    s"""WITH $lmCteSql
+      |SELECT doc_id, n_bigrams, lm_score FROM lmsc ORDER BY doc_id""".stripMargin
+
+  /** tx_pp_bucket — CCNet-style perplexity bucketing (Wenzek et al. 2020):
+    * score every doc under the corpus bigram LM, then split the corpus
+    * into head / middle / tail thirds by score — the bucketing that CCNet
+    * uses to keep the head, sample the middle, and drop the tail.
+    *
+    * Scale shape — the CCNet recipe, not a global sort: the cutoffs are
+    * two order statistics of the PER-DOC score table (one row per doc,
+    * already ~10⁶× smaller than the token stream), computed as a single
+    * exact-percentile aggregation and broadcast; bucket assignment is
+    * then a stateless compare inside the scan projection. No global
+    * window, no single-partition cliff — the same threshold-broadcast
+    * shape as sp_split. Spark `percentile` and DuckDB `quantile_cont`
+    * share the (n-1)·q linear-interpolation definition (the sk_quantile
+    * gate already pins this parity); thresholds and scores are both
+    * round-6 so the compare sees identical doubles on both engines.
+    */
+  val ppBucket: Q = (s, d) => {
+    import s.implicits._
+    val sc = lmScore(s, d).select($"doc_id", $"lm_score")
+    val cuts = sc.agg(
+      round(expr("percentile(lm_score, CAST(1 AS DOUBLE)/3)"), 6).as("t1"),
+      round(expr("percentile(lm_score, CAST(2 AS DOUBLE)/3)"), 6).as("t2"))
+    sc.crossJoin(broadcast(cuts))
+      .select($"doc_id", $"lm_score",
+        when($"lm_score" <= $"t1", lit("tail"))
+          .when($"lm_score" <= $"t2", lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+      .orderBy($"doc_id")
+  }
+  val ppBucketSql: String =
+    s"""WITH $lmCteSql,
+      |cuts AS (SELECT round(quantile_cont(lm_score, CAST(1 AS DOUBLE)/3), 6) AS t1,
+      |                round(quantile_cont(lm_score, CAST(2 AS DOUBLE)/3), 6) AS t2
+      |         FROM lmsc)
+      |SELECT doc_id, lm_score,
+      |       CASE WHEN lm_score <= t1 THEN 'tail'
+      |            WHEN lm_score <= t2 THEN 'middle'
+      |            ELSE 'head' END AS bucket
+      |FROM lmsc CROSS JOIN cuts ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "tx_tokens"      -> tokens,
@@ -786,6 +835,7 @@ object TextAnalysis {
     "tx_entropy"     -> entropy,
     "tx_tfidf"       -> tfidf,
     "tx_lm_score"    -> lmScore,
+    "tx_pp_bucket"   -> ppBucket,
     "tx_pretokens"   -> pretokens,
     "tx_bpe_train"   -> bpeTrainQ,
     "tx_bpe_encode"  -> bpeEncodeQ,
@@ -803,6 +853,7 @@ object TextAnalysis {
     "tx_entropy"     -> entropySql,
     "tx_tfidf"       -> tfidfSql,
     "tx_lm_score"    -> lmScoreSql,
+    "tx_pp_bucket"   -> ppBucketSql,
     "tx_pretokens"   -> pretokensSql,
     "tx_bpe_train"   -> bpeTrainSql,
     "tx_bpe_encode"  -> bpeEncodeSql,

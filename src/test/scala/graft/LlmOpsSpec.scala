@@ -245,4 +245,49 @@ class LlmOpsSpec extends AnyFunSuite {
     val leaked = survivorGrams.filter { case (_, g) => evalGrams.contains(g) }
     assert(leaked.isEmpty, s"contaminated docs survived: ${leaked.take(5).toSeq}")
   }
+
+  test("semDedup drops a planted duplicate vector, keeping the lowest id") {
+    val e7 = emb.where($"vec_id" === 7).select($"embedding")
+      .as[Array[Float]].head()
+    val planted = emb.select($"vec_id", $"embedding")
+      .unionByName(Seq((900001L, e7)).toDF("vec_id", "embedding"))
+    val cents = Similarity.ivfCentroids(planted, stride = 25L)
+    val out = Similarity.semDedup(planted, cents, tau = 0.95)
+    val dup = out.where($"vec_id" === 900001L).head()
+    assert(dup.getAs[Long]("dup_of") == 7L,
+      s"planted copy should be dropped with witness 7, got $dup")
+    assert(out.where($"vec_id" === 7 && $"dup_of".isNotNull).isEmpty,
+      "the original (lowest id of the pair) must be kept")
+  }
+
+  test("semDedup keep-set is tau-separated within every cell") {
+    // greedy keep-lowest-id invariant: two KEPT vectors in the same cell
+    // can never be tau-close (the higher id would have had a witness)
+    val cents = Similarity.ivfCentroids(emb, stride = 25L)
+    val out = Similarity.semDedup(emb, cents, tau = 0.5)
+    val kept = out.where($"dup_of".isNull)
+      .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+    val a = kept.select($"centroid", $"vec_id".as("va"), $"embedding".as("ea"))
+    val b = kept.select($"centroid", $"vec_id".as("vb"), $"embedding".as("eb"))
+    val close = a.join(b, Seq("centroid")).where($"va" < $"vb")
+      .where(graft.functions.vector.cosine_sim($"ea", $"eb") >= 0.5)
+    assert(close.isEmpty, s"kept pair above tau: ${close.take(3).toSeq}")
+  }
+
+  test("ppBucket splits the corpus into near-equal monotone thirds") {
+    val docsSf = "/root/testdata/sf0.01"
+    val out = operators.TextAnalysis.ppBucket(spark, docsSf).cache()
+    val sizes = out.groupBy($"bucket").count()
+      .as[(String, Long)].collect().toMap
+    assert(sizes.keySet == Set("head", "middle", "tail"))
+    assert(sizes.values.max - sizes.values.min <= 2,
+      s"thirds should be near-equal (ties aside): $sizes")
+    // monotone: every tail score <= every middle score <= every head score
+    val bounds = out.groupBy($"bucket")
+      .agg(min($"lm_score").as("lo"), max($"lm_score").as("hi"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(bounds("tail")._2 <= bounds("middle")._1)
+    assert(bounds("middle")._2 <= bounds("head")._1)
+    out.unpersist()
+  }
 }

@@ -63,9 +63,12 @@ class PlanGuardSpec extends AnyFunSuite {
     // tx_tfidf joins its doc count.
     // tx_clf_score joins the ONE-ROW labeled-slice count (gradient
     // normalizer) per training step — the same 1-row-broadcast-NLJ class.
+    // dd_semdedup rides the ivfAssign centroid broadcast (corpus × O(K));
+    // tx_pp_bucket joins the ONE-ROW percentile-cutoff aggregate.
     val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign",
       "ann_ivf_search", "ann_kmeans_train", "cc_clusters", "cc_star",
-      "dd_canonical", "tx_tfidf", "tx_lm_score", "tx_clf_score")
+      "dd_canonical", "tx_tfidf", "tx_lm_score", "tx_clf_score",
+      "dd_semdedup", "tx_pp_bucket")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
@@ -104,6 +107,54 @@ class PlanGuardSpec extends AnyFunSuite {
     val scan = plan.collectLeaves().map(_.toString).mkString
     assert(scan.contains("doc_id") && scan.contains("text") && !scan.contains("lang"),
       s"scan should read only doc_id+text: ${scan.take(300)}")
+  }
+
+  test("tpch_q6 is a pure pushed-down scan-aggregate: no join, one gather") {
+    val plan = planOf("tpch_q6")
+    // toString elides long filter lists — read the scan metadata directly
+    val pushed = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("LessThan(l_quantity,24.0)") &&
+      pushed.contains("GreaterThanOrEqual(l_discount,0.05)"),
+      s"expected quantity/discount predicates pushed to parquet: $pushed")
+    val joins = plan.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.isEmpty, "Q6 must not plan any join")
+  }
+
+  test("tpch_q10 shuffles keys+measures only — customer attrs join after the agg") {
+    // the plan inversion PERF.md claims: no shuffle may carry c_name /
+    // n_name; those broadcast onto the aggregated ~|customers| rows
+    val plan = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try SparkEntry.queries("tpch_q10")(spark, sf).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val shufCols = plan.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
+    shufCols.foreach(cols =>
+      assert(!cols.contains("c_name") && !cols.contains("n_name"),
+        s"customer attributes rode a shuffle: $cols"))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "customer+nation should broadcast onto the aggregate")
+  }
+
+  test("dd_semdedup compares within cells only: the pair stage is a keyed equi-join") {
+    // SemDeDup's scale contract — the corpus is never crossed with itself:
+    // the only allowed non-equi plan is the O(K) centroid broadcast
+    // (assign); the vb-witness stage must be a hash/sort join on centroid.
+    val plan = planOf("dd_semdedup")
+    val cart = plan.collect { case j: CartesianProductExec => j }
+    assert(cart.isEmpty, "semdedup planned a true cartesian product")
+    val equi = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(equi.exists(_.toString.contains("centroid")),
+      "expected the within-cell pair stage to equi-join on the cell id")
   }
 
   test("asofJoin plans exactly one window shuffle and no join at all") {
