@@ -433,17 +433,22 @@ object Similarity {
     * every search — any pass, any JVM — scans the index table, which is
     * the operation's real steady-state shape at 100 TB.
     */
-  val annPq: Q = (s, d) => {
-    // Keys = source CONTENT fingerprint + training params, not just the
-    // path: a regenerated corpus at the same sfDir retrains and re-encodes
-    // instead of silently serving last snapshot's artifacts. Codebook and
-    // code index are separate artifacts because they have different
-    // consumers (codebook: every query's ADC table; codes: the scan side).
+  // Keys = source CONTENT fingerprint + training params, not just the
+  // path: a regenerated corpus at the same sfDir retrains and re-encodes
+  // instead of silently serving last snapshot's artifacts. Codebook and
+  // code index are separate artifacts because they have different
+  // consumers (codebook: every query's ADC table; codes: the scan side).
+  private def trainedPq(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
     val cb = graft.IndexStore.materialize(s, s"pq_codebook_v2_${d}_${fp}_s125_lloyd2")(
       lloydSubCodebooks(tbl(s, d, "embeddings"), stride = 125L, iters = 2))
     val codes = graft.IndexStore.materialize(s, s"pq_codes_v2_${d}_${fp}_s125_lloyd2")(
       pqEncode(tbl(s, d, "embeddings"), stride = 125L, codebook = Some(cb)))
+    (cb, codes)
+  }
+
+  val annPq: Q = (s, d) => {
+    val (cb, codes) = trainedPq(s, d)
     pqSearch(tbl(s, d, "embeddings"), stride = 125L,
       codes = Some(codes), codebook = Some(cb))
   }
@@ -582,6 +587,93 @@ object Similarity {
       |  FROM adist)
       |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
 
+  // ---------------------------------------------------------- IVF + PQ
+
+  /** ann_ivfpq — the composed production ANN shape (the FAISS IVFPQ
+    * index): IVF restricts WHERE to look (only the nprobe nearest cells
+    * are scanned), PQ compresses WHAT is scanned (4 codes per vector +
+    * an ADC lookup table instead of raw 64-float vectors). Both halves
+    * reuse the persisted artifacts their standalone gates train: the
+    * Lloyd cell centroids (ann_kmeans_train) and the Lloyd sub-codebooks
+    * + code index (ann_pq).
+    *
+    * At 100 TB the scan side is the code index joined with the cell
+    * assignment — ~5 bytes of payload per vector — and the cell equi-join
+    * prunes it to ~nprobe/K of the corpus before any distance math; the
+    * ADC table (probes × 4 × K rows) broadcasts. Every ranking step keeps
+    * the suite's round-6 + id tie-break discipline, so the whole composed
+    * path — two trainings, assignment, encode, probe, ADC — is
+    * hash-checked against the SQL re-run, not just recall-tested.
+    */
+  def ivfPqSearch(e: DataFrame, cents: DataFrame, cb: DataFrame,
+                  codes: DataFrame, probeMax: Long = 5L, k: Int = 3,
+                  nprobe: Int = 2): DataFrame = {
+    val cells = ivfAssign(e, cents).select(col("vec_id").as("n"), col("centroid").as("cell"))
+    val wc = Window.partitionBy(col("q")).orderBy(col("c6").desc, col("cid"))
+    val probeCells = e.where(col("vec_id") < probeMax)
+      .select(col("vec_id").as("q"), col("embedding").as("eq"))
+      .crossJoin(broadcast(cents))
+      .select(col("q"), col("cid"), round(cos("eq", "ce"), 6).as("c6"))
+      .withColumn("r", row_number().over(wc)).where(col("r") <= nprobe)
+      .select(col("q"), col("cid").as("cell"))
+    val qd = pqSubs(e.where(col("vec_id") < probeMax))
+      .select(col("vec_id").as("q"), col("j"), col("sv"))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("q"), col("j"), col("cid").as("code"), pqD2.as("qd2"))
+    val scored = codes.join(cells, Seq("n"))
+      .join(broadcast(probeCells), Seq("cell"))
+      .join(broadcast(qd), Seq("q", "j", "code"))
+      .where(col("q") =!= col("n"))
+      .groupBy(col("q"), col("n"))
+      .agg(round(sum(col("qd2")), 6).as("adist"))
+    val w = Window.partitionBy(col("q")).orderBy(col("adist"), col("n"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("q"), col("rank"))
+  }
+
+  val annIvfPq: Q = (s, d) => {
+    val (cb, codes) = trainedPq(s, d)
+    ivfPqSearch(tbl(s, d, "embeddings"), trainedIvf(s, d), cb, codes)
+  }
+  val annIvfPqSql: String =
+    s"""WITH ${lloydCteSql(125L, 2)},
+      |js AS (SELECT unnest(range(0, 4)) AS j),
+      |sub AS (SELECT vec_id, j, emb[16*j+1 : 16*j+16] AS sv FROM e CROSS JOIN js),
+      |${pqLloydCteSql(125L, 2)},
+      |asg AS (SELECT e.vec_id AS n,
+      |               max_by(c2.cid, round(list_cosine_similarity(e.emb, c2.ce), 6)
+      |                             * 1000000000000 - c2.cid) AS cell
+      |        FROM e CROSS JOIN c2 GROUP BY e.vec_id),
+      |codes AS (
+      |  SELECT sub.vec_id AS n, j,
+      |         min_by(cid, round(list_sum(list_transform(range(1, 17), i -> (sv[i]-csv[i])*(sv[i]-csv[i]))), 6) * 1e12 + cid) AS code
+      |  FROM sub JOIN sc2 USING (j) GROUP BY n, j),
+      |pc AS (SELECT q, cid AS cell FROM (
+      |         SELECT e.vec_id AS q, c2.cid,
+      |                row_number() OVER (PARTITION BY e.vec_id
+      |                  ORDER BY round(list_cosine_similarity(e.emb, c2.ce), 6) DESC,
+      |                           c2.cid) AS r
+      |         FROM e CROSS JOIN c2 WHERE e.vec_id < 5)
+      |       WHERE r <= 2),
+      |qd AS (
+      |  SELECT sub.vec_id AS q, j, cid AS code,
+      |         list_sum(list_transform(range(1, 17), i -> (sv[i]-csv[i])*(sv[i]-csv[i]))) AS qd2
+      |  FROM sub JOIN sc2 USING (j) WHERE sub.vec_id < 5),
+      |scored AS (
+      |  SELECT pc.q, codes.n, round(sum(qd.qd2), 6) AS adist
+      |  FROM codes
+      |  JOIN asg ON asg.n = codes.n
+      |  JOIN pc ON pc.cell = asg.cell
+      |  JOIN qd ON qd.q = pc.q AND qd.j = codes.j AND qd.code = codes.code
+      |  WHERE pc.q != codes.n
+      |  GROUP BY pc.q, codes.n)
+      |SELECT q, n, adist, rank FROM (
+      |  SELECT q, n, adist,
+      |         row_number() OVER (PARTITION BY q ORDER BY adist, n) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce"    -> annBruteforce,
     "ann_lsh_buckets"   -> annLshBuckets,
@@ -589,6 +681,7 @@ object Similarity {
     "ann_ivf_assign"    -> ivfAssignQ,
     "ann_ivf_search"    -> ivfSearchQ,
     "ann_pq"            -> annPq,
+    "ann_ivfpq"         -> annIvfPq,
     "dd_semdedup"       -> semDedupQ,
   )
 
@@ -599,6 +692,7 @@ object Similarity {
     "ann_ivf_assign"    -> ivfAssignSql,
     "ann_ivf_search"    -> ivfSearchSql,
     "ann_pq"            -> annPqSql,
+    "ann_ivfpq"         -> annIvfPqSql,
     "dd_semdedup"       -> semDedupSql,
   )
 }

@@ -274,6 +274,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(close.isEmpty, s"kept pair above tau: ${close.take(3).toSeq}")
   }
 
+  test("composed IVF-PQ search finds a planted duplicate at rank 1") {
+    // a copy of probe 3 lands in the probe's own nearest cell with
+    // identical PQ codes → ADC distance is the probe's self-code
+    // distance, the minimum any vector can achieve
+    val e3 = emb.where($"vec_id" === 3).select($"embedding")
+      .as[Array[Float]].head()
+    val planted = emb.select($"vec_id", $"embedding")
+      .unionByName(Seq((900001L, e3)).toDF("vec_id", "embedding"))
+    val cents = Similarity.ivfCentroids(planted, stride = 25L)
+    val cb = Similarity.lloydSubCodebooks(planted, stride = 25L, iters = 1)
+    val codes = Similarity.pqEncode(planted, stride = 25L, codebook = Some(cb))
+    val out = Similarity.ivfPqSearch(planted, cents, cb, codes)
+    val top = out.where($"q" === 3 && $"rank" === 1)
+      .select($"n").as[Long].head()
+    assert(top == 900001L, s"planted duplicate should rank first, got $top")
+  }
+
   test("ppBucket splits the corpus into near-equal monotone thirds") {
     val docsSf = "/root/testdata/sf0.01"
     val out = operators.TextAnalysis.ppBucket(spark, docsSf).cache()

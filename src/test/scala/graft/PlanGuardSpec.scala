@@ -63,12 +63,13 @@ class PlanGuardSpec extends AnyFunSuite {
     // tx_tfidf joins its doc count.
     // tx_clf_score joins the ONE-ROW labeled-slice count (gradient
     // normalizer) per training step — the same 1-row-broadcast-NLJ class.
-    // dd_semdedup rides the ivfAssign centroid broadcast (corpus × O(K));
-    // tx_pp_bucket joins the ONE-ROW percentile-cutoff aggregate.
+    // dd_semdedup and ann_ivfpq ride the ivfAssign centroid broadcast
+    // (corpus × O(K)); tx_pp_bucket joins the ONE-ROW percentile-cutoff
+    // aggregate.
     val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign",
       "ann_ivf_search", "ann_kmeans_train", "cc_clusters", "cc_star",
       "dd_canonical", "tx_tfidf", "tx_lm_score", "tx_clf_score",
-      "dd_semdedup", "tx_pp_bucket")
+      "dd_semdedup", "tx_pp_bucket", "ann_ivfpq")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
