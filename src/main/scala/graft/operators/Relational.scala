@@ -866,6 +866,65 @@ object Relational {
       |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00')""".stripMargin
 
+  /** TPC-H Q7-shaped (volume shipping): revenue between a nation PAIR by
+    * ship year, in both directions. The disjunctive nation-pair predicate
+    * never touches the fact as a filter — it prunes the supplier and
+    * customer DIMENSIONS to the two nations before their broadcasts, so
+    * the first broadcast join drops the fact to the pair's suppliers
+    * before the one l_orderkey shuffle; the asymmetric direction filter
+    * (supp ≠ cust) rides the customer broadcast as a residual. Year
+    * buckets come from the shipdate already in the row — no extra scan.
+    */
+  val tpchQ7: Q = (s, d) => {
+    import s.implicits._
+    val n = tbl(s, d, "nation").where($"n_name".isin("NATION_1", "NATION_2"))
+    val sup = tbl(s, d, "supplier")
+      .join(broadcast(n.select($"n_nationkey", $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"supp_nation")
+    val cus = tbl(s, d, "customer")
+      .join(broadcast(n.select($"n_nationkey".as("nk2"), $"n_name".as("cust_nation"))),
+        $"c_nationkey" === $"nk2")
+      .select($"c_custkey", $"cust_nation")
+    val ord = tbl(s, d, "orders").select($"o_orderkey", $"o_custkey")
+    tbl(s, d, "lineitem")
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+             $"l_shipdate" <  lit("1998-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+        $"l_extendedprice", $"l_discount")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cus), $"o_custkey" === $"c_custkey")
+      .where($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+        .cast("decimal(30,4)")).cast("double").as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+  val tpchQ7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(sum(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |              AS DECIMAL(30,4)) AS volume
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** A10 — GROUPING SETS beyond rollup's prefix lattice: (status, priority),
     * (priority) alone, and grand total — an aggregation shape rollup/cube
     * can't express. Single pass (Spark expands the sets in one Expand node,
@@ -956,6 +1015,7 @@ object Relational {
     "tpch_q6"          -> tpchQ6,
     "tpch_q10"         -> tpchQ10,
     "tpch_q14"         -> tpchQ14,
+    "tpch_q7"          -> tpchQ7,
     "a10_grouping_sets" -> a10GroupingSets,
     "j1_star_join"     -> j1StarJoin,
     "j2_semi_join"     -> j2SemiJoin,
@@ -1001,6 +1061,7 @@ object Relational {
     "tpch_q6"          -> tpchQ6Sql,
     "tpch_q10"         -> tpchQ10Sql,
     "tpch_q14"         -> tpchQ14Sql,
+    "tpch_q7"          -> tpchQ7Sql,
     "a10_grouping_sets" -> a10GroupingSetsSql,
     "j1_star_join"     -> j1StarJoinSql,
     "j2_semi_join"     -> j2SemiJoinSql,

@@ -411,6 +411,68 @@ object Similarity {
       |SELECT asg.vec_id, asg.centroid, wit.dup_of, wit.max_cos
       |FROM asg LEFT JOIN wit USING (vec_id) ORDER BY asg.vec_id""".stripMargin
 
+  /** dd_semdedup_inc — incremental SemDeDup: a NEW batch of vectors
+    * against the persisted corpus, the continuous-ingest analogue of
+    * [[semDedup]] (same relationship dd_incremental has to dd_lsh_pairs).
+    * The batch is cell-assigned with the SAME trained centroids the
+    * corpus used (quantizer is a per-snapshot artifact, reused across
+    * batches), then compared only against corpus members of its own cell
+    * plus lower-id batch-mates. Work is O(|batch| · cell-occupancy) — the
+    * corpus label/embedding store is touched only on the batch's cells,
+    * never rescanned; this is the per-micro-batch step a streaming
+    * ingest (IncrementalClusters-style) folds.
+    *
+    * A corpus witness always wins over a batch witness (corpus members
+    * are already canonical); among witnesses dup_of is the min id, so
+    * the output is insertion-order-free and hash-deterministic.
+    */
+  def semDedupIncremental(corpus: DataFrame, batch: DataFrame,
+                          centroids: DataFrame, tau: Double): DataFrame = {
+    val asgB = ivfAssign(batch, centroids).select(col("vec_id"), col("centroid"))
+    val mC = ivfAssign(corpus, centroids).select(col("vec_id"), col("centroid"))
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("centroid"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val mB = asgB.join(batch.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val bLo = mB.select(col("centroid"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val bHi = mB.select(col("centroid"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val corpusWit = mC.join(bHi, Seq("centroid"))
+    val batchWit = bLo.join(bHi, Seq("centroid")).where(col("va") < col("vb"))
+    val wit = corpusWit.unionByName(batchWit)
+      .select(col("vb"), col("va"), round(cos("ea", "eb"), 6).as("c6"))
+      .where(col("c6") >= lit(tau))
+      .groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("dup_of"), max(col("c6")).as("max_cos"))
+    asgB.join(wit, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid"), col("dup_of"), col("max_cos"))
+  }
+
+  /** Gate: the sf corpus split at vec_id 400 — persisted corpus below,
+    * arriving batch above — with the full incremental fold re-run in SQL.
+    */
+  val semDedupIncQ: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings")
+    semDedupIncremental(e.where(col("vec_id") < 400),
+        e.where(col("vec_id") >= 400), trainedIvf(s, d), tau = SemTau)
+      .orderBy(col("vec_id"))
+  }
+  val semDedupIncSql: String =
+    s"""WITH ${lloydCteSql(125L, 2)},
+      |asg AS (SELECT e.vec_id,
+      |               max_by(c2.cid, round(list_cosine_similarity(e.emb, c2.ce), 6)
+      |                             * 1000000000000 - c2.cid) AS centroid
+      |        FROM e CROSS JOIN c2 GROUP BY e.vec_id),
+      |m AS (SELECT asg.vec_id, asg.centroid, e.emb FROM asg JOIN e USING (vec_id)),
+      |wit AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of,
+      |               max(round(list_cosine_similarity(a.emb, b.emb), 6)) AS max_cos
+      |        FROM m a JOIN m b ON a.centroid = b.centroid
+      |        WHERE b.vec_id >= 400
+      |          AND (a.vec_id < 400 OR a.vec_id < b.vec_id)
+      |          AND round(list_cosine_similarity(a.emb, b.emb), 6) >= $SemTau
+      |        GROUP BY b.vec_id)
+      |SELECT asg.vec_id, asg.centroid, wit.dup_of, wit.max_cos
+      |FROM asg LEFT JOIN wit USING (vec_id)
+      |WHERE asg.vec_id >= 400 ORDER BY asg.vec_id""".stripMargin
+
   /** ann_pq — product quantization, the memory-side ANN scale path (IVF
     * shrinks the SEARCH, PQ shrinks the VECTORS): 64 dims → 4 subspaces of
     * 16; each sub-vector is replaced by the id of its nearest codebook
@@ -683,6 +745,7 @@ object Similarity {
     "ann_pq"            -> annPq,
     "ann_ivfpq"         -> annIvfPq,
     "dd_semdedup"       -> semDedupQ,
+    "dd_semdedup_inc"   -> semDedupIncQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -694,5 +757,6 @@ object Similarity {
     "ann_pq"            -> annPqSql,
     "ann_ivfpq"         -> annIvfPqSql,
     "dd_semdedup"       -> semDedupSql,
+    "dd_semdedup_inc"   -> semDedupIncSql,
   )
 }

@@ -274,6 +274,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(close.isEmpty, s"kept pair above tau: ${close.take(3).toSeq}")
   }
 
+  test("incremental semDedup over a split corpus equals one-shot semDedup on the batch rows") {
+    // corpus ids are all below the batch ids, so one-shot greedy
+    // keep-lowest-id restricted to batch rows IS the incremental answer
+    val cents = Similarity.ivfCentroids(emb, stride = 25L)
+    val split = 50L
+    val inc = Similarity.semDedupIncremental(
+        emb.where($"vec_id" < split), emb.where($"vec_id" >= split),
+        cents, tau = 0.4)
+      .select($"vec_id", $"centroid", $"dup_of", $"max_cos")
+    val oneShot = Similarity.semDedup(emb, cents, tau = 0.4)
+      .where($"vec_id" >= split)
+      .select($"vec_id", $"centroid", $"dup_of", $"max_cos")
+    assert(inc.exceptAll(oneShot).isEmpty && oneShot.exceptAll(inc).isEmpty,
+      "incremental fold must equal the one-shot dedup on batch rows")
+  }
+
   test("composed IVF-PQ search finds a planted duplicate at rank 1") {
     // a copy of probe 3 lands in the probe's own nearest cell with
     // identical PQ codes → ADC distance is the probe's self-code
