@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{t => tbl}
 
@@ -800,7 +801,7 @@ object TextAnalysis {
     * gate already pins this parity); thresholds and scores are both
     * round-6 so the compare sees identical doubles on both engines.
     */
-  val ppBucket: Q = (s, d) => {
+  private def withPpBucket(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sc = lmScore(s, d).select($"doc_id", $"lm_score")
     val cuts = sc.agg(
@@ -811,8 +812,9 @@ object TextAnalysis {
         when($"lm_score" <= $"t1", lit("tail"))
           .when($"lm_score" <= $"t2", lit("middle"))
           .otherwise(lit("head")).as("bucket"))
-      .orderBy($"doc_id")
   }
+
+  val ppBucket: Q = (s, d) => withPpBucket(s, d).orderBy(col("doc_id"))
   val ppBucketSql: String =
     s"""WITH $lmCteSql,
       |cuts AS (SELECT round(quantile_cont(lm_score, CAST(1 AS DOUBLE)/3), 6) AS t1,
@@ -823,6 +825,120 @@ object TextAnalysis {
       |            WHEN lm_score <= t2 THEN 'middle'
       |            ELSE 'head' END AS bucket
       |FROM lmsc CROSS JOIN cuts ORDER BY doc_id""".stripMargin
+
+  /** sp_quality_sample — the CCNet CONSUMPTION policy on top of the
+    * buckets: keep the head outright, coin-flip the middle at ~50%, drop
+    * the tail. The coin is the md5-prefix trick from sp_split (hex is
+    * uniform, '8' cuts at 8/16) keyed on the doc id, so the decision is
+    * stable under retries, repartitioning, and corpus growth — the same
+    * reproducibility contract as the train/val/test split. One scan over
+    * the score table; the filter is a stateless compare, no shuffle
+    * beyond what scoring already did.
+    */
+  val qualitySample: Q = (s, d) => {
+    import s.implicits._
+    withPpBucket(s, d)
+      .where($"bucket" === "head" ||
+        ($"bucket" === "middle" && md5(concat(lit("qs:"), $"doc_id")) < "8"))
+      .orderBy($"doc_id")
+  }
+  val qualitySampleSql: String =
+    s"""WITH $lmCteSql,
+      |cuts AS (SELECT round(quantile_cont(lm_score, CAST(1 AS DOUBLE)/3), 6) AS t1,
+      |                round(quantile_cont(lm_score, CAST(2 AS DOUBLE)/3), 6) AS t2
+      |         FROM lmsc),
+      |b AS (SELECT doc_id, lm_score,
+      |             CASE WHEN lm_score <= t1 THEN 'tail'
+      |                  WHEN lm_score <= t2 THEN 'middle'
+      |                  ELSE 'head' END AS bucket
+      |      FROM lmsc CROSS JOIN cuts)
+      |SELECT doc_id, lm_score, bucket FROM b
+      |WHERE bucket = 'head'
+      |   OR (bucket = 'middle' AND md5('qs:' || doc_id) < '8')
+      |ORDER BY doc_id""".stripMargin
+
+  /** tx_t5_spans — denoising-objective sample prep (T5 span corruption,
+    * Raffel et al. 2020 §3.1.4): replace short token spans with sentinel
+    * tokens, emit (input-with-sentinels, target-of-dropped-spans) pairs —
+    * the seq2seq pretraining sample construction.
+    *
+    * T5 samples span starts/lengths randomly; a distributed, replayable
+    * pipeline needs the corruption to be a pure function of the doc, so
+    * spans here are hash-derived per 8-token block: md5(doc, block) gates
+    * the block (~50%), picks the span offset (0-3) and length (1-3)
+    * inside it. Blocks bound spans, so no overlap resolution (the one
+    * part of the textbook recipe that is inherently sequential) is ever
+    * needed — every row is independent, the op is one explode + one
+    * partitioned window (sentinel numbering) + two grouped re-joins.
+    * ~12% of tokens corrupted in expectation (½ gate × 2/8 mean span).
+    * Hash-digit → int goes through ascii() (portable to every engine;
+    * mildly non-uniform over 16 hex codes, irrelevant for masking).
+    */
+  val t5Spans: Q = (s, d) => {
+    import s.implicits._
+    val t = tbl(s, d, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p", "tok")))
+      .withColumn("b", expr("CAST(floor(p / 8.0) AS BIGINT)"))
+      .withColumn("h", md5(concat(lit("t5:"), $"doc_id", lit(":"), $"b")))
+      .withColumn("off", ascii(substring($"h", 1, 1)) % 4)
+      .withColumn("len", ascii(substring($"h", 2, 1)) % 3 + 1)
+      .withColumn("pib", $"p" - $"b" * 8)
+      .withColumn("corrupt",
+        ascii(substring($"h", 3, 1)) % 2 === 0 &&
+        $"pib" >= $"off" && $"pib" < $"off" + $"len")
+    val c = t.where($"corrupt")
+      .withColumn("k",
+        dense_rank().over(Window.partitionBy($"doc_id").orderBy($"b")) - 1)
+    val pieces = t.where(!$"corrupt")
+      .select($"doc_id", $"p", $"tok".as("piece"))
+      .unionByName(c.where($"pib" === $"off")
+        .select($"doc_id", $"p",
+          concat(lit("<extra_id_"), $"k", lit(">")).as("piece")))
+    val joined = expr(
+      "array_join(transform(array_sort(collect_list(struct(p, piece))), x -> x.piece), ' ')")
+    val input = pieces.groupBy($"doc_id").agg(joined.as("input"))
+    val target = c
+      .select($"doc_id", $"p", $"k",
+        when($"pib" === $"off",
+          concat(lit("<extra_id_"), $"k", lit("> "), $"tok"))
+          .otherwise($"tok").as("piece"))
+      .groupBy($"doc_id")
+      .agg(joined.as("target"), (max($"k") + 1).cast("long").as("n_spans"))
+    input.join(target, Seq("doc_id"), "left")
+      .select($"doc_id", $"input",
+        coalesce($"target", lit("")).as("target"),
+        coalesce($"n_spans", lit(0L)).as("n_spans"))
+      .orderBy($"doc_id")
+  }
+  val t5SpansSql: String =
+    """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |t AS (SELECT doc_id, p, toks[p + 1] AS tok FROM (
+      |        SELECT doc_id, toks, unnest(range(0, len(toks))) AS p FROM t0)),
+      |c2 AS (SELECT *,
+      |              ascii(substr(h, 1, 1)) % 4 AS off,
+      |              ascii(substr(h, 2, 1)) % 3 + 1 AS len,
+      |              p - b * 8 AS pib,
+      |              ascii(substr(h, 3, 1)) % 2 = 0 AS gate
+      |       FROM (SELECT *, md5('t5:' || doc_id || ':' || b) AS h FROM (
+      |               SELECT *, CAST(floor(p / 8.0) AS BIGINT) AS b FROM t))),
+      |c3 AS (SELECT *, gate AND pib >= off AND pib < off + len AS corrupt FROM c2),
+      |cc AS (SELECT *, dense_rank() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS k
+      |       FROM c3 WHERE corrupt),
+      |inp AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY p) AS input FROM (
+      |          SELECT doc_id, p, tok AS piece FROM c3 WHERE NOT corrupt
+      |          UNION ALL
+      |          SELECT doc_id, p, '<extra_id_' || k || '>' AS piece FROM cc
+      |          WHERE pib = off)
+      |        GROUP BY doc_id),
+      |tgt AS (SELECT doc_id,
+      |               string_agg(CASE WHEN pib = off
+      |                               THEN '<extra_id_' || k || '> ' || tok
+      |                               ELSE tok END, ' ' ORDER BY p) AS target,
+      |               CAST(max(k) + 1 AS BIGINT) AS n_spans
+      |        FROM cc GROUP BY doc_id)
+      |SELECT i.doc_id, i.input, coalesce(t.target, '') AS target,
+      |       coalesce(t.n_spans, 0) AS n_spans
+      |FROM inp i LEFT JOIN tgt t USING (doc_id) ORDER BY i.doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "tx_tokens"      -> tokens,
@@ -836,6 +952,8 @@ object TextAnalysis {
     "tx_tfidf"       -> tfidf,
     "tx_lm_score"    -> lmScore,
     "tx_pp_bucket"   -> ppBucket,
+    "sp_quality_sample" -> qualitySample,
+    "tx_t5_spans"    -> t5Spans,
     "tx_pretokens"   -> pretokens,
     "tx_bpe_train"   -> bpeTrainQ,
     "tx_bpe_encode"  -> bpeEncodeQ,
@@ -854,6 +972,8 @@ object TextAnalysis {
     "tx_tfidf"       -> tfidfSql,
     "tx_lm_score"    -> lmScoreSql,
     "tx_pp_bucket"   -> ppBucketSql,
+    "sp_quality_sample" -> qualitySampleSql,
+    "tx_t5_spans"    -> t5SpansSql,
     "tx_pretokens"   -> pretokensSql,
     "tx_bpe_train"   -> bpeTrainSql,
     "tx_bpe_encode"  -> bpeEncodeSql,

@@ -221,4 +221,21 @@ class PrivacySpec extends AnyFunSuite {
     assert(frames.forall(_.length == 3)) // floor(13/4) = 3
     assert(new String(frames.flatten, "UTF-8") == "abcdefghijXY") // trailing 'Z' dropped
   }
+
+  test("t5 span corruption round-trips: substituting targets back restores the text") {
+    val out = TextAnalysis.t5Spans(spark, sf)
+      .select($"doc_id", $"input", $"target", $"n_spans")
+      .as[(Long, String, String, Long)].collect()
+    assert(out.exists(_._4 >= 2), "expected multi-span docs in the corpus")
+    val orig = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    out.foreach { case (id, input, target, nSpans) =>
+      // parse target: "<extra_id_0> tok tok <extra_id_1> tok ..." → spans by k
+      val spans = "<extra_id_(\\d+)> ?".r.split(target).drop(1) // segment i = span i
+      assert(spans.length == nSpans, s"doc $id: ${spans.length} spans vs n_spans=$nSpans")
+      val rebuilt = "<extra_id_(\\d+)>".r.replaceAllIn(input,
+        m => java.util.regex.Matcher.quoteReplacement(spans(m.group(1).toInt).trim))
+      assert(rebuilt == orig(id), s"doc $id failed to round-trip")
+    }
+  }
 }
