@@ -222,17 +222,84 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** w6_prefix_sum — DISTRIBUTED exclusive prefix sum over doc order:
+    * every doc's global token offset in the concatenated corpus stream.
+    * A naive `sum() OVER (ORDER BY doc_id)` is a single-partition window
+    * — the one windowing shape that cannot scale. The classic two-level
+    * decomposition instead: docs hash into id-range buckets; the
+    * per-bucket cumulative runs in a PARTITIONED window (parallel), and
+    * only the bucket TOTALS — a table 1/B the size — take an ordered
+    * scan, whose exclusive cumulation broadcasts back as each bucket's
+    * base offset. At 100 TB, recurse once more on the bucket table (B²
+    * reduction) — same shape, documented here, not needed at gate scale.
+    * The oracle is the naive global window, proving the decomposition
+    * is exactly equivalent.
+    */
+  def tokenOffsets(docs: DataFrame, bucket: Long = 64L): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("b", expr(s"CAST(floor(doc_id / $bucket.0) AS BIGINT)"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = tok.withColumn("cum_in", coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
+    val wB = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val base = tok.groupBy(col("b")).agg(sum(col("n_toks")).as("bt"))
+      .withColumn("boff", coalesce(sum(col("bt")).over(wB), lit(0L)))
+      .select(col("b"), col("boff"))
+    local.join(broadcast(base), Seq("b"))
+      .select(col("doc_id"), col("n_toks"), (col("cum_in") + col("boff")).as("off"))
+  }
+
+  val prefixSum: Q = (s, d) =>
+    tokenOffsets(tbl(s, d, "documents")).orderBy(col("doc_id"))
+  val prefixSumSql: String =
+    """SELECT doc_id, n_toks,
+      |       CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** pl_pack_concat — GPT-style packing: concatenate the whole corpus in
+    * doc order and cut fixed 512-token sequences, docs SPANNING sequence
+    * boundaries (tx_pack / pl_pack_bpe are the budget-binned alternative
+    * where docs never split). Entirely arithmetic on the distributed
+    * prefix sum — no token materialization: each doc's occupied sequence
+    * range is [floor(off/512), floor((off+n-1)/512)]. The exploded
+    * (sequence → doc-slice) view is one sequence() away; the gate pins
+    * the ranges, which determine it.
+    */
+  val packConcat: Q = (s, d) =>
+    tokenOffsets(tbl(s, d, "documents"))
+      .select(col("doc_id"), col("n_toks"), col("off"),
+        expr("CAST(floor(off / 512.0) AS BIGINT)").as("first_seq"),
+        expr("CAST(floor((off + n_toks - 1) / 512.0) AS BIGINT)").as("last_seq"))
+      .orderBy(col("doc_id"))
+  val packConcatSql: String =
+    """SELECT doc_id, n_toks, off,
+      |       CAST(floor(off / 512.0) AS BIGINT) AS first_seq,
+      |       CAST(floor((off + n_toks - 1) / 512.0) AS BIGINT) AS last_seq
+      |FROM (
+      |  SELECT doc_id, n_toks,
+      |         CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pl_corpus_clean" -> corpusClean,
     "pl_funnel"       -> funnel,
     "pl_pretrain"     -> pretrain,
     "pl_distill"      -> distill,
-    "pl_pack_bpe"     -> packBpe)
+    "pl_pack_bpe"     -> packBpe,
+    "w6_prefix_sum"   -> prefixSum,
+    "pl_pack_concat"  -> packConcat)
 
   val oracles: Map[String, String] = Map(
     "pl_corpus_clean" -> corpusCleanSql,
     "pl_funnel"       -> funnelSql,
     "pl_pretrain"     -> pretrainSql,
     "pl_distill"      -> distillSql,
-    "pl_pack_bpe"     -> packBpeSql)
+    "pl_pack_bpe"     -> packBpeSql,
+    "w6_prefix_sum"   -> prefixSumSql,
+    "pl_pack_concat"  -> packConcatSql)
 }

@@ -159,6 +159,21 @@ class PlanGuardSpec extends AnyFunSuite {
       "expected the within-cell pair stage to equi-join on the cell id")
   }
 
+  test("w6_prefix_sum: corpus window is partitioned; only bucket totals take an ordered scan") {
+    val plan = planOf("w6_prefix_sum")
+    val ws = plan.collect { case w: WindowExec => w }
+    assert(ws.exists(_.partitionSpec.nonEmpty),
+      "per-bucket cumulative must be a partitioned window")
+    // the one allowed unpartitioned window runs over the 1/B-size bucket-
+    // total aggregate, never the corpus
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collect { case a if a.nodeName.contains("HashAggregate") => a }.nonEmpty,
+        s"unpartitioned window not fed by the bucket aggregate:\n$w")
+    }
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "bucket base offsets must broadcast back")
+  }
+
   test("asofJoin plans exactly one window shuffle and no join at all") {
     val plan = planOf("aj_asof")
     val joins = plan.collect {
