@@ -940,6 +940,38 @@ object TextAnalysis {
       |       coalesce(t.n_spans, 0) AS n_spans
       |FROM inp i LEFT JOIN tgt t USING (doc_id) ORDER BY i.doc_id""".stripMargin
 
+  /** tx_chunk — sliding-window chunking with overlap (64-token windows,
+    * stride 48 → 16-token overlap): the context-window preparation every
+    * retrieval/embedding pipeline runs on long documents. One explode of
+    * a per-doc chunk-index sequence + a slice per chunk — narrow, no
+    * shuffle, no token re-scan per chunk (the slice reads the one split
+    * array). Chunk starts are every stride while < n_toks, so the tail
+    * is always covered and short docs yield exactly one chunk; both
+    * engines cap the final slice at the array end identically.
+    */
+  val chunk: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n", size($"toks").cast("long"))
+      .select($"doc_id", $"toks", $"n",
+        explode(expr("sequence(0L, CAST(floor((n - 1) / 48.0) AS BIGINT))")).as("chunk_id"))
+      .withColumn("piece", expr("slice(toks, CAST(chunk_id * 48 + 1 AS INT), 64)"))
+      .select($"doc_id", $"chunk_id",
+        size($"piece").cast("long").as("n_chunk_toks"),
+        array_join($"piece", " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  val chunkSql: String =
+    """SELECT doc_id, chunk_id,
+      |       len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS n_chunk_toks,
+      |       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text
+      |FROM (
+      |  SELECT doc_id, toks,
+      |         unnest(range(0, CAST(floor((len(toks) - 1) / 48.0) AS BIGINT) + 1)) AS chunk_id
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
@@ -954,6 +986,7 @@ object TextAnalysis {
     "tx_pp_bucket"   -> ppBucket,
     "sp_quality_sample" -> qualitySample,
     "tx_t5_spans"    -> t5Spans,
+    "tx_chunk"       -> chunk,
     "tx_pretokens"   -> pretokens,
     "tx_bpe_train"   -> bpeTrainQ,
     "tx_bpe_encode"  -> bpeEncodeQ,
@@ -974,6 +1007,7 @@ object TextAnalysis {
     "tx_pp_bucket"   -> ppBucketSql,
     "sp_quality_sample" -> qualitySampleSql,
     "tx_t5_spans"    -> t5SpansSql,
+    "tx_chunk"       -> chunkSql,
     "tx_pretokens"   -> pretokensSql,
     "tx_bpe_train"   -> bpeTrainSql,
     "tx_bpe_encode"  -> bpeEncodeSql,

@@ -222,6 +222,21 @@ class PrivacySpec extends AnyFunSuite {
     assert(new String(frames.flatten, "UTF-8") == "abcdefghijXY") // trailing 'Z' dropped
   }
 
+  test("chunking covers every token: de-overlapped chunks reassemble the doc") {
+    val chunks = operators.TextAnalysis.chunk(spark, sf)
+      .select($"doc_id", $"chunk_id", $"chunk_text")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val orig = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    orig.foreach { case (id, text) =>
+      val cs = chunks(id)
+      val rebuilt = (cs.init.map(_.split(" ", -1).take(48).mkString(" ")) :+ cs.last)
+        .mkString(" ")
+      assert(rebuilt == text, s"doc $id chunks do not reassemble")
+    }
+  }
+
   test("t5 span corruption round-trips: substituting targets back restores the text") {
     val out = TextAnalysis.t5Spans(spark, sf)
       .select($"doc_id", $"input", $"target", $"n_spans")
