@@ -877,7 +877,7 @@ object Relational {
     */
   val tpchQ7: Q = (s, d) => {
     import s.implicits._
-    val n = tbl(s, d, "nation").where($"n_name".isin("NATION_1", "NATION_2"))
+    val n = tbl(s, d, "nation").where($"n_name".isin("NATION_13", "NATION_19"))
     val sup = tbl(s, d, "supplier")
       .join(broadcast(n.select($"n_nationkey", $"n_name".as("supp_nation"))),
         $"s_nationkey" === $"n_nationkey")
@@ -918,8 +918,8 @@ object Relational {
       |  JOIN customer ON c_custkey = o_custkey
       |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
       |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
-      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+      |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
       |GROUP BY supp_nation, cust_nation, l_year
