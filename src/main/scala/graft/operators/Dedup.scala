@@ -593,6 +593,69 @@ object Dedup {
 
   // ----------------------------------------------------------------- export
 
+  /** dd_ppjoin — EXACT all-pairs similarity join with prefix filtering
+    * (PPJoin family, Xiao et al. 2011; the AllPairs candidate rule of
+    * Bayardo et al. 2007): every doc pair with 5-gram-set Jaccard ≥ τ,
+    * with NO false negatives — the exact counterpart to dd_lsh_pairs'
+    * probabilistic banding.
+    *
+    * Pruning argument: order each doc's grams rarest-first (ascending
+    * document frequency, gram string tie-break). If J(x,y) ≥ τ then
+    * |x∩y| ≥ ⌈τ·|x|⌉, and any ⌈τ·|x|⌉ elements of x must intersect its
+    * first |x|−⌈τ·|x|⌉+1 positions — so x and y share a PREFIX gram, and
+    * the candidate stage is an equi-join on prefix grams only. Because
+    * prefixes hold the RAREST grams, candidate buckets are the smallest
+    * ones: work is Σ_prefix-gram df², not corpus². At 100 TB: the df
+    * count and the df-annotation are one keyed shuffle each (no
+    * corpus-sized broadcast anywhere), candidates shuffle on the prefix
+    * gram, and verification is a bounded count-join over candidate pairs.
+    * The ORACLE is the unpruned all-pairs join — the gate hash-proves the
+    * pruned plan returns exactly the naive answer.
+    */
+  def ppJoin(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val grams = docNGrams(docs, n)
+    val dfc = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val lists = grams.join(dfc, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("gs"))
+      .withColumn("sz", size(col("gs")).cast("long"))
+      .withColumn("plen", (col("sz") - ceil(col("sz") * lit(tau)) + lit(1)).cast("int"))
+    val prefix = lists.select(col("doc_id"),
+      explode(expr("slice(transform(gs, g -> g.gram), 1, plen)")).as("gram"))
+    val cand = prefix.select(col("doc_id").as("da"), col("gram"))
+      .join(prefix.select(col("doc_id").as("db"), col("gram")), Seq("gram"))
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val inter = cand
+      .join(grams.select(col("doc_id").as("da"), col("gram")), Seq("da"))
+      .join(grams.select(col("doc_id").as("db"), col("gram")), Seq("db", "gram"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(lists.select(col("doc_id").as("da"), col("sz").as("sza")), Seq("da"))
+      .join(lists.select(col("doc_id").as("db"), col("sz").as("szb")), Seq("db"))
+      .withColumn("jacc", round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
+      .where(col("jacc") >= tau)
+      .select(col("da"), col("db"), col("inter"), col("jacc"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val PpTau = 0.5
+
+  val ppJoinQ: Q = (s, d) => ppJoin(tbl(s, d, "documents"), n = 5, tau = PpTau)
+  val ppJoinSql: String =
+    s"""WITH g AS (
+      |  SELECT DISTINCT doc_id, ${ngramUnnestSql(5)} AS gram
+      |  FROM documents WHERE ${ngramGuardSql(5)}),
+      |s AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+      |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT da, db, inter,
+      |       round(inter / (sa.sz + sb.sz - inter), 6) AS jacc
+      |FROM i JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db
+      |WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= $PpTau
+      |ORDER BY da, db""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dc_overlap"      -> dcOverlap,
     "dc_bloom"        -> dcBloom,
@@ -605,6 +668,7 @@ object Dedup {
     "dd_span_removal" -> spanRemovalQ,
     "dd_embedding"    -> embeddingNearDup,
     "dd_incremental"  -> ddIncremental,
+    "dd_ppjoin"       -> ppJoinQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -619,5 +683,6 @@ object Dedup {
     "dd_span_removal" -> spanRemovalSql,
     "dd_embedding"    -> embeddingNearDupSql,
     "dd_incremental"  -> ddIncrementalSql,
+    "dd_ppjoin"       -> ppJoinSql,
   )
 }

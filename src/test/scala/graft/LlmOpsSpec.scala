@@ -246,6 +246,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"contaminated docs survived: ${leaked.take(5).toSeq}")
   }
 
+  test("ppJoin returns exactly the brute-force all-pairs answer") {
+    val out = Dedup.ppJoin(docs, n = 5, tau = 0.5)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    // independent brute force: all pairs, no prefix pruning
+    val g = Dedup.docNGrams(docs, 5)
+    val sz = g.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val brute = g.select($"doc_id".as("da"), $"gram")
+      .join(g.select($"doc_id".as("db"), $"gram"), Seq("gram"))
+      .where($"da" < $"db")
+      .groupBy($"da", $"db").agg(count(lit(1)).as("inter"))
+      .join(sz.select($"doc_id".as("da"), $"sz".as("sza")), Seq("da"))
+      .join(sz.select($"doc_id".as("db"), $"sz".as("szb")), Seq("db"))
+      .where($"inter" / ($"sza" + $"szb" - $"inter") >= 0.5)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(out == brute, s"prefix filter changed the answer: ${(out diff brute) ++ (brute diff out)}")
+    assert(out.nonEmpty)
+  }
+
   test("semDedup drops a planted duplicate vector, keeping the lowest id") {
     val e7 = emb.where($"vec_id" === 7).select($"embedding")
       .as[Array[Float]].head()
