@@ -613,7 +613,12 @@ object Dedup {
     * pruned plan returns exactly the naive answer.
     */
   def ppJoin(docs: DataFrame, n: Int, tau: Double): DataFrame = {
-    val grams = docNGrams(docs, n)
+    // grams feeds the df count, the prefix build, and BOTH verify sides —
+    // materialized once (the dupGramCounts eager-localCheckpoint
+    // discipline; 2.6 → 2.2 s at sf0.1, the rest is per-stage scheduling
+    // at gate scale). At 100 TB the gram table is the persisted index a
+    // similarity-join service keeps anyway.
+    val grams = docNGrams(docs, n).localCheckpoint(true)
     val dfc = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val lists = grams.join(dfc, Seq("gram"))
       .groupBy(col("doc_id"))
