@@ -98,6 +98,57 @@ object Sampling {
       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents""".stripMargin
 
+  /** pf_drift — snapshot drift monitor: compare the corpus composition
+    * of an existing snapshot against an arriving batch (per-language doc
+    * share and mean length, with the absolute share shift), the check a
+    * continuously-ingesting pipeline runs before letting a batch into
+    * the training mix. ONE conditional-aggregation scan produces both
+    * sides (no per-snapshot pass), and the two 1-row totals broadcast
+    * onto the per-lang rows — the same shape at any corpus size. Shares
+    * and means round to 6 dp (suite convention).
+    */
+  val drift: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val isNew = col("doc_id") >= 250
+    val byLang = docs.groupBy(col("lang")).agg(
+      sum(when(!isNew, 1L).otherwise(0L)).as("n_old"),
+      sum(when(isNew, 1L).otherwise(0L)).as("n_new"),
+      sum(when(!isNew, col("n_chars"))).as("c_old"),
+      sum(when(isNew, col("n_chars"))).as("c_new"))
+    val totals = docs.agg(
+      sum(when(!isNew, 1L).otherwise(0L)).as("t_old"),
+      sum(when(isNew, 1L).otherwise(0L)).as("t_new"))
+    byLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_old"), col("n_new"),
+        round(col("n_old") / col("t_old"), 6).as("share_old"),
+        round(col("n_new") / col("t_new"), 6).as("share_new"),
+        round(abs(col("n_old") / col("t_old") - col("n_new") / col("t_new")), 6)
+          .as("share_shift"),
+        round(col("c_old") / col("n_old"), 6).as("mean_chars_old"),
+        round(col("c_new") / col("n_new"), 6).as("mean_chars_new"))
+      .orderBy(col("lang"))
+  }
+  val driftSql: String =
+    """SELECT lang,
+      |       n_old, n_new,
+      |       round(n_old / t_old, 6) AS share_old,
+      |       round(n_new / t_new, 6) AS share_new,
+      |       round(abs(n_old / t_old - n_new / t_new), 6) AS share_shift,
+      |       round(c_old / n_old, 6) AS mean_chars_old,
+      |       round(c_new / n_new, 6) AS mean_chars_new
+      |FROM (
+      |  SELECT lang,
+      |         CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+      |         CAST(sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |         sum(CASE WHEN doc_id < 250 THEN n_chars END) AS c_old,
+      |         sum(CASE WHEN doc_id >= 250 THEN n_chars END) AS c_new
+      |  FROM documents GROUP BY lang)
+      |CROSS JOIN (
+      |  SELECT CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS t_old,
+      |         CAST(sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS t_new
+      |  FROM documents)
+      |ORDER BY lang""".stripMargin
+
   /** Domain-mixture sampling — reweighting a corpus by per-domain keep
     * rates, the knob every pretraining mix sweeps. Each language keeps
     * a different hash-threshold slice of its documents (en 9/16,
@@ -170,6 +221,7 @@ object Sampling {
     "sp_mixture"    -> mixture,
     "sp_split"      -> split3,
     "pf_profile"    -> profile,
+    "pf_drift"      -> drift,
     "sk_top_tokens" -> topTokens,
   )
 
@@ -179,6 +231,7 @@ object Sampling {
     "sp_mixture"    -> mixtureSql,
     "sp_split"      -> split3Sql,
     "pf_profile"    -> profileSql,
+    "pf_drift"      -> driftSql,
     "sk_top_tokens" -> topTokensSql,
   )
 }
