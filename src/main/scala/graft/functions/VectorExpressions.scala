@@ -44,6 +44,24 @@ object VectorOps {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** Merge-scan intersection count of two ASCENDING-sorted string arrays
+    * (UTF8String binary order — exactly what Spark's sort_array emits for
+    * StringType). O(|a|+|b|), no intermediate set/array. Used by the
+    * ppJoin verify stage, where the alternative (per-pair explode +
+    * count-join) costs two corpus-sized shuffles.
+    */
+  def sortedIntersect(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1L; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Multi-plane sign-bucket: bit p set iff dot(v, planes(p)) > 0,
     * weighted by weights(p) (so one kernel serves single- and
     * multi-table layouts).
@@ -104,6 +122,39 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Intersection size of two sorted array<string> columns — codegen'd
+  * merge scan. Inputs MUST be ascending-sorted (sort_array output); the
+  * expression does not re-verify order.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.StringType, false),
+            ArrayType(org.apache.spark.sql.types.StringType, false)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(org.apache.spark.sql.types.StringType, _),
+            ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects array<string> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sortedIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.sortedIntersect($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
 /** Sign-bucket of a float vector against a fixed hyperplane matrix. */
 case class PlaneBucket(child: Expression, planes: Array[Array[Double]],
                        weights: Array[Long]) extends UnaryExpression {
@@ -130,4 +181,6 @@ object vector {
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def plane_bucket(v: Column, planes: Array[Array[Double]], weights: Array[Long]): Column =
     ColumnBridge.column(PlaneBucket(ColumnBridge.expression(v), planes, weights))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

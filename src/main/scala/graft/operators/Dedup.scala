@@ -613,31 +613,38 @@ object Dedup {
     * pruned plan returns exactly the naive answer.
     */
   def ppJoin(docs: DataFrame, n: Int, tau: Double): DataFrame = {
-    // grams feeds the df count, the prefix build, and BOTH verify sides —
-    // materialized once (the dupGramCounts eager-localCheckpoint
-    // discipline; 2.6 → 2.2 s at sf0.1, the rest is per-stage scheduling
-    // at gate scale). At 100 TB the gram table is the persisted index a
-    // similarity-join service keeps anyway.
-    val grams = docNGrams(docs, n).localCheckpoint(true)
+    // Each doc's grams become ONE sorted array of "df(10-digit)|gram"
+    // keys — zero-padded df first, so UTF8 binary order ≡ the (df, gram)
+    // rarest-first order, and the SAME array serves three stages: its
+    // first plen entries are the prefix (candidate join key = the padded
+    // string; equality on it ≡ equality on the gram), and the verify
+    // intersection is a codegen'd merge scan over the two sorted arrays
+    // (SortedIntersectCount) instead of a per-pair explode + count-join —
+    // the explode-join formulation cost two more corpus-sized shuffles
+    // (measured 2.2 → 2.0 s at sf0.1; the remaining floor is the 4-shuffle index build). The lists table is materialized
+    // once (dupGramCounts discipline); at 100 TB it is the persisted
+    // similarity index, and the da/db joins below are keyed equi-joins
+    // AQE sizes (no broadcast hint — the table grows with the corpus).
+    val grams = docNGrams(docs, n)
     val dfc = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val lists = grams.join(dfc, Seq("gram"))
+      .select(col("doc_id"),
+        concat(lpad(col("df").cast("string"), 10, "0"), lit("|"), col("gram")).as("key"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("gs"))
+      .agg(sort_array(collect_list(col("key"))).as("gs"))
       .withColumn("sz", size(col("gs")).cast("long"))
       .withColumn("plen", (col("sz") - ceil(col("sz") * lit(tau)) + lit(1)).cast("int"))
-    val prefix = lists.select(col("doc_id"),
-      explode(expr("slice(transform(gs, g -> g.gram), 1, plen)")).as("gram"))
-    val cand = prefix.select(col("doc_id").as("da"), col("gram"))
-      .join(prefix.select(col("doc_id").as("db"), col("gram")), Seq("gram"))
+      .localCheckpoint(true)
+    val prefix = lists.select(col("doc_id"), explode(expr("slice(gs, 1, plen)")).as("key"))
+    val cand = prefix.select(col("doc_id").as("da"), col("key"))
+      .join(prefix.select(col("doc_id").as("db"), col("key")), Seq("key"))
       .where(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-    val inter = cand
-      .join(grams.select(col("doc_id").as("da"), col("gram")), Seq("da"))
-      .join(grams.select(col("doc_id").as("db"), col("gram")), Seq("db", "gram"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(lists.select(col("doc_id").as("da"), col("sz").as("sza")), Seq("da"))
-      .join(lists.select(col("doc_id").as("db"), col("sz").as("szb")), Seq("db"))
+    cand
+      .join(lists.select(col("doc_id").as("da"), col("gs").as("gsa"), col("sz").as("sza")), Seq("da"))
+      .join(lists.select(col("doc_id").as("db"), col("gs").as("gsb"), col("sz").as("szb")), Seq("db"))
+      .withColumn("inter",
+        graft.functions.vector.sorted_intersect_count(col("gsa"), col("gsb")))
       .withColumn("jacc", round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
       .where(col("jacc") >= tau)
       .select(col("da"), col("db"), col("inter"), col("jacc"))

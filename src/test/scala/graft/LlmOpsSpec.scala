@@ -246,6 +246,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"contaminated docs survived: ${leaked.take(5).toSeq}")
   }
 
+  test("sorted_intersect_count agrees with array_intersect on generated sorted arrays") {
+    val df = spark.range(200).select(
+      expr("array_sort(transform(sequence(1, CAST(id % 17 AS INT) + 1), " +
+        "i -> md5(concat(CAST(id AS STRING), ':', CAST(i AS STRING)))))").as("a"),
+      expr("array_sort(transform(sequence(1, CAST(id % 13 AS INT) + 1), " +
+        "i -> md5(concat(CAST(id % 7 AS STRING), ':', CAST(i AS STRING)))))").as("b"))
+    val bad = df.where(graft.functions.vector.sorted_intersect_count($"a", $"b") =!=
+      size(array_intersect($"a", $"b")).cast("long")).count()
+    assert(bad == 0, "merge-scan intersect diverged from array_intersect")
+  }
+
   test("ppJoin returns exactly the brute-force all-pairs answer") {
     val out = Dedup.ppJoin(docs, n = 5, tau = 0.5)
       .select($"da", $"db").as[(Long, Long)].collect().toSet
