@@ -925,6 +925,112 @@ object Relational {
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** TPC-H Q15-shaped (top supplier): revenue per supplier for one
+    * quarter, then the supplier(s) achieving the maximum — the
+    * aggregate-of-aggregate view pattern. The per-supplier revenue
+    * aggregates once (fact scan + one keyed shuffle); the 1-row max
+    * broadcasts back as an EQUI-join on the exact decimal revenue (no
+    * double compare — decimal equality is well-defined cross-engine),
+    * and the supplier dimension broadcasts onto the one surviving row.
+    */
+  val tpchQ15: Q = (s, d) => {
+    import s.implicits._
+    val rev = tbl(s, d, "lineitem")
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+             $"l_shipdate" <  lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+        .cast("decimal(30,4)")).as("rev"))
+    val mx = rev.agg(max($"rev").as("mr"))
+    rev.join(broadcast(mx), $"rev" === $"mr")
+      .join(broadcast(tbl(s, d, "supplier").select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"rev".cast("double").as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+  val tpchQ15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |             AS DECIMAL(30,4))) AS rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+      |FROM rev JOIN (SELECT max(rev) AS mr FROM rev) ON rev = mr
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17-shaped (small-quantity-order revenue): lineitems below
+    * half their part's average quantity — the correlated-scalar-subquery
+    * pattern, decorrelated into one per-part aggregate + a fact re-join.
+    * The average is never materialized as a double: qty < avg/2 is
+    * cross-multiplied to 2·qty·cnt < sum_qty, all exact decimal/integer
+    * arithmetic, so no engine's summation order can flip a boundary row.
+    * Both aggregates shuffle on l_partkey — Catalyst reuses the exchange.
+    */
+  val tpchQ17: Q = (s, d) => {
+    import s.implicits._
+    val li = tbl(s, d, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val pa = li.groupBy($"l_partkey").agg(
+      sum($"l_quantity".cast("decimal(18,2)")).as("sum_qty"),
+      count(lit(1)).as("cnt"))
+    li.join(pa, Seq("l_partkey"))
+      .where($"l_quantity".cast("decimal(18,2)") * 2 * $"cnt" < $"sum_qty")
+      .agg(round((sum($"l_extendedprice".cast("decimal(18,2)")).cast("double") / 7), 6)
+        .as("avg_yearly"))
+  }
+  val tpchQ17Sql: String =
+    """WITH pa AS (
+      |  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |         count(*) AS cnt
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7, 6)
+      |         AS avg_yearly
+      |FROM lineitem JOIN pa USING (l_partkey)
+      |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * cnt < sum_qty""".stripMargin
+
+  /** TPC-H Q22-shaped (dormant high-balance customers): customers with
+    * above-average balance and NO order since 2000, grouped by nation —
+    * scalar subquery + anti-join. The global average is likewise
+    * cross-multiplied (bal·n > sum) so the cut is exact decimal; the
+    * 1-row total broadcasts, and the anti-join runs against the
+    * date-pruned DISTINCT custkey set (a sliver of orders), not the
+    * order table.
+    */
+  val tpchQ22: Q = (s, d) => {
+    import s.implicits._
+    val cust = tbl(s, d, "customer")
+    val tot = cust.where($"c_acctbal" > 0).agg(
+      sum($"c_acctbal".cast("decimal(18,2)")).as("sb"),
+      count(lit(1)).as("n"))
+    val active = tbl(s, d, "orders")
+      .where($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select($"o_custkey").distinct()
+    cust.crossJoin(broadcast(tot))
+      .where($"c_acctbal".cast("decimal(18,2)") * $"n" > $"sb")
+      .join(active, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("totacctbal"))
+      .orderBy($"c_nationkey")
+  }
+  val tpchQ22Sql: String =
+    """SELECT c_nationkey, count(*) AS numcust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |CROSS JOIN (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sb, count(*) AS n
+      |            FROM customer WHERE c_acctbal > 0)
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > sb
+      |  AND c_custkey NOT IN (
+      |    SELECT DISTINCT o_custkey FROM orders
+      |    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   /** A10 — GROUPING SETS beyond rollup's prefix lattice: (status, priority),
     * (priority) alone, and grand total — an aggregation shape rollup/cube
     * can't express. Single pass (Spark expands the sets in one Expand node,
@@ -1016,6 +1122,9 @@ object Relational {
     "tpch_q10"         -> tpchQ10,
     "tpch_q14"         -> tpchQ14,
     "tpch_q7"          -> tpchQ7,
+    "tpch_q15"         -> tpchQ15,
+    "tpch_q17"         -> tpchQ17,
+    "tpch_q22"         -> tpchQ22,
     "a10_grouping_sets" -> a10GroupingSets,
     "j1_star_join"     -> j1StarJoin,
     "j2_semi_join"     -> j2SemiJoin,
@@ -1062,6 +1171,9 @@ object Relational {
     "tpch_q10"         -> tpchQ10Sql,
     "tpch_q14"         -> tpchQ14Sql,
     "tpch_q7"          -> tpchQ7Sql,
+    "tpch_q15"         -> tpchQ15Sql,
+    "tpch_q17"         -> tpchQ17Sql,
+    "tpch_q22"         -> tpchQ22Sql,
     "a10_grouping_sets" -> a10GroupingSetsSql,
     "j1_star_join"     -> j1StarJoinSql,
     "j2_semi_join"     -> j2SemiJoinSql,

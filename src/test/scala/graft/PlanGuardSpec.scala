@@ -70,7 +70,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "ann_ivf_search", "ann_kmeans_train", "cc_clusters", "cc_star",
       "dd_canonical", "tx_tfidf", "tx_lm_score", "tx_clf_score",
       "dd_semdedup", "dd_semdedup_inc", "tx_pp_bucket", "sp_quality_sample",
-      "ann_ivfpq", "pf_drift")
+      "ann_ivfpq", "pf_drift", "tpch_q22")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
