@@ -109,17 +109,74 @@ object Similarity {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
   }
-  val annLshBucketsSql: String =
-    """SELECT bucket, count(*) AS n FROM (
-      |  SELECT vec_id,
+  /** The 8-bit md5-parity bucket derivation as a SQL fragment — shared by
+    * the histogram gate and the multi-probe search oracle.
+    */
+  private val lshBucketSql: String =
+    """SELECT vec_id,
       |    CAST(list_sum(list_transform(range(0, 8), p ->
       |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
       |             CAST(embedding[i+1] AS DOUBLE) *
       |             CASE WHEN substr(md5(p || ':' || i), 2, 1) IN ('1','3','5','7','9','b','d','f')
       |                  THEN 1.0 ELSE -1.0 END)) > 0
       |           THEN 1 << p ELSE 0 END)) AS BIGINT) AS bucket
-      |  FROM embeddings)
+      |  FROM embeddings""".stripMargin
+
+  val annLshBucketsSql: String =
+    s"""SELECT bucket, count(*) AS n FROM (
+      |  $lshBucketSql)
       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** ann_lsh_multiprobe — the OTHER standard recall lever beside
+    * multi-table (annViaLsh): keep ONE bucket table but probe the
+    * query's bucket plus its 8 Hamming-distance-1 neighbors (Lv et al.
+    * 2007). Candidates = a 9-key bucket equi-join per probe — storage
+    * stays 1× (multi-table pays L× index size for its recall), query
+    * fan-out grows by the probe count instead. Exact-cosine re-rank
+    * with the suite's round-6 + id tie-break, so unlike the histogram
+    * gate this searches end-to-end hash-checked against SQL.
+    */
+  def annViaLshMultiProbe(e: DataFrame, probeIds: Seq[Long], k: Int = 3): DataFrame = {
+    val b = withLshBucket(e)
+    val cands = b.select(col("vec_id").as("n"), col("bucket"))
+    val probes = b.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("q"),
+        explode(expr("concat(array(bucket), transform(sequence(0, 7), " +
+          "p -> bucket ^ shiftleft(CAST(1 AS BIGINT), p)))")).as("bucket"))
+    val pairs = probes.join(cands, Seq("bucket"))
+      .where(col("q") =!= col("n"))
+      .select(col("q"), col("n")).distinct()
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val scored = pairs
+      .join(vecs.select(col("vec_id").as("q"), col("embedding").as("eq")), Seq("q"))
+      .join(vecs.select(col("vec_id").as("n"), col("embedding").as("en")), Seq("n"))
+      .select(col("q"), col("n"), round(cos("eq", "en"), 6).as("cos"))
+    val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("q"), col("rank"))
+  }
+
+  val lshMultiProbeQ: Q = (s, d) =>
+    annViaLshMultiProbe(tbl(s, d, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L))
+  val lshMultiProbeSql: String =
+    s"""WITH bk AS (
+      |  $lshBucketSql),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |pb AS (SELECT vec_id AS q,
+      |              unnest(list_prepend(bucket,
+      |                list_transform(range(0, 8), p -> xor(bucket, CAST(1 AS BIGINT) << p)))) AS bucket
+      |       FROM bk WHERE vec_id < 5),
+      |pairs AS (SELECT DISTINCT q, c.vec_id AS n
+      |          FROM pb JOIN bk c USING (bucket) WHERE c.vec_id != q),
+      |scored AS (SELECT q, n,
+      |                  round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+      |           FROM pairs JOIN e a ON a.vec_id = q JOIN e b ON b.vec_id = n)
+      |SELECT q, n, cos, rank FROM (
+      |  SELECT q, n, cos,
+      |         row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
 
   /** ANN via multi-table bucket join (the scale path): candidates share any
     * table's bucket; exact cosine only on distinct candidates; top-k per
@@ -739,6 +796,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "ann_bruteforce"    -> annBruteforce,
     "ann_lsh_buckets"   -> annLshBuckets,
+    "ann_lsh_multiprobe" -> lshMultiProbeQ,
     "ann_kmeans_train"  -> kmeansTrainQ,
     "ann_ivf_assign"    -> ivfAssignQ,
     "ann_ivf_search"    -> ivfSearchQ,
@@ -751,6 +809,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_bruteforce"    -> annBruteforceSql,
     "ann_lsh_buckets"   -> annLshBucketsSql,
+    "ann_lsh_multiprobe" -> lshMultiProbeSql,
     "ann_kmeans_train"  -> kmeansTrainSql,
     "ann_ivf_assign"    -> ivfAssignSql,
     "ann_ivf_search"    -> ivfSearchSql,

@@ -97,6 +97,30 @@ object TextAnalysis {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** tx_langid_eval — classifier evaluation as a first-class op: the
+    * confusion table of the langid heuristic against the corpus' labeled
+    * lang column, with each cell's share of its true-label row. Model
+    * scoring over labeled data is itself a corpus-scale job (one scan +
+    * one tiny keyed aggregate); the share window runs over the
+    * |langs|×|classes| confusion rows, not the corpus.
+    */
+  val langidEval: Q = (s, d) => {
+    import s.implicits._
+    val conf = langid(s, d).groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"lang")
+    conf.withColumn("share", round($"n" / sum($"n").over(w).cast("double"), 6))
+      .orderBy($"lang", $"predicted")
+  }
+  val langidEvalSql: String = {
+    val core = langidSql.stripSuffix("\nORDER BY doc_id")
+    s"""WITH conf AS (
+       |  SELECT lang, predicted, count(*) AS n FROM ($core) GROUP BY lang, predicted)
+       |SELECT lang, predicted, n,
+       |       round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+       |FROM conf ORDER BY lang, predicted""".stripMargin
+  }
+
   /** Document fingerprinting: 31-polynomial rolling hash mod 1e9+7 over the
     * raw characters — cheap content identity robust to storage format.
     */
@@ -976,6 +1000,7 @@ object TextAnalysis {
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
     "tx_langid"      -> langid,
+    "tx_langid_eval" -> langidEval,
     "tx_fingerprint" -> fingerprint,
     "tx_normalize"   -> normalize,
     "tx_repetition"  -> repetition,
@@ -997,6 +1022,7 @@ object TextAnalysis {
     "tx_tokens"      -> tokensSql,
     "tx_quality"     -> qualitySql,
     "tx_langid"      -> langidSql,
+    "tx_langid_eval" -> langidEvalSql,
     "tx_fingerprint" -> fingerprintSql,
     "tx_normalize"   -> normalizeSql,
     "tx_repetition"  -> repetitionSql,

@@ -55,6 +55,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(found.headOption.contains(0L))
   }
 
+  test("multi-probe LSH beats (or ties) single-bucket recall at 1x index size") {
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.annBruteforce(spark, sf)
+      .select($"q", $"n").as[(Long, Long)].collect().toSet
+    // home-bucket-only baseline on the SAME bucket table: multi-probe's
+    // candidate set is a strict superset (home + 8 Hamming-1 neighbors),
+    // so its per-probe top-k can only be closer-or-equal to brute force
+    val b = Similarity.withLshBucket(emb)
+    val home = b.where($"vec_id".isin(probes: _*))
+      .select($"vec_id".as("q"), $"bucket")
+      .join(b.select($"vec_id".as("n"), $"bucket"), Seq("bucket"))
+      .where($"q" =!= $"n")
+      .select($"q", $"n").as[(Long, Long)].collect().toSet
+    val multi = Similarity.annViaLshMultiProbe(emb, probes, k = 3)
+      .select($"q", $"n").as[(Long, Long)].collect().toSet
+    val singleTop = home.intersect(multi) // home candidates surviving top-k
+    val rHome = exact.count(singleTop.contains).toDouble / exact.size
+    val rMulti = exact.count(multi.contains).toDouble / exact.size
+    assert(rMulti >= rHome, s"multi-probe recall $rMulti < home-bucket $rHome")
+    // probing all 8 Hamming-1 neighbors of an 8-bit code must produce
+    // candidates even when the home bucket is a singleton
+    assert(multi.nonEmpty)
+  }
+
   test("incremental dedup finds a new batch's dup against persisted corpus signatures") {
     val corpus = docs.where($"doc_id" < 60).select($"doc_id", $"text")
     val sigs = Dedup.signatureTable(corpus) // persisted once at ingest
