@@ -1031,6 +1031,72 @@ object Relational {
       |    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** TPC-H Q4-shaped (order priority checking): an EXISTS semi-join FEEDING
+    * an aggregate — j2SemiJoin proves the join type, this proves the shape
+    * that matters at scale: the fact side never widens the orders rows (no
+    * distinct needed, no row multiplication from multi-line orders), so
+    * the priority histogram aggregates exactly |matching orders| rows.
+    * Adapted predicate: the dataset's lineitem has no commitdate/
+    * receiptdate, so "late line exists" is expressed as l_shipdate >
+    * o_orderdate — same EXISTS-with-range-condition plan shape as the
+    * original (equi key + non-equi residual on the semi join). At 100 TB
+    * the quarter filter prunes orders first, and the semi join shuffles
+    * keys+dates only.
+    */
+  val tpchQ4: Q = (s, d) => {
+    import s.implicits._
+    val ord = tbl(s, d, "orders")
+      .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+             $"o_orderdate" <  lit("1996-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = tbl(s, d, "lineitem").select($"l_orderkey", $"l_shipdate")
+    ord.join(li, $"l_orderkey" === $"o_orderkey" && $"l_shipdate" > $"o_orderdate",
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+  val tpchQ4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13-shaped (customer order distribution): the aggregate-of-an-
+    * aggregate histogram over an OUTER join — the one join/agg composition
+    * the suite doesn't otherwise exercise (zero-count customers must
+    * survive). Spark-first inversion: the textbook form left-joins
+    * customer to raw orders then groups twice; here orders pre-aggregates
+    * to one (custkey, count) row, so the outer join carries |customers| +
+    * |customers-with-orders| rows instead of |orders| — at 100 TB the
+    * difference between shuffling the fact and shuffling its per-key
+    * summary. coalesce(count, 0) restores the zero bucket the inversion
+    * would otherwise lose; results are identical because c_count depends
+    * on custkey alone. Adapted predicate: o_orderpriority <> '1-URGENT'
+    * stands in for the original's o_comment NOT LIKE (no comment column).
+    */
+  val tpchQ13: Q = (s, d) => {
+    import s.implicits._
+    val perCust = tbl(s, d, "orders")
+      .where($"o_orderpriority" =!= "1-URGENT")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_ord"))
+    tbl(s, d, "customer").select($"c_custkey")
+      .join(perCust, $"c_custkey" === $"o_custkey", "left_outer")
+      .select(coalesce($"n_ord", lit(0L)).as("c_count"))
+      .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+  val tpchQ13Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   /** A10 — GROUPING SETS beyond rollup's prefix lattice: (status, priority),
     * (priority) alone, and grand total — an aggregation shape rollup/cube
     * can't express. Single pass (Spark expands the sets in one Expand node,
@@ -1125,6 +1191,8 @@ object Relational {
     "tpch_q15"         -> tpchQ15,
     "tpch_q17"         -> tpchQ17,
     "tpch_q22"         -> tpchQ22,
+    "tpch_q4"          -> tpchQ4,
+    "tpch_q13"         -> tpchQ13,
     "a10_grouping_sets" -> a10GroupingSets,
     "j1_star_join"     -> j1StarJoin,
     "j2_semi_join"     -> j2SemiJoin,
@@ -1174,6 +1242,8 @@ object Relational {
     "tpch_q15"         -> tpchQ15Sql,
     "tpch_q17"         -> tpchQ17Sql,
     "tpch_q22"         -> tpchQ22Sql,
+    "tpch_q4"          -> tpchQ4Sql,
+    "tpch_q13"         -> tpchQ13Sql,
     "a10_grouping_sets" -> a10GroupingSetsSql,
     "j1_star_join"     -> j1StarJoinSql,
     "j2_semi_join"     -> j2SemiJoinSql,

@@ -58,6 +58,126 @@ object Sketches {
       |       round(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 6) AS exact_p50,
       |       true AS ok FROM documents""".stripMargin
 
+  // ------------------------------------------------------- count-min sketch
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus token
+    * stream — the heavy-hitter / boilerplate-frequency sketch every
+    * corpus-hygiene pipeline keeps, here with md5-derived row hashes so the
+    * sketch itself is bit-identical in DuckDB: unlike the bound-style gates
+    * above, BOTH the d×w counter table and the estimates it yields are
+    * hash-checked exactly.
+    *
+    * Scale: one corpus scan; the d per-token bucket derivations explode to
+    * d rows each and aggregate onto d·w cells with map-side combine, so
+    * the shuffle carries at most d·w·|partitions| partial rows regardless
+    * of corpus size. The finished table is d·w longs (8 KiB here) — it
+    * broadcasts anywhere, merges across corpus shards by cell-wise +, and
+    * answers any point frequency without rescanning. CMS guarantees
+    * est ≥ exact (collisions only inflate), surfaced per probe as `ok`.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 256L
+
+  /** Row-r bucket of a token: first 32 bits of md5("r:tok") mod width. */
+  private def cmsBucket(r: Int, tok: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(s"$r:"), tok)), 1, 8), 16, 10)
+      .cast("long") % CmsWidth
+
+  private def corpusTokens(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+
+  /** Build the sketch: (r, b, c) cell table from a `tok` column. Public
+    * scale-path API — cells absent from the output are zero.
+    */
+  def cmsCells(toks: DataFrame): DataFrame =
+    toks
+      .select(posexplode(array(
+        (0 until CmsDepth).map(r => cmsBucket(r, col("tok"))): _*)).as(Seq("pos", "b")))
+      .groupBy(col("pos").cast("long").as("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Merge shard sketches cell-wise — CMS is a counter array, so sketches
+    * built per corpus shard combine by + into exactly the whole-corpus
+    * sketch (the property that lets 100 TB sketch in one embarrassingly
+    * parallel pass).
+    */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionAll _)
+      .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+
+  /** Point-frequency estimates for a `tok` probe column against a built
+    * sketch: min over the d row counters (missing cell = 0).
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame): DataFrame = {
+    val derived = probes
+      .select(col("tok"), posexplode(array(
+        (0 until CmsDepth).map(r => cmsBucket(r, col("tok"))): _*)).as(Seq("pos", "b")))
+      .select(col("tok"), col("pos").cast("long").as("r"), col("b"))
+    derived.join(sketch, Seq("r", "b"), "left_outer")
+      .groupBy(col("tok"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** The DuckDB mirror of [[cmsBucket]]: '0x'-prefixed hex casts straight
+    * to BIGINT.
+    */
+  private def cmsBucketSql(rExpr: String, tokExpr: String): String =
+    s"CAST('0x' || substr(md5($rExpr || ':' || $tokExpr), 1, 8) AS BIGINT) % $CmsWidth"
+
+  private val toksSql: String =
+    """SELECT tok FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      |  WHERE len(tok) > 0""".stripMargin
+
+  /** sk_cms_table — the full d×w counter table. */
+  val cmsTable: Q = (s, d) =>
+    cmsCells(corpusTokens(s, d)).orderBy(col("r"), col("b"))
+  val cmsTableSql: String =
+    s"""WITH toks AS (
+       |  $toksSql)
+       |SELECT r, ${cmsBucketSql("r", "tok")} AS b, count(*) AS c
+       |FROM toks CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r)
+       |GROUP BY 1, 2 ORDER BY r, b""".stripMargin
+
+  /** sk_cms_heavy — the 20 most frequent tokens with their exact counts,
+    * CMS estimates (min over the d row counters), and the est ≥ exact
+    * sketch invariant. The probe side re-derives each token's d buckets
+    * and equi-joins the cell table — the same lookup a 100 TB pipeline
+    * does against the broadcast sketch.
+    */
+  val cmsHeavy: Q = (s, d) => {
+    import s.implicits._
+    val t = corpusTokens(s, d)
+    val top = t.groupBy($"tok").agg(count(lit(1)).as("exact"))
+      .orderBy($"exact".desc, $"tok").limit(20)
+    val probes = top
+      .select($"tok", $"exact", posexplode(array(
+        (0 until CmsDepth).map(r => cmsBucket(r, $"tok")): _*)).as(Seq("pos", "b")))
+      .select($"tok", $"exact", $"pos".cast("long").as("r"), $"b")
+    probes.join(cmsCells(t), Seq("r", "b"))
+      .groupBy($"tok", $"exact").agg(min($"c").as("est"))
+      .select($"tok", $"exact", $"est", ($"est" >= $"exact").as("ok"))
+      .orderBy($"exact".desc, $"tok")
+  }
+  val cmsHeavySql: String =
+    s"""WITH toks AS (
+       |  $toksSql),
+       |cells AS (
+       |  SELECT r, ${cmsBucketSql("r", "tok")} AS b, count(*) AS c
+       |  FROM toks CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r)
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT tok, count(*) AS exact FROM toks GROUP BY tok
+       |  ORDER BY exact DESC, tok LIMIT 20),
+       |probes AS (
+       |  SELECT tok, exact, r, ${cmsBucketSql("r", "tok")} AS b
+       |  FROM top CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r))
+       |SELECT tok, exact, min(c) AS est, min(c) >= exact AS ok
+       |FROM probes JOIN cells USING (r, b)
+       |GROUP BY tok, exact ORDER BY exact DESC, tok""".stripMargin
+
   /** Scale-path API: per-group mergeable HLL sketches, re-aggregable to
     * coarser grains with hll_union_agg — the pattern for distinct-count
     * rollup cubes over 100 TB (sketch once at fine grain, merge upward,
@@ -101,10 +221,14 @@ object Sketches {
   val queries: Map[String, Q] = Map(
     "sk_hll_bound"      -> hllBound,
     "sk_quantile_bound" -> quantileBound,
+    "sk_cms_table"      -> cmsTable,
+    "sk_cms_heavy"      -> cmsHeavy,
   )
 
   val oracles: Map[String, String] = Map(
     "sk_hll_bound"      -> hllBoundSql,
     "sk_quantile_bound" -> quantileBoundSql,
+    "sk_cms_table"      -> cmsTableSql,
+    "sk_cms_heavy"      -> cmsHeavySql,
   )
 }

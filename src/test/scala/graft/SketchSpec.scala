@@ -41,4 +41,34 @@ class SketchSpec extends AnyFunSuite {
     val b = toks.agg(sketch.top_k_freq($"tok", 5)).head().getSeq[Any](0)
     assert(a == b)
   }
+
+  test("CMS estimate dominates the exact count for EVERY token") {
+    val cms = operators.Sketches.cmsCells(toks).cache()
+    val exact = toks.groupBy($"tok").count()
+    val est = operators.Sketches.cmsEstimate(cms, exact.select($"tok"))
+    val bad = exact.join(est, Seq("tok"))
+      .where($"est" < $"count").as[(String, Long, Long)].collect()
+    assert(bad.isEmpty, s"CMS undercounted: ${bad.take(5).toSeq}")
+    // a token never inserted estimates at most the collision mass, and the
+    // left_outer path returns 0 when all its cells are empty
+    val ghost = operators.Sketches
+      .cmsEstimate(cms, Seq("⟂never-seen-token⟂").toDF("tok"))
+      .as[(String, Long)].head()
+    assert(ghost._2 >= 0L)
+    cms.unpersist()
+  }
+
+  test("CMS shard sketches merge cell-wise into the whole-corpus sketch") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def tk(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split(lower($"text"), " ")).as("tok"))
+        .where(length($"tok") > 0)
+    val whole = operators.Sketches.cmsCells(tk(docs))
+    val merged = operators.Sketches.cmsMerge(
+      operators.Sketches.cmsCells(tk(docs.where($"doc_id" % 2 === 0))),
+      operators.Sketches.cmsCells(tk(docs.where($"doc_id" % 2 =!= 0))))
+    assert(merged.join(whole, Seq("r", "b"))
+      .where(merged("c") =!= whole("c")).isEmpty)
+    assert(merged.count() == whole.count())
+  }
 }
