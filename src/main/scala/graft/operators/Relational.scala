@@ -503,6 +503,42 @@ object Relational {
       |SELECT event_id FROM events WHERE event_type = 'error'
       |ORDER BY event_id""".stripMargin
 
+  /** U4/U5 — INTERSECT ALL / EXCEPT ALL: the BAG-semantics set ops u2/u3
+    * don't cover — multiplicities survive (min of the two sides /
+    * left-minus-right per key), which is what reconciling event streams
+    * with legitimate repeats needs (distinct-first would erase the very
+    * duplication being measured). user_id repeats per type at every sf, so
+    * both outputs carry real multiplicities. Spark plans these without
+    * materializing row copies: a count-aggregate per side, a join, and a
+    * generate of min(cl, cr) / (cl − cr) rows — one shuffle on the
+    * compared key, same as u2/u3.
+    */
+  val u4IntersectAll: Q = (s, d) => {
+    import s.implicits._
+    val ev = tbl(s, d, "events")
+    ev.where($"event_type" === "click").select($"user_id")
+      .intersectAll(ev.where($"event_type" === "purchase").select($"user_id"))
+      .orderBy($"user_id")
+  }
+  val u4IntersectAllSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT ALL
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  val u5ExceptAll: Q = (s, d) => {
+    import s.implicits._
+    val ev = tbl(s, d, "events")
+    ev.where($"event_type" === "click").select($"user_id")
+      .exceptAll(ev.where($"event_type" === "error").select($"user_id"))
+      .orderBy($"user_id")
+  }
+  val u5ExceptAllSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |EXCEPT ALL
+      |SELECT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+
   /** W5 — RANGE-frame window (value-based frame, vs w2's row cumsum):
     * per-type moving sum over an event_id RANGE of 100 — rows with equal
     * ordering values share a frame, which ROWS frames can't express.
@@ -1178,6 +1214,8 @@ object Relational {
     "u1_union"         -> u1Union,
     "u2_intersect"     -> u2Intersect,
     "u3_except"        -> u3Except,
+    "u4_intersect_all" -> u4IntersectAll,
+    "u5_except_all"    -> u5ExceptAll,
     "w5_range_frame"   -> w5RangeFrame,
     "d1_distinct"      -> d1Distinct,
     "tpch_q1"          -> tpchQ1,
@@ -1229,6 +1267,8 @@ object Relational {
     "u1_union"         -> u1UnionSql,
     "u2_intersect"     -> u2IntersectSql,
     "u3_except"        -> u3ExceptSql,
+    "u4_intersect_all" -> u4IntersectAllSql,
+    "u5_except_all"    -> u5ExceptAllSql,
     "w5_range_frame"   -> w5RangeFrameSql,
     "d1_distinct"      -> d1DistinctSql,
     "tpch_q1"          -> tpchQ1Sql,

@@ -131,9 +131,19 @@ object Sketches {
       |    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
       |  WHERE len(tok) > 0""".stripMargin
 
+  /** Per-(session, dir) memo of the built sketch (dupGramCounts
+    * discipline): the table is a per-corpus-snapshot build — both gates
+    * and any number of point lookups read the one materialized 8 KiB
+    * artifact instead of re-exploding the corpus.
+    */
+  private val cmsCache = new graft.SessionCache[String]
+  private def cachedCms(s: SparkSession, d: String): DataFrame =
+    cmsCache.getOrCompute(s, d)(
+      cmsCells(corpusTokens(s, d)).localCheckpoint(true))
+
   /** sk_cms_table — the full d×w counter table. */
   val cmsTable: Q = (s, d) =>
-    cmsCells(corpusTokens(s, d)).orderBy(col("r"), col("b"))
+    cachedCms(s, d).orderBy(col("r"), col("b"))
   val cmsTableSql: String =
     s"""WITH toks AS (
        |  $toksSql)
@@ -156,7 +166,7 @@ object Sketches {
       .select($"tok", $"exact", posexplode(array(
         (0 until CmsDepth).map(r => cmsBucket(r, $"tok")): _*)).as(Seq("pos", "b")))
       .select($"tok", $"exact", $"pos".cast("long").as("r"), $"b")
-    probes.join(cmsCells(t), Seq("r", "b"))
+    probes.join(cachedCms(s, d), Seq("r", "b"))
       .groupBy($"tok", $"exact").agg(min($"c").as("est"))
       .select($"tok", $"exact", $"est", ($"est" >= $"exact").as("ok"))
       .orderBy($"exact".desc, $"tok")
