@@ -181,6 +181,39 @@ object Sampling {
        |WHERE md5('mix:' || doc_id) < $mixtureThrSql
        |ORDER BY doc_id""".stripMargin
 
+  /** sp_temperature — temperature-scaled mixture weights (the multilingual
+    * sampling math of XLM / mBERT: p_l ∝ f_l^α with α < 1 upweighting
+    * low-resource domains). Where sp_mixture APPLIES fixed per-domain
+    * rates, this computes the rate table FROM the corpus: one count-by-
+    * domain pass, then the α-power renormalization on the |domains|-row
+    * summary — the planning step every pretrain mix runs before a
+    * sp_mixture-style keep pass consumes the weights. Scale: the corpus
+    * is touched once by the count; everything after runs on a table the
+    * size of the domain set and broadcasts.
+    */
+  val temperature: Q = (s, d) => {
+    import s.implicits._
+    val c = tbl(s, d, "documents").groupBy($"lang").agg(count(lit(1)).as("n"))
+    val t = c.agg(sum($"n").as("total"))
+    val w = c.crossJoin(broadcast(t))
+      .withColumn("share", $"n" / $"total")
+      .withColumn("pw", pow($"share", lit(0.3)))
+    val sw = w.agg(sum($"pw").as("spw"))
+    w.crossJoin(broadcast(sw))
+      .select($"lang", $"n", round($"share", 6).as("share"),
+        round($"pw" / $"spw", 6).as("temp_weight"))
+      .orderBy($"lang")
+  }
+  val temperatureSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+      |w AS (SELECT lang, n, CAST(n AS DOUBLE) / total AS share,
+      |             pow(CAST(n AS DOUBLE) / total, 0.3) AS pw
+      |      FROM c CROSS JOIN t)
+      |SELECT lang, n, round(share, 6) AS share,
+      |       round(pw / (SELECT sum(pw) FROM w), 6) AS temp_weight
+      |FROM w ORDER BY lang""".stripMargin
+
   /** Scale-path variants (xxhash64, no string hashing). */
   def reservoir(df: DataFrame, group: String, key: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(group)).orderBy(xxhash64(lit("rsv"), col(key)), col(key))
@@ -219,6 +252,7 @@ object Sampling {
     "sp_reservoir"  -> reservoirPerGroup,
     "sp_stratified" -> stratifiedSample,
     "sp_mixture"    -> mixture,
+    "sp_temperature" -> temperature,
     "sp_split"      -> split3,
     "pf_profile"    -> profile,
     "pf_drift"      -> drift,
@@ -229,6 +263,7 @@ object Sampling {
     "sp_reservoir"  -> reservoirPerGroupSql,
     "sp_stratified" -> stratifiedSampleSql,
     "sp_mixture"    -> mixtureSql,
+    "sp_temperature" -> temperatureSql,
     "sp_split"      -> split3Sql,
     "pf_profile"    -> profileSql,
     "pf_drift"      -> driftSql,

@@ -385,8 +385,11 @@ object Similarity {
       .select(col("q"), col("n"), col("cos"), col("rank").cast("long").as("rank"))
       .orderBy(col("q"), col("rank"))
   }
-  val ivfSearchSql: String =
-    s"""WITH ${lloydCteSql(125L, 2)},
+  /** The trained-IVF top-3 search as a CTE chain ending in `iv` — shared
+    * by the search gate and the recall-eval oracle.
+    */
+  private val ivfTop3Ctes: String =
+    s"""${lloydCteSql(125L, 2)},
       |asg AS (SELECT e.vec_id AS n,
       |               max_by(c2.cid, round(list_cosine_similarity(e.emb, c2.ce), 6)
       |                             * 1000000000000 - c2.cid) AS cell
@@ -402,11 +405,50 @@ object Similarity {
       |                  round(list_cosine_similarity(pc.eq, CAST(y.embedding AS DOUBLE[])), 6) AS cos
       |           FROM pc JOIN asg a ON a.cell = pc.cell
       |                   JOIN embeddings y ON y.vec_id = a.n
-      |           WHERE pc.q != a.n)
-      |SELECT q, n, cos, CAST(rank AS BIGINT) AS rank FROM (
-      |  SELECT q, n, cos, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank
-      |  FROM scored)
-      |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
+      |           WHERE pc.q != a.n),
+      |iv AS (SELECT q, n, cos, rank FROM (
+      |         SELECT q, n, cos,
+      |                row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank
+      |         FROM scored)
+      |       WHERE rank <= 3)""".stripMargin
+
+  val ivfSearchSql: String =
+    s"""WITH $ivfTop3Ctes
+      |SELECT q, n, cos, CAST(rank AS BIGINT) AS rank FROM iv
+      |ORDER BY q, rank""".stripMargin
+
+  /** ann_recall_eval — ANN quality evaluation as a first-class op: per-
+    * probe recall@3 of the trained-IVF search against the brute-force
+    * ground truth. Both sides are deterministic (id tie-breaks, 6-decimal
+    * rounding), so unlike a spec-only recall assertion the whole
+    * evaluation — including the k-means the IVF path trains — is
+    * hash-checked. The join is |probes|·k rows; at corpus scale the
+    * ground-truth side runs on a sampled probe set, never the full
+    * corpus.
+    */
+  val recallEvalQ: Q = (s, d) => {
+    val bf = annBruteforce(s, d).select(col("q"), col("n"))
+    val iv = ivfSearchQ(s, d).select(col("q").as("q2"), col("n").as("n2"))
+    bf.join(iv, col("q") === col("q2") && col("n") === col("n2"), "left_outer")
+      .groupBy(col("q"))
+      .agg(count(col("n2")).as("hits"))
+      .select(col("q"), col("hits"), round(col("hits") / lit(3.0), 6).as("recall"))
+      .orderBy(col("q"))
+  }
+  val recallEvalSql: String =
+    s"""WITH $ivfTop3Ctes,
+      |bf AS (SELECT q, n FROM (
+      |         SELECT x.vec_id AS q, y.vec_id AS n,
+      |                row_number() OVER (PARTITION BY x.vec_id
+      |                  ORDER BY round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |                                                        CAST(y.embedding AS DOUBLE[])), 6) DESC,
+      |                           y.vec_id) AS rank
+      |         FROM embeddings x JOIN embeddings y ON x.vec_id != y.vec_id
+      |         WHERE x.vec_id < 5)
+      |       WHERE rank <= 3)
+      |SELECT bf.q, count(iv.n) AS hits, round(count(iv.n) / 3.0, 6) AS recall
+      |FROM bf LEFT JOIN iv ON iv.q = bf.q AND iv.n = bf.n
+      |GROUP BY bf.q ORDER BY bf.q""".stripMargin
 
   // --------------------------------------------------------- SemDeDup
 
@@ -800,6 +842,7 @@ object Similarity {
     "ann_kmeans_train"  -> kmeansTrainQ,
     "ann_ivf_assign"    -> ivfAssignQ,
     "ann_ivf_search"    -> ivfSearchQ,
+    "ann_recall_eval"   -> recallEvalQ,
     "ann_pq"            -> annPq,
     "ann_ivfpq"         -> annIvfPq,
     "dd_semdedup"       -> semDedupQ,
@@ -813,6 +856,7 @@ object Similarity {
     "ann_kmeans_train"  -> kmeansTrainSql,
     "ann_ivf_assign"    -> ivfAssignSql,
     "ann_ivf_search"    -> ivfSearchSql,
+    "ann_recall_eval"   -> recallEvalSql,
     "ann_pq"            -> annPqSql,
     "ann_ivfpq"         -> annIvfPqSql,
     "dd_semdedup"       -> semDedupSql,

@@ -58,6 +58,34 @@ object Skew {
       |       count(*) AS cnt
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  val queries: Map[String, Q] = Map("sw_salted_agg" -> swSaltedAgg)
-  val oracles: Map[String, String] = Map("sw_salted_agg" -> swSaltedAggSql)
+  /** Gate query for [[saltedJoin]]: the ×8-salted fact⋈dim must aggregate
+    * to exactly the plain join — again the oracle IS the unsalted form.
+    * The dim replicates 8× (still tiny); each hot part key's fact rows
+    * spread across 8 reducers instead of one straggler task. This is the
+    * manual fallback when AQE skew-split can't apply (cached exchanges,
+    * bucketed tables whose partitioning must be preserved).
+    */
+  val swSaltedJoin: Q = (s, d) => {
+    import s.implicits._
+    val fact = tbl(s, d, "lineitem")
+      .select($"l_partkey".as("pk"), $"l_quantity", $"l_orderkey")
+    val dim = tbl(s, d, "part").select($"p_partkey".as("pk"), $"p_brand")
+    saltedJoin(fact, dim, "pk", $"l_orderkey", buckets = 8)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"l_quantity").cast("long")).cast("long").as("qty"))
+      .orderBy($"p_brand")
+  }
+  val swSaltedJoinSql: String =
+    """SELECT p_brand, count(*) AS n,
+      |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "sw_salted_agg"  -> swSaltedAgg,
+    "sw_salted_join" -> swSaltedJoin)
+  val oracles: Map[String, String] = Map(
+    "sw_salted_agg"  -> swSaltedAggSql,
+    "sw_salted_join" -> swSaltedJoinSql)
 }

@@ -66,11 +66,16 @@ class PlanGuardSpec extends AnyFunSuite {
     // dd_semdedup and ann_ivfpq ride the ivfAssign centroid broadcast
     // (corpus × O(K)); tx_pp_bucket joins the ONE-ROW percentile-cutoff
     // aggregate.
+    // ann_recall_eval composes two declared shapes: the bounded
+    // brute-force cross (its ground truth) and the IVF centroid broadcast.
+    // sp_temperature crossJoins the ONE-ROW corpus-total and
+    // weight-normalizer aggregates — the scalar-join class again.
     val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign",
       "ann_ivf_search", "ann_kmeans_train", "cc_clusters", "cc_star",
       "dd_canonical", "tx_tfidf", "tx_lm_score", "tx_clf_score",
       "dd_semdedup", "dd_semdedup_inc", "tx_pp_bucket", "sp_quality_sample",
-      "ann_ivfpq", "pf_drift", "tpch_q22")
+      "ann_ivfpq", "pf_drift", "tpch_q22", "ann_recall_eval",
+      "sp_temperature")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
