@@ -635,10 +635,28 @@ object Dedup {
       .withColumn("sz", size(col("gs")).cast("long"))
       .withColumn("plen", (col("sz") - ceil(col("sz") * lit(tau)) + lit(1)).cast("int"))
       .localCheckpoint(true)
-    val prefix = lists.select(col("doc_id"), explode(expr("slice(gs, 1, plen)")).as("key"))
-    val cand = prefix.select(col("doc_id").as("da"), col("key"))
-      .join(prefix.select(col("doc_id").as("db"), col("key")), Seq("key"))
-      .where(col("da") < col("db"))
+    // Candidate prunes beyond the prefix join, both classic PPJoin and
+    // both UPPER-bound arguments (no false negatives — the unpruned
+    // oracle hash-proves it):
+    //  - length filter: J ≥ τ ⇒ τ·max(|x|,|y|) ≤ min(|x|,|y|);
+    //  - positional filter: a shared prefix key at 0-based positions
+    //    (pa, pb) bounds the overlap by min(|x|−pa, |y|−pb), which must
+    //    reach the equivalent-overlap threshold τ/(1+τ)·(|x|+|y|).
+    // The ε-slack only LOOSENS each cut, so double rounding can never
+    // turn a true pair away; both run on the candidate rows before the
+    // distinct and the verify joins ever see them.
+    val minOv = (col("sza") + col("szb")) * lit(tau / (1 + tau)) - lit(1e-9)
+    val prefix = lists.select(col("doc_id"), col("sz"),
+      posexplode(expr("slice(gs, 1, plen)")).as(Seq("pos", "key")))
+    val cand = prefix
+      .select(col("doc_id").as("da"), col("sz").as("sza"), col("pos").as("pa"), col("key"))
+      .join(prefix
+        .select(col("doc_id").as("db"), col("sz").as("szb"), col("pos").as("pb"), col("key")),
+        Seq("key"))
+      .where(col("da") < col("db") &&
+        least(col("sza"), col("szb")).cast("double") >=
+          greatest(col("sza"), col("szb")) * lit(tau) - lit(1e-9) &&
+        least(col("sza") - col("pa"), col("szb") - col("pb")).cast("double") >= minOv)
       .select(col("da"), col("db")).distinct()
     cand
       .join(lists.select(col("doc_id").as("da"), col("gs").as("gsa"), col("sz").as("sza")), Seq("da"))
