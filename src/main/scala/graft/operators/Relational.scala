@@ -1101,6 +1101,74 @@ object Relational {
       |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q8-shaped (national market share): the deepest join tree in
+    * TPC-H — seven tables with NATION playing two different roles
+    * (customer's nation gates the market region; supplier's nation is
+    * the grouping attribute), then a conditional-share aggregate per
+    * year. Spark-first plan: the most selective dimension (part,
+    * p_type) broadcasts onto the fact FIRST so the ~1/6 surviving
+    * lineitem is all that shuffles to meet the date-pruned orders; the
+    * customer→nation→region chain pre-prunes to one region and rides a
+    * broadcast keyed on custkey; supplier+nation broadcast their name.
+    * Share numerator and denominator come from ONE aggregation pass
+    * (Q14 discipline: conditional + total decimal sums, divide in
+    * double after). At 100 TB the fact shuffles once, on l_orderkey,
+    * carrying only (orderkey, volume, suppkey-resolved nation).
+    */
+  val tpchQ8: Q = (s, d) => {
+    import s.implicits._
+    val part = tbl(s, d, "part").where($"p_type" === "ECONOMY").select($"p_partkey")
+    val ord = tbl(s, d, "orders")
+      .where($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+             $"o_orderdate" <  lit("1997-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", year($"o_orderdate").cast("long").as("o_year"))
+    val cus = tbl(s, d, "customer")
+      .join(broadcast(tbl(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(tbl(s, d, "region")
+        .where($"r_name" === "AMERICA")), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey")
+    val sup = tbl(s, d, "supplier")
+      .join(broadcast(tbl(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
+    tbl(s, d, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        ($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+          .cast("decimal(30,4)").as("volume"))
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cus), $"o_custkey" === $"c_custkey", "left_semi")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"o_year")
+      .agg(sum(when($"nation" === "NATION_13", $"volume")
+          .otherwise(lit(0).cast("decimal(30,4)"))).as("nat"),
+        sum($"volume").as("tot"))
+      .select($"o_year",
+        round($"nat".cast("double") / $"tot".cast("double"), 6).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+  val tpchQ8Sql: String =
+    """WITH an AS (
+      |  SELECT year(o_orderdate) AS o_year, n2.n_name AS nation,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |              AS DECIMAL(30,4)) AS volume
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+      |SELECT o_year,
+      |       round(CAST(sum(CASE WHEN nation = 'NATION_13' THEN volume
+      |                           ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE) /
+      |             CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+      |FROM an GROUP BY o_year ORDER BY o_year""".stripMargin
+
   /** TPC-H Q13-shaped (customer order distribution): the aggregate-of-an-
     * aggregate histogram over an OUTER join — the one join/agg composition
     * the suite doesn't otherwise exercise (zero-count customers must
@@ -1230,6 +1298,7 @@ object Relational {
     "tpch_q17"         -> tpchQ17,
     "tpch_q22"         -> tpchQ22,
     "tpch_q4"          -> tpchQ4,
+    "tpch_q8"          -> tpchQ8,
     "tpch_q13"         -> tpchQ13,
     "a10_grouping_sets" -> a10GroupingSets,
     "j1_star_join"     -> j1StarJoin,
@@ -1283,6 +1352,7 @@ object Relational {
     "tpch_q17"         -> tpchQ17Sql,
     "tpch_q22"         -> tpchQ22Sql,
     "tpch_q4"          -> tpchQ4Sql,
+    "tpch_q8"          -> tpchQ8Sql,
     "tpch_q13"         -> tpchQ13Sql,
     "a10_grouping_sets" -> a10GroupingSetsSql,
     "j1_star_join"     -> j1StarJoinSql,

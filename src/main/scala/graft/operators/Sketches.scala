@@ -188,6 +188,73 @@ object Sketches {
        |FROM probes JOIN cells USING (r, b)
        |GROUP BY tok, exact ORDER BY exact DESC, tok""".stripMargin
 
+  // ------------------------------------------ from-first-principles HLL
+
+  /** HyperLogLog with md5-derived register/rank (Flajolet et al. 2007),
+    * p = 8 ⇒ m = 256 registers: register = first hash byte, rank =
+    * leading-zero count of the next 32 hash bits + 1. Where sk_hll_bound
+    * gates Spark's DataSketches HLL by its error bound, HERE the sketch
+    * itself is engine-independent: the register table hash-matches DuckDB
+    * cell for cell, and so does the estimate derived from it.
+    *
+    * Scale: one scan, one max-aggregate onto ≤256 rows (map-side
+    * combined) — registers merge across shards by cell-wise max exactly
+    * like [[cmsMerge]] sums counters. The estimator is the RAW HLL
+    * harmonic mean (no small-range correction: the ln() libms of the two
+    * engines aren't bit-identical, and the gate inputs sit in the
+    * asymptotic regime n ≫ 2.5·m where the correction is inactive). The
+    * 2^-M_j harmonic sum is computed as exact BIGINT 2^(40-M_j) terms —
+    * float summation order can never move the result.
+    */
+  def hllRegisters(keys: org.apache.spark.sql.Column, df: DataFrame): DataFrame = {
+    val h = md5(concat(lit("hll:"), keys.cast("string")))
+    val v = conv(substring(h, 3, 8), 16, 10).cast("long")
+    df.select(
+        conv(substring(h, 1, 2), 16, 10).cast("long").as("reg"),
+        when(v === 0L, lit(33L))
+          .otherwise(lit(33L) - length(bin(v)).cast("long")).as("rank"))
+      .groupBy(col("reg")).agg(max(col("rank")).as("mx"))
+  }
+
+  /** sk_hll_regs — the populated register table for lineitem order keys. */
+  val hllRegs: Q = (s, d) =>
+    hllRegisters(col("l_orderkey"), tbl(s, d, "lineitem")).orderBy(col("reg"))
+  val hllRegsSql: String =
+    """WITH h AS (SELECT md5('hll:' || l_orderkey) AS hx FROM lineitem),
+      |rr AS (SELECT CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS reg,
+      |              CAST('0x' || substr(hx, 3, 8) AS BIGINT) AS v FROM h)
+      |SELECT reg, CAST(max(CASE WHEN v = 0 THEN 33 ELSE 33 - len(bin(v)) END) AS BIGINT) AS mx
+      |FROM rr GROUP BY reg ORDER BY reg""".stripMargin
+
+  /** sk_hll_est — the raw-HLL estimate AND the exact count, both
+    * hash-checked (identical double expression text both engines; the
+    * harmonic sum is exact integer arithmetic).
+    */
+  val hllEst: Q = (s, d) => {
+    val li = tbl(s, d, "lineitem")
+    val regs = hllRegisters(col("l_orderkey"), li)
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - mx)")).as("sp"),
+        count(lit(1)).as("present"))
+    val exact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    exact.crossJoin(regs)
+      .withColumn("s", col("sp") + (lit(256L) - col("present")) * lit(1099511627776L))
+      .select(col("n_exact"),
+        round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+          * lit(1099511627776.0) / col("s").cast("double"), 4).as("est"))
+  }
+  val hllEstSql: String =
+    """WITH h AS (SELECT md5('hll:' || l_orderkey) AS hx FROM lineitem),
+      |rr AS (SELECT CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS reg,
+      |              CAST('0x' || substr(hx, 3, 8) AS BIGINT) AS v FROM h),
+      |regs AS (SELECT reg, max(CASE WHEN v = 0 THEN 33 ELSE 33 - len(bin(v)) END) AS mx
+      |         FROM rr GROUP BY reg),
+      |agg AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (40 - mx)) AS BIGINT) AS sp,
+      |               count(*) AS present FROM regs)
+      |SELECT (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_exact,
+      |       round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+      |             * 1099511627776.0 / CAST(sp + (256 - present) * 1099511627776 AS DOUBLE), 4) AS est
+      |FROM agg""".stripMargin
+
   /** Scale-path API: per-group mergeable HLL sketches, re-aggregable to
     * coarser grains with hll_union_agg — the pattern for distinct-count
     * rollup cubes over 100 TB (sketch once at fine grain, merge upward,
@@ -233,6 +300,8 @@ object Sketches {
     "sk_quantile_bound" -> quantileBound,
     "sk_cms_table"      -> cmsTable,
     "sk_cms_heavy"      -> cmsHeavy,
+    "sk_hll_regs"       -> hllRegs,
+    "sk_hll_est"        -> hllEst,
   )
 
   val oracles: Map[String, String] = Map(
@@ -240,5 +309,7 @@ object Sketches {
     "sk_quantile_bound" -> quantileBoundSql,
     "sk_cms_table"      -> cmsTableSql,
     "sk_cms_heavy"      -> cmsHeavySql,
+    "sk_hll_regs"       -> hllRegsSql,
+    "sk_hll_est"        -> hllEstSql,
   )
 }

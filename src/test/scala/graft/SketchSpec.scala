@@ -58,6 +58,23 @@ class SketchSpec extends AnyFunSuite {
     cms.unpersist()
   }
 
+  test("md5-HLL registers merge by cell-wise max; raw estimate lands near exact") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val whole = operators.Sketches.hllRegisters($"l_orderkey", li)
+    val merged = operators.Sketches
+      .hllRegisters($"l_orderkey", li.where($"l_orderkey" % 2 === 0))
+      .unionAll(operators.Sketches
+        .hllRegisters($"l_orderkey", li.where($"l_orderkey" % 2 =!= 0)))
+      .groupBy($"reg").agg(max($"mx").as("mx"))
+    assert(merged.join(whole, Seq("reg"))
+      .where(merged("mx") =!= whole("mx")).isEmpty)
+    assert(merged.count() == whole.count())
+    // the estimate the registers yield is within the m=256 error budget
+    val Array(exact, est) = operators.Sketches.hllEst(spark, "/root/testdata/sf0.001")
+      .collect().head.toSeq.map(_.toString.toDouble).toArray
+    assert(math.abs(est - exact) / exact < 0.2, s"est=$est exact=$exact")
+  }
+
   test("CMS shard sketches merge cell-wise into the whole-corpus sketch") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def tk(df: org.apache.spark.sql.DataFrame) =
