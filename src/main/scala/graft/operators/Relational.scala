@@ -1201,6 +1201,161 @@ object Relational {
       |  GROUP BY c_custkey)
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** TPC-H Q12-shaped (shipping-mode priority audit): per-mode counts of
+    * high- vs low-priority lines among late shipments in one year —
+    * the two-conditional-counts-over-a-join shape. Adapted columns: the
+    * generator ships no l_shipmode/l_commitdate/l_receiptdate, so
+    * l_returnflag stands in for the mode dimension and the Q4 lateness
+    * proxy (l_shipdate > o_orderdate) for receipt-after-commit.
+    * Spark-first: the date range prunes lineitem at the scan (pushed),
+    * one shuffle joins the o_orderpriority in, and both CASE-counts fold
+    * into a single aggregate pass — never two scans for two counters.
+    */
+  val tpchQ12: Q = (s, d) => {
+    import s.implicits._
+    val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    tbl(s, d, "lineitem")
+      .where($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+             $"l_shipdate" <  lit("1998-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_returnflag", $"l_shipdate")
+      .join(tbl(s, d, "orders").select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .where($"l_shipdate" > $"o_orderdate")
+      .groupBy($"l_returnflag")
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+  val tpchQ12Sql: String =
+    """SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > o_orderdate
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q19-shaped (discounted revenue, disjunctive predicates): the
+    * OR-of-ANDs join — three (brand, size-range, quantity-range) branches
+    * where part attributes and lineitem attributes are entangled in ONE
+    * disjunction. Catalyst extracts the common p_partkey equi-key (hash
+    * join, not NLJ) and derives branch-union filters it can push to BOTH
+    * scans (l_quantity BETWEEN 1 AND 40, p_size BETWEEN 1 AND 50, brand
+    * IN (...)), so at 100 TB the fact scan pre-drops rows no branch can
+    * accept before the broadcast probe. Adapted: no p_container /
+    * l_shipinstruct columns, so size ranges stand in for containers.
+    */
+  val tpchQ19: Q = (s, d) => {
+    import s.implicits._
+    val branches =
+      ($"p_brand" === "Brand#3"  && $"p_size".between(1, 15)  && $"l_quantity".between(1, 20))  ||
+      ($"p_brand" === "Brand#12" && $"p_size".between(10, 30) && $"l_quantity".between(10, 30)) ||
+      ($"p_brand" === "Brand#15" && $"p_size".between(20, 50) && $"l_quantity".between(20, 40))
+    tbl(s, d, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .join(broadcast(tbl(s, d, "part").select($"p_partkey", $"p_brand", $"p_size")),
+        $"l_partkey" === $"p_partkey" && branches)
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+          .cast("decimal(30,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+  val tpchQ19Sql: String =
+    """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |           AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      | AND ((p_brand = 'Brand#3'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+      |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40))""".stripMargin
+
+  /** TPC-H Q9-shaped (product-type profit by nation and year): the widest
+    * LIKE-filtered fact explosion — lineitem joined to part (name LIKE),
+    * supplier→nation, and orders (year only). Adapted: the generator has
+    * no partsupp, so p_retailprice·quantity stands in for
+    * ps_supplycost·quantity as the cost leg; the join DAG is unchanged.
+    * Spark-first: part/supplier/nation all broadcast (the LIKE prunes
+    * part before the build side ships); orders is the only shuffle
+    * partner, keyed on orderkey. Profit stays exact DECIMAL until the
+    * final cast — revenue and cost each land in decimal(30,4) BEFORE the
+    * subtraction so both engines subtract identical quantized values.
+    */
+  val tpchQ9: Q = (s, d) => {
+    import s.implicits._
+    val amount =
+      ($"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))).cast("decimal(30,4)") -
+      ($"p_retailprice".cast("decimal(18,2)") * $"l_quantity".cast("decimal(18,2)")).cast("decimal(30,4)")
+    tbl(s, d, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_quantity", $"l_extendedprice", $"l_discount")
+      .join(broadcast(tbl(s, d, "part").where($"p_name".like("%widget%"))
+        .select($"p_partkey", $"p_retailprice")), $"l_partkey" === $"p_partkey")
+      .join(broadcast(tbl(s, d, "supplier").select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(tbl(s, d, "nation").select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(tbl(s, d, "orders").select($"o_orderkey", year($"o_orderdate").cast("long").as("o_year")),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name".as("nation"), $"o_year")
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+  val tpchQ9Sql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |                     AS DECIMAL(30,4))
+      |                - CAST(CAST(p_retailprice AS DECIMAL(18,2)) *
+      |                       CAST(l_quantity AS DECIMAL(18,2))
+      |                       AS DECIMAL(30,4))) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY n_name, year(o_orderdate) ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q16-shaped (supplier count by part attribute): COUNT DISTINCT
+    * over a filtered many-to-many with an excluded-supplier anti-join.
+    * Adapted: lineitem's (partkey, suppkey) pairs stand in for partsupp;
+    * s_acctbal < 1000 stands in for the complaint-comment LIKE (no
+    * s_comment column). Spark-first: the excluded-supplier set is a tiny
+    * broadcast LEFT ANTI (never a shuffled NOT IN); part attributes ride
+    * a broadcast; the only wide move is the final distinct-count shuffle
+    * on the (brand, type, size) grouping — duplicate (part,supp) pairs
+    * need no pre-distinct pass because count(DISTINCT) absorbs them.
+    */
+  val tpchQ16: Q = (s, d) => {
+    import s.implicits._
+    val sizes = Seq(1, 4, 9, 14, 19, 23, 36, 45)
+    val excluded = tbl(s, d, "supplier")
+      .where($"s_acctbal" < 1000.0).select($"s_suppkey")
+    tbl(s, d, "lineitem").select($"l_partkey", $"l_suppkey")
+      .join(broadcast(tbl(s, d, "part")
+          .where($"p_brand" =!= "Brand#3" && $"p_type" =!= "PROMO" &&
+                 $"p_size".isin(sizes: _*))
+          .select($"p_partkey", $"p_brand", $"p_type", $"p_size")),
+        $"l_partkey" === $"p_partkey")
+      .join(broadcast(excluded), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+  val tpchQ16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   /** A10 — GROUPING SETS beyond rollup's prefix lattice: (status, priority),
     * (priority) alone, and grand total — an aggregation shape rollup/cube
     * can't express. Single pass (Spark expands the sets in one Expand node,
@@ -1299,7 +1454,11 @@ object Relational {
     "tpch_q22"         -> tpchQ22,
     "tpch_q4"          -> tpchQ4,
     "tpch_q8"          -> tpchQ8,
+    "tpch_q9"          -> tpchQ9,
+    "tpch_q12"         -> tpchQ12,
     "tpch_q13"         -> tpchQ13,
+    "tpch_q16"         -> tpchQ16,
+    "tpch_q19"         -> tpchQ19,
     "a10_grouping_sets" -> a10GroupingSets,
     "j1_star_join"     -> j1StarJoin,
     "j2_semi_join"     -> j2SemiJoin,
@@ -1353,7 +1512,11 @@ object Relational {
     "tpch_q22"         -> tpchQ22Sql,
     "tpch_q4"          -> tpchQ4Sql,
     "tpch_q8"          -> tpchQ8Sql,
+    "tpch_q9"          -> tpchQ9Sql,
+    "tpch_q12"         -> tpchQ12Sql,
     "tpch_q13"         -> tpchQ13Sql,
+    "tpch_q16"         -> tpchQ16Sql,
+    "tpch_q19"         -> tpchQ19Sql,
     "a10_grouping_sets" -> a10GroupingSetsSql,
     "j1_star_join"     -> j1StarJoinSql,
     "j2_semi_join"     -> j2SemiJoinSql,
