@@ -1356,6 +1356,199 @@ object Relational {
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  /** TPC-H Q11-shaped (important inventory): per-part value among one
+    * region's suppliers, kept only where it exceeds a fixed fraction of
+    * the GLOBAL total — the scalar-subquery-in-HAVING shape. Adapted: no
+    * partsupp, so lineitem revenue through region-3 suppliers stands in
+    * for ps_supplycost·ps_availqty (fraction 0.1%, calibrated non-vacuous
+    * at every sf). Spark-first: region suppliers are a broadcast semi
+    * filter; per-part value aggregates once on l_partkey; the 1-row total
+    * re-aggregates FROM the per-part table (no second fact scan) and
+    * broadcasts back. The threshold compare is cross-multiplied
+    * (value·1000 > total) in exact decimal — no engine's summation order
+    * can flip a boundary part.
+    */
+  val tpchQ11: Q = (s, d) => {
+    import s.implicits._
+    val elig = tbl(s, d, "supplier")
+      .join(broadcast(tbl(s, d, "nation").where($"n_regionkey" === 3)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val value = tbl(s, d, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(broadcast(elig), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"l_partkey")
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+          .cast("decimal(30,4)")).as("value"))
+    val total = value.agg(sum($"value").as("total"))
+    value.crossJoin(broadcast(total))
+      .where($"value" * 1000 > $"total")
+      .select($"l_partkey".as("ps_partkey"), $"value".cast("double").as("value"))
+      .orderBy($"value".desc, $"ps_partkey")
+  }
+  val tpchQ11Sql: String =
+    """WITH v AS (
+      |  SELECT l_partkey AS ps_partkey,
+      |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |             AS DECIMAL(30,4))) AS value
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+      |                      JOIN nation ON s_nationkey = n_nationkey
+      |                      WHERE n_regionkey = 3)
+      |  GROUP BY 1)
+      |SELECT ps_partkey, CAST(value AS DOUBLE) AS value
+      |FROM v WHERE value * 1000 > (SELECT sum(value) FROM v)
+      |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  /** TPC-H Q20-shaped (concentrated suppliers): suppliers of red parts
+    * whose one-year shipped quantity exceeds HALF their all-time shipped
+    * quantity of that part — the correlated-aggregate-threshold →
+    * semi-join chain. Adapted: no partsupp/availqty, so the all-time
+    * per-(supp,part) quantity is the correlation target; nation filter →
+    * region 3 via the same broadcast chain. Spark-first: both the
+    * numerator and denominator come from ONE conditional aggregation pass
+    * over the part-pruned fact (never two scans); the compare is
+    * cross-multiplied exact decimal; the surviving supplier set joins
+    * supplier as a broadcast semi.
+    */
+  val tpchQ20: Q = (s, d) => {
+    import s.implicits._
+    val in97 = $"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+               $"l_shipdate" <  lit("1998-01-01").cast("timestamp")
+    val conc = tbl(s, d, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity", $"l_shipdate")
+      .join(broadcast(tbl(s, d, "part").where($"p_name".like("red%"))
+        .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(sum(when(in97, $"l_quantity".cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("q97"),
+        sum($"l_quantity".cast("decimal(18,2)")).as("qall"))
+      .where($"q97" * 2 > $"qall")
+      .select($"l_suppkey").distinct()
+    tbl(s, d, "supplier")
+      .join(broadcast(tbl(s, d, "nation").where($"n_regionkey" === 3)),
+        $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(conc), $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey")
+  }
+  val tpchQ20Sql: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_regionkey = 3 AND s_suppkey IN (
+      |  SELECT l_suppkey FROM (
+      |    SELECT l_suppkey, l_partkey,
+      |           sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |                     AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |                    THEN CAST(l_quantity AS DECIMAL(18,2))
+      |                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS q97,
+      |           sum(CAST(l_quantity AS DECIMAL(18,2))) AS qall
+      |    FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+      |    GROUP BY 1, 2)
+      |  WHERE q97 * 2 > qall)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q21-shaped (suppliers who kept orders waiting): for finished
+    * orders, suppliers whose line shipped late while EVERY other supplier
+    * on the order shipped on time, and the order had at least two
+    * suppliers — the EXISTS + NOT-EXISTS double self-join. Adapted
+    * lateness: l_shipdate > o_orderdate + 60 days (no commit/receipt
+    * dates); numwait counts DISTINCT orders (the generator fans multiple
+    * lines per (order, supplier)). Spark-first decorrelation: instead of
+    * two correlated probes per line (three fact scans), ONE per-order
+    * aggregate computes (distinct suppliers, distinct late suppliers);
+    * the EXISTS pair becomes nsupp ≥ 2 ∧ nlate = 1 joined back on
+    * orderkey — the exchange is reused, the fact is scanned once.
+    */
+  val tpchQ21: Q = (s, d) => {
+    import s.implicits._
+    val li = tbl(s, d, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(tbl(s, d, "orders").where($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"), $"l_orderkey" === $"o_orderkey")
+      .withColumn("late", $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAY"))
+    val perOrder = li.groupBy($"l_orderkey".as("ok"))
+      .agg(countDistinct($"l_suppkey").as("nsupp"),
+        countDistinct(when($"late", $"l_suppkey")).as("nlate"))
+      .where($"nsupp" >= 2 && $"nlate" === 1)
+    li.where($"late").select($"l_orderkey", $"l_suppkey").distinct()
+      .join(perOrder, $"l_orderkey" === $"ok")
+      .join(broadcast(tbl(s, d, "supplier").select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(countDistinct($"l_orderkey").as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+  }
+  val tpchQ21Sql: String =
+    """SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** TPC-H Q2-shaped (minimum-cost supplier): for each mid-size LARGE
+    * part, the region-3 supplier(s) offering the minimum price — the
+    * correlated-scalar-MIN-subquery-joined-back shape. Adapted: no
+    * partsupp, so the per-(part, supplier) minimum lineitem price stands
+    * in for ps_supplycost. Spark-first: the part filter and eligible-
+    * supplier semi both prune the fact BEFORE the offer aggregate; the
+    * per-part minimum re-aggregates from the offer table and joins back
+    * on exact DECIMAL equality (the Q15 discipline — never a double
+    * compare); supplier attributes arrive by broadcast at the very end,
+    * on the handful of winning rows.
+    */
+  val tpchQ2: Q = (s, d) => {
+    import s.implicits._
+    val elig = tbl(s, d, "supplier")
+      .join(broadcast(tbl(s, d, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
+        .where($"n_regionkey" === 3)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val offers = tbl(s, d, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+      .join(broadcast(tbl(s, d, "part")
+          .where($"p_size".between(10, 20) && $"p_type" === "LARGE")
+          .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+      .join(broadcast(elig.select($"s_suppkey")), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice".cast("decimal(18,2)")).as("moff"))
+    val mins = offers.groupBy($"l_partkey".as("pk")).agg(min($"moff").as("mn"))
+    offers.join(mins, $"l_partkey" === $"pk" && $"moff" === $"mn")
+      .join(broadcast(elig), $"l_suppkey" === $"s_suppkey")
+      .select($"s_acctbal", $"s_name", $"n_name", $"l_partkey".as("p_partkey"),
+        $"moff".cast("double").as("min_offer"))
+      .orderBy($"p_partkey", $"s_name")
+  }
+  val tpchQ2Sql: String =
+    """WITH elig AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_regionkey = 3),
+      |off AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS moff
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |   AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+      |  WHERE l_suppkey IN (SELECT s_suppkey FROM elig)
+      |  GROUP BY 1, 2),
+      |mn AS (SELECT l_partkey AS pk, min(moff) AS mnv FROM off GROUP BY 1)
+      |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+      |       CAST(moff AS DOUBLE) AS min_offer
+      |FROM off JOIN mn ON l_partkey = pk AND moff = mnv
+      |JOIN elig ON l_suppkey = s_suppkey
+      |ORDER BY p_partkey, s_name""".stripMargin
+
   /** A10 — GROUPING SETS beyond rollup's prefix lattice: (status, priority),
     * (priority) alone, and grand total — an aggregation shape rollup/cube
     * can't express. Single pass (Spark expands the sets in one Expand node,
@@ -1453,12 +1646,16 @@ object Relational {
     "tpch_q17"         -> tpchQ17,
     "tpch_q22"         -> tpchQ22,
     "tpch_q4"          -> tpchQ4,
+    "tpch_q2"          -> tpchQ2,
     "tpch_q8"          -> tpchQ8,
     "tpch_q9"          -> tpchQ9,
+    "tpch_q11"         -> tpchQ11,
     "tpch_q12"         -> tpchQ12,
     "tpch_q13"         -> tpchQ13,
     "tpch_q16"         -> tpchQ16,
     "tpch_q19"         -> tpchQ19,
+    "tpch_q20"         -> tpchQ20,
+    "tpch_q21"         -> tpchQ21,
     "a10_grouping_sets" -> a10GroupingSets,
     "j1_star_join"     -> j1StarJoin,
     "j2_semi_join"     -> j2SemiJoin,
@@ -1511,12 +1708,16 @@ object Relational {
     "tpch_q17"         -> tpchQ17Sql,
     "tpch_q22"         -> tpchQ22Sql,
     "tpch_q4"          -> tpchQ4Sql,
+    "tpch_q2"          -> tpchQ2Sql,
     "tpch_q8"          -> tpchQ8Sql,
     "tpch_q9"          -> tpchQ9Sql,
+    "tpch_q11"         -> tpchQ11Sql,
     "tpch_q12"         -> tpchQ12Sql,
     "tpch_q13"         -> tpchQ13Sql,
     "tpch_q16"         -> tpchQ16Sql,
     "tpch_q19"         -> tpchQ19Sql,
+    "tpch_q20"         -> tpchQ20Sql,
+    "tpch_q21"         -> tpchQ21Sql,
     "a10_grouping_sets" -> a10GroupingSetsSql,
     "j1_star_join"     -> j1StarJoinSql,
     "j2_semi_join"     -> j2SemiJoinSql,

@@ -72,12 +72,14 @@ class PlanGuardSpec extends AnyFunSuite {
     // weight-normalizer aggregates — the scalar-join class again.
     // sk_hll_est crossJoins the ONE-ROW exact count with the ONE-ROW
     // register-sum aggregate — scalar-join class.
+    // tpch_q11 crossJoins the ONE-ROW global-total aggregate for its
+    // HAVING threshold — scalar-join class (same as tpch_q22's total).
     val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign",
       "ann_ivf_search", "ann_kmeans_train", "cc_clusters", "cc_star",
       "dd_canonical", "tx_tfidf", "tx_lm_score", "tx_clf_score",
       "dd_semdedup", "dd_semdedup_inc", "tx_pp_bucket", "sp_quality_sample",
       "ann_ivfpq", "pf_drift", "tpch_q22", "ann_recall_eval",
-      "sp_temperature", "sk_hll_est")
+      "sp_temperature", "sk_hll_est", "tpch_q11")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
