@@ -397,14 +397,173 @@ object Graph {
        |FROM lab JOIN documents d USING (doc_id)
        |GROUP BY cluster HAVING count(*) > 1 ORDER BY cluster""".stripMargin
 
+  // --------------------------------------------------------------- pagerank
+
+  /** Fixed-iteration PageRank by the power method over an undirected edge
+    * list — the centrality score a corpus-graph pipeline uses to pick
+    * which member of a near-duplicate cluster (or which page in a link
+    * graph) to keep when "longest text wins" is too crude.
+    *
+    * Each round is one join (scores onto out-edges) + one keyed
+    * aggregation (sum of neighbor contributions) — the same
+    * shuffle-on-node-id both times, so a cluster co-partitions them; the
+    * rank table is O(|nodes|) and never wider than (node, deg, pr).
+    * Per-round scores are quantized to 9 dp so the iteration is
+    * bit-reproducible across engines and runs (same discipline as
+    * Similarity.lloydCentroids — the quantization floor dominates the
+    * sum-order float jitter by ~7 orders of magnitude).
+    *
+    * Fixed `iters` rather than convergence-tested: the gate's oracle
+    * unrolls the exact same rounds as SQL CTEs, and a deterministic
+    * round count is what makes that mirror possible. Power iteration
+    * contracts by the damping factor per round, so callers wanting an
+    * ε-converged vector run iters = log(ε)/log(damping) (~90 rounds for
+    * 1e-6 at 0.85) — same plan shape, just more rounds.
+    *
+    * Each round localCheckpoints and frees its predecessor
+    * (CheckpointBridge discipline — see connectedComponents) so neither
+    * lineage nor superseded score tables accumulate.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val e = cleanEdges(edges, "pageRank")
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+      .distinct()
+      .persist()
+    // In a symmetric graph every node has out-degree ≥ 1, so there is no
+    // dangling-mass redistribution term.
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("deg")).persist()
+    val n = deg.count() // O(|nodes|) driver scalar, needed for the 1/n terms
+    val base = (1.0 - damping) / math.max(n, 1L)
+    var pr = deg
+      .select(col("x").as("node"), col("deg"), round(lit(1.0 / math.max(n, 1L)), 9).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(und, pr("node") === und("x"))
+        .groupBy(col("y")).agg(sum(col("pr") / col("deg")).as("s"))
+      val next = deg
+        .join(contrib, deg("x") === contrib("y"), "left")
+        .select(col("x").as("node"), col("deg"),
+          round(lit(base) + lit(damping) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
+        .localCheckpoint()
+      CheckpointBridge.freeCheckpoint(pr)
+      pr = next
+    }
+    und.unpersist(); deg.unpersist()
+    pr.select(col("node"), col("pr"))
+  }
+
+  /** gr_pagerank — 5-round PageRank over the LSH duplicate-pair graph
+    * (same probe set + banding as dd_lsh_pairs / cc_clusters).
+    */
+  val grPageRank: Q = (s, d) => {
+    import s.implicits._
+    pageRank(Dedup.lshPairs(s, d))
+      .select($"node".as("doc_id"), round($"pr", 6).as("pagerank"))
+      .orderBy($"doc_id")
+  }
+  /** DuckDB mirror: the identical rounds unrolled as CTEs pr1..prN over
+    * the shared pair graph — every arithmetic step (1/n seed, (1-d)/n
+    * base, contribution sum, 9-dp per-round quantization) written the
+    * same way so both engines execute the same IEEE operations.
+    */
+  val grPageRankSql: String = {
+    val iterCtes = (1 to 5).map { k =>
+      s"""pr$k AS (
+         |  SELECT deg.x AS node, deg.deg,
+         |         round((1 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.s, 0), 9) AS pr
+         |  FROM deg LEFT JOIN (
+         |    SELECT u.y AS node, sum(p.pr / p.deg) AS s
+         |    FROM pr${k - 1} p JOIN und u ON p.node = u.x GROUP BY u.y) c
+         |  ON deg.x = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$ccReachCte,
+       |deg AS (SELECT x, count(*) AS deg FROM und GROUP BY x),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |pr0 AS (SELECT x AS node, deg, round(1.0 / (SELECT n FROM nn), 9) AS pr FROM deg),
+       |$iterCtes
+       |SELECT node AS doc_id, round(pr, 6) AS pagerank
+       |FROM pr5 ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------- triangle count
+
+  /** Per-node triangle counts by degree-ordered edge orientation (the
+    * MapReduce-classic: Suri & Vassilvitskii, "Counting Triangles and the
+    * Curse of the Last Reducer", WWW'11). Local clustering structure is
+    * the cheap graph-shape signal a dedup pipeline reads off its
+    * candidate-pair graph: near-duplicate clusters are near-cliques
+    * (triangle-dense), chained false-positive paths are triangle-free.
+    *
+    * Orienting every edge from its (degree, id)-smaller endpoint bounds
+    * each node's out-degree by O(√|E|), so the wedge join (the only
+    * quadratic-ish step) fans out per node by out-degree², never by raw
+    * degree² — a 100M-degree hub contributes nothing to the wedge stage
+    * unless its neighbors are themselves high-degree. Three hash joins +
+    * one aggregation; no windows, no driver iteration.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = cleanEdges(edges, "triangleCounts")
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+      .distinct()
+      .persist()
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("x").as("y"), col("deg").as("dy")), "y")
+      .where(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("x").as("u"), col("y").as("v"))
+      .persist()
+    // A wedge u→v, u→w (v ≠ w) closes iff the oriented edge v→w exists;
+    // orientation is a total order, so of the two orderings of {v, w}
+    // exactly one can match — each triangle is produced exactly once.
+    val tri = oriented
+      .join(oriented.select(col("u"), col("v").as("w")), "u")
+      .where(col("v") =!= col("w"))
+      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    val out = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val materialized = out.localCheckpoint()
+    und.unpersist(); oriented.unpersist()
+    materialized
+  }
+
+  /** gr_triangles — per-doc triangle membership over the LSH pair graph.
+    * The oracle counts the same triangles through the naive a<b<c
+    * three-way join (orientation-free), proving the degree-ordered path
+    * finds exactly the same triangle set.
+    */
+  val grTriangles: Q = (s, d) => {
+    import s.implicits._
+    triangleCounts(Dedup.lshPairs(s, d))
+      .select($"node".as("doc_id"), $"n_tri")
+      .orderBy($"doc_id")
+  }
+  val grTrianglesSql: String =
+    s"""$ccReachCte,
+       |tri AS (
+       |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.a = e1.b
+       |  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |corners AS (SELECT unnest([ta, tb, tc]) AS node FROM tri)
+       |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_tri
+       |FROM corners GROUP BY node ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cc_clusters"    -> ccClusters,
     "cc_star"        -> ccStarClusters,
     "cc_incremental" -> ccIncremental,
-    "dd_canonical"   -> ddCanonical)
+    "dd_canonical"   -> ddCanonical,
+    "gr_pagerank"    -> grPageRank,
+    "gr_triangles"   -> grTriangles)
   val oracles: Map[String, String] = Map(
     "cc_clusters"    -> ccClustersSql,
     "cc_star"        -> ccClustersSql,
     "cc_incremental" -> ccClustersSql,
-    "dd_canonical"   -> ddCanonicalSql)
+    "dd_canonical"   -> ddCanonicalSql,
+    "gr_pagerank"    -> grPageRankSql,
+    "gr_triangles"   -> grTrianglesSql)
 }

@@ -175,17 +175,187 @@ object Temporal {
       |FROM events JOIN bands ON value >= lo AND value < hi
       |GROUP BY band_id ORDER BY band_id""".stripMargin
 
+  // --------------------------------------------------------- calendar days
+
+  /** `events.ts` is epoch-nanos Long (GraftSession reads the driver's
+    * TIMESTAMP(NANOS) parquet with nanosAsLong — see the Relational.scala
+    * parity rules). Integral `div` keeps exactness: a double division of
+    * 1.7e18 nanos is already past 2^53 and would round the microsecond.
+    * Session timezone is pinned UTC, so the calendar date matches
+    * DuckDB's naive `CAST(ts AS DATE)`.
+    */
+  private def eventDay: org.apache.spark.sql.Column =
+    to_date(timestamp_micros(expr("ts div 1000")))
+
+  // ---------------------------------------------------------- cohort retention
+
+  /** ev_retention — cohort retention over the event stream: cohort = the
+    * calendar day of a user's first `signup` event; for every (cohort,
+    * day-offset) count the distinct cohort members active that day. The
+    * table behind every retention curve / triangle chart.
+    *
+    * Two aggregations and one join, all keyed on `user_id` or the
+    * (cohort, offset) pair: the first-touch table is user-dimension-sized
+    * (≪ events), the join back to the stream shuffles both sides on
+    * user_id once, and the distinct-count aggregation reuses that
+    * partitioning's key prefix. Nothing in the plan holds a day×cohort
+    * matrix in memory — output cardinality is O(days²) regardless of
+    * stream size.
+    */
+  val evRetention: Q = (s, d) => {
+    import s.implicits._
+    val ev = tbl(s, d, "events")
+      .select($"user_id", eventDay.as("day"), $"event_type")
+    val cohort = ev.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .where($"day" >= $"cohort_day")
+      .groupBy($"cohort_day", datediff($"day", $"cohort_day").cast("long").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+  val evRetentionSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+      |cohort AS (SELECT user_id, min(day) AS cohort_day
+      |           FROM ev WHERE event_type = 'signup' GROUP BY user_id)
+      |SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+      |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |FROM ev e JOIN cohort USING (user_id)
+      |WHERE day >= cohort_day
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ gap filling
+
+  /** ev_gapfill — sparse→dense time-series resample: daily counts of a
+    * rare event slice (value > 300) on a complete per-type calendar, with
+    * missing days zero-filled and the last observed daily mean carried
+    * forward. The densification every monitoring/feature pipeline runs
+    * before charting or windowed modeling — an outer join against a
+    * generated dimension, NOT a scan with gaps patched in the driver.
+    *
+    * The calendar is `sequence(min_day, max_day)` exploded — O(days) rows
+    * from a 2-row aggregate — crossed with the distinct type dimension;
+    * grid size is days × types no matter how many events stream in. The
+    * forward-fill window partitions by type, so no global ordering exists
+    * anywhere in the plan.
+    */
+  val evGapfill: Q = (s, d) => {
+    import s.implicits._
+    val ev = tbl(s, d, "events").select($"event_type", eventDay.as("day"), $"value")
+    val cal = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("day"))
+    val grid = ev.select($"event_type").distinct().crossJoin(cal)
+    val sparse = ev.where($"value" > 300)
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"), round(avg($"value"), 6).as("avg_val"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(sparse, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day",
+        coalesce($"n", lit(0L)).as("n"),
+        last($"avg_val", ignoreNulls = true).over(w).as("ffill_avg"))
+      .orderBy($"event_type", $"day")
+  }
+  val evGapfillSql: String =
+    """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
+      |cal AS (SELECT CAST(unnest(generate_series(
+      |          (SELECT min(day) FROM ev), (SELECT max(day) FROM ev),
+      |          INTERVAL 1 DAY)) AS DATE) AS day),
+      |types AS (SELECT DISTINCT event_type FROM ev),
+      |grid AS (SELECT event_type, day FROM types, cal),
+      |sparse AS (SELECT event_type, day, count(*) AS n, round(avg(value), 6) AS avg_val
+      |           FROM ev WHERE value > 300 GROUP BY 1, 2)
+      |SELECT g.event_type, g.day, coalesce(s.n, 0) AS n,
+      |       last_value(s.avg_val IGNORE NULLS) OVER (
+      |         PARTITION BY g.event_type ORDER BY g.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_avg
+      |FROM grid g LEFT JOIN sparse s USING (event_type, day)
+      |ORDER BY g.event_type, g.day""".stripMargin
+
+  // ------------------------------------------------------------ SCD2 history
+
+  /** sn_scd2 — slowly-changing-dimension (type 2) history built from a
+    * change stream: collapse each user's consecutive run of the same
+    * `event_type` into one versioned validity interval
+    * [valid_from, valid_to), open-ended (`is_current` = 1) on the last
+    * run. The gaps-and-islands fold that turns an event log into the
+    * dimension table a warehouse joins facts against "as of" a point in
+    * time (pair with [[asofJoin]] for the lookup side).
+    *
+    * Same single-shuffle discipline as [[sessionize]]: every window is
+    * partitioned by `user_id`; the island aggregation and the
+    * next-version lead reuse that key, so one exchange serves all three
+    * steps. Interval bounds are `event_id`s — the stream's monotone
+    * ordering key (ts-nanos ordering is not hash-stable across engines;
+    * see the parity note on [[eventDay]]).
+    */
+  def scd2History(df: DataFrame, keyCol: String, attrCol: String, ordCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Null-safe change test (<=>): a null attribute value opens its own
+    // version rather than silently extending the previous one — the same
+    // IS DISTINCT FROM semantics a SQL MERGE would apply.
+    val versions = df
+      .withColumn("__chg",
+        when(!(lag(col(attrCol), 1).over(w) <=> col(attrCol)), 1L).otherwise(0L))
+      .withColumn("version", sum(col("__chg")).over(run))
+      .groupBy(col(keyCol), col("version"))
+      .agg(first(col(attrCol)).as(attrCol),
+        min(col(ordCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(col(keyCol)).orderBy(col("version"))
+    versions
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .withColumn("is_current", when(col("valid_to").isNull, 1L).otherwise(0L))
+  }
+
+  val snScd2: Q = (s, d) => {
+    import s.implicits._
+    scd2History(
+      tbl(s, d, "events").where($"user_id" < 50)
+        .select($"user_id", $"event_id", $"event_type"),
+      "user_id", "event_type", "event_id")
+      .orderBy($"user_id", $"version")
+  }
+  val snScd2Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      |                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events WHERE user_id < 50),
+      |runs AS (
+      |  SELECT user_id, event_id, event_type,
+      |         sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |  FROM ev),
+      |versions AS (
+      |  SELECT user_id, version, min(event_type) AS event_type,
+      |         min(event_id) AS valid_from, count(*) AS n_events
+      |  FROM runs GROUP BY user_id, version)
+      |SELECT user_id, CAST(version AS BIGINT) AS version, event_type, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+      |       CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |            IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+      |       n_events
+      |FROM versions ORDER BY user_id, version""".stripMargin
+
   // ----------------------------------------------------------------- export
 
   val queries: Map[String, Q] = Map(
     "w3_sessionize" -> w3Sessionize,
     "aj_asof"       -> ajAsof,
     "rj_range"      -> rjRange,
+    "ev_retention"  -> evRetention,
+    "ev_gapfill"    -> evGapfill,
+    "sn_scd2"       -> snScd2,
   )
 
   val oracles: Map[String, String] = Map(
     "w3_sessionize" -> w3SessionizeSql,
     "aj_asof"       -> ajAsofSql,
     "rj_range"      -> rjRangeSql,
+    "ev_retention"  -> evRetentionSql,
+    "ev_gapfill"    -> evGapfillSql,
+    "sn_scd2"       -> snScd2Sql,
   )
 }

@@ -74,12 +74,19 @@ class PlanGuardSpec extends AnyFunSuite {
     // register-sum aggregate — scalar-join class.
     // tpch_q11 crossJoins the ONE-ROW global-total aggregate for its
     // HAVING threshold — scalar-join class (same as tpch_q22's total).
+    // ev_gapfill crossJoins the distinct-type dimension (O(types) rows)
+    // with the generated calendar (O(days) rows) — the declared
+    // grid-densification product, both sides dimension-bounded.
+    // gr_pagerank / gr_triangles are excluded for the cc_clusters reason:
+    // building their "plan" executes the driver-side iteration /
+    // eager checkpoint and returns only the final select.
     val allowed = Set("dd_embedding", "ann_bruteforce", "ann_ivf_assign",
       "ann_ivf_search", "ann_kmeans_train", "cc_clusters", "cc_star",
       "dd_canonical", "tx_tfidf", "tx_lm_score", "tx_clf_score",
       "dd_semdedup", "dd_semdedup_inc", "tx_pp_bucket", "sp_quality_sample",
       "ann_ivfpq", "pf_drift", "tpch_q22", "ann_recall_eval",
-      "sp_temperature", "sk_hll_est", "tpch_q11")
+      "sp_temperature", "sk_hll_est", "tpch_q11",
+      "ev_gapfill", "gr_pagerank", "gr_triangles")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -172,6 +172,77 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(l2 == oneShot)
   }
 
+  test("scd2History collapses runs into versions with half-open validity") {
+    val ev = Seq(
+      (1L, 10L, "a"), (1L, 11L, "a"), (1L, 12L, "b"), (1L, 13L, "a"),
+      (2L, 5L, "x")
+    ).toDF("k", "t", "attr")
+    val out = Temporal.scd2History(ev, "k", "attr", "t")
+      .select($"k", $"version", $"attr", $"valid_from", $"valid_to", $"is_current", $"n_events")
+      .as[(Long, Long, String, Long, Option[Long], Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, "a", 10L, Some(12L), 0L, 2L),
+      (1L, 2L, "b", 12L, Some(13L), 0L, 1L),
+      (1L, 3L, "a", 13L, None, 1L, 1L),
+      (2L, 1L, "x", 5L, None, 1L, 1L)))
+  }
+
+  test("scd2History gives a null attribute its own version (IS DISTINCT FROM)") {
+    val ev = Seq((1L, 1L, Some("a")), (1L, 2L, None), (1L, 3L, None), (1L, 4L, Some("a")))
+      .toDF("k", "t", "attr")
+    val out = Temporal.scd2History(ev, "k", "attr", "t")
+      .select($"version", $"attr", $"n_events")
+      .as[(Long, Option[String], Long)].collect().toSet
+    assert(out == Set((1L, Some("a"), 1L), (2L, None, 2L), (3L, Some("a"), 1L)))
+  }
+
+  test("pageRank on a symmetric star concentrates rank on the hub") {
+    // Star: hub 0 — leaves 1..4. Closed form for undirected PR with
+    // damping d: leaves are symmetric, hub absorbs all leaf mass each
+    // round. Check symmetry, the hub ordering, and that mass sums to ~1.
+    val star = (1L to 4L).map(l => (0L, l)).toDF("a", "b")
+    val pr = Graph.pageRank(star).as[(Long, Double)].collect().toMap
+    assert(pr.size == 5)
+    val leaves = (1L to 4L).map(pr)
+    assert(leaves.distinct.size == 1, s"leaves asymmetric: $pr")
+    assert(pr(0L) > leaves.head * 2, s"hub not dominant: $pr")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6, s"mass not conserved: $pr")
+  }
+
+  test("pageRank on a cycle is uniform") {
+    val n = 6L
+    val cycle = (0L until n).map(i => (i, (i + 1) % n)).toDF("a", "b")
+    val pr = Graph.pageRank(cycle).as[(Long, Double)].collect().toMap
+    assert(pr.values.toSet.size == 1, s"cycle rank not uniform: $pr")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+  }
+
+  test("triangleCounts finds each triangle once, crediting all three corners") {
+    // K4 on {0,1,2,3} (4 triangles, each node in 3) plus a pendant edge
+    // 3-9 (no triangles) plus a separate square 10-11-12-13 (0 triangles).
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val edges = (k4 ++ Seq((3L, 9L)) ++ square).toDF("a", "b")
+    val tri = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(tri == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $tri")
+  }
+
+  test("triangleCounts matches the naive a<b<c count on a random graph") {
+    val raw = (0 until 400).map { i =>
+      ((i * 2654435761L) % 60, (i * 40503L + 17L) % 60)
+    }.filter { case (a, b) => a != b }
+    val canon = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val eset = canon.toSet
+    val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- canon; c <- (b + 1) to 59L
+      if eset((b, c)) && eset((a, c))
+    } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
+    val got = Graph.triangleCounts(raw.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive.toMap, s"got $got expected $naive")
+  }
+
   test("HLL sketches merge across groups to the exact distinct count") {
     val df = spark.range(0, 5000)
       .select(($"id" % 10).as("g"), ($"id" % 700).as("v"))
