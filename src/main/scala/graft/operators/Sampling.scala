@@ -248,6 +248,60 @@ object Sampling {
       |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       |GROUP BY tok ORDER BY est_count DESC, item LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------- robust outliers
+
+  /** pf_outliers — robust per-group outlier screen: median, MAD scaled by
+    * 1.4826 (the consistency constant that makes MAD estimate σ under
+    * normality), the count beyond 3 robust z, and the worst offender's
+    * score. The metric-anomaly check a pipeline runs on every numeric
+    * column before trusting a batch — median/MAD, unlike mean/stddev,
+    * don't let the outliers vote on their own threshold.
+    *
+    * Exact `percentile` (not percentile_approx) so DuckDB's
+    * `quantile_cont` mirrors it bit-for-bit — both implement (n−1)·q
+    * linear interpolation (tx_pp_bucket precedent). Three aggregations
+    * over the group key with the tiny per-group stats broadcast back
+    * between passes; each pass is one map-side-combined hash aggregate,
+    * and medians round to 6 dp before the dependent pass so downstream
+    * arithmetic starts from identical doubles in both engines. At 100 TB
+    * swap `percentile` for `percentile_approx` and the plan loses the
+    * sort-based exact aggregate for a mergeable KLL sketch — same shape,
+    * one fewer total ordering (the Sketches.scala rationale).
+    */
+  val outliers: Q = (s, d) => {
+    val ev = tbl(s, d, "events").select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, CAST(0.5 AS DOUBLE))"), 6).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"),
+        round(expr("percentile(abs(value - med), CAST(0.5 AS DOUBLE))"), 6).as("mad"))
+    ev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med")) > lit(3) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(max(abs(col("value") - col("med")) / (lit(1.4826) * col("mad"))), 6)
+          .as("max_robust_z"))
+      .orderBy(col("event_type"))
+  }
+  val outliersSql: String =
+    """WITH med AS (
+      |  SELECT event_type, round(quantile_cont(value, CAST(0.5 AS DOUBLE)), 6) AS med
+      |  FROM events GROUP BY event_type),
+      |mad AS (
+      |  SELECT e.event_type, min(m.med) AS med,
+      |         round(quantile_cont(abs(e.value - m.med), CAST(0.5 AS DOUBLE)), 6) AS mad
+      |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+      |SELECT e.event_type, min(m.med) AS med, min(m.mad) AS mad,
+      |       count(*) AS n,
+      |       CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       round(max(abs(e.value - m.med) / (1.4826 * m.mad)), 6) AS max_robust_z
+      |FROM events e JOIN mad m USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sp_reservoir"  -> reservoirPerGroup,
     "sp_stratified" -> stratifiedSample,
@@ -256,6 +310,7 @@ object Sampling {
     "sp_split"      -> split3,
     "pf_profile"    -> profile,
     "pf_drift"      -> drift,
+    "pf_outliers"   -> outliers,
     "sk_top_tokens" -> topTokens,
   )
 
@@ -267,6 +322,7 @@ object Sampling {
     "sp_split"      -> split3Sql,
     "pf_profile"    -> profileSql,
     "pf_drift"      -> driftSql,
+    "pf_outliers"   -> outliersSql,
     "sk_top_tokens" -> topTokensSql,
   )
 }
