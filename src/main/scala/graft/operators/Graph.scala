@@ -276,7 +276,7 @@ object Graph {
     */
   val ccIncremental: Q = (s, d) => {
     import s.implicits._
-    val pairs = Dedup.lshPairs(s, d)
+    val pairs = lshPairGraph(s, d)
     val batch = pairs.where(!($"a" < 150 && $"b" < 150))
     incrementalComponents(seedLabels(s, d), batch)
       .select($"node".as("doc_id"), $"cluster")
@@ -293,7 +293,7 @@ object Graph {
   private def seedLabels(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     seedLabelCache.getOrCompute(s, d)(
-      connectedComponentsStar(Dedup.lshPairs(s, d).where($"a" < 150 && $"b" < 150)))
+      connectedComponentsStar(lshPairGraph(s, d).where($"a" < 150 && $"b" < 150)))
   }
 
   /** Cluster labels are the materialized product of an iterative job — a
@@ -306,7 +306,18 @@ object Graph {
     */
   private val labelCache = new graft.SessionCache[String]
   private def lshLabels(s: SparkSession, d: String): DataFrame =
-    labelCache.getOrCompute(s, d)(connectedComponents(Dedup.lshPairs(s, d)))
+    labelCache.getOrCompute(s, d)(connectedComponents(lshPairGraph(s, d)))
+
+  /** The LSH candidate-pair graph, materialized once per (session,
+    * sfDir): CC, PageRank, and triangle counting all consume the same
+    * edge list, and a production pipeline computes candidates ONCE per
+    * corpus snapshot — re-shingling the corpus per downstream graph
+    * metric would triple the dominant cost. Eager localCheckpoint so the
+    * cache holds blocks, not lineage (labelCache discipline).
+    */
+  private val pairsCache = new graft.SessionCache[String]
+  private def lshPairGraph(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrCompute(s, d)(Dedup.lshPairs(s, d).localCheckpoint())
 
   /** cc — duplicate clusters over the LSH candidate pairs (same probe set
     * as dd_lsh_pairs): each doc in a candidate pair labeled with its
@@ -357,7 +368,7 @@ object Graph {
     */
   val ccStarClusters: Q = (s, d) => {
     import s.implicits._
-    connectedComponentsStar(Dedup.lshPairs(s, d))
+    connectedComponentsStar(lshPairGraph(s, d))
       .select($"node".as("doc_id"), $"cluster")
       .orderBy($"doc_id")
   }
@@ -458,7 +469,7 @@ object Graph {
     */
   val grPageRank: Q = (s, d) => {
     import s.implicits._
-    pageRank(Dedup.lshPairs(s, d))
+    pageRank(lshPairGraph(s, d))
       .select($"node".as("doc_id"), round($"pr", 6).as("pagerank"))
       .orderBy($"doc_id")
   }
@@ -537,7 +548,7 @@ object Graph {
     */
   val grTriangles: Q = (s, d) => {
     import s.implicits._
-    triangleCounts(Dedup.lshPairs(s, d))
+    triangleCounts(lshPairGraph(s, d))
       .select($"node".as("doc_id"), $"n_tri")
       .orderBy($"doc_id")
   }

@@ -108,11 +108,86 @@ object Privacy {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------- k-anonymity
+
+  /** pii_kanon — k-anonymity assessment with a two-level generalization
+    * ladder (Mondrian-lite): documents grouped by the quasi-identifier
+    * (lang, source, length bucket); equivalence classes smaller than k=5
+    * are re-bucketed at 4× coarser length granularity; classes still
+    * below k are suppressed outright. The release-readiness check a
+    * privacy review runs before a corpus (or its metadata) leaves the
+    * pipeline — re-identification risk lives in the SMALL classes, which
+    * mean/median profiling never surfaces.
+    *
+    * Scale shape: rows are never enumerated — each ladder step is one
+    * keyed aggregation, and the "which classes are too small" verdicts
+    * travel back via a broadcast semi-join on the QI key (class tables
+    * are O(distinct QI), orders of magnitude under the row count).
+    * Deterministic ladder (fixed bucket widths, fixed k) keeps the
+    * oracle an exact CTE mirror.
+    */
+  val kAnon: Q = (s, d) => {
+    val k = 5
+    val docs = tbl(s, d, "documents")
+      .select(col("lang"), col("source"),
+        expr("n_chars div 100").as("b0"), expr("n_chars div 400").as("b1"))
+    val c0 = docs.groupBy(col("lang"), col("source"), col("b0"))
+      .agg(count(lit(1)).as("n"))
+    val level0 = c0.where(col("n") >= k)
+      .select(lit(0L).as("level"), col("lang"), col("source"),
+        concat(col("b0") * 100, lit("-"), col("b0") * 100 + 99).as("len_range"),
+        col("n").as("class_size"))
+    val risky = docs.join(
+      broadcast(c0.where(col("n") < k).select(col("lang"), col("source"), col("b0"))),
+      Seq("lang", "source", "b0"))
+    val c1 = risky.groupBy(col("lang"), col("source"), col("b1"))
+      .agg(count(lit(1)).as("n"))
+    val level1 = c1.where(col("n") >= k)
+      .select(lit(1L).as("level"), col("lang"), col("source"),
+        concat(col("b1") * 400, lit("-"), col("b1") * 400 + 399).as("len_range"),
+        col("n").as("class_size"))
+    val suppressed = c1.where(col("n") < k)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("class_size"))
+      .select(lit(2L).as("level"), lit("*").as("lang"), lit("*").as("source"),
+        lit("*").as("len_range"), col("class_size"))
+      .where(col("class_size") > 0)
+    level0.unionByName(level1).unionByName(suppressed)
+      .orderBy(col("level"), col("lang"), col("source"), col("len_range"))
+  }
+  val kAnonSql: String =
+    """WITH docs AS (
+      |  SELECT lang, source, n_chars // 100 AS b0, n_chars // 400 AS b1
+      |  FROM documents),
+      |c0 AS (SELECT lang, source, b0, count(*) AS n FROM docs GROUP BY 1, 2, 3),
+      |level0 AS (
+      |  SELECT CAST(0 AS BIGINT) AS level, lang, source,
+      |         CAST(b0 * 100 AS VARCHAR) || '-' || CAST(b0 * 100 + 99 AS VARCHAR) AS len_range,
+      |         n AS class_size
+      |  FROM c0 WHERE n >= 5),
+      |risky AS (
+      |  SELECT d.* FROM docs d
+      |  JOIN (SELECT lang, source, b0 FROM c0 WHERE n < 5) s
+      |  USING (lang, source, b0)),
+      |c1 AS (SELECT lang, source, b1, count(*) AS n FROM risky GROUP BY 1, 2, 3),
+      |level1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS level, lang, source,
+      |         CAST(b1 * 400 AS VARCHAR) || '-' || CAST(b1 * 400 + 399 AS VARCHAR) AS len_range,
+      |         n AS class_size
+      |  FROM c1 WHERE n >= 5),
+      |suppressed AS (
+      |  SELECT CAST(2 AS BIGINT) AS level, '*' AS lang, '*' AS source,
+      |         '*' AS len_range, CAST(coalesce(sum(n), 0) AS BIGINT) AS class_size
+      |  FROM c1 WHERE n < 5 HAVING coalesce(sum(n), 0) > 0)
+      |SELECT * FROM level0 UNION ALL SELECT * FROM level1 UNION ALL SELECT * FROM suppressed
+      |ORDER BY level, lang, source, len_range""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pii_scrub" -> piiScrub,
+    "pii_kanon" -> kAnon,
   )
 
   val oracles: Map[String, String] = Map(
     "pii_scrub" -> piiScrubSql,
+    "pii_kanon" -> kAnonSql,
   )
 }
