@@ -563,18 +563,86 @@ object Graph {
        |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_tri
        |FROM corners GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- label propagation
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection one level softer than connected components: labels flow to
+    * the majority label of each node's neighborhood, so dense near-clique
+    * regions agree quickly while thin false-positive bridges between them
+    * keep their own labels instead of fusing the two sides (which CC, by
+    * definition, always fuses). On a dedup pair graph this is the
+    * "cluster or coincidence" second opinion.
+    *
+    * Determinism, which vanilla LPA lacks: synchronous rounds (no
+    * in-round ordering dependence), a FIXED iteration budget, and an
+    * exact argmax — neighbor-label counts packed as cnt·2³² − label into
+    * one `max_by` key, so "highest count, ties to lowest label" is a
+    * single total order identical in both engines. Per round: one join +
+    * two keyed aggregations, label table O(|nodes|), checkpoint-and-free
+    * discipline as in [[connectedComponents]].
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    val e = cleanEdges(edges, "labelPropagation")
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+      .distinct()
+      .persist()
+    var labels = und.select(col("x").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val cnt = und
+        .join(labels.select(col("node").as("y"), col("label")), Seq("y"))
+        .groupBy(col("x"), col("label")).agg(count(lit(1)).as("cnt"))
+      val next = cnt.groupBy(col("x"))
+        .agg(max_by(col("label"), col("cnt") * lit(4294967296L) - col("label")).as("label"))
+        .select(col("x").as("node"), col("label"))
+        .localCheckpoint()
+      CheckpointBridge.freeCheckpoint(labels)
+      labels = next
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** gr_labelprop — 4-round LPA communities over the LSH pair graph. */
+  val grLabelProp: Q = (s, d) => {
+    import s.implicits._
+    labelPropagation(lshPairGraph(s, d))
+      .select($"node".as("doc_id"), $"label".as("community"))
+      .orderBy($"doc_id")
+  }
+  val grLabelPropSql: String = {
+    val iterCtes = (1 to 4).map { k =>
+      s"""cnt$k AS (
+         |  SELECT u.x, l.label, count(*) AS cnt
+         |  FROM und u JOIN lp${k - 1} l ON u.y = l.node GROUP BY u.x, l.label),
+         |lp$k AS (
+         |  SELECT x AS node,
+         |         CAST(max_by(label, cnt * 4294967296 - label) AS BIGINT) AS label
+         |  FROM cnt$k GROUP BY x)""".stripMargin
+    }.mkString(",\n")
+    s"""$ccReachCte,
+       |lp0 AS (SELECT x AS node, x AS label FROM (SELECT DISTINCT x FROM und)),
+       |$iterCtes
+       |SELECT node AS doc_id, label AS community
+       |FROM lp4 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "cc_clusters"    -> ccClusters,
     "cc_star"        -> ccStarClusters,
     "cc_incremental" -> ccIncremental,
     "dd_canonical"   -> ddCanonical,
     "gr_pagerank"    -> grPageRank,
-    "gr_triangles"   -> grTriangles)
+    "gr_triangles"   -> grTriangles,
+    "gr_labelprop"   -> grLabelProp)
   val oracles: Map[String, String] = Map(
     "cc_clusters"    -> ccClustersSql,
     "cc_star"        -> ccClustersSql,
     "cc_incremental" -> ccClustersSql,
     "dd_canonical"   -> ddCanonicalSql,
     "gr_pagerank"    -> grPageRankSql,
-    "gr_triangles"   -> grTrianglesSql)
+    "gr_triangles"   -> grTrianglesSql,
+    "gr_labelprop"   -> grLabelPropSql)
 }

@@ -295,6 +295,59 @@ object Sketches {
         .cast("long"))
   }
 
+  // --------------------------------------------- CMS join-size estimation
+
+  /** sk_cms_join — join-cardinality estimation from two sketches (the
+    * AMS/CMS inner-product estimator, Cormode & Muthukrishnan §4.2):
+    * |A ⋈ B on tok| = Σ_tok cntA·cntB, estimated as min over the d rows
+    * of Σ_b A[r][b]·B[r][b]. The estimate a cost-based planner wants
+    * BEFORE running a join — computed from two 8 KiB counter tables, no
+    * contact with either input, and ≥ exact always (collisions only add
+    * cross terms). Gate emits estimate, exact (re-derived from full
+    * counts), and the invariant — all hash-checked.
+    *
+    * Probe pair here: the whole-corpus token sketch (the memoized
+    * artifact) vs a sketch of the doc_id < 100 batch — the "how big is
+    * new-batch ⋈ corpus" question an incremental dedup pass asks first.
+    */
+  val cmsJoinEst: Q = (s, d) => {
+    import s.implicits._
+    val batchToks = tbl(s, d, "documents").where($"doc_id" < 100)
+      .select(explode(split(lower($"text"), " ")).as("tok"))
+      .where(length($"tok") > 0)
+    val est = cachedCms(s, d)
+      .join(cmsCells(batchToks).select($"r", $"b", $"c".as("cb")), Seq("r", "b"))
+      .groupBy($"r").agg(sum($"c" * $"cb").as("dot"))
+      .agg(min($"dot").as("est"))
+    val exact = corpusTokens(s, d).groupBy($"tok").agg(count(lit(1)).as("na"))
+      .join(batchToks.groupBy($"tok").agg(count(lit(1)).as("nb")), "tok")
+      .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("exact"))
+    est.crossJoin(exact)
+      .select($"est", $"exact", ($"est" >= $"exact").as("ok"))
+  }
+  val cmsJoinEstSql: String =
+    s"""WITH toks AS (
+       |  $toksSql),
+       |btoks AS (
+       |  SELECT tok FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS tok
+       |    FROM documents WHERE doc_id < 100)
+       |  WHERE len(tok) > 0),
+       |a AS (SELECT r, ${cmsBucketSql("r", "tok")} AS b, count(*) AS c
+       |      FROM toks CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r)
+       |      GROUP BY 1, 2),
+       |bb AS (SELECT r, ${cmsBucketSql("r", "tok")} AS b, count(*) AS c
+       |       FROM btoks CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r)
+       |       GROUP BY 1, 2),
+       |dots AS (SELECT a.r, sum(a.c * bb.c) AS dot
+       |         FROM a JOIN bb ON a.r = bb.r AND a.b = bb.b GROUP BY a.r),
+       |est AS (SELECT CAST(min(dot) AS BIGINT) AS est FROM dots),
+       |ex AS (
+       |  SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact
+       |  FROM (SELECT tok, count(*) AS na FROM toks GROUP BY tok) ca
+       |  JOIN (SELECT tok, count(*) AS nb FROM btoks GROUP BY tok) cb USING (tok))
+       |SELECT est, exact, est >= exact AS ok FROM est, ex""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sk_hll_bound"      -> hllBound,
     "sk_quantile_bound" -> quantileBound,
@@ -302,6 +355,7 @@ object Sketches {
     "sk_cms_heavy"      -> cmsHeavy,
     "sk_hll_regs"       -> hllRegs,
     "sk_hll_est"        -> hllEst,
+    "sk_cms_join"       -> cmsJoinEst,
   )
 
   val oracles: Map[String, String] = Map(
@@ -311,5 +365,6 @@ object Sketches {
     "sk_cms_heavy"      -> cmsHeavySql,
     "sk_hll_regs"       -> hllRegsSql,
     "sk_hll_est"        -> hllEstSql,
+    "sk_cms_join"       -> cmsJoinEstSql,
   )
 }

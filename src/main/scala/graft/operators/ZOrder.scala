@@ -343,17 +343,65 @@ object ZOrder {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ------------------------------------------------------ compaction plan
+
+  /** ly_compaction — small-file compaction planning: group each
+    * partition's files into target-sized merge bins. The maintenance job
+    * every long-lived table layout needs (streaming ingest and per-batch
+    * upserts strew small files; scan cost degrades with file COUNT, not
+    * just bytes) — and the planning is itself a distributed query over
+    * the file listing, never a driver loop.
+    *
+    * Bin rule: within a partition, order files by size descending (the
+    * first-fit-decreasing heuristic's ordering, deterministic via the
+    * file-id tiebreak), take a running byte total, and cut a new bin
+    * every `target` bytes — one partitioned window + one keyed
+    * aggregation. Each bin then compacts to ≤ ~2 files over target in
+    * the worst case and ~target on average; bins are independent, so the
+    * rewrite fans out embarrassingly parallel. The file listing stands
+    * in here as (source, doc_id, n_chars) over the documents table; on a
+    * real lake it is the transaction log / LIST result.
+    */
+  val compaction: Q = (s, d) => {
+    import s.implicits._
+    val files = tbl(s, d, "documents").where($"doc_id" < 2000)
+      .select($"source".as("part"), $"doc_id".as("file_id"), $"n_chars".as("bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"part").orderBy($"bytes".desc, $"file_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    files.withColumn("cum", sum($"bytes").over(w))
+      .withColumn("bin", expr("(cum - bytes) div 8000"))
+      .groupBy($"part", $"bin")
+      .agg(count(lit(1)).as("n_files"), sum($"bytes").as("bin_bytes"))
+      .orderBy($"part", $"bin")
+  }
+  val compactionSql: String =
+    """WITH files AS (
+      |  SELECT source AS part, doc_id AS file_id, n_chars AS bytes
+      |  FROM documents WHERE doc_id < 2000),
+      |a AS (
+      |  SELECT part, bytes,
+      |         sum(bytes) OVER (PARTITION BY part ORDER BY bytes DESC, file_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM files)
+      |SELECT part, CAST((cum - bytes) // 8000 AS BIGINT) AS bin,
+      |       count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes
+      |FROM a GROUP BY part, bin ORDER BY part, bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "ly_zorder"   -> zorderCurve,
-    "ly_zorder3"  -> zorder3Curve,
-    "ly_hilbert"  -> hilbertCurve,
-    "ly_hilbert3" -> hilbert3Curve,
+    "ly_zorder"     -> zorderCurve,
+    "ly_zorder3"    -> zorder3Curve,
+    "ly_hilbert"    -> hilbertCurve,
+    "ly_hilbert3"   -> hilbert3Curve,
+    "ly_compaction" -> compaction,
   )
 
   val oracles: Map[String, String] = Map(
-    "ly_zorder"   -> zorderCurveSql,
-    "ly_zorder3"  -> zorder3CurveSql,
-    "ly_hilbert"  -> hilbertCurveSql,
-    "ly_hilbert3" -> hilbert3CurveSql,
+    "ly_zorder"     -> zorderCurveSql,
+    "ly_zorder3"    -> zorder3CurveSql,
+    "ly_hilbert"    -> hilbertCurveSql,
+    "ly_hilbert3"   -> hilbert3CurveSql,
+    "ly_compaction" -> compactionSql,
   )
 }

@@ -86,7 +86,11 @@ class PlanGuardSpec extends AnyFunSuite {
       "dd_semdedup", "dd_semdedup_inc", "tx_pp_bucket", "sp_quality_sample",
       "ann_ivfpq", "pf_drift", "tpch_q22", "ann_recall_eval",
       "sp_temperature", "sk_hll_est", "tpch_q11",
-      "ev_gapfill", "gr_pagerank", "gr_triangles")
+      "ev_gapfill", "gr_pagerank", "gr_triangles",
+      // sk_cms_join crossJoins its two ONE-ROW aggregates (estimate,
+      // exact) — scalar-join class; gr_labelprop is the cc_clusters
+      // plan-builds-the-loop exclusion.
+      "sk_cms_join", "gr_labelprop")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j

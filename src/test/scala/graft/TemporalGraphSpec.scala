@@ -243,6 +243,21 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(got == naive.toMap, s"got $got expected $naive")
   }
 
+  test("labelPropagation keeps bridged cliques as separate communities") {
+    // Two K4s joined by one bridge edge: CC fuses them into one
+    // component; majority-label propagation lets each dense side keep
+    // its own community — the "cluster or coincidence" distinction.
+    val k4a = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val k4b = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val edges = (k4a ++ k4b ++ Seq((3L, 10L))).toDF("a", "b")
+    val lp = Graph.labelPropagation(edges).as[(Long, Long)].collect().toMap
+    assert((0L to 3L).map(lp).toSet.size == 1, s"left clique split: $lp")
+    assert((10L to 13L).map(lp).toSet.size == 1, s"right clique split: $lp")
+    assert(lp(0L) != lp(10L), s"bridge fused the cliques: $lp")
+    val cc = Graph.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1, "sanity: CC does fuse them")
+  }
+
   test("HLL sketches merge across groups to the exact distinct count") {
     val df = spark.range(0, 5000)
       .select(($"id" % 10).as("g"), ($"id" % 700).as("v"))
