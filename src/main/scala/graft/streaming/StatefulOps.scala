@@ -130,6 +130,61 @@ object StatefulOps {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
   }
 
+  /** One attribute observation in an entity's ordered change stream. */
+  case class AttrEv(key: Long, ord: Long, attr: String)
+
+  /** The entity's open (current) SCD2 version, carried across batches. */
+  case class OpenVersion(version: Long, attr: String, validFrom: Long, n: Long)
+
+  /** A closed SCD2 version: superseded by the next one at `validTo`. */
+  case class ClosedVersion(key: Long, version: Long, attr: String,
+                           validFrom: Long, validTo: Long, n: Long)
+
+  /** Streaming SCD2 fold — the streaming twin of `Temporal.scd2History`:
+    * each key's attribute change stream folds into versioned
+    * [validFrom, validTo) intervals; a version CLOSES (and emits, append
+    * mode) the moment a batch shows a different attribute value, while
+    * the current version waits in GroupState. A dimension table
+    * maintained from a CDC feed gets its history rows this way with
+    * per-batch work O(changed keys), instead of re-running the batch
+    * gaps-and-islands fold over all history every refresh.
+    *
+    * Ordering contract: per-key ordinals must not regress across batches
+    * (in-batch arrival order is handled by sorting, same as
+    * [[sessionize]]); a regressed ordinal would mean an already-emitted
+    * validTo was wrong — append mode cannot retract. Feed late-capable
+    * sources through a watermark/sort stage first. Attribute equality is
+    * null-safe (Scala `==`), matching the batch fold's `<=>`.
+    *
+    * Scale: state is one OpenVersion per active key, partitioned with
+    * the shuffle like any keyed aggregation; emitted rows are exactly
+    * the closed versions, so downstream upsert writes O(changes).
+    */
+  def scd2Fold(events: Dataset[AttrEv]): Dataset[ClosedVersion] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[OpenVersion, ClosedVersion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[AttrEv], state: GroupState[OpenVersion]) =>
+          val sorted = evs.toIndexedSeq.sortBy(_.ord)
+          val closed = Seq.newBuilder[ClosedVersion]
+          var open = state.getOption
+          sorted.foreach { e =>
+            open = open match {
+              case Some(v) if v.attr == e.attr =>
+                Some(v.copy(n = v.n + 1))
+              case Some(v) =>
+                closed += ClosedVersion(key, v.version, v.attr, v.validFrom, e.ord, v.n)
+                Some(OpenVersion(v.version + 1, e.attr, e.ord, 1L))
+              case None =>
+                Some(OpenVersion(1L, e.attr, e.ord, 1L))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   /** Watermarked tumbling-window counts per group column: append-mode
     * windowed aggregation that finalizes a window once the watermark
     * passes its end — the bounded-state form of ST4's running counts

@@ -72,6 +72,39 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 fold: closed versions across batches equal the batch fold") {
+    import StatefulOps.{AttrEv, ClosedVersion}
+    implicit val sql = spark.sqlContext
+    val events = Seq(
+      // key 1: a a b b a — three versions; the a→b flip straddles batches
+      AttrEv(1L, 10L, "a"), AttrEv(1L, 11L, "a"), AttrEv(1L, 12L, "b"),
+      AttrEv(1L, 13L, "b"), AttrEv(1L, 14L, "a"),
+      // key 2: x only — never closes, stays in state
+      AttrEv(2L, 5L, "x"), AttrEv(2L, 6L, "x"))
+    val (b1, b2) = events.splitAt(3)
+    val input = MemoryStream[AttrEv]
+    val q = StatefulOps.scd2Fold(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scd2_closed").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("scd2_closed").as[ClosedVersion].collect().toSet
+    assert(streamed == Set(
+      ClosedVersion(1L, 1L, "a", 10L, 12L, 2L),
+      ClosedVersion(1L, 2L, "b", 12L, 14L, 2L)))
+    // batch twin on the same rows: its non-current versions are exactly
+    // the streamed closed set (same versions, bounds, and counts)
+    val batch = graft.operators.Temporal.scd2History(
+        events.toDF("k", "t", "attr").select($"k", $"t", $"attr"), "k", "attr", "t")
+      .where($"is_current" === 0L)
+      .select($"k", $"version", $"attr", $"valid_from", $"valid_to", $"n_events")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    assert(batch == streamed.map(c =>
+      (c.key, c.version, c.attr, c.validFrom, c.validTo, c.n)))
+  }
+
   test("streaming dedup→LSH→incremental CC equals one-shot batch clustering " +
        "(2-batch replay with redelivery overlap)") {
     implicit val sql = spark.sqlContext
