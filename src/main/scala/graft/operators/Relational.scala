@@ -239,6 +239,42 @@ object Relational {
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
 
+  /** A11 — month-over-month growth: the lag-window derivative of the a8
+    * monthly rollup (revenue delta and relative growth, 6-dp). The window
+    * is ordered but UNPARTITIONED by design — its input is the O(months)
+    * aggregate, never the fact table (the w6_prefix_sum bucket-total
+    * precedent), so the single-partition sort touches dozens of rows at
+    * any corpus size. Exact decimal sums feed the double quotient only at
+    * the end (suite parity rule).
+    */
+  val a11Growth: Q = (s, d) => {
+    import s.implicits._
+    val monthly = tbl(s, d, "orders")
+      .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"month")
+    monthly
+      .withColumn("prev", lag($"total", 1).over(w))
+      // decimal→double BEFORE arithmetic: both engines then run the same
+      // double ops on identical (exact) inputs — decimal division scale
+      // rules differ between engines, double division does not.
+      .select($"month", $"total".cast("double").as("total"),
+        round($"total".cast("double") - $"prev".cast("double"), 6).as("delta"),
+        round(($"total".cast("double") - $"prev".cast("double")) / $"prev".cast("double"), 6)
+          .as("growth"))
+      .orderBy($"month")
+  }
+  val a11GrowthSql: String =
+    """WITH m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT month, total, lag(total) OVER (ORDER BY month) AS prev FROM m)
+      |SELECT month, CAST(total AS DOUBLE) AS total,
+      |       round(CAST(total AS DOUBLE) - CAST(prev AS DOUBLE), 6) AS delta,
+      |       round((CAST(total AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE), 6) AS growth
+      |FROM l ORDER BY month""".stripMargin
+
   /** T8 — semi-structured extraction: JSON payload field (events.props). */
   val t8Json: Q = (s, d) => {
     import s.implicits._
@@ -1613,6 +1649,7 @@ object Relational {
     "a6_lag"           -> a6Lag,
     "a7_rollup"        -> a7Rollup,
     "a8_monthly"       -> a8Monthly,
+    "a11_growth"       -> a11Growth,
     "t8_json"          -> t8Json,
     "q1_page"          -> q1Page,
     "q1_keyset"        -> q1Keyset,
@@ -1675,6 +1712,7 @@ object Relational {
     "a6_lag"           -> a6LagSql,
     "a7_rollup"        -> a7RollupSql,
     "a8_monthly"       -> a8MonthlySql,
+    "a11_growth"       -> a11GrowthSql,
     "t8_json"          -> t8JsonSql,
     "q1_page"          -> q1PageSql,
     "q1_keyset"        -> q1KeysetSql,

@@ -835,7 +835,49 @@ object Similarity {
       |  FROM scored)
       |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
 
+  // ------------------------------------------------- scalar quantization
+
+  /** ann_sq8 — scalar (SQ8) quantization of the embedding table: per-dim
+    * [min, max] ranges learned in one aggregation pass, each component
+    * mapped to an 8-bit code — the 4× index-compression step that sits
+    * below PQ on the accuracy/size ladder (FAISS's SQ8), and the format
+    * vector stores ship to disk. Codes for a probe set are hash-checked
+    * against the oracle re-deriving the same ranges.
+    *
+    * Determinism: float components cast to double (exact), ranges are
+    * min/max (no summation), and the code expression is one fixed
+    * association of double ops — both engines execute bit-identical
+    * arithmetic, with the v = max edge clamped by least(255, ·) rather
+    * than rounded (the ly_zorder floor-explicit discipline). The stats
+    * table is O(dims) and broadcasts; the encode pass is one scan.
+    */
+  val sq8Q: Q = (s, d) => {
+    import s.implicits._
+    val dims = tbl(s, d, "embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"vec_id", $"dim".cast("long").as("dim"), $"v".cast("double").as("v"))
+    val stats = dims.groupBy($"dim").agg(min($"v").as("lo"), max($"v").as("hi"))
+    dims.join(broadcast(stats), "dim")
+      .where($"vec_id" < 10)
+      .select($"vec_id", $"dim",
+        least(lit(255L), floor(($"v" - $"lo") * 255.0 / ($"hi" - $"lo")).cast("long"))
+          .as("code"))
+      .orderBy($"vec_id", $"dim")
+  }
+  val sq8Sql: String =
+    s"""WITH ds AS (SELECT unnest(range(0, $Dim)) AS dim),
+       |flat AS (
+       |  SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN ds),
+       |stats AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM flat GROUP BY dim)
+       |SELECT f.vec_id, f.dim,
+       |       CAST(least(255, floor((f.v - s.lo) * 255.0 / (s.hi - s.lo))) AS BIGINT) AS code
+       |FROM flat f JOIN stats s USING (dim)
+       |WHERE f.vec_id < 10
+       |ORDER BY vec_id, dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ann_sq8"           -> sq8Q,
     "ann_bruteforce"    -> annBruteforce,
     "ann_lsh_buckets"   -> annLshBuckets,
     "ann_lsh_multiprobe" -> lshMultiProbeQ,
@@ -850,6 +892,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "ann_sq8"           -> sq8Sql,
     "ann_bruteforce"    -> annBruteforceSql,
     "ann_lsh_buckets"   -> annLshBucketsSql,
     "ann_lsh_multiprobe" -> lshMultiProbeSql,

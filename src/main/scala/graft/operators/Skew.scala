@@ -82,10 +82,49 @@ object Skew {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** sw_skew_report — the diagnostic you run BEFORE reaching for salting
+    * or AQE hints: per-key cardinality profile of a join/agg key
+    * (events.user_id here) reduced to the decision numbers — key count,
+    * max and median per-key size, their ratio, and how many keys exceed
+    * 2× median. Two aggregation passes (key counts, then metrics), the
+    * 1-row median broadcast back for the heavy-key count; the raw
+    * per-key table never leaves the executors.
+    *
+    * Exact `percentile` for the median keeps the oracle bit-exact
+    * (pf_outliers precedent); on a key dimension too large to sort,
+    * swap in percentile_approx — the report is advisory either way.
+    */
+  val skewReport: Q = (s, d) => {
+    val cnts = tbl(s, d, "events").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = cnts.agg(
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"),
+      round(expr("percentile(cnt, CAST(0.5 AS DOUBLE))"), 6).as("med_cnt"))
+    cnts.crossJoin(broadcast(stats))
+      .groupBy(col("n_keys"), col("max_cnt"), col("med_cnt"))
+      .agg(sum(when(col("cnt") > lit(2) * col("med_cnt"), 1L).otherwise(0L)).as("n_heavy"))
+      .select(col("n_keys"), col("max_cnt"), col("med_cnt"),
+        round(col("max_cnt") / col("med_cnt"), 6).as("skew_ratio"), col("n_heavy"))
+  }
+  val skewReportSql: String =
+    """WITH cnts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+      |stats AS (
+      |  SELECT count(*) AS n_keys, max(cnt) AS max_cnt,
+      |         round(quantile_cont(cnt, CAST(0.5 AS DOUBLE)), 6) AS med_cnt
+      |  FROM cnts)
+      |SELECT n_keys, max_cnt, med_cnt,
+      |       round(max_cnt / med_cnt, 6) AS skew_ratio,
+      |       CAST(sum(CASE WHEN cnt > 2 * med_cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
+      |FROM cnts CROSS JOIN stats
+      |GROUP BY n_keys, max_cnt, med_cnt""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sw_salted_agg"  -> swSaltedAgg,
-    "sw_salted_join" -> swSaltedJoin)
+    "sw_salted_join" -> swSaltedJoin,
+    "sw_skew_report" -> skewReport)
   val oracles: Map[String, String] = Map(
     "sw_salted_agg"  -> swSaltedAggSql,
-    "sw_salted_join" -> swSaltedJoinSql)
+    "sw_salted_join" -> swSaltedJoinSql,
+    "sw_skew_report" -> skewReportSql)
 }

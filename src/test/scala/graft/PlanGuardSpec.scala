@@ -89,8 +89,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "ev_gapfill", "gr_pagerank", "gr_triangles",
       // sk_cms_join crossJoins its two ONE-ROW aggregates (estimate,
       // exact) — scalar-join class; gr_labelprop is the cc_clusters
-      // plan-builds-the-loop exclusion.
-      "sk_cms_join", "gr_labelprop")
+      // plan-builds-the-loop exclusion; sw_skew_report crossJoins its
+      // ONE-ROW stats aggregate — scalar-join class.
+      "sk_cms_join", "gr_labelprop", "sw_skew_report")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
