@@ -23,7 +23,8 @@ object SparkEntry {
       operators.Sampling.queries ++ operators.Temporal.queries ++
       operators.Graph.queries ++ operators.Sketches.queries ++
       operators.Skew.queries ++ operators.Pipeline.queries ++
-      operators.Privacy.queries ++ operators.ZOrder.queries
+      operators.Privacy.queries ++ operators.ZOrder.queries ++
+      operators.Retrieval.queries ++ operators.Audit.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.Sampling.oracles ++ operators.Temporal.oracles ++
       operators.Graph.oracles ++ operators.Sketches.oracles ++
       operators.Skew.oracles ++ operators.Pipeline.oracles ++
-      operators.Privacy.oracles ++ operators.ZOrder.oracles
+      operators.Privacy.oracles ++ operators.ZOrder.oracles ++
+      operators.Retrieval.oracles ++ operators.Audit.oracles
 }

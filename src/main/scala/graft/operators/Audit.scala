@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{t => tbl}
+
+/** Data-quality audit operators: referential-integrity sweep and rule-based
+  * column validation — the admission checks a pipeline runs on every corpus
+  * snapshot BEFORE training jobs consume it (the reference's analogue is the
+  * per-event validity filter, `src/lib/decode.ts:21-60`; these lift that
+  * idea from one row to whole-relation invariants).
+  *
+  * Scale design: every edge check is a left join of the fact onto the
+  * DISTINCT parent-key set — dims broadcast, the one big fact edge shuffles
+  * on its join key exactly once, and nothing but two counters leaves the
+  * executors. Rule validation is a single pass per table: all rule
+  * predicates are fused into one aggregate (sum-of-CASE columns) and the
+  * per-rule rows are unpivoted from that one row — N rules never means N
+  * scans.
+  */
+object Audit {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One FK edge: total child rows + rows whose key misses the parent set. */
+  private def fkEdge(name: String, child: DataFrame, ck: String,
+                     parent: DataFrame, pk: String): DataFrame = {
+    val pkeys = parent.select(col(pk).as("__pk")).distinct()
+    child.select(col(ck).as("__ck"))
+      .join(pkeys, col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+  }
+
+  /** dq_fk_orphans — referential-integrity audit over the full star schema
+    * (7 physical edges + events→customer), plus one deliberately LAGGED
+    * dim snapshot (customer restricted to c_custkey % 20 <> 0 — the
+    * "fact landed before the dim refresh" incident every warehouse hits)
+    * so the audit provably FIRES, not just reports zeros (pii_scrub's
+    * planted-violation precedent).
+    */
+  val fkOrphans: Q = (s, d) => {
+    val li = tbl(s, d, "lineitem"); val ord = tbl(s, d, "orders")
+    val cust = tbl(s, d, "customer"); val nat = tbl(s, d, "nation")
+    val edges = Seq(
+      fkEdge("lineitem.l_orderkey->orders", li, "l_orderkey", ord, "o_orderkey"),
+      fkEdge("lineitem.l_partkey->part", li, "l_partkey", tbl(s, d, "part"), "p_partkey"),
+      fkEdge("lineitem.l_suppkey->supplier", li, "l_suppkey", tbl(s, d, "supplier"), "s_suppkey"),
+      fkEdge("orders.o_custkey->customer", ord, "o_custkey", cust, "c_custkey"),
+      fkEdge("customer.c_nationkey->nation", cust, "c_nationkey", nat, "n_nationkey"),
+      fkEdge("supplier.s_nationkey->nation", tbl(s, d, "supplier"), "s_nationkey", nat, "n_nationkey"),
+      fkEdge("nation.n_regionkey->region", nat, "n_regionkey", tbl(s, d, "region"), "r_regionkey"),
+      fkEdge("events.user_id->customer", tbl(s, d, "events"), "user_id", cust, "c_custkey"),
+      fkEdge("orders.o_custkey->customer@lagged", ord, "o_custkey",
+        cust.where(expr("c_custkey % 20 <> 0")), "c_custkey"))
+    edges.reduce(_.unionAll(_)).orderBy(col("edge"))
+  }
+  val fkOrphansSql: String = {
+    def e(name: String, child: String, ck: String, parent: String, pk: String,
+          parentFilter: String = "") =
+      s"""SELECT '$name' AS edge, count(*) AS n_child,
+         |       CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         |FROM $child c LEFT JOIN
+         |  (SELECT DISTINCT $pk AS __pk FROM $parent $parentFilter) p ON c.$ck = p.__pk""".stripMargin
+    Seq(
+      e("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      e("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      e("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      e("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      e("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      e("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      e("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      e("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+      e("orders.o_custkey->customer@lagged", "orders", "o_custkey", "customer", "c_custkey",
+        "WHERE c_custkey % 20 <> 0")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  }
+
+  // ---------------------------------------------------------- rule checks
+
+  /** dq_rules — declarative column-rule validation: each rule is a boolean
+    * predicate; the report is (rule, n_rows, violations, viol_rate). Six
+    * rules across two tables cost exactly two table scans — the predicates
+    * ride one fused aggregate per table and unpivot via `stack`. Mixed
+    * outcome by construction: doc_len_le_500 and ev_value_le_400 fire on
+    * real rows, the schema-conformance rules hold at zero.
+    */
+  val rules: Q = (s, d) => {
+    def viol(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val docs = tbl(s, d, "documents").agg(
+      count(lit(1)).as("n"),
+      viol(col("text").isNull).as("v_null"),
+      viol(col("n_chars") =!= length(col("text"))).as("v_len"),
+      viol(!col("lang").isin("en", "de", "fr", "es", "zh")).as("v_lang"),
+      viol(col("n_chars") > 500).as("v_long"))
+    val ev = tbl(s, d, "events").agg(
+      count(lit(1)).as("n"),
+      viol(!col("event_type").isin("view", "click", "purchase", "signup", "error")).as("v_type"),
+      viol(col("value") <= 0.0 || col("value") > 400.0).as("v_range"))
+    val dRows = docs.select(expr(
+      """stack(4,
+        |  'doc_text_nonnull',   n, v_null,
+        |  'doc_len_matches_text', n, v_len,
+        |  'doc_lang_known',     n, v_lang,
+        |  'doc_len_le_500',     n, v_long) AS (rule, n_rows, violations)""".stripMargin))
+    val eRows = ev.select(expr(
+      """stack(2,
+        |  'ev_type_known',    n, v_type,
+        |  'ev_value_le_400',  n, v_range) AS (rule, n_rows, violations)""".stripMargin))
+    dRows.unionAll(eRows)
+      .select(col("rule"), col("n_rows"), col("violations"),
+        round(col("violations").cast("double") / col("n_rows"), 6).as("viol_rate"))
+      .orderBy(col("rule"))
+  }
+  val rulesSql: String =
+    """WITH dv AS (
+      |  SELECT count(*) AS n,
+      |         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+      |         CAST(sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT) AS v_len,
+      |         CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+      |         CAST(sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS v_long
+      |  FROM documents),
+      |ev AS (
+      |  SELECT count(*) AS n,
+      |         CAST(sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+      |         CAST(sum(CASE WHEN value <= 0.0 OR value > 400.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_range
+      |  FROM events),
+      |r AS (
+      |  SELECT 'doc_text_nonnull' AS rule, n AS n_rows, v_null AS violations FROM dv
+      |  UNION ALL SELECT 'doc_len_matches_text', n, v_len FROM dv
+      |  UNION ALL SELECT 'doc_lang_known', n, v_lang FROM dv
+      |  UNION ALL SELECT 'doc_len_le_500', n, v_long FROM dv
+      |  UNION ALL SELECT 'ev_type_known', n, v_type FROM ev
+      |  UNION ALL SELECT 'ev_value_le_400', n, v_range FROM ev)
+      |SELECT rule, n_rows, violations,
+      |       round(CAST(violations AS DOUBLE) / n_rows, 6) AS viol_rate
+      |FROM r ORDER BY rule""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "dq_fk_orphans" -> fkOrphans,
+    "dq_rules"      -> rules)
+  val oracles: Map[String, String] = Map(
+    "dq_fk_orphans" -> fkOrphansSql,
+    "dq_rules"      -> rulesSql)
+}

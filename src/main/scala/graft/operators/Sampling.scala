@@ -51,6 +51,42 @@ object Sampling {
     """SELECT doc_id, lang, n_chars FROM documents
       |WHERE md5('smp:' || doc_id) < '4' ORDER BY doc_id""".stripMargin
 
+  /** sp_weighted — deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-Res): each row gets priority u^(1/w) with u a
+    * hash-uniform in (0,1) and w its weight (n_chars — longer docs more
+    * likely); the global top-k by priority IS a weighted sample. Ranking by
+    * the monotone-equivalent ln(u)/w avoids pow entirely: the only libm
+    * call is one ln, and the key rounds to 9 dp before ranking with doc_id
+    * breaking ties (tx_entropy's 1-ulp-vs-grain argument).
+    *
+    * u is integer-exact cross-engine: the first 6 md5 hex digits decode via
+    * instr('0123..f', ·) arithmetic — no conv()/from_hex dependency — so
+    * both engines rank the same rationals. Narrow until the final top-k
+    * (TakeOrderedAndProject): no shuffle touches the corpus, and the same
+    * priority column drives a per-group weighted reservoir if ranked inside
+    * a window instead.
+    */
+  val weightedSample: Q = (s, d) => {
+    val hvTerms = (1 to 6).map(i =>
+      s"(instr('0123456789abcdef', substr(__h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}L")
+    tbl(s, d, "documents")
+      .where(col("n_chars") > 0)
+      .withColumn("__h", md5(concat(lit("ws:"), col("doc_id"))))
+      .withColumn("__u", (expr(hvTerms.mkString(" + ")) + 0.5) / 16777216.0)
+      .withColumn("priority", round(log(col("__u")) / col("n_chars") * 1000.0, 9))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(25)
+      .select(col("doc_id"), col("n_chars"), col("priority"))
+  }
+  val weightedSampleSql: String = {
+    val hvTerms = (1 to 6).map(i =>
+      s"(instr('0123456789abcdef', substr(md5('ws:' || doc_id), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}").mkString(" + ")
+    s"""SELECT doc_id, n_chars,
+       |       round(ln(($hvTerms + 0.5) / 16777216.0) / n_chars * 1000.0, 9) AS priority
+       |FROM documents WHERE n_chars > 0
+       |ORDER BY priority DESC, doc_id LIMIT 25""".stripMargin
+  }
+
   /** Deterministic train/val/test split (~75/12.5/12.5 via md5 prefix
     * ranges — hex is uniform, so '0'..'b' ≈ 12/16). Assignment depends
     * only on the doc key: stable under retries, repartitioning, engine
@@ -308,6 +344,7 @@ object Sampling {
     "sp_mixture"    -> mixture,
     "sp_temperature" -> temperature,
     "sp_split"      -> split3,
+    "sp_weighted"   -> weightedSample,
     "pf_profile"    -> profile,
     "pf_drift"      -> drift,
     "pf_outliers"   -> outliers,
@@ -320,6 +357,7 @@ object Sampling {
     "sp_mixture"    -> mixtureSql,
     "sp_temperature" -> temperatureSql,
     "sp_split"      -> split3Sql,
+    "sp_weighted"   -> weightedSampleSql,
     "pf_profile"    -> profileSql,
     "pf_drift"      -> driftSql,
     "pf_outliers"   -> outliersSql,

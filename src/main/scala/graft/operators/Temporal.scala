@@ -339,6 +339,68 @@ object Temporal {
       |       n_events
       |FROM versions ORDER BY user_id, version""".stripMargin
 
+  // -------------------------------------------------------- snapshot diff
+
+  /** sn_diff — CDC-style snapshot diff: given two snapshots of a keyed
+    * table, classify every key as added / removed / changed / unchanged and
+    * report per-class counts + key range. The companion to [[snScd2]]: SCD2
+    * folds a change STREAM; this RECOVERS the change set when all you have
+    * is two full snapshots (the nightly-dump reality of most upstream
+    * sources). Both snapshots are deterministic transforms of `orders`
+    * (modulo-keyed planted adds/removes/updates — the pii_scrub
+    * planted-violation precedent), so every class is non-empty.
+    *
+    * Plan shape: ONE full-outer shuffle join on the snapshot key, then a
+    * tiny groupBy on the 4-value class column — at 100 TB both snapshots
+    * shuffle once on the same key (or co-locate for free if both are
+    * bucketed by it, the Sinks.upsertBucketed layout), and only 4 counter
+    * rows leave. Change detection compares the payload columns directly
+    * (double equality is exact: both sides derive from the same stored
+    * value) — a fingerprint column (md5 of concatenated payload, the
+    * IndexStore discipline) is the drop-in at wider schemas.
+    */
+  val snDiff: Q = (s, d) => {
+    import s.implicits._
+    val orders = tbl(s, d, "orders")
+    val old = orders.where(expr("o_orderkey % 10 <> 3"))
+      .select($"o_orderkey",
+        when(expr("o_orderkey % 10 = 7"), $"o_totalprice" + 1.0)
+          .otherwise($"o_totalprice").as("price_o"),
+        $"o_orderstatus".as("st_o"), lit(1).as("in_o"))
+    val nw = orders.where(expr("o_orderkey % 10 <> 9"))
+      .select($"o_orderkey", $"o_totalprice".as("price_n"),
+        $"o_orderstatus".as("st_n"), lit(1).as("in_n"))
+    old.join(nw, Seq("o_orderkey"), "full_outer")
+      .withColumn("status",
+        when($"in_o".isNull, "added")
+          .when($"in_n".isNull, "removed")
+          .when($"price_o" =!= $"price_n" || $"st_o" =!= $"st_n", "changed")
+          .otherwise("unchanged"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      .orderBy($"status")
+  }
+  val snDiffSql: String =
+    """WITH old AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice + 1.0
+      |              ELSE o_totalprice END AS price_o,
+      |         o_orderstatus AS st_o, 1 AS in_o
+      |  FROM orders WHERE o_orderkey % 10 <> 3),
+      |nw AS (
+      |  SELECT o_orderkey, o_totalprice AS price_n, o_orderstatus AS st_n, 1 AS in_n
+      |  FROM orders WHERE o_orderkey % 10 <> 9),
+      |cls AS (
+      |  SELECT COALESCE(old.o_orderkey, nw.o_orderkey) AS k,
+      |         CASE WHEN in_o IS NULL THEN 'added'
+      |              WHEN in_n IS NULL THEN 'removed'
+      |              WHEN price_o <> price_n OR st_o <> st_n THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM old FULL OUTER JOIN nw ON old.o_orderkey = nw.o_orderkey)
+      |SELECT status, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+      |FROM cls GROUP BY status ORDER BY status""".stripMargin
+
   // ----------------------------------------------------------------- export
 
   val queries: Map[String, Q] = Map(
@@ -348,6 +410,7 @@ object Temporal {
     "ev_retention"  -> evRetention,
     "ev_gapfill"    -> evGapfill,
     "sn_scd2"       -> snScd2,
+    "sn_diff"       -> snDiff,
   )
 
   val oracles: Map[String, String] = Map(
@@ -357,5 +420,6 @@ object Temporal {
     "ev_retention"  -> evRetentionSql,
     "ev_gapfill"    -> evGapfillSql,
     "sn_scd2"       -> snScd2Sql,
+    "sn_diff"       -> snDiffSql,
   )
 }

@@ -91,7 +91,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // exact) — scalar-join class; gr_labelprop is the cc_clusters
       // plan-builds-the-loop exclusion; sw_skew_report crossJoins its
       // ONE-ROW stats aggregate — scalar-join class.
-      "sk_cms_join", "gr_labelprop", "sw_skew_report")
+      "sk_cms_join", "gr_labelprop", "sw_skew_report",
+      // ix_bm25 crossJoins its ONE-ROW corpus stats (N, Σdl) — the
+      // tx_tfidf scalar-join class.
+      "ix_bm25")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
