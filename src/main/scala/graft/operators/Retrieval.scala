@@ -84,7 +84,10 @@ object Retrieval {
     * the rank — the tx_entropy argument (1-ulp libm drift vs 1e-6 grain)
     * applies. Ties at the cut break on doc_id, making the 20-row set total.
     */
-  val ixBm25: Q = (s, d) => {
+  /** Per-doc BM25 score table for the fixed query — shared by [[ixBm25]]
+    * and the hybrid fusion so the lexical leg cannot drift between gates.
+    */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val qterms = Seq("join", "hash", "scan")
     val tk = toks(s, d)
@@ -103,11 +106,19 @@ object Retrieval {
           ($"tf" + ($"dl" / $"avgdl" * 0.75 + 0.25) * 1.2))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_terms"), round(sum($"ts"), 6).as("bm25"))
+  }
+
+  val ixBm25: Q = (s, d) => {
+    import s.implicits._
+    bm25Scored(s, d)
       .orderBy($"bm25".desc, $"doc_id")
       .limit(20)
   }
-  val ixBm25Sql: String =
-    """WITH tk AS (
+  /** Shared oracle CTE block ending in `lexs(doc_id, n_terms, bm25)` —
+    * reused by ix_bm25 and ix_hybrid so the lexical leg cannot drift.
+    */
+  private val bm25CteSql: String =
+    """tk AS (
       |  SELECT doc_id, tok
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       |  WHERE len(tok) > 0),
@@ -121,15 +132,94 @@ object Retrieval {
       |         ln(1.0 + (n_docs - f.df + 0.5) / (f.df + 0.5))
       |           * (t.tf * 2.2)
       |           / (t.tf + (l.dl / (CAST(sum_dl AS DOUBLE) / n_docs) * 0.75 + 0.25) * 1.2) AS ts
-      |  FROM tf t JOIN df f USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats)
-      |SELECT doc_id, count(*) AS n_terms, round(sum(ts), 6) AS bm25
-      |FROM scored GROUP BY doc_id
-      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+      |  FROM tf t JOIN df f USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats),
+      |lexs AS (
+      |  SELECT doc_id, count(*) AS n_terms, round(sum(ts), 6) AS bm25
+      |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  val ixBm25Sql: String =
+    s"""WITH $bm25CteSql
+       |SELECT doc_id, n_terms, bm25
+       |FROM lexs ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- hybrid fusion (RRF)
+
+  /** ix_hybrid — hybrid retrieval: the lexical top-20 (BM25, [[ixBm25]]'s
+    * exact leg) and the semantic top-20 (cosine against a probe query
+    * vector) fused by Reciprocal Rank Fusion,
+    * RRF(d) = Σ_legs 1/(60 + rank_leg(d)) — Cormack et al. 2009's
+    * score-free fusion, the industry-default way to combine legs whose
+    * raw scores live on incomparable scales. Docs surfaced by BOTH legs
+    * rise; k=60 damps any single leg's head.
+    *
+    * Scale shape: each leg reduces to its top-k with a distributed
+    * TakeOrderedAndProject BEFORE any window — the row_number that
+    * assigns ranks runs on the k surviving rows, never the corpus (the
+    * q1_page limit-before-window discipline). The fusion itself is a
+    * k-row full-outer join. The semantic leg is the brute-force
+    * correctness baseline (one broadcast probe row against the corpus,
+    * still one scan); at real scale it swaps for the trained-IVF search
+    * (ann_ivf_search) with the SAME output contract — rank_sem is all
+    * the fusion reads. Ranks are exact ints; the only float is the final
+    * two-term reciprocal sum, one addition in a fixed order, round-6.
+    */
+  val ixHybrid: Q = (s, d) => {
+    import s.implicits._
+    val wLex = org.apache.spark.sql.expressions.Window
+      .orderBy($"bm25".desc, $"doc_id")
+    val lex = bm25Scored(s, d)
+      .orderBy($"bm25".desc, $"doc_id").limit(20)
+      .withColumn("rank_lex", row_number().over(wLex).cast("long"))
+      .select($"doc_id", $"rank_lex")
+    val e = tbl(s, d, "embeddings")
+    val probe = e.where($"vec_id" === 0).select($"embedding".as("eq"))
+    val wSem = org.apache.spark.sql.expressions.Window
+      .orderBy($"cos".desc, $"doc_id")
+    val sem = e.where($"vec_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .select($"vec_id".as("doc_id"),
+        round(graft.functions.vector.cosine_sim($"embedding", $"eq"), 6).as("cos"))
+      .orderBy($"cos".desc, $"doc_id").limit(20)
+      .withColumn("rank_sem", row_number().over(wSem).cast("long"))
+      .select($"doc_id", $"rank_sem")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + $"rank_lex"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"rank_sem"), lit(0.0)), 6))
+      .orderBy($"rrf".desc, $"doc_id")
+      .limit(15)
+      .select($"doc_id", $"rank_lex", $"rank_sem", $"rrf")
+  }
+  val ixHybridSql: String =
+    s"""WITH $bm25CteSql,
+       |lex AS (
+       |  SELECT doc_id, rank_lex FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+       |    FROM lexs)
+       |  WHERE rank_lex <= 20),
+       |sem0 AS (
+       |  SELECT y.vec_id AS doc_id,
+       |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                      CAST(y.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM embeddings y, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |  WHERE y.vec_id <> 0),
+       |sem AS (
+       |  SELECT doc_id, rank_sem FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_sem
+       |    FROM sem0)
+       |  WHERE rank_sem <= 20)
+       |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem,
+       |       round(COALESCE(1.0 / (60 + rank_lex), 0.0)
+       |           + COALESCE(1.0 / (60 + rank_sem), 0.0), 6) AS rrf
+       |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "ix_postings" -> ixPostings,
-    "ix_bm25"     -> ixBm25)
+    "ix_bm25"     -> ixBm25,
+    "ix_hybrid"   -> ixHybrid)
   val oracles: Map[String, String] = Map(
     "ix_postings" -> ixPostingsSql,
-    "ix_bm25"     -> ixBm25Sql)
+    "ix_bm25"     -> ixBm25Sql,
+    "ix_hybrid"   -> ixHybridSql)
 }

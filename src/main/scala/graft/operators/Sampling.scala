@@ -338,6 +338,69 @@ object Sampling {
       |FROM events e JOIN mad m USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  // ------------------------------------------------------ Poisson bootstrap
+
+  /** Cumulative Poisson(1) CDF at k = 0..4 — identical decimal literals in
+    * the Spark expression and the oracle SQL, so both engines parse the
+    * same doubles and invert the same step function. P(X > 5) ≈ 6e-4 is
+    * folded into the k=5 bucket (weights cap at 5).
+    */
+  private val poisCdf = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563")
+  private def poisCase(u: String): String =
+    poisCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN $u < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 5 END")
+
+  /** sp_bootstrap — Poisson-bootstrap confidence interval for the corpus
+    * mean of n_chars: B=32 replicates, each reweighting every doc by an
+    * independent Poisson(1) draw (Chamandy et al. 2012 — the bootstrap
+    * that works on data too big to resample, because no replicate ever
+    * materializes: each is just a weighted aggregate of the SAME scan).
+    * The spread of the 32 replicate means IS the sampling distribution of
+    * the estimator — the error bar a profiling pipeline should attach to
+    * every corpus statistic it reports.
+    *
+    * Scale shape: the doc stream explodes ×B, but partial aggregation
+    * combines per partition before the shuffle, so the exchange carries
+    * B rows per partition — the corpus is scanned once and shuffled
+    * never. Per (doc, b) the Poisson weight inverts the CDF at a
+    * keyed-hash uniform (sp_weighted's integer-exact md5 decode), making
+    * every replicate reproducible across engines, retries, and
+    * partitionings. Σw and Σw·x are exact BIGINTs; the one float is the
+    * final ratio, round-6.
+    */
+  val bootstrap: Q = (s, d) => {
+    val hvTerms = (1 to 6).map(i =>
+      s"(instr('0123456789abcdef', substr(__h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}L")
+      .mkString(" + ")
+    tbl(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("b", explode(sequence(lit(0L), lit(31L))))
+      .withColumn("__h", md5(concat(lit("bs:"), col("b"), lit(":"), col("doc_id"))))
+      .withColumn("__u", (expr(hvTerms) + 0.5) / 16777216.0)
+      .withColumn("w", expr(poisCase("__u")).cast("long"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        round(sum(col("w") * col("n_chars")).cast("double") /
+          sum(col("w")).cast("double"), 6).as("mean_chars"))
+      .orderBy(col("b"))
+  }
+  val bootstrapSql: String = {
+    val hv = (1 to 6).map(i =>
+      s"(instr('0123456789abcdef', substr(md5('bs:' || b || ':' || doc_id), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH rep AS (
+       |  SELECT d.doc_id, d.n_chars, b.b,
+       |         (($hv) + 0.5) / 16777216.0 AS u
+       |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b),
+       |w AS (SELECT b, n_chars, ${poisCase("u")} AS w FROM rep)
+       |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+       |       round(CAST(sum(w * n_chars) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS mean_chars
+       |FROM w GROUP BY b ORDER BY b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "sp_reservoir"  -> reservoirPerGroup,
     "sp_stratified" -> stratifiedSample,
@@ -345,6 +408,7 @@ object Sampling {
     "sp_temperature" -> temperature,
     "sp_split"      -> split3,
     "sp_weighted"   -> weightedSample,
+    "sp_bootstrap"  -> bootstrap,
     "pf_profile"    -> profile,
     "pf_drift"      -> drift,
     "pf_outliers"   -> outliers,
@@ -358,6 +422,7 @@ object Sampling {
     "sp_temperature" -> temperatureSql,
     "sp_split"      -> split3Sql,
     "sp_weighted"   -> weightedSampleSql,
+    "sp_bootstrap"  -> bootstrapSql,
     "pf_profile"    -> profileSql,
     "pf_drift"      -> driftSql,
     "pf_outliers"   -> outliersSql,

@@ -996,6 +996,58 @@ object TextAnalysis {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ----------------------------------------------------- PMI collocations
+
+  /** tx_colloc — PMI-ranked collocation mining: the phrase extractor a
+    * corpus pipeline runs to find multiword units worth protecting from
+    * tokenization ("new york"-style) or worth indexing as phrases.
+    * PMI(a,b) = ln(c(ab)·N / (c(a·)·c(·b))) over the bigram distribution,
+    * with a minimum pair count of 5 to keep the estimator out of its
+    * noisy tail (Church & Hanks 1990's standard guard).
+    *
+    * Scale shape: everything derives from the SAME persisted bigram-count
+    * artifact the LM scorer trains ([[bigramCounts]] — SessionCache here,
+    * a parquet index table at 100 TB), so the corpus is not re-scanned:
+    * both marginals (left c(w1·), right c(·w2)) and the grand total N are
+    * O(vocab)/O(1) aggregates OF the counts table, broadcast back onto
+    * it. The only floats are one ln per surviving bigram, rounded to 6 dp
+    * before the top-k (tx_entropy's grain argument), and the k-row result
+    * comes from TakeOrderedAndProject with `bg` as the total tie-break.
+    */
+  val colloc: Q = (s, d) => {
+    import s.implicits._
+    val c2 = bigramCounts(s, d)
+    val cl = c2.select(substring_index($"bg", " ", 1).as("w1"), $"c2")
+      .groupBy($"w1").agg(sum($"c2").as("cl"))
+    val cr = c2.select(substring_index($"bg", " ", -1).as("w2"), $"c2")
+      .groupBy($"w2").agg(sum($"c2").as("cr"))
+    val nn = c2.agg(sum($"c2").as("n"))
+    c2.where($"c2" >= 5)
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .withColumn("w2", substring_index($"bg", " ", -1))
+      .join(broadcast(cl), Seq("w1"))
+      .join(broadcast(cr), Seq("w2"))
+      .crossJoin(broadcast(nn))
+      .select($"bg", $"c2".as("n_pair"),
+        round(log(($"c2".cast("double") * $"n") / ($"cl".cast("double") * $"cr")), 6)
+          .as("pmi"))
+      .orderBy($"pmi".desc, $"bg")
+      .limit(25)
+  }
+  val collocSql: String =
+    s"""WITH $lmCteSql,
+       |nn AS (SELECT CAST(sum(c2) AS BIGINT) AS n FROM c2),
+       |cr AS (SELECT string_split(bg, ' ')[2] AS w2, CAST(sum(c2) AS BIGINT) AS cr
+       |       FROM c2 GROUP BY 1)
+       |SELECT bg, c2 AS n_pair,
+       |       round(ln((CAST(c2 AS DOUBLE) * n) / (CAST(c1 AS DOUBLE) * cr)), 6) AS pmi
+       |FROM c2
+       |JOIN c1 ON c1.w1 = string_split(bg, ' ')[1]
+       |JOIN cr ON cr.w2 = string_split(bg, ' ')[2]
+       |CROSS JOIN nn
+       |WHERE c2 >= 5
+       |ORDER BY pmi DESC, bg LIMIT 25""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
@@ -1016,6 +1068,7 @@ object TextAnalysis {
     "tx_bpe_train"   -> bpeTrainQ,
     "tx_bpe_encode"  -> bpeEncodeQ,
     "tx_clf_score"   -> clfScore,
+    "tx_colloc"      -> colloc,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1038,5 +1091,6 @@ object TextAnalysis {
     "tx_bpe_train"   -> bpeTrainSql,
     "tx_bpe_encode"  -> bpeEncodeSql,
     "tx_clf_score"   -> clfScoreSql,
+    "tx_colloc"      -> collocSql,
   )
 }

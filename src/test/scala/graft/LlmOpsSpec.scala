@@ -360,6 +360,47 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top == 900001L, s"planted duplicate should rank first, got $top")
   }
 
+  test("ixHybrid fuses legs: both-leg docs outrank single-leg docs at equal depth") {
+    val out = operators.Retrieval.ixHybrid(spark, sf)
+      .as[(Long, Option[Long], Option[Long], Double)].collect()
+    assert(out.nonEmpty && out.length <= 15)
+    // every fused row came from at least one leg, and rrf matches the
+    // closed form of its rank pair
+    out.foreach { case (id, rl, rs, rrf) =>
+      assert(rl.isDefined || rs.isDefined, s"doc $id in neither leg")
+      val expect = rl.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rs.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-6, s"doc $id rrf drift")
+    }
+    // RRF dominance: a doc in BOTH legs beats any doc whose single leg
+    // rank is no better than both of its ranks
+    val both = out.filter(r => r._2.isDefined && r._3.isDefined)
+    val single = out.filter(r => r._2.isEmpty || r._3.isEmpty)
+    for (b <- both; s0 <- single) {
+      val sRank = s0._2.orElse(s0._3).get
+      if (sRank >= b._2.get.max(b._3.get)) assert(b._4 > s0._4)
+    }
+    // ordering is by fused score
+    assert(out.map(_._4).sameElements(out.map(_._4).sortBy(-_)))
+  }
+
+  test("bootstrap replicate means concentrate around the true corpus mean") {
+    val reps = operators.Sampling.bootstrap(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(reps.length == 32)
+    val trueMean = docs.agg(avg($"n_chars")).as[Double].head()
+    val means = reps.map(_._3)
+    // every Poisson replicate stays near the point estimate (n=500 docs
+    // → se ≈ sd/√n; 10% of the mean is a loose multiple of that)
+    means.foreach(m => assert(math.abs(m - trueMean) / trueMean < 0.10,
+      s"replicate mean $m too far from $trueMean"))
+    // ...but they are not degenerate: the replicates genuinely vary
+    assert(means.distinct.length > 16, "replicates should differ")
+    // effective sizes hover around n (Poisson(1) preserves mass)
+    reps.foreach { case (_, nEff, _) =>
+      assert(nEff > 350 && nEff < 650, s"n_eff $nEff far from 500") }
+  }
+
   test("ppBucket splits the corpus into near-equal monotone thirds") {
     val docsSf = "/root/testdata/sf0.01"
     val out = operators.TextAnalysis.ppBucket(spark, docsSf).cache()
