@@ -214,12 +214,58 @@ object Retrieval {
        |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
        |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin
 
+  // ------------------------------------------------------- phrase query
+
+  /** ix_phrase — positional-index phrase search: find documents containing
+    * the exact 3-word phrase "small query line" and count occurrences per
+    * doc. The query class BM25's bag-of-words scoring cannot answer and
+    * the reason real inverted indexes store positions (Lucene's
+    * PhraseQuery): term adjacency, not mere co-occurrence.
+    *
+    * Scale shape: the token stream filters to the PHRASE'S terms before
+    * anything else — the work is O(postings of the query terms), never
+    * the corpus, exactly what consulting a positional index buys. The
+    * phrase assembles by equi-joining each term's postings on
+    * (doc_id, pos − offset): all three legs shuffle on the same compound
+    * key (one co-partitioned exchange family, AQE-broadcastable for rare
+    * terms), no window, no per-row arrays. (doc_id, pos) is unique per
+    * leg, so the join count is the exact occurrence count.
+    */
+  val ixPhrase: Q = (s, d) => {
+    import s.implicits._
+    val phrase = Seq("small", "query", "line")
+    val pos = tbl(s, d, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .withColumnRenamed("col", "tok")
+      .where($"tok".isin(phrase: _*))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"tok")
+    val legs = phrase.zipWithIndex.map { case (w, i) =>
+      pos.where($"tok" === w).select($"doc_id", ($"pos" - i).as("pos"))
+    }
+    legs.reduce(_.join(_, Seq("doc_id", "pos")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy($"doc_id")
+  }
+  val ixPhraseSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         unnest(range(0, len(string_split(text, ' ')))) AS pos
+      |  FROM documents),
+      |t0 AS (SELECT doc_id, pos FROM tk WHERE tok = 'small'),
+      |t1 AS (SELECT doc_id, pos - 1 AS pos FROM tk WHERE tok = 'query'),
+      |t2 AS (SELECT doc_id, pos - 2 AS pos FROM tk WHERE tok = 'line')
+      |SELECT doc_id, count(*) AS n_hits
+      |FROM t0 JOIN t1 USING (doc_id, pos) JOIN t2 USING (doc_id, pos)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ix_postings" -> ixPostings,
     "ix_bm25"     -> ixBm25,
-    "ix_hybrid"   -> ixHybrid)
+    "ix_hybrid"   -> ixHybrid,
+    "ix_phrase"   -> ixPhrase)
   val oracles: Map[String, String] = Map(
     "ix_postings" -> ixPostingsSql,
     "ix_bm25"     -> ixBm25Sql,
-    "ix_hybrid"   -> ixHybridSql)
+    "ix_hybrid"   -> ixHybridSql,
+    "ix_phrase"   -> ixPhraseSql)
 }

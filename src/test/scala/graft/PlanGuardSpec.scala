@@ -94,7 +94,11 @@ class PlanGuardSpec extends AnyFunSuite {
       "sk_cms_join", "gr_labelprop", "sw_skew_report",
       // ix_bm25 crossJoins its ONE-ROW corpus stats (N, Σdl) — the
       // tx_tfidf scalar-join class.
-      "ix_bm25")
+      "ix_bm25",
+      // ix_hybrid inherits ix_bm25's scalar stats join and adds the
+      // ONE-ROW broadcast probe vector for the semantic leg; tx_colloc
+      // crossJoins the ONE-ROW bigram grand total — scalar-join class.
+      "ix_hybrid", "tx_colloc")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
@@ -102,6 +106,47 @@ class PlanGuardSpec extends AnyFunSuite {
       }
       assert(bad.isEmpty, s"$q plans ${bad.map(_.nodeName).mkString(",")}")
     }
+  }
+
+  test("dq_corr computes all 21 moments from a single lineitem scan, no joins") {
+    val plan = planOf("dq_corr")
+    val scans = plan.collectLeaves()
+    assert(scans.size == 1, s"expected ONE scan, got ${scans.size}")
+    val joins = plan.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(joins.isEmpty, s"corr matrix must not join: ${joins.map(_.nodeName)}")
+  }
+
+  test("ix_hybrid ranks only after each leg's distributed top-k") {
+    val plan = planOf("ix_hybrid")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size == 2, s"expected one rank window per leg: $windows")
+    windows.foreach { w =>
+      assert(w.collect { case t if t.nodeName.contains("TakeOrderedAndProject") => t }.nonEmpty,
+        s"rank window not fed by a top-k:\n$w")
+    }
+  }
+
+  test("sp_bootstrap folds 32 replicates through one keyed shuffle of B-sized partials") {
+    val plan = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try SparkEntry.queries("sp_bootstrap")(spark, sf).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val hashed = plan.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(hashed.size == 1,
+      s"expected exactly one keyed shuffle (on b), got ${hashed.size}")
+    // partial aggregation must sit below it — the exchange carries
+    // per-partition partials, never the exploded doc×B stream
+    hashed.foreach(e => assert(
+      e.collect { case a if a.nodeName.contains("HashAggregate") => a }.nonEmpty,
+      "no map-side combine below the shuffle"))
   }
 
   test("per-key windows are partitioned (w2, w3, e1, sessionize path)") {
