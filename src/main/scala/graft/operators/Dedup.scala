@@ -731,6 +731,72 @@ object Dedup {
       |WHERE levenshtein(a.text, b.text) <= 6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------- asymmetric containment
+
+  /** Directional shingle-containment table over the probe slice
+    * (doc_id < 30): for every shingle-sharing pair, |A∩B| and BOTH
+    * containments |A∩B|/|A|, |A∩B|/|B| (round-6). Jaccard misses a short
+    * quote embedded in a long document — the intersection is tiny next to
+    * the union — but containment flags it from the short side, which is
+    * why excerpt/quote dedup (RealNews-style) thresholds containment,
+    * not Jaccard.
+    *
+    * SessionCache'd artifact: dd_containment reports the ≥0.5 survivors
+    * and Graph.adamicAdar link-scores the same pair graph — one shingle
+    * self-join per corpus snapshot (lshPairGraph discipline). The probe
+    * slice is the correctness baseline; at scale the pair domain comes
+    * from LSH candidates and this exact-containment verify runs on
+    * candidates only (dd_ngram_jaccard's documented path).
+    */
+  private val contCache = new graft.SessionCache[String]
+  def containmentTable(s: SparkSession, d: String): DataFrame =
+    contCache.getOrCompute(s, d) {
+      val sh = shingles(tbl(s, d, "documents").where(col("doc_id") < 30)).distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("doc_id").as("a"), col("sh"))
+        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+        .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+        .select(col("a"), col("b"), col("inter"),
+          round(col("inter").cast("double") / col("sza"), 6).as("cont_a"),
+          round(col("inter").cast("double") / col("szb"), 6).as("cont_b"))
+        .localCheckpoint()
+    }
+
+  val containment: Q = (s, d) =>
+    containmentTable(s, d)
+      .where(col("cont_a") >= 0.5 || col("cont_b") >= 0.5)
+      .orderBy(col("a"), col("b"))
+
+  /** Shared oracle CTE block through `cont` (full table) and `cpairs`
+    * (the ≥0.5 graph) — reused by dd_containment and gr_adamic.
+    */
+  val containmentCteSql: String =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(text)-3), i -> substr(text, i, 5))) AS sh
+      |    FROM documents WHERE doc_id < 30 AND len(text) >= 5)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      |  FROM sh x JOIN sh y ON x.sh = y.sh WHERE x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |cont AS (
+      |  SELECT a, b, inter,
+      |         round(CAST(inter AS DOUBLE) / sa.sz, 6) AS cont_a,
+      |         round(CAST(inter AS DOUBLE) / sb.sz, 6) AS cont_b
+      |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b),
+      |cpairs AS (SELECT a, b FROM cont WHERE cont_a >= 0.5 OR cont_b >= 0.5)""".stripMargin
+
+  val containmentSql: String =
+    s"""WITH $containmentCteSql
+       |SELECT a, b, inter, cont_a, cont_b FROM cont
+       |WHERE cont_a >= 0.5 OR cont_b >= 0.5 ORDER BY a, b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dc_overlap"      -> dcOverlap,
     "dc_bloom"        -> dcBloom,
@@ -745,6 +811,7 @@ object Dedup {
     "dd_incremental"  -> ddIncremental,
     "dd_ppjoin"       -> ppJoinQ,
     "dd_editdist"     -> editDistPairs,
+    "dd_containment"  -> containment,
   )
 
   val oracles: Map[String, String] = Map(
@@ -761,5 +828,6 @@ object Dedup {
     "dd_incremental"  -> ddIncrementalSql,
     "dd_ppjoin"       -> ppJoinSql,
     "dd_editdist"     -> editDistPairsSql,
+    "dd_containment"  -> containmentSql,
   )
 }

@@ -688,6 +688,72 @@ object Graph {
        |FROM e4 GROUP BY x ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- link prediction
+
+  /** Adamic–Adar link scoring: for every NON-adjacent 2-hop pair (a, b),
+    * AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) — common neighbors weighted
+    * by how selective they are. On a containment/duplicate graph this
+    * ranks the pairs the thresholded edge set MISSED (a and b both
+    * overlap z but fell under the pairing threshold with each other) —
+    * the "you should probably also check these" queue a dedup reviewer
+    * drains; on any graph it is the classic link-prediction baseline
+    * (Adamic & Adar 2003). Every z is a common neighbor, so deg z ≥ 2
+    * and the ln is never zero.
+    *
+    * Scale shape: wedges come from one self-join of the edge list on the
+    * CENTER node — the triangleCounts orientation trick applies verbatim
+    * if degrees skew — and existing edges drop via a left-anti join on
+    * the pair key; the score is one keyed aggregation. Everything
+    * shuffles on node ids or (a,b) pairs — no windows, no products.
+    */
+  def adamicAdar(edges: DataFrame): DataFrame = {
+    val e = cleanEdges(edges, "adamicAdar")
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+      .distinct().persist()
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val wedges = und.select(col("x").as("z"), col("y").as("a"))
+      .join(und.select(col("x").as("z2"), col("y").as("b")),
+        col("z") === col("z2") && col("a") < col("b"))
+      .select(col("a"), col("b"), col("z"))
+    val cand = wedges.join(
+      e.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+    val out = cand.join(deg, cand("z") === deg("x"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        round(sum(lit(1.0) / log(col("deg"))), 6).as("adamic_adar"))
+    out.count() // materialize before releasing the shared edge cache
+    und.unpersist()
+    out
+  }
+
+  /** gr_adamic — AA link scores over the shingle-containment graph
+    * (Dedup.containmentTable's ≥0.5 survivors — the same cached artifact
+    * dd_containment reports).
+    */
+  val grAdamic: Q = (s, d) => {
+    import s.implicits._
+    adamicAdar(Dedup.containmentTable(s, d)
+        .where($"cont_a" >= 0.5 || $"cont_b" >= 0.5)
+        .select($"a", $"b"))
+      .orderBy($"adamic_adar".desc, $"a", $"b")
+  }
+  val grAdamicSql: String =
+    s"""WITH ${Dedup.containmentCteSql},
+       |cund AS (SELECT a AS x, b AS y FROM cpairs UNION SELECT b AS x, a AS y FROM cpairs),
+       |cdeg AS (SELECT x, count(*) AS deg FROM cund GROUP BY x),
+       |wedges AS (
+       |  SELECT e1.y AS a, e2.y AS b, e1.x AS z
+       |  FROM cund e1 JOIN cund e2 ON e1.x = e2.x AND e1.y < e2.y),
+       |cand AS (
+       |  SELECT w.a, w.b, w.z FROM wedges w
+       |  LEFT JOIN cpairs p ON p.a = w.a AND p.b = w.b
+       |  WHERE p.a IS NULL)
+       |SELECT c.a, c.b, count(*) AS common,
+       |       round(sum(1.0 / ln(d.deg)), 6) AS adamic_adar
+       |FROM cand c JOIN cdeg d ON d.x = c.z
+       |GROUP BY c.a, c.b ORDER BY adamic_adar DESC, a, b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cc_clusters"    -> ccClusters,
     "cc_star"        -> ccStarClusters,
@@ -696,7 +762,8 @@ object Graph {
     "gr_pagerank"    -> grPageRank,
     "gr_triangles"   -> grTriangles,
     "gr_labelprop"   -> grLabelProp,
-    "gr_kcore"       -> grKCore)
+    "gr_kcore"       -> grKCore,
+    "gr_adamic"      -> grAdamic)
   val oracles: Map[String, String] = Map(
     "cc_clusters"    -> ccClustersSql,
     "cc_star"        -> ccClustersSql,
@@ -705,5 +772,6 @@ object Graph {
     "gr_pagerank"    -> grPageRankSql,
     "gr_triangles"   -> grTrianglesSql,
     "gr_labelprop"   -> grLabelPropSql,
-    "gr_kcore"       -> grKCoreSql)
+    "gr_kcore"       -> grKCoreSql,
+    "gr_adamic"      -> grAdamicSql)
 }

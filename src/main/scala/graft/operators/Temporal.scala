@@ -469,6 +469,123 @@ object Temporal {
       |             / sqrt((s2 - CAST(s1*s1 AS DOUBLE) / m) / m), 6)) >= 3.0 AS is_anomaly
       |FROM win WHERE m >= 4 ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------ transition matrix
+
+  /** ev_markov — first-order event-transition matrix: P(next type | type)
+    * from each user's event sequence (ordered by the monotone event_id —
+    * the suite's stand-in for (blockNumber, logIndex) order). The Markov
+    * table behind "what do users do after X" product analytics and the
+    * sanity screen for synthetic event generators (a uniform matrix here
+    * is CORRECT for this corpus — the generator draws types i.i.d., and
+    * the gate proves we can measure that).
+    *
+    * One per-user window (partitioned — no global sort) emits the lagged
+    * pairs; the 25-cell count table and its row totals are O(types²)
+    * aggregates, broadcast-joined. Probabilities are exact-count ratios
+    * rounded to 6 dp.
+    */
+  val evMarkov: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    val seqd = tbl(s, d, "events")
+      .select($"user_id", $"event_id", $"event_type")
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+      .where($"nxt".isNotNull)
+    val c = seqd.groupBy($"event_type", $"nxt").agg(count(lit(1)).as("n"))
+    val tot = c.groupBy($"event_type").agg(sum($"n").as("t"))
+    c.join(broadcast(tot), Seq("event_type"))
+      .select($"event_type", $"nxt", $"n",
+        round($"n".cast("double") / $"t", 6).as("p"))
+      .orderBy($"event_type", $"nxt")
+  }
+  val evMarkovSql: String =
+    """WITH seqd AS (
+      |  SELECT event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+      |  FROM events),
+      |c AS (SELECT event_type, nxt, count(*) AS n
+      |      FROM seqd WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1)
+      |SELECT c.event_type, nxt, n, round(CAST(n AS DOUBLE) / t, 6) AS p
+      |FROM c JOIN tot USING (event_type) ORDER BY event_type, nxt""".stripMargin
+
+  // ------------------------------------------------------------- CDC apply
+
+  /** sn_apply — CDC merge: fold a change batch (Insert/Update/Delete ops
+    * with per-key sequence numbers) into a base snapshot and report the
+    * applied state. The SCD1 half of the snapshot story — sn_scd2 keeps
+    * history, this produces the current table a warehouse MERGE would;
+    * the op stream is synthesized from orders so every class fires (new
+    * keys, single and DOUBLE updates to one key — proving max-seq wins,
+    * not batch order — and tombstones).
+    *
+    * Shape: union base (seq 0) with the batch, one groupBy on the key
+    * taking each attribute at max seq (`max_by` — total because seq is
+    * unique per key), drop tombstones, aggregate. ONE keyed shuffle
+    * regardless of how many CDC classes pile up; at 100 TB base and
+    * batch co-partition by key (the bucketed-sink layout) and the merge
+    * never re-sorts. Tombstones carry non-null sentinels (price 0, st
+    * 'X') rather than NULLs: engines disagree on whether max_by skips
+    * null VALUES (DuckDB's arg_max does), so a null payload at max seq
+    * would silently resurrect the previous version.
+    *
+    * Money travels as integer CENTS: the ×1.1/×1.21 bumps are integer
+    * multiply + integer `div` (ties impossible), because the float form
+    * `round(price*1.1, 2)` lands on exact .005 representations where
+    * Spark (HALF_UP on the BigDecimal image) and DuckDB (round-half-away
+    * on the double) disagree by one cent — observed, not hypothetical.
+    * The only float is the final cents/100 display division.
+    */
+  val snApply: Q = (s, d) => {
+    import s.implicits._
+    val o = tbl(s, d, "orders")
+      .select($"o_orderkey".as("k"),
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        $"o_orderstatus")
+    def slice(pred: org.apache.spark.sql.Column, seq: Int, op: String,
+              cents: org.apache.spark.sql.Column,
+              st: org.apache.spark.sql.Column) =
+      o.where(pred).select($"k", lit(seq).as("seq"), lit(op).as("op"),
+        cents.as("cents"), st.as("st"))
+    val base = slice($"k" % 10 =!= 4, 0, "I", $"cents", $"o_orderstatus")
+    val ins  = slice($"k" % 10 === 4, 1, "I", $"cents", $"o_orderstatus")
+    val u1   = slice($"k" % 10 === 2, 1, "U", expr("cents * 11 div 10"), $"o_orderstatus")
+    val u2   = slice($"k" % 20 === 2, 2, "U", expr("cents * 121 div 100"), $"o_orderstatus")
+    val del  = slice($"k" % 10 === 1, 1, "D", lit(0L), lit("X"))
+    base.unionByName(ins).unionByName(u1).unionByName(u2).unionByName(del)
+      .groupBy($"k")
+      .agg(max_by($"op", $"seq").as("op"),
+        max_by($"cents", $"seq").as("cents"),
+        max_by($"st", $"seq").as("st"))
+      .where($"op" =!= "D")
+      .groupBy($"st".as("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum($"cents") / 100.0, 2).as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+  val snApplySql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |         o_orderstatus AS st
+      |  FROM orders),
+      |base AS (SELECT k, 0 AS seq, 'I' AS op, cents, st FROM o WHERE k % 10 <> 4),
+      |cdc AS (
+      |  SELECT k, 1, 'I', cents, st FROM o WHERE k % 10 = 4
+      |  UNION ALL
+      |  SELECT k, 1, 'U', cents * 11 // 10, st FROM o WHERE k % 10 = 2
+      |  UNION ALL
+      |  SELECT k, 2, 'U', cents * 121 // 100, st FROM o WHERE k % 20 = 2
+      |  UNION ALL
+      |  SELECT k, 1, 'D', 0, 'X' FROM o WHERE k % 10 = 1),
+      |last AS (
+      |  SELECT k, max_by(op, seq) AS op, max_by(cents, seq) AS cents, max_by(st, seq) AS st
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM cdc)
+      |  GROUP BY k)
+      |SELECT st AS o_orderstatus, count(*) AS n,
+      |       round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS sum_price
+      |FROM last WHERE op <> 'D'
+      |GROUP BY st ORDER BY o_orderstatus""".stripMargin
+
   // ----------------------------------------------------------------- export
 
   val queries: Map[String, Q] = Map(
@@ -478,8 +595,10 @@ object Temporal {
     "ev_retention"  -> evRetention,
     "ev_gapfill"    -> evGapfill,
     "ev_anomaly"    -> evAnomaly,
+    "ev_markov"     -> evMarkov,
     "sn_scd2"       -> snScd2,
     "sn_diff"       -> snDiff,
+    "sn_apply"      -> snApply,
   )
 
   val oracles: Map[String, String] = Map(
@@ -489,7 +608,9 @@ object Temporal {
     "ev_retention"  -> evRetentionSql,
     "ev_gapfill"    -> evGapfillSql,
     "ev_anomaly"    -> evAnomalySql,
+    "ev_markov"     -> evMarkovSql,
     "sn_scd2"       -> snScd2Sql,
     "sn_diff"       -> snDiffSql,
+    "sn_apply"      -> snApplySql,
   )
 }

@@ -401,6 +401,22 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(nEff > 350 && nEff < 650, s"n_eff $nEff far from 500") }
   }
 
+  test("containment flags asymmetric overlap that Jaccard misses") {
+    val out = operators.Dedup.containment(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty, "probe slice should contain quote-like pairs")
+    out.foreach { case (a, b, inter, ca, cb) =>
+      assert(a < b && inter > 0)
+      assert(ca > 0.0 && ca <= 1.0 && cb > 0.0 && cb <= 1.0)
+      assert(ca >= 0.5 || cb >= 0.5, s"($a,$b) below threshold: $ca/$cb")
+    }
+    // the op's reason to exist: some surviving pair must be one Jaccard
+    // would drop at the same bar (strong one-way containment, weak mutual
+    // overlap) — containment ≥ .5 while Jaccard < .3
+    assert(out.exists { case (_, _, _, ca, cb) => math.max(ca, cb) >= 0.5 &&
+      math.min(ca, cb) < 0.3 }, "no asymmetric (quote-like) pair found")
+  }
+
   test("ppBucket splits the corpus into near-equal monotone thirds") {
     val docsSf = "/root/testdata/sf0.01"
     val out = operators.TextAnalysis.ppBucket(spark, docsSf).cache()

@@ -289,6 +289,60 @@ class TemporalGraphSpec extends AnyFunSuite {
       "planted outage should be the most negative z in the series")
   }
 
+  test("adamicAdar scores non-adjacent 2-hop pairs, weighting selective hubs") {
+    // Path a-b-c: the only candidate is (a,c) through b (deg 2) → 1/ln 2.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val aa1 = Graph.adamicAdar(path).as[(Long, Long, Long, Double)].collect()
+    assert(aa1.toSeq == Seq((1L, 3L, 1L,
+      math.round(1.0 / math.log(2) * 1e6) / 1e6)), s"got ${aa1.toSeq}")
+    // 4-cycle: each diagonal sees TWO deg-2 common neighbors → 2/ln 2,
+    // and adjacent pairs never appear (they are edges).
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val aa2 = Graph.adamicAdar(square)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val two = math.round(2.0 / math.log(2) * 1e6) / 1e6
+    assert(aa2 == Set((1L, 3L, 2L, two), (2L, 4L, 2L, two)), s"got $aa2")
+  }
+
+  test("evMarkov rows are proper conditional distributions over observed transitions") {
+    val out = Temporal.evMarkov(spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Double)].collect()
+    val byRow = out.groupBy(_._1)
+    byRow.foreach { case (t, cells) =>
+      val pSum = cells.map(_._4).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"row $t sums to $pSum")
+      cells.foreach(c => assert(c._4 > 0.0 && c._4 <= 1.0))
+    }
+    // transition mass = events - one terminal event per user
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val expected = ev.count() - ev.select($"user_id").distinct().count()
+    assert(out.map(_._3).sum == expected,
+      s"transition count ${out.map(_._3).sum} != events - users $expected")
+  }
+
+  test("snApply matches a driver-side replay of the CDC semantics") {
+    val sfd = "/root/testdata/sf0.001"
+    val out = Temporal.snApply(spark, sfd)
+      .as[(String, Long, Double)].collect()
+      .map { case (st, n, s0) => st -> ((n, s0)) }.toMap
+    // independent replay in plain Scala over the collected base table
+    val rows = spark.read.parquet(s"$sfd/orders.parquet")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      .as[(Long, Double, String)].collect()
+    val applied = rows.flatMap { case (k, price, st) =>
+      val cents = math.round(price * 100)
+      if (k % 10 == 1) None // tombstoned
+      else if (k % 20 == 2) Some(st -> cents * 121 / 100) // double update wins
+      else if (k % 10 == 2) Some(st -> cents * 11 / 10)
+      else Some(st -> cents) // base survivors + CDC inserts
+    }
+    val expect = applied.groupBy(_._1).map { case (st, xs) =>
+      st -> ((xs.length.toLong,
+        math.round(xs.map(_._2).sum / 100.0 * 100) / 100.0))
+    }
+    assert(out == expect, s"got $out expected $expect")
+  }
+
   test("HLL sketches merge across groups to the exact distinct count") {
     val df = spark.range(0, 5000)
       .select(($"id" % 10).as("g"), ($"id" % 700).as("v"))
