@@ -876,8 +876,50 @@ object Similarity {
        |WHERE f.vec_id < 10
        |ORDER BY vec_id, dim""".stripMargin
 
+  // ------------------------------------------------------- filtered search
+
+  /** ann_filtered — metadata-filtered vector search: top-3 cosine
+    * neighbors among vectors sharing the probe's LABEL (the "only docs in
+    * my tenant / language / date range" constraint every production
+    * vector store must honor — pre-filtering, not post-filtering, so a
+    * selective predicate can never starve the top-k).
+    *
+    * The filter turns the scan into an EQUI-join on the filter key: the
+    * probe broadcasts onto the corpus partitioned by label, each
+    * partition ranks locally (window partitioned by probe — never
+    * global). At 100 TB the label is a partition/bucket column and the
+    * same plan prunes to the matching partitions; with IVF underneath,
+    * centroid lists are built per label-partition (the ann_ivf_search
+    * contract composes unchanged).
+    */
+  val annFiltered: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings")
+    val probes = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q"), col("label"), col("embedding").as("eq"))
+    val corpus = e.select(col("vec_id").as("n"), col("label"), col("embedding").as("en"))
+    val scored = probes.join(corpus, Seq("label")).where(col("q") =!= col("n"))
+      .select(col("q"), col("label"), col("n"), round(cos("eq", "en"), 6).as("cos"))
+    val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .orderBy(col("q"), col("rank"))
+  }
+  val annFilteredSql: String =
+    """SELECT q, label, n, cos, rank FROM (
+      |  SELECT x.vec_id AS q, x.label, y.vec_id AS n,
+      |         round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |                                      CAST(y.embedding AS DOUBLE[])), 6) AS cos,
+      |         row_number() OVER (PARTITION BY x.vec_id ORDER BY
+      |           round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |                                        CAST(y.embedding AS DOUBLE[])), 6) DESC,
+      |           y.vec_id) AS rank
+      |  FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id <> y.vec_id
+      |  WHERE x.vec_id < 3)
+      |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann_sq8"           -> sq8Q,
+    "ann_filtered"      -> annFiltered,
     "ann_bruteforce"    -> annBruteforce,
     "ann_lsh_buckets"   -> annLshBuckets,
     "ann_lsh_multiprobe" -> lshMultiProbeQ,
@@ -893,6 +935,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_sq8"           -> sq8Sql,
+    "ann_filtered"      -> annFilteredSql,
     "ann_bruteforce"    -> annBruteforceSql,
     "ann_lsh_buckets"   -> annLshBucketsSql,
     "ann_lsh_multiprobe" -> lshMultiProbeSql,

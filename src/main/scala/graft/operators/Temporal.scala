@@ -509,6 +509,104 @@ object Temporal {
       |SELECT c.event_type, nxt, n, round(CAST(n AS DOUBLE) / t, 6) AS p
       |FROM c JOIN tot USING (event_type) ORDER BY event_type, nxt""".stripMargin
 
+  // ------------------------------------------------------- time to convert
+
+  /** ev_ttc — time-to-convert funnel metric: for each user that signs up,
+    * the gap (in monotone event_id units — the suite's event-time
+    * stand-in) to their FIRST purchase after that signup; reported as
+    * conversion count plus exact median and p90 over converters. The
+    * "how long does the funnel take" number next to pl_funnel's "how
+    * many make it".
+    *
+    * Two user-keyed aggregations and one left join — everything rides
+    * the user_id key; the percentile aggregate runs over the O(users)
+    * gap table (a single 4-column row leaves the executors). `count` and
+    * `percentile` both skip NULL gaps, so non-converters inflate nothing
+    * while still counting as signups. Spark `percentile` and DuckDB
+    * `quantile_cont` share the (n−1)·q interpolation definition (the
+    * sk_quantile / tx_pp_bucket parity pin).
+    */
+  val evTtc: Q = (s, d) => {
+    import s.implicits._
+    val ev = tbl(s, d, "events").select($"user_id", $"event_id", $"event_type")
+    val sign = ev.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"event_id").as("sid"))
+    val gaps = ev.where($"event_type" === "purchase")
+      .join(sign, Seq("user_id")).where($"event_id" > $"sid")
+      .groupBy($"user_id").agg((min($"event_id") - min($"sid")).as("gap"))
+    sign.join(gaps, Seq("user_id"), "left")
+      .agg(count($"sid").as("n_signup_users"),
+        count($"gap").as("n_converted"),
+        round(expr("percentile(gap, 0.5)"), 6).as("median_gap"),
+        round(expr("percentile(gap, 0.9)"), 6).as("p90_gap"))
+  }
+  val evTtcSql: String =
+    """WITH s AS (SELECT user_id, min(event_id) AS sid
+      |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |g AS (SELECT e.user_id, min(e.event_id) - min(s.sid) AS gap
+      |      FROM events e JOIN s USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.event_id > s.sid
+      |      GROUP BY e.user_id)
+      |SELECT count(sid) AS n_signup_users, count(gap) AS n_converted,
+      |       round(quantile_cont(gap, 0.5), 6) AS median_gap,
+      |       round(quantile_cont(gap, 0.9), 6) AS p90_gap
+      |FROM s LEFT JOIN g USING (user_id)""".stripMargin
+
+  // --------------------------------------------- incremental MV maintenance
+
+  /** sn_mv_refresh — incremental materialized-view maintenance: a
+    * per-type (count, Σcents) view is refreshed by MERGING a delta
+    * batch's partial aggregate into the existing view — counts and sums
+    * are commutative monoids, so refresh cost is O(delta + |view|),
+    * never a corpus recompute. The gate SELF-CERTIFIES: it also runs the
+    * full recompute and emits `matches_full` per row (true across the
+    * board), proving algebraic maintenance ≡ recomputation on this data.
+    *
+    * At 100 TB the `mv` leg is a persisted artifact read back in
+    * (IndexStore shape) — only the delta slice scans; the full-recompute
+    * leg exists for the oracle's certification and is NOT part of the
+    * refresh cost. Money as integer cents (sn_apply discipline): all
+    * three aggregates are exact BIGINTs, the merge is integer addition,
+    * and the equality check is exact — no float anywhere.
+    */
+  val snMvRefresh: Q = (s, d) => {
+    import s.implicits._
+    val ev = tbl(s, d, "events")
+      .select($"event_type", round($"value" * 100).cast("long").as("cents"), $"event_id")
+    def viewOf(df: DataFrame) = df.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sc"))
+    val mv = viewOf(ev.where($"event_id" % 5 =!= 0))
+      .select($"event_type", $"n".as("n_mv"), $"sc".as("sc_mv"))
+    val delta = viewOf(ev.where($"event_id" % 5 === 0))
+      .select($"event_type", $"n".as("n_d"), $"sc".as("sc_d"))
+    val refreshed = mv.join(delta, Seq("event_type"), "full_outer")
+      .select($"event_type",
+        (coalesce($"n_mv", lit(0L)) + coalesce($"n_d", lit(0L))).as("n"),
+        (coalesce($"sc_mv", lit(0L)) + coalesce($"sc_d", lit(0L))).as("sum_cents"))
+    val full = viewOf(ev).select($"event_type", $"n".as("n_f"), $"sc".as("sc_f"))
+    refreshed.join(full, Seq("event_type"))
+      .select($"event_type", $"n", $"sum_cents",
+        ($"n" === $"n_f" && $"sum_cents" === $"sc_f").as("matches_full"))
+      .orderBy($"event_type")
+  }
+  val snMvRefreshSql: String =
+    """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, event_id
+      |            FROM events),
+      |mv AS (SELECT event_type, count(*) AS n, sum(cents) AS sc
+      |       FROM ev WHERE event_id % 5 <> 0 GROUP BY 1),
+      |delta AS (SELECT event_type, count(*) AS n, sum(cents) AS sc
+      |          FROM ev WHERE event_id % 5 = 0 GROUP BY 1),
+      |refreshed AS (
+      |  SELECT event_type,
+      |         CAST(coalesce(mv.n, 0) + coalesce(delta.n, 0) AS BIGINT) AS n,
+      |         CAST(coalesce(mv.sc, 0) + coalesce(delta.sc, 0) AS BIGINT) AS sum_cents
+      |  FROM mv FULL OUTER JOIN delta USING (event_type)),
+      |full_r AS (SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |           FROM ev GROUP BY 1)
+      |SELECT r.event_type, r.n, r.sum_cents,
+      |       (r.n = f.n AND r.sum_cents = f.sum_cents) AS matches_full
+      |FROM refreshed r JOIN full_r f USING (event_type) ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------- CDC apply
 
   /** sn_apply — CDC merge: fold a change batch (Insert/Update/Delete ops
@@ -596,9 +694,11 @@ object Temporal {
     "ev_gapfill"    -> evGapfill,
     "ev_anomaly"    -> evAnomaly,
     "ev_markov"     -> evMarkov,
+    "ev_ttc"        -> evTtc,
     "sn_scd2"       -> snScd2,
     "sn_diff"       -> snDiff,
     "sn_apply"      -> snApply,
+    "sn_mv_refresh" -> snMvRefresh,
   )
 
   val oracles: Map[String, String] = Map(
@@ -609,8 +709,10 @@ object Temporal {
     "ev_gapfill"    -> evGapfillSql,
     "ev_anomaly"    -> evAnomalySql,
     "ev_markov"     -> evMarkovSql,
+    "ev_ttc"        -> evTtcSql,
     "sn_scd2"       -> snScd2Sql,
     "sn_diff"       -> snDiffSql,
     "sn_apply"      -> snApplySql,
+    "sn_mv_refresh" -> snMvRefreshSql,
   )
 }

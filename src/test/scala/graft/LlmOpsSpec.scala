@@ -401,6 +401,24 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(nEff > 350 && nEff < 650, s"n_eff $nEff far from 500") }
   }
 
+  test("annFiltered returns neighbors only from the probe's label partition") {
+    val out = operators.Similarity.annFiltered(spark, sf)
+      .as[(Long, Int, Long, Double, Long)].collect()
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    assert(out.nonEmpty)
+    out.foreach { case (q, label, n, cosv, rank) =>
+      assert(labels(n) == label && labels(q) == label,
+        s"neighbor $n of probe $q escaped label $label")
+      assert(q != n && rank >= 1 && rank <= 3 && cosv >= -1.0 && cosv <= 1.0)
+    }
+    // ranks descend in score within each probe
+    out.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._5).map(_._4)
+      assert(byRank.sameElements(byRank.sortBy(-(_: Double))))
+    }
+  }
+
   test("containment flags asymmetric overlap that Jaccard misses") {
     val out = operators.Dedup.containment(spark, sf)
       .as[(Long, Long, Long, Double, Double)].collect()

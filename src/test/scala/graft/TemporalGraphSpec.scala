@@ -343,6 +343,17 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(out == expect, s"got $out expected $expect")
   }
 
+  test("evTtc orders its funnel invariants; snMvRefresh certifies itself") {
+    val Array((nu, nc, med, p90)) = Temporal.evTtc(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(nc <= nu && nc > 0)
+    assert(med > 0.0 && p90 >= med, s"median $med p90 $p90")
+    val mv = Temporal.snMvRefresh(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(mv.nonEmpty && mv.forall(_._4),
+      s"algebraic refresh diverged from recompute: ${mv.filterNot(_._4).toSeq}")
+  }
+
   test("HLL sketches merge across groups to the exact distinct count") {
     val df = spark.range(0, 5000)
       .select(($"id" % 10).as("g"), ($"id" % 700).as("v"))
