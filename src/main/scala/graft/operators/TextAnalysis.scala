@@ -466,9 +466,13 @@ object TextAnalysis {
     * step — materialization stops exponential inlining, as in
     * [[bpeCteSql]]).
     */
-  val clfScoreSql: String = {
+  /** Shared oracle CTE prefix: feature build, labels, and the full
+    * training unroll through `w$ClfIters` — reused by tx_clf_score and
+    * tx_clf_auc so the two gates train the identical model.
+    */
+  private val clfCteSql: String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH toks AS MATERIALIZED (
+    sb ++= s"""toks AS MATERIALIZED (
               |  SELECT doc_id, n, unnest(toks) AS tok
               |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
               |               len(string_split(text, ' ')) AS n
@@ -503,13 +507,63 @@ object TextAnalysis {
                 |             FROM sf JOIN g$t USING (doc_id) GROUP BY j) gr
                 |    USING (j))""".stripMargin
     }
-    sb ++= s"""
-              |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS clf_score
-              |FROM (SELECT doc_id, sum(x * w) AS z
-              |      FROM feats JOIN w$ClfIters USING (j) GROUP BY doc_id)
-              |ORDER BY doc_id""".stripMargin
     sb.toString
   }
+
+  val clfScoreSql: String =
+    s"""WITH $clfCteSql
+       |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS clf_score
+       |FROM (SELECT doc_id, sum(x * w) AS z
+       |      FROM feats JOIN w$ClfIters USING (j) GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** tx_clf_auc — ROC-AUC of the trained quality classifier on its
+    * labeled slice, via the rank-sum (Mann–Whitney U) identity:
+    * AUC = (Σ ranks of positives − n₊(n₊+1)/2) / (n₊·n₋). The standard
+    * "is the scorer better than chance" eval every filter pipeline
+    * reports next to its scores — and rank-based, so it stays
+    * informative even where the 3-step model's score spread is narrow.
+    *
+    * Ranks come from one window over the LABELED slice (≤200 rows — a
+    * bounded eval set, never the corpus), ordered by (round-6 score,
+    * doc_id) — a total order, identical in both engines. Everything is
+    * integer arithmetic until the single final division.
+    */
+  val clfAuc: Q = (s, d) => {
+    val feats = clfCache.getOrCompute(s, d)(
+      clfFeatures(tbl(s, d, "documents")).localCheckpoint(true))
+    val labels = clfLabelCache.getOrCompute(s, d)(
+      clfLabels(tbl(s, d, "documents")).localCheckpoint(true))
+    val ev = clfScoreWith(feats, clfTrain(feats, labels))
+      .join(labels, Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("clf_score"), col("doc_id"))
+    ev.withColumn("rk", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 1.0, col("rk")).otherwise(0L)).as("s"))
+      .select(col("n"), col("np").as("n_pos"),
+        round((col("s") - col("np") * (col("np") + 1) / lit(2.0)) /
+          (col("np") * (col("n") - col("np"))), 6).as("auc"))
+  }
+  val clfAucSql: String =
+    s"""WITH $clfCteSql,
+       |scored AS (
+       |  SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS clf_score
+       |  FROM (SELECT doc_id, sum(x * w) AS z
+       |        FROM sf JOIN w$ClfIters USING (j) GROUP BY doc_id)),
+       |ranked AS (
+       |  SELECT s.doc_id, l.y,
+       |         row_number() OVER (ORDER BY s.clf_score, s.doc_id) AS rk
+       |  FROM scored s JOIN lab l USING (doc_id))
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |       round((sum(CASE WHEN y = 1.0 THEN rk ELSE 0 END)
+       |              - sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+       |                * (sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) + 1) / 2.0)
+       |             / (sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+       |                * (count(*) - sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END))), 6) AS auc
+       |FROM ranked""".stripMargin
 
   // ------------------------------------------------------------------ BPE
 
@@ -1069,6 +1123,7 @@ object TextAnalysis {
     "tx_bpe_encode"  -> bpeEncodeQ,
     "tx_clf_score"   -> clfScore,
     "tx_colloc"      -> colloc,
+    "tx_clf_auc"     -> clfAuc,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1092,5 +1147,6 @@ object TextAnalysis {
     "tx_bpe_encode"  -> bpeEncodeSql,
     "tx_clf_score"   -> clfScoreSql,
     "tx_colloc"      -> collocSql,
+    "tx_clf_auc"     -> clfAucSql,
   )
 }

@@ -98,7 +98,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // ix_hybrid inherits ix_bm25's scalar stats join and adds the
       // ONE-ROW broadcast probe vector for the semantic leg; tx_colloc
       // crossJoins the ONE-ROW bigram grand total — scalar-join class.
-      "ix_hybrid", "tx_colloc")
+      "ix_hybrid", "tx_colloc",
+      // tx_clf_auc re-runs clfTrain, inheriting tx_clf_score's ONE-ROW
+      // gradient-normalizer crossJoin per step — scalar-join class.
+      "tx_clf_auc")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j

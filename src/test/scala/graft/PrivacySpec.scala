@@ -165,6 +165,15 @@ class PrivacySpec extends AnyFunSuite {
     assert(w.orderBy($"j").collect().toSeq == w2.orderBy($"j").collect().toSeq)
   }
 
+  test("classifier AUC beats chance on the stop-ratio labels it trained on") {
+    val Array((n, nPos, auc)) = TextAnalysis.clfAuc(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Double)].collect()
+    assert(n > 0 && nPos > 0 && nPos < n, s"degenerate slice: $nPos of $n")
+    assert(auc >= 0.0 && auc <= 1.0, s"AUC out of range: $auc")
+    // trained on these very labels — must separate better than a coin
+    assert(auc > 0.5, s"in-sample AUC should beat chance, got $auc")
+  }
+
   test("BPE training learns the classic merges and encodes a held-out word") {
     // Sennrich-style fixture: low×5, lower×2, newest×6, widest×3.
     // Hand-computed merge order with (count DESC, lhs, rhs) tie-breaks:
