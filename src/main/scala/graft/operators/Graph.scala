@@ -754,6 +754,31 @@ object Graph {
        |FROM cand c JOIN cdeg d ON d.x = c.z
        |GROUP BY c.a, c.b ORDER BY adamic_adar DESC, a, b""".stripMargin
 
+  // -------------------------------------------------- degree distribution
+
+  /** gr_degdist — degree histogram of the LSH pair graph: how many nodes
+    * have each degree. The one-glance shape diagnostic before any graph
+    * op runs — a heavy tail here says "salt the wedge join / orient the
+    * triangles"; a spike at 1 says the LSH threshold is shedding
+    * singleton pairs. Two keyed aggregations of the edge list, output
+    * O(distinct degrees).
+    */
+  val grDegDist: Q = (s, d) => {
+    import s.implicits._
+    val e = cleanEdges(lshPairGraph(s, d), "degDist")
+    e.select($"a".as("x"), $"b".as("y"))
+      .union(e.select($"b".as("x"), $"a".as("y")))
+      .distinct()
+      .groupBy($"x").agg(count(lit(1)).as("deg"))
+      .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"deg")
+  }
+  val grDegDistSql: String =
+    s"""$ccReachCte
+       |SELECT deg, count(*) AS n_nodes
+       |FROM (SELECT x, count(*) AS deg FROM und GROUP BY x)
+       |GROUP BY deg ORDER BY deg""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cc_clusters"    -> ccClusters,
     "cc_star"        -> ccStarClusters,
@@ -763,7 +788,8 @@ object Graph {
     "gr_triangles"   -> grTriangles,
     "gr_labelprop"   -> grLabelProp,
     "gr_kcore"       -> grKCore,
-    "gr_adamic"      -> grAdamic)
+    "gr_adamic"      -> grAdamic,
+    "gr_degdist"     -> grDegDist)
   val oracles: Map[String, String] = Map(
     "cc_clusters"    -> ccClustersSql,
     "cc_star"        -> ccClustersSql,
@@ -773,5 +799,6 @@ object Graph {
     "gr_triangles"   -> grTrianglesSql,
     "gr_labelprop"   -> grLabelPropSql,
     "gr_kcore"       -> grKCoreSql,
-    "gr_adamic"      -> grAdamicSql)
+    "gr_adamic"      -> grAdamicSql,
+    "gr_degdist"     -> grDegDistSql)
 }

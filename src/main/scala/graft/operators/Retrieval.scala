@@ -258,14 +258,90 @@ object Retrieval {
       |FROM t0 JOIN t1 USING (doc_id, pos) JOIN t2 USING (doc_id, pos)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- more-like-this
+
+  /** ix_mlt — sparse "more-like-this": top-5 cosine-similar documents per
+    * probe doc over TF-IDF term vectors (tx_tfidf's exact weighting).
+    * The sparse complement of the dense ANN family: no embeddings
+    * needed, similarity comes from the inverted index itself — Lucene's
+    * MoreLikeThis expressed relationally.
+    *
+    * Scale shape: the probe vectors (3 docs × their terms) broadcast
+    * onto the term-keyed weight table — the sparse dot product IS a
+    * posting-list join on `tok`, touching only docs sharing a probe
+    * term, never the corpus product. Norms are one per-doc aggregate.
+    * Weights quantize to 6 dp before any product; dot and norms round-6
+    * before the final division (libm-vs-grain argument, tx_tfidf
+    * precedent), and ties at the cut break on doc id.
+    */
+  val ixMlt: Q = (s, d) => {
+    import s.implicits._
+    val tf = tbl(s, d, "documents")
+      .where($"doc_id" < 300)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val nDocs = tf.select(countDistinct($"doc_id").as("n_docs"))
+    val dfT = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val w = tf.join(broadcast(dfT), Seq("tok")).crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"tok",
+        round($"tf" * (log(($"n_docs" + 1).cast("double") / ($"df" + 1)) + 1), 6)
+          .as("w"))
+    val norms = w.groupBy($"doc_id")
+      .agg(round(sqrt(sum($"w" * $"w")), 6).as("norm"))
+    val probes = w.where($"doc_id" < 3)
+      .select($"doc_id".as("q"), $"tok", $"w".as("wq"))
+    val dots = probes.join(w.where($"doc_id" >= 3), Seq("tok"))
+      .groupBy($"q", $"doc_id")
+      .agg(round(sum($"wq" * $"w"), 6).as("dot"))
+    dots
+      .join(norms.select($"doc_id".as("q"), $"norm".as("nq")), Seq("q"))
+      .join(norms, Seq("doc_id"))
+      .select($"q", $"doc_id".as("n"),
+        round($"dot" / ($"nq" * $"norm"), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"q").orderBy($"cos".desc, $"n")).cast("long"))
+      .where($"rank" <= 5)
+      .orderBy($"q", $"rank")
+  }
+  val ixMltSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents WHERE doc_id < 300)
+      |  GROUP BY doc_id, tok),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |w AS (
+      |  SELECT doc_id, tok,
+      |         round(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1), 6) AS w
+      |  FROM tf JOIN df USING (tok) CROSS JOIN nd),
+      |norms AS (SELECT doc_id, round(sqrt(sum(w * w)), 6) AS norm
+      |          FROM w GROUP BY doc_id),
+      |dots AS (
+      |  SELECT p.doc_id AS q, c.doc_id AS n, round(sum(p.w * c.w), 6) AS dot
+      |  FROM (SELECT * FROM w WHERE doc_id < 3) p
+      |  JOIN (SELECT * FROM w WHERE doc_id >= 3) c USING (tok)
+      |  GROUP BY 1, 2)
+      |SELECT q, n, cos, rank FROM (
+      |  SELECT d.q, d.n, round(d.dot / (nq.norm * nn.norm), 6) AS cos,
+      |         row_number() OVER (PARTITION BY d.q ORDER BY
+      |           round(d.dot / (nq.norm * nn.norm), 6) DESC, d.n) AS rank
+      |  FROM dots d
+      |  JOIN norms nq ON nq.doc_id = d.q
+      |  JOIN norms nn ON nn.doc_id = d.n)
+      |WHERE rank <= 5 ORDER BY q, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ix_postings" -> ixPostings,
     "ix_bm25"     -> ixBm25,
     "ix_hybrid"   -> ixHybrid,
-    "ix_phrase"   -> ixPhrase)
+    "ix_phrase"   -> ixPhrase,
+    "ix_mlt"      -> ixMlt)
   val oracles: Map[String, String] = Map(
     "ix_postings" -> ixPostingsSql,
     "ix_bm25"     -> ixBm25Sql,
     "ix_hybrid"   -> ixHybridSql,
-    "ix_phrase"   -> ixPhraseSql)
+    "ix_phrase"   -> ixPhraseSql,
+    "ix_mlt"      -> ixMltSql)
 }

@@ -101,7 +101,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "ix_hybrid", "tx_colloc",
       // tx_clf_auc re-runs clfTrain, inheriting tx_clf_score's ONE-ROW
       // gradient-normalizer crossJoin per step — scalar-join class.
-      "tx_clf_auc")
+      "tx_clf_auc",
+      // ix_mlt crossJoins the ONE-ROW doc-count aggregate for its idf —
+      // the tx_tfidf scalar-join class.
+      "ix_mlt")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
