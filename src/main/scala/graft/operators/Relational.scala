@@ -275,6 +275,75 @@ object Relational {
       |       round((CAST(total AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE), 6) AS growth
       |FROM l ORDER BY month""".stripMargin
 
+  /** a12_rfm — RFM customer segmentation: recency (days since last
+    * order, vs the dataset's max date), frequency (order count), and
+    * monetary (lifetime cents) per customer, each cut into terciles at
+    * exact percentile thresholds, then segment-level rollups. The
+    * classic warehouse cohorting every CRM/marketing pipeline runs.
+    *
+    * Shape: one customer-keyed aggregation of orders; the six tercile
+    * cutoffs are ONE 1-row aggregate over that O(customers) table,
+    * broadcast back (tx_pp_bucket's threshold-broadcast pattern — no
+    * global sort, no ntile window over the corpus); segment assignment
+    * is a stateless projection and the rollup is O(27) groups. Money in
+    * integer cents (sn_apply discipline), thresholds from `percentile`
+    * ↔ `quantile_cont` (shared (n−1)·q interpolation, round-6), the
+    * integer measures compare against identical threshold doubles in
+    * both engines.
+    */
+  val a12Rfm: Q = (s, d) => {
+    import s.implicits._
+    val maxDay = tbl(s, d, "orders")
+      .agg(max(to_date($"o_orderdate")).as("max_day"))
+    val c = tbl(s, d, "orders")
+      .crossJoin(broadcast(maxDay))
+      .groupBy($"o_custkey")
+      .agg(
+        datediff(first($"max_day"), max(to_date($"o_orderdate"))).cast("long").as("r"),
+        count(lit(1)).as("f"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("m"))
+    val t = c.agg(
+      round(expr("percentile(r, 0.333333)"), 6).as("r1"),
+      round(expr("percentile(r, 0.666667)"), 6).as("r2"),
+      round(expr("percentile(f, 0.333333)"), 6).as("f1"),
+      round(expr("percentile(f, 0.666667)"), 6).as("f2"),
+      round(expr("percentile(m, 0.333333)"), 6).as("m1"),
+      round(expr("percentile(m, 0.666667)"), 6).as("m2"))
+    def seg(v: String, t1: String, t2: String) =
+      when(col(v) <= col(t1), 1).when(col(v) <= col(t2), 2).otherwise(3).cast("int")
+    c.crossJoin(broadcast(t))
+      .select(seg("r", "r1", "r2").as("r_seg"), seg("f", "f1", "f2").as("f_seg"),
+        seg("m", "m1", "m2").as("m_seg"), $"m")
+      .groupBy($"r_seg", $"f_seg", $"m_seg")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum($"m") / 100.0, 2).as("sum_monetary"))
+      .orderBy($"r_seg", $"f_seg", $"m_seg")
+  }
+  val a12RfmSql: String =
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |         datediff('day', max(CAST(o_orderdate AS DATE)),
+      |                  (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)) AS r,
+      |         count(*) AS f,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+      |  FROM orders GROUP BY o_custkey),
+      |t AS (SELECT round(quantile_cont(r, 0.333333), 6) AS r1,
+      |             round(quantile_cont(r, 0.666667), 6) AS r2,
+      |             round(quantile_cont(f, 0.333333), 6) AS f1,
+      |             round(quantile_cont(f, 0.666667), 6) AS f2,
+      |             round(quantile_cont(m, 0.333333), 6) AS m1,
+      |             round(quantile_cont(m, 0.666667), 6) AS m2
+      |      FROM c),
+      |seg AS (
+      |  SELECT CASE WHEN r <= r1 THEN 1 WHEN r <= r2 THEN 2 ELSE 3 END AS r_seg,
+      |         CASE WHEN f <= f1 THEN 1 WHEN f <= f2 THEN 2 ELSE 3 END AS f_seg,
+      |         CASE WHEN m <= m1 THEN 1 WHEN m <= m2 THEN 2 ELSE 3 END AS m_seg,
+      |         m
+      |  FROM c CROSS JOIN t)
+      |SELECT r_seg, f_seg, m_seg, count(*) AS n_customers,
+      |       round(CAST(sum(m) AS BIGINT) / 100.0, 2) AS sum_monetary
+      |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** T8 — semi-structured extraction: JSON payload field (events.props). */
   val t8Json: Q = (s, d) => {
     import s.implicits._
@@ -1650,6 +1719,7 @@ object Relational {
     "a7_rollup"        -> a7Rollup,
     "a8_monthly"       -> a8Monthly,
     "a11_growth"       -> a11Growth,
+    "a12_rfm"          -> a12Rfm,
     "t8_json"          -> t8Json,
     "q1_page"          -> q1Page,
     "q1_keyset"        -> q1Keyset,
@@ -1713,6 +1783,7 @@ object Relational {
     "a7_rollup"        -> a7RollupSql,
     "a8_monthly"       -> a8MonthlySql,
     "a11_growth"       -> a11GrowthSql,
+    "a12_rfm"          -> a12RfmSql,
     "t8_json"          -> t8JsonSql,
     "q1_page"          -> q1PageSql,
     "q1_keyset"        -> q1KeysetSql,

@@ -103,8 +103,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // gradient-normalizer crossJoin per step — scalar-join class.
       "tx_clf_auc",
       // ix_mlt crossJoins the ONE-ROW doc-count aggregate for its idf —
-      // the tx_tfidf scalar-join class.
-      "ix_mlt")
+      // the tx_tfidf scalar-join class; a12_rfm crossJoins its ONE-ROW
+      // max-date and tercile-threshold aggregates — same class.
+      "ix_mlt", "a12_rfm")
     SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
