@@ -754,6 +754,71 @@ object Graph {
        |FROM cand c JOIN cdeg d ON d.x = c.z
        |GROUP BY c.a, c.b ORDER BY adamic_adar DESC, a, b""".stripMargin
 
+  // ------------------------------------------------------------------- BFS
+
+  /** Fixed-round BFS frontier expansion: hop distances from a source
+    * node, each round relaxing dist(y) = min(dist(y), min over in-edges
+    * dist(x)+1). The SSSP-lite every provenance/blast-radius question
+    * needs ("what's within k hops of this doc/entity"); rounds bound the
+    * radius — exactly `rounds` hops are explored, converged or not, and
+    * the oracle unrolls the identical rounds (pageRank discipline).
+    *
+    * Each round is one join (frontier onto edges) + one min-aggregation,
+    * both keyed on node id; the dist table is O(reached nodes), and the
+    * checkpoint-and-free loop discipline is [[connectedComponents]]'.
+    */
+  def bfs(edges: DataFrame, source: Long, rounds: Int = 6): DataFrame = {
+    val e = cleanEdges(edges, "bfs")
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+      .distinct().persist()
+    var dist = und.sparkSession.range(source, source + 1)
+      .select(col("id").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = dist.unionByName(
+          dist.join(und, dist("node") === und("x"))
+            .select(col("y").as("node"), (col("dist") + 1L).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      CheckpointBridge.freeCheckpoint(dist)
+      dist = next
+    }
+    und.unpersist()
+    dist
+  }
+
+  /** gr_bfs — hop distances from the containment graph's min node (6
+    * rounds; the graph's eccentricity is 4, spec-asserted converged).
+    */
+  val grBfs: Q = (s, d) => {
+    import s.implicits._
+    val pairs = Dedup.containmentTable(s, d)
+      .where($"cont_a" >= 0.5 || $"cont_b" >= 0.5)
+      .select($"a", $"b")
+    val source = pairs.agg(min(least($"a", $"b"))).head().getLong(0)
+    bfs(pairs, source)
+      .select($"node".as("doc_id"), $"dist")
+      .orderBy($"doc_id")
+  }
+  val grBfsSql: String = {
+    val rounds = (1 to 6).map { r =>
+      s"""d$r AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT u.y AS node, d.dist + 1 AS dist
+         |    FROM d${r - 1} d JOIN cund u ON d.node = u.x)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.containmentCteSql},
+       |cund AS (SELECT a AS x, b AS y FROM cpairs UNION SELECT b AS x, a AS y FROM cpairs),
+       |src AS (SELECT min(x) AS s FROM cund),
+       |d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM src),
+       |$rounds
+       |SELECT node AS doc_id, dist FROM d6 ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------- degree distribution
 
   /** gr_degdist — degree histogram of the LSH pair graph: how many nodes
@@ -789,7 +854,8 @@ object Graph {
     "gr_labelprop"   -> grLabelProp,
     "gr_kcore"       -> grKCore,
     "gr_adamic"      -> grAdamic,
-    "gr_degdist"     -> grDegDist)
+    "gr_degdist"     -> grDegDist,
+    "gr_bfs"         -> grBfs)
   val oracles: Map[String, String] = Map(
     "cc_clusters"    -> ccClustersSql,
     "cc_star"        -> ccClustersSql,
@@ -800,5 +866,6 @@ object Graph {
     "gr_labelprop"   -> grLabelPropSql,
     "gr_kcore"       -> grKCoreSql,
     "gr_adamic"      -> grAdamicSql,
-    "gr_degdist"     -> grDegDistSql)
+    "gr_degdist"     -> grDegDistSql,
+    "gr_bfs"         -> grBfsSql)
 }

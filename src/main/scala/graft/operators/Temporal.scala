@@ -509,6 +509,34 @@ object Temporal {
       |SELECT c.event_type, nxt, n, round(CAST(n AS DOUBLE) / t, 6) AS p
       |FROM c JOIN tot USING (event_type) ORDER BY event_type, nxt""".stripMargin
 
+  // --------------------------------------------------- grouped percentiles
+
+  /** ev_latency — per-type tail summary of the event value distribution
+    * (p50/p95/p99): the SLO/latency-dashboard aggregate every ops
+    * pipeline keeps per service — here keyed on event_type over the
+    * driver's value column. Exact percentiles at gate scale (one keyed
+    * aggregation, percentile↔quantile_cont interpolation parity, round-6
+    * absorbing the (n−1)·q arithmetic's last-ulp drift); at 100 TB the
+    * stated swap is `percentile_approx` (t-digest sketch, mergeable
+    * map-side — the sk_quantile_bound gate pins its error envelope).
+    */
+  val evLatency: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy($"event_type")
+  }
+  val evLatencySql: String =
+    """SELECT event_type, count(*) AS n,
+      |       round(quantile_cont(value, 0.5), 6) AS p50,
+      |       round(quantile_cont(value, 0.95), 6) AS p95,
+      |       round(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------- time to convert
 
   /** ev_ttc — time-to-convert funnel metric: for each user that signs up,
@@ -695,6 +723,7 @@ object Temporal {
     "ev_anomaly"    -> evAnomaly,
     "ev_markov"     -> evMarkov,
     "ev_ttc"        -> evTtc,
+    "ev_latency"    -> evLatency,
     "sn_scd2"       -> snScd2,
     "sn_diff"       -> snDiff,
     "sn_apply"      -> snApply,
@@ -710,6 +739,7 @@ object Temporal {
     "ev_anomaly"    -> evAnomalySql,
     "ev_markov"     -> evMarkovSql,
     "ev_ttc"        -> evTtcSql,
+    "ev_latency"    -> evLatencySql,
     "sn_scd2"       -> snScd2Sql,
     "sn_diff"       -> snDiffSql,
     "sn_apply"      -> snApplySql,

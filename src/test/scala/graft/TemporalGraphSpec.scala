@@ -354,6 +354,20 @@ class TemporalGraphSpec extends AnyFunSuite {
       s"algebraic refresh diverged from recompute: ${mv.filterNot(_._4).toSeq}")
   }
 
+  test("bfs relaxes to exact hop distances and is idempotent past the eccentricity") {
+    // Chain 1-2-3-4 with a chord 1-3: dist(3) must take the chord (1),
+    // dist(4) follows (2); node 9 is a separate component — never reached.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 10L))
+      .toDF("a", "b")
+    val d = Graph.bfs(edges, source = 1L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L), s"got $d")
+    // more rounds than the eccentricity change nothing
+    val d8 = Graph.bfs(edges, source = 1L, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(d8 == d)
+  }
+
   test("HLL sketches merge across groups to the exact distinct count") {
     val df = spark.range(0, 5000)
       .select(($"id" % 10).as("g"), ($"id" % 700).as("v"))
