@@ -708,9 +708,15 @@ object Graph {
     */
   def adamicAdar(edges: DataFrame): DataFrame = {
     val e = cleanEdges(edges, "adamicAdar")
+    // und appears three times in the one returned plan (two wedge legs +
+    // degrees). No persist: this function runs no action of its own, so a
+    // cache here would only feed a throwaway materialization — Spark's
+    // exchange reuse already shares the scan within the single job, and
+    // at scale the caller hands in a materialized edge artifact anyway
+    // (lshPairGraph / containmentTable are eager localCheckpoints).
     val und = e.select(col("a").as("x"), col("b").as("y"))
       .union(e.select(col("b").as("x"), col("a").as("y")))
-      .distinct().persist()
+      .distinct()
     val deg = und.groupBy(col("x")).agg(count(lit(1)).as("deg"))
     val wedges = und.select(col("x").as("z"), col("y").as("a"))
       .join(und.select(col("x").as("z2"), col("y").as("b")),
@@ -718,13 +724,10 @@ object Graph {
       .select(col("a"), col("b"), col("z"))
     val cand = wedges.join(
       e.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
-    val out = cand.join(deg, cand("z") === deg("x"))
+    cand.join(deg, cand("z") === deg("x"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"),
         round(sum(lit(1.0) / log(col("deg"))), 6).as("adamic_adar"))
-    out.count() // materialize before releasing the shared edge cache
-    und.unpersist()
-    out
   }
 
   /** gr_adamic — AA link scores over the shingle-containment graph
