@@ -722,8 +722,14 @@ object Graph {
       .join(und.select(col("x").as("z2"), col("y").as("b")),
         col("z") === col("z2") && col("a") < col("b"))
       .select(col("a"), col("b"), col("z"))
+    // Anti-join against the ORIENTED edge set: wedge pairs come out
+    // (a < b), so an input edge stored the other way around must still
+    // cancel its pair — least/greatest normalizes before the anti-join
+    // (caught by the random-graph spec: un-normalized edges leaked
+    // adjacent pairs into the candidate set).
     val cand = wedges.join(
-      e.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+      e.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")), Seq("a", "b"), "left_anti")
     cand.join(deg, cand("z") === deg("x"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"),

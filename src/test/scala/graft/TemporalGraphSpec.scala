@@ -368,6 +368,48 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(d8 == d)
   }
 
+  test("kCore on a random graph matches local iterative peeling") {
+    val rnd = new scala.util.Random(47)
+    val raw = (1 to 150).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    // local oracle: peel to the true fixpoint
+    var adj = raw.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    var changed = true
+    while (changed) {
+      val deg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = adj.filter { case (x, y) => keep(x) && keep(y) }
+      changed = next.size != adj.size
+      adj = next
+    }
+    val expect = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    // 40 nodes can't need more than 40 peel rounds
+    val got = Graph.kCore(raw.toDF("a", "b"), k = 3, rounds = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect, s"distributed 3-core diverged: got $got expected $expect")
+  }
+
+  test("adamicAdar on a random graph matches a local recompute") {
+    val rnd = new scala.util.Random(11)
+    val raw = (1 to 60).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edgeSet = raw.map { case (a, b) => (a min b, a max b) }.toSet
+    val nbrs = raw.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = (for {
+      a <- nbrs.keys; b <- nbrs.keys
+      if a < b && !edgeSet((a, b))
+      common = nbrs(a) & nbrs(b)
+      if common.nonEmpty
+    } yield (a, b) -> ((common.size.toLong,
+      math.round(common.toSeq.map(z => 1.0 / math.log(nbrs(z).size)).sum * 1e6) / 1e6)))
+      .toMap
+    val got = Graph.adamicAdar(raw.toDF("a", "b"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (a, b, c, s0) => (a, b) -> ((c, s0)) }.toMap
+    assert(got == expect, s"AA diverged: ${got.toSet.diff(expect.toSet)} / ${expect.toSet.diff(got.toSet)}")
+  }
+
   test("HLL sketches merge across groups to the exact distinct count") {
     val df = spark.range(0, 5000)
       .select(($"id" % 10).as("g"), ($"id" % 700).as("v"))
