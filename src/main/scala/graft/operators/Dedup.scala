@@ -797,6 +797,34 @@ object Dedup {
        |SELECT a, b, inter, cont_a, cont_b FROM cont
        |WHERE cont_a >= 0.5 OR cont_b >= 0.5 ORDER BY a, b""".stripMargin
 
+  // ----------------------------------------------------- LSH design curve
+
+  /** dd_lsh_curve — the S-curve behind the suite's banding parameters:
+    * with b bands of r rows, a pair at Jaccard s becomes an LSH
+    * candidate with P = 1 − (1 − sʳ)ᵇ. This gate tabulates the curve for
+    * the b=2, r=4 used by dd_lsh_pairs and the cc/gr family — the sheet a
+    * 100 TB run reads to place the recall knee (here s* = (1/b)^(1/r) ≈
+    * 0.84) before re-banding the corpus. Powers are written as explicit
+    * multiplication chains so both engines run identical IEEE ops — no
+    * libm pow.
+    */
+  val lshCurve: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    sp.range(1, 10)
+      .select(($"id" / 10.0).as("jaccard"))
+      .withColumn("s4", $"jaccard" * $"jaccard" * $"jaccard" * $"jaccard")
+      .select($"jaccard",
+        round(lit(1.0) - (lit(1.0) - $"s4") * (lit(1.0) - $"s4"), 6)
+          .as("p_candidate"))
+      .orderBy($"jaccard")
+  }
+  val lshCurveSql: String =
+    """SELECT i / 10.0 AS jaccard,
+      |       round(1.0 - (1.0 - (i/10.0)*(i/10.0)*(i/10.0)*(i/10.0))
+      |                 * (1.0 - (i/10.0)*(i/10.0)*(i/10.0)*(i/10.0)), 6) AS p_candidate
+      |FROM (SELECT unnest(range(1, 10)) AS i) ORDER BY jaccard""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dc_overlap"      -> dcOverlap,
     "dc_bloom"        -> dcBloom,
@@ -812,6 +840,7 @@ object Dedup {
     "dd_ppjoin"       -> ppJoinQ,
     "dd_editdist"     -> editDistPairs,
     "dd_containment"  -> containment,
+    "dd_lsh_curve"    -> lshCurve,
   )
 
   val oracles: Map[String, String] = Map(
@@ -829,5 +858,6 @@ object Dedup {
     "dd_ppjoin"       -> ppJoinSql,
     "dd_editdist"     -> editDistPairsSql,
     "dd_containment"  -> containmentSql,
+    "dd_lsh_curve"    -> lshCurveSql,
   )
 }

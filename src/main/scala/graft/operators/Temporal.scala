@@ -509,6 +509,45 @@ object Temporal {
       |SELECT c.event_type, nxt, n, round(CAST(n AS DOUBLE) / t, 6) AS p
       |FROM c JOIN tot USING (event_type) ORDER BY event_type, nxt""".stripMargin
 
+  // ------------------------------------------------------------ DAU / WAU
+
+  /** ev_dau — daily and 7-day rolling active users plus the DAU/WAU
+    * stickiness ratio: the engagement panel every product dashboard
+    * leads with. The interesting part is the ROLLING DISTINCT: a
+    * windowed count-distinct has no incremental form, and the naive
+    * range join (day BETWEEN d−6 AND d) would plan a nested loop — so
+    * each (user, day) row CONTRIBUTES FORWARD to the ≤7 window-ends it
+    * can count toward (explode of a 7-element sequence), turning the
+    * sliding distinct into an equi-keyed count-distinct
+    * (binnedRangeJoin's bin trick applied to time windows). Work is
+    * O(active-user-days × 7), all map-side-combined; the oracle keeps
+    * the naive BETWEEN formulation, proving the two equivalent
+    * (gr_triangles' oracle-keeps-the-naive-form precedent).
+    */
+  val evDau: Q = (s, d) => {
+    import s.implicits._
+    val events = tbl(s, d, "events")
+    val ud = events.select($"user_id", eventDay(events).as("day")).distinct()
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .withColumn("wday", explode(expr("sequence(day, date_add(day, 6))")))
+      .groupBy($"wday").agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, dau("day") === wau("wday"))
+      .select($"day", $"dau", $"wau",
+        round($"dau".cast("double") / $"wau", 6).as("stickiness"))
+      .orderBy($"day")
+  }
+  val evDauSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      |wau AS (
+      |  SELECT d.day, count(DISTINCT u.user_id) AS wau
+      |  FROM days d JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      |  GROUP BY d.day)
+      |SELECT day, dau, wau, round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   // --------------------------------------------------- grouped percentiles
 
   /** ev_latency — per-type tail summary of the event value distribution
@@ -724,6 +763,7 @@ object Temporal {
     "ev_markov"     -> evMarkov,
     "ev_ttc"        -> evTtc,
     "ev_latency"    -> evLatency,
+    "ev_dau"        -> evDau,
     "sn_scd2"       -> snScd2,
     "sn_diff"       -> snDiff,
     "sn_apply"      -> snApply,
@@ -740,6 +780,7 @@ object Temporal {
     "ev_markov"     -> evMarkovSql,
     "ev_ttc"        -> evTtcSql,
     "ev_latency"    -> evLatencySql,
+    "ev_dau"        -> evDauSql,
     "sn_scd2"       -> snScd2Sql,
     "sn_diff"       -> snDiffSql,
     "sn_apply"      -> snApplySql,
