@@ -522,7 +522,12 @@ object Temporal {
     * (binnedRangeJoin's bin trick applied to time windows). Work is
     * O(active-user-days × 7), all map-side-combined; the oracle keeps
     * the naive BETWEEN formulation, proving the two equivalent
-    * (gr_triangles' oracle-keeps-the-naive-form precedent).
+    * (gr_triangles' oracle-keeps-the-naive-form precedent). At 100 TB
+    * with billions of actives, the stated swap is one HLL sketch per
+    * (day) merged across each 7-day window
+    * (Sketches.distinctSketchByGroup / mergeSketches — cell-wise max,
+    * associative, error pinned by sk_hll_bound) — same plan shape, the
+    * per-day state shrinks from a user set to 1.5 KB of registers.
     */
   val evDau: Q = (s, d) => {
     import s.implicits._
