@@ -334,7 +334,7 @@ object Graph {
     * component labeling; ccClustersSql and ddCanonicalSql both build on
     * it so the LSH parameters live in ONE place.
     */
-  private val ccReachCte: String = {
+  private[operators] val ccReachCte: String = {
     val mins = (0 until 8).map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(", ")
     s"""WITH RECURSIVE sig AS (
        |  SELECT doc_id, $mins

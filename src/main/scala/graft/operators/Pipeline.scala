@@ -285,6 +285,59 @@ object Pipeline {
       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ search-index build
+
+  /** pl_search_index — the post-dedup index build: LSH clusters →
+    * canonical-per-cluster keep set → sharded inverted-index manifest
+    * (docs / terms / postings per shard). The composition a corpus
+    * pipeline runs nightly: dedup decides WHAT to index, retrieval
+    * decides HOW, and this gate proves the two families hand off through
+    * one anti-join — the keep/drop verdict travels as an O(candidates)
+    * broadcast against the token stream, never a corpus shuffle.
+    *
+    * Reuses the memoized cluster artifacts (Graph.ccClusters /
+    * ddCanonical read the SessionCache'd LSH labels — the corpus is not
+    * re-shingled here), exactly as a production index build reads the
+    * dedup pipeline's published label table rather than recomputing it.
+    */
+  val searchIndex: Q = (s, d) => {
+    import s.implicits._
+    val labels = Graph.ccClusters(s, d)
+    val canon = Graph.ddCanonical(s, d).select($"cluster", $"keep_doc")
+    val drops = labels.join(canon, Seq("cluster"))
+      .where($"doc_id" =!= $"keep_doc")
+      .select($"doc_id")
+    tbl(s, d, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .where(length($"tok") > 0)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .distinct()
+      .withColumn("shard", expr("doc_id div 100"))
+      .groupBy($"shard")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        countDistinct($"tok").as("n_terms"),
+        count(lit(1)).as("n_postings"))
+      .orderBy($"shard")
+  }
+  val searchIndexSql: String =
+    s"""${Graph.ccReachCte},
+       |lab AS (SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY n),
+       |keepdoc AS (
+       |  SELECT cluster, max_by(d.doc_id, d.n_chars * 2147483648 - d.doc_id) AS keep_doc
+       |  FROM lab JOIN documents d USING (doc_id) GROUP BY cluster),
+       |drops AS (
+       |  SELECT l.doc_id FROM lab l JOIN keepdoc k USING (cluster)
+       |  WHERE l.doc_id <> k.keep_doc),
+       |dt AS (
+       |  SELECT DISTINCT doc_id, tok
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE len(tok) > 0 AND doc_id NOT IN (SELECT doc_id FROM drops))
+       |SELECT doc_id // 100 AS shard,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+       |       count(*) AS n_postings
+       |FROM dt GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pl_corpus_clean" -> corpusClean,
     "pl_funnel"       -> funnel,
@@ -292,7 +345,8 @@ object Pipeline {
     "pl_distill"      -> distill,
     "pl_pack_bpe"     -> packBpe,
     "w6_prefix_sum"   -> prefixSum,
-    "pl_pack_concat"  -> packConcat)
+    "pl_pack_concat"  -> packConcat,
+    "pl_search_index" -> searchIndex)
 
   val oracles: Map[String, String] = Map(
     "pl_corpus_clean" -> corpusCleanSql,
@@ -301,5 +355,6 @@ object Pipeline {
     "pl_distill"      -> distillSql,
     "pl_pack_bpe"     -> packBpeSql,
     "w6_prefix_sum"   -> prefixSumSql,
-    "pl_pack_concat"  -> packConcatSql)
+    "pl_pack_concat"  -> packConcatSql,
+    "pl_search_index" -> searchIndexSql)
 }
