@@ -642,19 +642,28 @@ object Graph {
     * edge list against the survivor set — all three shuffle on node id, so
     * a cluster co-partitions them, and the edge list only ever SHRINKS
     * (peeling is monotone), making later rounds cheaper than earlier ones.
-    * Fixed `rounds` rather than convergence-tested for the same reason as
-    * [[pageRank]]: the oracle unrolls identical rounds as CTEs. Peeling
-    * converges once no node drops; on the gate graph round 1 is already
-    * the fixpoint and rounds 2-4 are idempotent re-asserts (spec-checked).
+    * CONVERGENCE-CHECKED: each round compares the surviving directed-edge
+    * count against the previous round and stops at the first fixpoint
+    * (no node dropped), so the result is the true k-core for ARBITRARY
+    * input — long pendant chains just take more rounds. `rounds` is the
+    * minimum number of peels to run (the oracle unrolls exactly that
+    * many CTEs, so the gate runs ≥ its unroll depth); `maxRounds` is a
+    * runaway cap — peel chains longer than it raise IllegalStateException
+    * rather than silently returning a non-core. The count per round is
+    * free: the edge list is localCheckpoint'd (an action) anyway.
     * Returns surviving (node, core_deg) — degree WITHIN the core.
     */
-  def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+  def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 4,
+            maxRounds: Int = 1000): DataFrame = {
     val e = cleanEdges(edges, "kCore")
     var und = e.select(col("a").as("x"), col("b").as("y"))
       .union(e.select(col("b").as("x"), col("a").as("y")))
       .distinct()
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var prev = und.count()
+    var converged = prev == 0L
+    var r = 0
+    while (r < rounds || (!converged && r < maxRounds)) {
       val keep = und.groupBy(col("x")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k)
         .select(col("x").as("kx"))
@@ -664,11 +673,20 @@ object Graph {
         .localCheckpoint()
       CheckpointBridge.freeCheckpoint(und)
       und = next
+      val cur = und.count()
+      converged = cur == prev
+      prev = cur
+      r += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge within maxRounds=$maxRounds peel rounds " +
+          s"($prev directed edges still shrinking); raise maxRounds")
     und.groupBy(col("x").as("node")).agg(count(lit(1)).cast("long").as("core_deg"))
   }
 
-  /** gr_kcore — 2-core of the LSH pair graph (4 peel rounds). */
+  /** gr_kcore — 2-core of the LSH pair graph (≥4 peel rounds to match
+    * the oracle's unroll depth; converges in 1 on the gate graph). */
   val grKCore: Q = (s, d) => {
     import s.implicits._
     kCore(lshPairGraph(s, d))
@@ -777,12 +795,24 @@ object Graph {
     * checkpoint-and-free loop discipline is [[connectedComponents]]'.
     */
   def bfs(edges: DataFrame, source: Long, rounds: Int = 6): DataFrame = {
+    val seed = edges.sparkSession.range(source, source + 1)
+      .select(col("id").as("node"), lit(0L).as("dist"))
+    bfsFromSeed(edges, seed, rounds)
+  }
+
+  /** BFS from an in-plan seed frontier (node, dist) — lets the source be
+    * DERIVED (e.g. "the min node of the graph") without an eager driver
+    * action at plan-construction time, and yields an empty result on an
+    * empty graph instead of throwing (an empty edge set produces an
+    * empty seed, which every round preserves).
+    */
+  def bfsFromSeed(edges: DataFrame, seed: DataFrame, rounds: Int = 6): DataFrame = {
     val e = cleanEdges(edges, "bfs")
     val und = e.select(col("a").as("x"), col("b").as("y"))
       .union(e.select(col("b").as("x"), col("a").as("y")))
       .distinct().persist()
-    var dist = und.sparkSession.range(source, source + 1)
-      .select(col("id").as("node"), lit(0L).as("dist"))
+    var dist = seed.select(col("node").cast("long").as("node"),
+        col("dist").cast("long").as("dist"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
       val next = dist.unionByName(
@@ -799,14 +829,19 @@ object Graph {
 
   /** gr_bfs — hop distances from the containment graph's min node (6
     * rounds; the graph's eccentricity is 4, spec-asserted converged).
+    * The source is derived IN-PLAN (1-row min aggregate as the seed
+    * frontier), so building the query triggers no Spark job and an
+    * empty pair graph yields an empty result rather than an NPE.
     */
   val grBfs: Q = (s, d) => {
     import s.implicits._
     val pairs = Dedup.containmentTable(s, d)
       .where($"cont_a" >= 0.5 || $"cont_b" >= 0.5)
       .select($"a", $"b")
-    val source = pairs.agg(min(least($"a", $"b"))).head().getLong(0)
-    bfs(pairs, source)
+    val seed = pairs.agg(min(least($"a", $"b")).as("node"))
+      .where($"node".isNotNull)
+      .select($"node", lit(0L).as("dist"))
+    bfsFromSeed(pairs, seed)
       .select($"node".as("doc_id"), $"dist")
       .orderBy($"doc_id")
   }

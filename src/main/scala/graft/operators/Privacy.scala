@@ -195,10 +195,14 @@ object Privacy {
     * bucket key (sp_weighted's integer-exact decode), then
     * noise = −b·sign(u−½)·ln(1−2|u−½|). A keyed hash makes the release
     * reproducible and lets the oracle mirror it bit-for-bit, which is
-    * what the gate needs; PRODUCTION swaps the key for a fresh secret
-    * per release (a hash of public bucket names is predictable, hence
-    * not formally private — same declared-stand-in discipline as the
-    * Multimodal codec stub). u ∈ [(0.5)/2²⁴, 1−(0.5)/2²⁴] keeps the ln
+    * what the gate needs; the REQUIRED `noiseKey` argument makes the
+    * secret-key contract explicit in the API — production callers MUST
+    * pass a fresh secret per release (a key derivable from public
+    * bucket names, like the gate's `"dp"`, is predictable, hence the
+    * release is NOT formally private — same declared-stand-in
+    * discipline as the Multimodal codec stub). There is no default, so
+    * a caller cannot silently inherit the public demo key.
+    * u ∈ [(0.5)/2²⁴, 1−(0.5)/2²⁴] keeps the ln
     * argument ≥ 2⁻²⁴, so the noise is finite by construction.
     *
     * Scale shape: one map-side-combined count over the stream, then
@@ -206,13 +210,13 @@ object Privacy {
     * codegen'd, shuffle-free. Quantized to 4 dp (noise magnitudes are
     * O(1); the 6-dp-style grain argument of tx_entropy applies).
     */
-  val dpCounts: Q = (s, d) => {
+  def dpCounts(noiseKey: String): Q = (s, d) => {
     val hvTerms = (1 to 6).map(i =>
       s"(instr('0123456789abcdef', substr(__h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}L")
       .mkString(" + ")
     tbl(s, d, "events")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      .withColumn("__h", md5(concat(lit("dp:"), col("event_type"))))
+      .withColumn("__h", md5(concat(lit(noiseKey + ":"), col("event_type"))))
       .withColumn("__u", (expr(hvTerms) + 0.5) / 16777216.0)
       .withColumn("dp_n", round(
         col("n") + lit(-1.0) * signum(col("__u") - 0.5) *
@@ -234,7 +238,7 @@ object Privacy {
   val queries: Map[String, Q] = Map(
     "pii_scrub"     -> piiScrub,
     "pii_kanon"     -> kAnon,
-    "pii_dp_counts" -> dpCounts,
+    "pii_dp_counts" -> dpCounts(noiseKey = "dp"), // gate: PUBLIC demo key, disclosed non-private
   )
 
   val oracles: Map[String, String] = Map(

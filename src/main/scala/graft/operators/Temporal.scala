@@ -427,7 +427,10 @@ object Temporal {
     * ordered window, so the single-partition frame holds days, never
     * events — bounded at any corpus size. Mean/variance come from exact
     * BIGINT window sums (Σn, Σn², m) with one double division each, and
-    * z quantizes to 6 dp — identical IEEE steps in both engines.
+    * z quantizes to 6 dp — identical IEEE steps in both engines. A
+    * ZERO-VARIANCE trailing window (e.g. seven identical daily counts)
+    * yields z = NULL (not ±Inf/NaN, whose ordering semantics diverge
+    * between engines) and is_anomaly = false, in both Spark and oracle.
     */
   val evAnomaly: Q = (s, d) => {
     import s.implicits._
@@ -443,10 +446,12 @@ object Temporal {
       .withColumn("m", count(lit(1)).over(w))
       .where($"m" >= 4)
       .withColumn("mean7", round($"s1".cast("double") / $"m", 6))
-      .withColumn("z", round(
-        ($"n" - $"s1".cast("double") / $"m") /
-          sqrt(($"s2" - ($"s1" * $"s1").cast("double") / $"m") / $"m"), 6))
-      .select($"day", $"n", $"mean7", $"z", (abs($"z") >= 3.0).as("is_anomaly"))
+      .withColumn("var7", ($"s2" - ($"s1" * $"s1").cast("double") / $"m") / $"m")
+      .withColumn("z", when($"var7" <= 0.0, lit(null).cast("double"))
+        .otherwise(round(
+          ($"n" - $"s1".cast("double") / $"m") / sqrt($"var7"), 6)))
+      .select($"day", $"n", $"mean7", $"z",
+        coalesce(abs($"z") >= 3.0, lit(false)).as("is_anomaly"))
       .orderBy($"day")
   }
   val evAnomalySql: String =
@@ -460,14 +465,18 @@ object Temporal {
       |         sum(n)    OVER w AS s1,
       |         sum(n*n)  OVER w AS s2,
       |         count(*)  OVER w AS m
-      |  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |vz AS (
+      |  SELECT day, n, m, s1, (s2 - CAST(s1*s1 AS DOUBLE) / m) / m AS var7
+      |  FROM win WHERE m >= 4)
       |SELECT day, n,
       |       round(CAST(s1 AS DOUBLE) / m, 6) AS mean7,
-      |       round((n - CAST(s1 AS DOUBLE) / m)
-      |             / sqrt((s2 - CAST(s1*s1 AS DOUBLE) / m) / m), 6) AS z,
-      |       abs(round((n - CAST(s1 AS DOUBLE) / m)
-      |             / sqrt((s2 - CAST(s1*s1 AS DOUBLE) / m) / m), 6)) >= 3.0 AS is_anomaly
-      |FROM win WHERE m >= 4 ORDER BY day""".stripMargin
+      |       CASE WHEN var7 <= 0.0 THEN NULL
+      |            ELSE round((n - CAST(s1 AS DOUBLE) / m) / sqrt(var7), 6) END AS z,
+      |       coalesce(CASE WHEN var7 <= 0.0 THEN NULL
+      |            ELSE abs(round((n - CAST(s1 AS DOUBLE) / m) / sqrt(var7), 6)) >= 3.0
+      |       END, FALSE) AS is_anomaly
+      |FROM vz ORDER BY day""".stripMargin
 
   // ------------------------------------------------------ transition matrix
 

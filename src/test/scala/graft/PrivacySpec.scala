@@ -202,7 +202,7 @@ class PrivacySpec extends AnyFunSuite {
   }
 
   test("dpCounts adds bounded, reproducible Laplace noise to exact counts") {
-    val out = Privacy.dpCounts(spark, sf)
+    val out = Privacy.dpCounts(noiseKey = "dp")(spark, sf)
       .as[(String, Long, Double)].collect()
     assert(out.map(_._1).toSet ==
       Set("view", "click", "purchase", "signup", "error"))
@@ -213,8 +213,14 @@ class PrivacySpec extends AnyFunSuite {
     assert(out.exists { case (_, n, dp) => dp != n.toDouble },
       "noise should actually perturb some bucket")
     // keyed-hash noise: a re-run releases the identical histogram
-    val again = Privacy.dpCounts(spark, sf).as[(String, Long, Double)].collect()
+    val again = Privacy.dpCounts(noiseKey = "dp")(spark, sf).as[(String, Long, Double)].collect()
     assert(again.sameElements(out))
+    // the key is a REQUIRED API argument: a different (secret) key draws
+    // different noise, so production can't silently reuse the demo key
+    val secret = Privacy.dpCounts(noiseKey = "s3cr3t-per-release")(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(secret.map(_._3).toSeq != out.map(_._3).toSeq,
+      "a fresh key must change the release's noise")
   }
 
   test("hash split is total, stable, and roughly 75/12.5/12.5") {

@@ -419,4 +419,49 @@ class TemporalGraphSpec extends AnyFunSuite {
     val est = merged.select($"approx_distinct").as[Long].collect().head
     assert(math.abs(est - 700L) <= 35L, s"HLL estimate $est off by >5%")
   }
+
+  test("kCore converges past the requested minimum rounds on long peel chains") {
+    // Triangle {0,1,2} with a 6-pendant chain 2-10-11-12-13-14-15: peeling
+    // exposes one chain node per round, so the fixpoint needs 6 rounds.
+    // rounds=1 asks for a single peel — the convergence check must extend
+    // until the true 2-core (the triangle) remains, not return a non-core.
+    val chain = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 10L), (10L, 11L),
+      (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L)).toDF("a", "b")
+    val core = Graph.kCore(chain, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(0L -> 2L, 1L -> 2L, 2L -> 2L), s"got $core")
+    // A genuinely unconvergeable cap raises instead of silently lying.
+    intercept[IllegalStateException] {
+      Graph.kCore(chain, k = 2, rounds = 1, maxRounds = 2)
+    }
+  }
+
+  test("bfsFromSeed yields an empty result on an empty graph, lazily") {
+    // The grBfs gate derives its source in-plan via a min aggregate; an
+    // empty pair graph must produce an empty frontier, not an NPE from an
+    // eager head() at plan-construction time.
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    val seed = none.agg(min(least($"a", $"b")).as("node"))
+      .where($"node".isNotNull)
+      .select($"node", lit(0L).as("dist"))
+    assert(Graph.bfsFromSeed(none, seed, rounds = 3).isEmpty)
+  }
+
+  test("evAnomaly emits NULL z (not ±Inf/NaN) on a zero-variance window") {
+    // Constant daily counts → trailing-window variance 0. The guard must
+    // emit z = NULL and is_anomaly = false in BOTH engines; ±Infinity
+    // would diverge between Spark and DuckDB rounding/ordering.
+    val dir = java.nio.file.Files.createTempDirectory("graft-anomaly").toString
+    val rows = for (d <- 0 until 12; i <- 0 until 5)
+      yield (d.toLong * 5 + i + 1, // odd/even mix, none on the planted day
+        java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:0${i % 10}"))
+    rows.toDF("event_id", "ts").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = Temporal.evAnomaly(spark, dir)
+      .select($"day".cast("string"), $"z", $"is_anomaly")
+      .collect()
+    assert(out.nonEmpty, "window m>=4 rows expected")
+    assert(out.forall(r => r.isNullAt(1) && !r.getBoolean(2)),
+      s"zero-variance days must have NULL z / false flag: ${out.toSeq}")
+  }
 }
