@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Graph.queries ++ operators.Sketches.queries ++
       operators.Skew.queries ++ operators.Pipeline.queries ++
       operators.Privacy.queries ++ operators.ZOrder.queries ++
-      operators.Retrieval.queries ++ operators.Audit.queries
+      operators.Retrieval.queries ++ operators.Audit.queries ++
+      operators.TimeSeries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +38,6 @@ object SparkEntry {
       operators.Graph.oracles ++ operators.Sketches.oracles ++
       operators.Skew.oracles ++ operators.Pipeline.oracles ++
       operators.Privacy.oracles ++ operators.ZOrder.oracles ++
-      operators.Retrieval.oracles ++ operators.Audit.oracles
+      operators.Retrieval.oracles ++ operators.Audit.oracles ++
+      operators.TimeSeries.oracles
 }

@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{t => tbl}
+
+/** Time-series analytics over the events stream: smoothing (EWMA),
+  * autocorrelation (ACF), trend/seasonal decomposition, and CUSUM
+  * changepoint scoring. The monitoring layer a pipeline puts over its own
+  * throughput counters — "is ingest drifting", "is there a weekly cycle",
+  * "when did the level shift" — built the same way the reference's status
+  * endpoint aggregates per-chunk counts before deriving lag
+  * (`src/app/api/status/route.ts` counts-then-derives; here it is
+  * counts-then-smooths/correlates).
+  *
+  * SCALE SHAPE (shared by all four gates): the raw stream collapses to the
+  * O(days) daily-count series in ONE map-side-combined aggregation — the
+  * only full-corpus pass. Everything after (windows, self-joins, moment
+  * sums) runs on ~a hundred rows, so the global ordered windows hold days,
+  * never events, and are bounded at any corpus size (evAnomaly's
+  * discipline). Daily counts are BIGINTs, so every moment (Σx, Σx², Σxy)
+  * is an order-free exact integer sum; doubles appear only in the final
+  * scalar steps, quantized to 6 dp after identical IEEE sequences in both
+  * engines.
+  */
+object TimeSeries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Daily event counts with a 0-based day index — the shared head of
+    * every gate. One shuffle; output O(days).
+    */
+  private def dailyIdx(s: SparkSession, d: String): DataFrame = {
+    val ev = tbl(s, d, "events")
+    val day: Column = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        to_date(timestamp_micros(expr("ts div 1000")))
+      case _ => to_date(col("ts"))
+    }
+    ev.select(day.as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))) - 1)
+  }
+
+  private val dailyIdxSql =
+    """daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+      |idx AS (
+      |  SELECT day, n, row_number() OVER (ORDER BY day) - 1 AS t FROM daily)""".stripMargin
+
+  // ------------------------------------------------------------------ EWMA
+
+  /** ts_ewma — exponentially-weighted moving average of the daily count,
+    * α = 0.3, seeded y₀ = x₀. The recursion y_t = αx_t + (1−α)y_{t−1}
+    * unrolls to the CLOSED FORM y_t = (1−α)^t·x₀ + αΣ_{i=1..t}(1−α)^{t−i}x_i,
+    * which is a weighted sum over the day-pair triangle — declarative, so
+    * both engines compute identical terms instead of one engine folding
+    * sequentially. The triangle self-join is O(days²) on the POST-AGG
+    * series (~8k pairs for a quarter of data) — a deliberate trade: at any
+    * corpus scale the quadratic part never touches events, and Catalyst
+    * broadcasts the ~kB series to itself.
+    */
+  val tsEwma: Q = (s, d) => {
+    val idx = dailyIdx(s, d)
+    val b = idx.select(col("day"), col("n"), col("t"))
+    val a = idx.select(col("t").as("i"), col("n").as("xi"))
+    b.join(a, a("i") <= b("t"))
+      .withColumn("w",
+        when(col("i") === 0, pow(lit(0.7), col("t")))
+          .otherwise(lit(0.3) * pow(lit(0.7), col("t") - col("i"))))
+      .groupBy(col("day"), col("n"))
+      .agg(round(sum(col("w") * col("xi")), 6).as("ewma"))
+      .orderBy(col("day"))
+  }
+  val tsEwmaSql: String =
+    s"""WITH $dailyIdxSql
+       |SELECT b.day, b.n,
+       |       round(sum(CASE WHEN a.t = 0 THEN power(0.7, b.t)
+       |                      ELSE 0.3 * power(0.7, b.t - a.t) END * a.n), 6) AS ewma
+       |FROM idx b JOIN idx a ON a.t <= b.t
+       |GROUP BY b.day, b.n ORDER BY b.day""".stripMargin
+
+  // ------------------------------------------------------------------- ACF
+
+  /** ts_acf — autocorrelation of the daily series at lags 1..7: Pearson r
+    * between (x_t, x_{t−L}) over the overlapping range, the "is there a
+    * weekly cycle / how sticky is load" diagnostic. Each lag's moments
+    * (n, Σx, Σy, Σx², Σy², Σxy) are exact BIGINT sums over lag-window
+    * pairs; the seven lag columns ride ONE ordered window pass and unpivot
+    * via `stack` (dq_corr's one-scan discipline), so the corpus is touched
+    * once and the window holds O(days) rows.
+    */
+  val tsAcf: Q = (s, d) => {
+    val w = Window.orderBy(col("day"))
+    val lags = (1 to 7)
+    val withLags = lags.foldLeft(dailyIdx(s, d)) { (df, l) =>
+      df.withColumn(s"y$l", lag(col("n"), l).over(w))
+    }
+    val stackArgs = lags.map(l => s"$l, n, y$l").mkString(", ")
+    withLags
+      .select(expr(s"stack(7, $stackArgs) AS (lag, x, y)"))
+      .where(col("y").isNotNull)
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lag"), col("m"),
+        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(((col("m") * col("sxx") - col("sx") * col("sx")) *
+            (col("m") * col("syy") - col("sy") * col("sy"))).cast("double")), 6)
+          .as("acf"))
+      .orderBy(col("lag"))
+  }
+  val tsAcfSql: String = {
+    val lagCols = (1 to 7)
+      .map(l => s"lag(n, $l) OVER (ORDER BY day) AS y$l").mkString(",\n       |         ")
+    val unions = (1 to 7)
+      .map(l => s"SELECT $l AS lag, n AS x, y$l AS y FROM lagged WHERE y$l IS NOT NULL")
+      .mkString("\n       |  UNION ALL ")
+    s"""WITH $dailyIdxSql,
+       |lagged AS (
+       |  SELECT day, n,
+       |         $lagCols
+       |  FROM idx),
+       |pairs AS (
+       |  $unions),
+       |mom AS (
+       |  SELECT lag, count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+       |         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+       |  FROM pairs GROUP BY lag)
+       |SELECT lag, m,
+       |       round(CAST(m*sxy - sx*sy AS DOUBLE)
+       |             / sqrt(CAST((m*sxx - sx*sx) * (m*syy - sy*sy) AS DOUBLE)), 6) AS acf
+       |FROM mom ORDER BY lag""".stripMargin
+  }
+
+  // ----------------------------------------------------------- decomposition
+
+  /** ts_decompose — classical additive decomposition of the daily series:
+    * trend = centered 7-day moving average (full windows only — edges stay
+    * NULL rather than biased), seasonal = day-of-week mean of the detrended
+    * series, residual = the rest. The "is Monday really bigger or is that
+    * the trend" separation behind capacity planning and anomaly baselines.
+    *
+    * Day-of-week is Spark `weekday` (0=Monday) mirrored by DuckDB
+    * `isodow−1` — the one calendar convention both engines state exactly.
+    * Trend is an exact Σ/7 on BIGINTs; seasonal means average ≤6-dp
+    * doubles (order noise ~1e−13, quantized to 6 dp).
+    */
+  val tsDecompose: Q = (s, d) => {
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val base = dailyIdx(s, d)
+      .withColumn("s7", sum(col("n")).over(w7))
+      .withColumn("m7", count(lit(1)).over(w7))
+      .withColumn("trend",
+        when(col("m7") === 7, round(col("s7").cast("double") / 7.0, 6)))
+      .withColumn("dow", weekday(col("day")).cast("long")) // DuckDB isodow is BIGINT
+      .withColumn("detr", col("n") - col("trend"))
+    val seasonal = base.where(col("detr").isNotNull)
+      .groupBy(col("dow")).agg(round(avg(col("detr")), 6).as("seasonal"))
+    base.join(broadcast(seasonal), Seq("dow"))
+      .select(col("day"), col("n"), col("trend"), col("dow"), col("seasonal"),
+        round(col("detr") - col("seasonal"), 6).as("resid"))
+      .orderBy(col("day"))
+  }
+  val tsDecomposeSql: String =
+    s"""WITH $dailyIdxSql,
+       |ma AS (
+       |  SELECT day, n, isodow(day) - 1 AS dow,
+       |         sum(n)   OVER w AS s7,
+       |         count(*) OVER w AS m7
+       |  FROM idx WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |tr AS (
+       |  SELECT day, n, dow,
+       |         CASE WHEN m7 = 7 THEN round(CAST(s7 AS DOUBLE) / 7.0, 6) END AS trend
+       |  FROM ma),
+       |dt AS (SELECT *, n - trend AS detr FROM tr),
+       |seas AS (
+       |  SELECT dow, round(avg(detr), 6) AS seasonal
+       |  FROM dt WHERE detr IS NOT NULL GROUP BY dow)
+       |SELECT d.day, d.n, d.trend, d.dow, s.seasonal,
+       |       round(d.detr - s.seasonal, 6) AS resid
+       |FROM dt d JOIN seas s ON d.dow = s.dow
+       |ORDER BY d.day""".stripMargin
+
+  // ----------------------------------------------------------------- CUSUM
+
+  /** ts_cusum — standardized cumulative-sum changepoint score: S_t =
+    * Σ_{i≤t}(x_i − μ)/σ with the global μ, σ from exact moment sums; the
+    * day where |S| peaks is the level-shift candidate (classic Page CUSUM
+    * read). The running sum is a PREFIX window — both engines fold it in
+    * day order, so the float sequence is identical, then quantizes.
+    * μ, σ ride a 1-row broadcast join onto the series.
+    */
+  val tsCusum: Q = (s, d) => {
+    val idx = dailyIdx(s, d)
+    val stats = idx.agg(count(lit(1)).as("m"),
+        sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"))
+      .select((col("s1").cast("double") / col("m")).as("mu"),
+        sqrt((col("s2") - (col("s1") * col("s1")).cast("double") / col("m"))
+          .cast("double") / col("m")).as("sigma"))
+    val run = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = idx.crossJoin(broadcast(stats))
+      .withColumn("cusum", round(sum(col("n") - col("mu")).over(run) / col("sigma"), 6))
+    val peak = scored.agg(max(abs(col("cusum"))).as("peak"))
+    scored.crossJoin(broadcast(peak))
+      .select(col("day"), col("n"), col("cusum"),
+        (abs(col("cusum")) === col("peak")).as("is_changepoint"))
+      .orderBy(col("day"))
+  }
+  val tsCusumSql: String =
+    s"""WITH $dailyIdxSql,
+       |st AS (
+       |  SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+       |         sqrt(CAST(sum(n*n) - CAST(sum(n)*sum(n) AS DOUBLE) / count(*) AS DOUBLE)
+       |              / count(*)) AS sigma
+       |  FROM idx),
+       |run AS (
+       |  SELECT day, n,
+       |         round(sum(n - mu) OVER (ORDER BY day
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / sigma, 6) AS cusum
+       |  FROM idx, st),
+       |pk AS (SELECT max(abs(cusum)) AS peak FROM run)
+       |SELECT day, n, cusum, abs(cusum) = peak AS is_changepoint
+       |FROM run, pk ORDER BY day""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "ts_ewma"      -> tsEwma,
+    "ts_acf"       -> tsAcf,
+    "ts_decompose" -> tsDecompose,
+    "ts_cusum"     -> tsCusum,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ts_ewma"      -> tsEwmaSql,
+    "ts_acf"       -> tsAcfSql,
+    "ts_decompose" -> tsDecomposeSql,
+    "ts_cusum"     -> tsCusumSql,
+  )
+}
