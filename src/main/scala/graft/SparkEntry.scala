@@ -25,7 +25,7 @@ object SparkEntry {
       operators.Skew.queries ++ operators.Pipeline.queries ++
       operators.Privacy.queries ++ operators.ZOrder.queries ++
       operators.Retrieval.queries ++ operators.Audit.queries ++
-      operators.TimeSeries.queries
+      operators.TimeSeries.queries ++ operators.Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -39,5 +39,5 @@ object SparkEntry {
       operators.Skew.oracles ++ operators.Pipeline.oracles ++
       operators.Privacy.oracles ++ operators.ZOrder.oracles ++
       operators.Retrieval.oracles ++ operators.Audit.oracles ++
-      operators.TimeSeries.oracles
+      operators.TimeSeries.oracles ++ operators.Stats.oracles
 }

@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{t => tbl}
+
+/** Inferential statistics over the warehouse tables: Welch's t-test,
+  * chi-square independence, per-group OLS regression, and Kaplan-Meier
+  * survival. The experimentation/causal layer every analytics engine ends
+  * up hosting — "did segment A really out-spend B", "is event mix
+  * independent of weekday", "what drives revenue per unit", "how long do
+  * users survive before churning".
+  *
+  * EXACTNESS DISCIPLINE (dq_corr's): every moment (n, Σx, Σx², Σxy) is
+  * either a BIGINT count or a sum of decimal(17,4)-quantized values —
+  * order-free and bit-identical across engines; doubles appear only in the
+  * final scalar formulas (t, χ², slope, S(t)), each a short identical IEEE
+  * sequence quantized to 6 dp (4 dp for the large-magnitude Welch df).
+  * Every gate collapses the fact table in ONE map-side-combined
+  * aggregation; the statistics run on O(groups) rows after.
+  */
+object Stats {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast("decimal(17,4)")
+
+  // ------------------------------------------------------------ Welch t-test
+
+  /** st_ttest — Welch's unequal-variance t between every pair of customer
+    * market segments on account balance: t, the Welch-Satterthwaite df,
+    * and the |t| ranking. The classic A/B read where group sizes and
+    * variances differ. One aggregation builds the 5-row moment table; the
+    * 10 pairs come from a self-join on segment order (broadcast — the
+    * moment table is bytes).
+    */
+  val stTtest: Q = (s, d) => {
+    val m = tbl(s, d, "customer")
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("c_acctbal"))).as("sx"),
+        sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("sxx"))
+      .select(col("seg"), col("n"),
+        (col("sx").cast("double") / col("n")).as("mean"),
+        ((col("sxx") - (col("sx") * col("sx")).cast("double") / col("n"))
+          .cast("double") / (col("n") - 1)).as("v"))
+    val a = m.select(col("seg").as("seg_a"), col("n").as("na"),
+      col("mean").as("ma"), col("v").as("va"))
+    val b = m.select(col("seg").as("seg_b"), col("n").as("nb"),
+      col("mean").as("mb"), col("v").as("vb"))
+    val se2 = col("va") / col("na") + col("vb") / col("nb")
+    a.join(b, col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        round((col("ma") - col("mb")) / sqrt(se2), 6).as("t_stat"),
+        round((se2 * se2) /
+          ((col("va") / col("na")) * (col("va") / col("na")) / (col("na") - 1) +
+           (col("vb") / col("nb")) * (col("vb") / col("nb")) / (col("nb") - 1)), 4)
+          .as("welch_df"))
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+  val stTtestSql: String =
+    """WITH m AS (
+      |  SELECT c_mktsegment AS seg, count(*) AS n,
+      |         sum(CAST(c_acctbal AS DECIMAL(19,4))) AS sx,
+      |         sum(CAST(c_acctbal AS DECIMAL(19,4)) * CAST(c_acctbal AS DECIMAL(19,4))) AS sxx
+      |  FROM customer GROUP BY 1),
+      |st AS (
+      |  SELECT seg, n, CAST(sx AS DOUBLE) / n AS mean,
+      |         CAST(sxx - CAST(sx*sx AS DOUBLE) / n AS DOUBLE) / (n - 1) AS v
+      |  FROM m)
+      |SELECT a.seg AS seg_a, b.seg AS seg_b,
+      |       round((a.mean - b.mean) / sqrt(a.v/a.n + b.v/b.n), 6) AS t_stat,
+      |       round(((a.v/a.n + b.v/b.n) * (a.v/a.n + b.v/b.n)) /
+      |             ((a.v/a.n)*(a.v/a.n)/(a.n-1) + (b.v/b.n)*(b.v/b.n)/(b.n-1)), 4)
+      |         AS welch_df
+      |FROM st a JOIN st b ON a.seg < b.seg
+      |ORDER BY seg_a, seg_b""".stripMargin
+
+  // --------------------------------------------------- chi-square independence
+
+  /** st_chisq — χ² test of independence between event type and day-of-week:
+    * observed 5×7 contingency counts vs the independence expectation
+    * E = row·col/N, plus Cramér's V effect size. The "is traffic mix a
+    * weekday artifact" screen; on this generator types are drawn i.i.d. of
+    * time, so V ≈ 0 — the gate proves the measurement, not a dependence.
+    * All counts are exact BIGINTs from one aggregation; χ² folds the 35
+    * cells' double contributions in a deterministic keyed sum (each cell's
+    * contribution quantized to 9 dp first, so the 35-term fold is exact).
+    */
+  val stChisq: Q = (s, d) => {
+    val ev = tbl(s, d, "events")
+    val day: Column = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        to_date(timestamp_micros(expr("ts div 1000")))
+      case _ => to_date(col("ts"))
+    }
+    val seen = ev.select(col("event_type"), weekday(day).cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+    // χ² sums over EVERY grid cell — a (type, dow) pair with zero observed
+    // rows still contributes (0−E)²/E, so rebuild the full cross product
+    // and coalesce the missing counts (a groupBy alone silently drops them).
+    val cells = seen.select(col("event_type")).distinct()
+      .crossJoin(seen.select(col("dow")).distinct())
+      .join(seen, Seq("event_type", "dow"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("event_type")).as("r"), countDistinct(col("dow")).as("c"))
+    cells.join(broadcast(rowT), Seq("event_type"))
+      .join(broadcast(colT), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", (col("rt") * col("ct")).cast("double") / col("n"))
+      .withColumn("contrib",
+        round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 9))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(round(sum(col("contrib")), 6).as("chi2"))
+      .select(col("n"), ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        col("chi2"),
+        round(sqrt(col("chi2") / (col("n") * least(col("r") - 1, col("c") - 1))), 6)
+          .as("cramers_v"))
+  }
+  val stChisqSql: String =
+    """WITH seen AS (
+      |  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS dow,
+      |         count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT g.event_type, g.dow, coalesce(seen.o, 0) AS o
+      |  FROM (SELECT t.event_type, w.dow
+      |        FROM (SELECT DISTINCT event_type FROM seen) t,
+      |             (SELECT DISTINCT dow FROM seen) w) g
+      |  LEFT JOIN seen ON seen.event_type = g.event_type AND seen.dow = g.dow),
+      |rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT event_type) AS r,
+      |               count(DISTINCT dow) AS c FROM cells),
+      |contrib AS (
+      |  SELECT tot.n, tot.r, tot.c,
+      |         round((cells.o - CAST(rt.rt*ct.ct AS DOUBLE)/tot.n)
+      |               * (cells.o - CAST(rt.rt*ct.ct AS DOUBLE)/tot.n)
+      |               / (CAST(rt.rt*ct.ct AS DOUBLE)/tot.n), 9) AS x
+      |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow), tot)
+      |SELECT n, (r-1)*(c-1) AS dof, round(sum(x), 6) AS chi2,
+      |       round(sqrt(sum(x) / (n * least(r-1, c-1))), 6) AS cramers_v
+      |FROM contrib GROUP BY n, r, c""".stripMargin
+
+  // --------------------------------------------------------- OLS regression
+
+  /** st_linreg — per-returnflag ordinary least squares of line revenue
+    * (extendedprice·(1−discount)) on quantity: slope, intercept, and r².
+    * The "what does one more unit earn" read, grouped so Simpson-style
+    * flag differences surface. Five moment sums per group in one scan
+    * (dq_corr's decimal quantization); the closed-form solution is four
+    * double ops per group.
+    */
+  val stLinreg: Q = (s, d) => {
+    val li = tbl(s, d, "lineitem")
+      .withColumn("rev", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val x = dec(col("l_quantity"))
+    val y = dec(col("rev"))
+    // dq_corr's overflow discipline: quantized-decimal SUMS (order-free,
+    // exact), then cast each sum to DOUBLE BEFORE any cross-multiplication
+    // — decimal×decimal of two full-corpus sums overflows decimal(38) in
+    // both engines at scale; double-first keeps the IEEE sequence identical.
+    def sd(c: String) = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val covN  = nD * sd("sxy") - sd("sx") * sd("sy")
+    val varXN = nD * sd("sxx") - sd("sx") * sd("sx")
+    val varYN = nD * sd("syy") - sd("sy") * sd("sy")
+    li.groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+      .select(col("flag"), col("n"),
+        round(covN / varXN, 6).as("slope"),
+        round((sd("sy") - covN / varXN * sd("sx")) / nD, 6).as("intercept"),
+        round(covN * covN / (varXN * varYN), 6).as("r2"))
+      .orderBy(col("flag"))
+  }
+  val stLinregSql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(l_quantity AS DECIMAL(19,4)) AS x,
+      |         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(19,4)) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+      |  FROM q GROUP BY 1)
+      |SELECT flag, n,
+      |       round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |             / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
+      |         AS slope,
+      |       round((CAST(sy AS DOUBLE)
+      |              - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |                / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      |                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+      |       round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |             * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |             / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      |              * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+      |         AS r2
+      |FROM m ORDER BY flag""".stripMargin
+
+  // ------------------------------------------------------- Kaplan-Meier
+
+  /** st_km — Kaplan-Meier survival over customer ORDER lifetimes:
+    * duration = days between a customer's first and last order; customers
+    * whose last order falls within 365 days of the corpus end are
+    * right-CENSORED (they may order again), the rest are churn events —
+    * on this corpus a real ~20/80 churned/censored mix, so the estimator
+    * exercises both branches. S(t) = Π_{tᵢ≤t}(1 − dᵢ/nᵢ) over distinct
+    * churn times, computed as exp of a prefix-window sum of
+    * ln(1 − dᵢ/nᵢ) — the engine-portable product. dᵢ/nᵢ are exact integer
+    * ratios; the prefix fold is sequential in time order in both engines.
+    *
+    * Scale shape: per-customer first/last is one keyed aggregation over
+    * the stream; everything after runs on O(distinct durations) rows.
+    * Emits only event times (dᵢ > 0), the standard KM step function.
+    */
+  val stKm: Q = (s, d) => {
+    val users = tbl(s, d, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      .groupBy(col("o_custkey")).agg(min(col("day")).as("fst"), max(col("day")).as("lst"))
+    val horizon = users.agg(max(col("lst")).as("maxd"))
+    val lifet = users.crossJoin(broadcast(horizon))
+      .select(datediff(col("lst"), col("fst")).cast("long").as("dur"),
+        (datediff(col("maxd"), col("lst")) > 365).as("observed"))
+    val byT = lifet.groupBy(col("dur")).agg(
+      count(lit(1)).as("at_t"),
+      sum(when(col("observed"), 1L).otherwise(0L)).as("deaths"))
+    val n0 = byT.agg(sum(col("at_t")).as("n0"))
+    val w = Window.orderBy(col("dur"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.crossJoin(broadcast(n0))
+      .withColumn("removed_before",
+        coalesce(sum(col("at_t")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", col("n0") - col("removed_before"))
+      .withColumn("lnterm",
+        when(col("deaths") > 0,
+          log(lit(1.0) - col("deaths").cast("double") / col("n_risk"))).otherwise(lit(0.0)))
+      .withColumn("survival", round(exp(sum(col("lnterm")).over(run)), 6))
+      .where(col("deaths") > 0)
+      .select(col("dur").as("t"), col("n_risk"), col("deaths"), col("survival"))
+      .orderBy(col("t"))
+  }
+  val stKmSql: String =
+    """WITH users AS (
+      |  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS fst,
+      |         max(CAST(o_orderdate AS DATE)) AS lst
+      |  FROM orders GROUP BY 1),
+      |horizon AS (SELECT max(lst) AS maxd FROM users),
+      |lifet AS (
+      |  SELECT CAST(datediff('day', fst, lst) AS BIGINT) AS dur,
+      |         datediff('day', lst, maxd) > 365 AS observed
+      |  FROM users, horizon),
+      |byt AS (
+      |  SELECT dur, count(*) AS at_t,
+      |         CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS deaths
+      |  FROM lifet GROUP BY 1),
+      |n0 AS (SELECT CAST(sum(at_t) AS BIGINT) AS n0 FROM byt),
+      |risk AS (
+      |  SELECT dur, at_t, deaths,
+      |         n0.n0 - CAST(coalesce(sum(at_t) OVER (ORDER BY dur
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |  FROM byt, n0),
+      |surv AS (
+      |  SELECT dur, n_risk, deaths,
+      |         round(exp(sum(CASE WHEN deaths > 0
+      |                            THEN ln(1.0 - CAST(deaths AS DOUBLE) / n_risk)
+      |                            ELSE 0.0 END)
+      |               OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+      |           AS survival
+      |  FROM risk)
+      |SELECT dur AS t, n_risk, deaths, survival
+      |FROM surv WHERE deaths > 0 ORDER BY t""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "st_ttest"  -> stTtest,
+    "st_chisq"  -> stChisq,
+    "st_linreg" -> stLinreg,
+    "st_km"     -> stKm,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st_ttest"  -> stTtestSql,
+    "st_chisq"  -> stChisqSql,
+    "st_linreg" -> stLinregSql,
+    "st_km"     -> stKmSql,
+  )
+}

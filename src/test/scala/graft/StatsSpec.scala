@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the inferential-statistics gates against hand-computed and
+  * textbook fixtures written as minimal parquet corpora.
+  */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-stats").toString
+
+  test("stTtest matches the hand-computed Welch statistic and df") {
+    val dir = tmp()
+    val rows = Seq(1, 2, 3, 4, 5).map(v => ("ALPHA", v.toDouble)) ++
+      Seq(2, 4, 6, 8, 10).map(v => ("BETA", v.toDouble))
+    rows.toDF("c_mktsegment", "c_acctbal").write.parquet(s"$dir/customer.parquet")
+    val out = Stats.stTtest(spark, dir)
+      .as[(String, String, Double, Double)].collect()
+    assert(out.length == 1)
+    val (_, _, t, df) = out.head
+    // meanA=3 vA=2.5, meanB=6 vB=10 → t = −3/√2.5, df = 6.25/(0.0625+1)
+    assert(math.abs(t - (-3.0 / math.sqrt(2.5))) < 1e-5, s"t=$t")
+    assert(math.abs(df - 5.882353) < 1e-3, s"df=$df")
+  }
+
+  test("stChisq reads a perfectly dow-associated table as V=1, chi2=N") {
+    val dir = tmp()
+    // type X only on Monday 2024-05-06, type Y only on Tuesday 2024-05-07
+    val rows =
+      (1 to 30).map(i => ("X", java.sql.Timestamp.valueOf("2024-05-06 10:00:00"))) ++
+      (1 to 30).map(i => ("Y", java.sql.Timestamp.valueOf("2024-05-07 10:00:00")))
+    rows.toDF("event_type", "ts").write.parquet(s"$dir/events.parquet")
+    val r = Stats.stChisq(spark, dir).collect().head
+    assert(r.getAs[Long]("n") == 60L)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(math.abs(r.getAs[Double]("chi2") - 60.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("cramers_v") - 1.0) < 1e-6)
+  }
+
+  test("stLinreg recovers an exact planted line with r2 = 1") {
+    val dir = tmp()
+    val rows = (1 to 5).map(x => ("N", x.toDouble, 2.0 * x + 1.0, 0.0))
+    rows.toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val (flag, n, slope, intercept, r2) = Stats.stLinreg(spark, dir)
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(flag == "N" && n == 5L)
+    assert(math.abs(slope - 2.0) < 1e-6 && math.abs(intercept - 1.0) < 1e-6)
+    assert(math.abs(r2 - 1.0) < 1e-6)
+  }
+
+  test("stKm reproduces the Freireich 6-MP Kaplan-Meier curve") {
+    // Classic remission times (weeks → days here, 1:1): observed
+    // 6,6,6,7,10,13,16,22,23; censored 6,9,10,11,17,19,20,25,32,32,34,35.
+    val obs = Seq(6, 6, 6, 7, 10, 13, 16, 22, 23)
+    val cen = Seq(6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35)
+    val maxd = java.time.LocalDate.parse("2001-01-01")
+    // censored: last order AT the horizon (≤365 from end); observed: 400
+    // days before it, so the 365-day churn rule classifies each correctly.
+    val rows =
+      obs.zipWithIndex.map { case (t, i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(maxd.minusDays(t + 400).atStartOfDay),
+          java.sql.Timestamp.valueOf(maxd.minusDays(400).atStartOfDay)) } ++
+      cen.zipWithIndex.map { case (t, i) =>
+        ((100 + i).toLong, java.sql.Timestamp.valueOf(maxd.minusDays(t).atStartOfDay),
+          java.sql.Timestamp.valueOf(maxd.atStartOfDay)) }
+    val dir = tmp()
+    rows.flatMap { case (k, f, l) => Seq((k, f), (k, l)) }
+      .toDF("o_custkey", "o_orderdate").write.parquet(s"$dir/orders.parquet")
+    val got = Stats.stKm(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (t, nr, dd, sv) => t -> ((nr, dd, sv)) }.toMap
+    val expect = Map( // textbook S(t), n at risk, deaths
+      6L  -> ((21L, 3L, 0.857143)), 7L  -> ((17L, 1L, 0.806723)),
+      10L -> ((15L, 1L, 0.752941)), 13L -> ((12L, 1L, 0.690196)),
+      16L -> ((11L, 1L, 0.627451)), 22L -> ((7L, 1L, 0.537815)),
+      23L -> ((6L, 1L, 0.448179)))
+    assert(got.keySet == expect.keySet, s"step times: ${got.keySet}")
+    expect.foreach { case (t, (nr, dd, sv)) =>
+      val (gnr, gdd, gsv) = got(t)
+      assert(gnr == nr && gdd == dd, s"t=$t risk/deaths: got ${got(t)}")
+      assert(math.abs(gsv - sv) < 1e-5, s"t=$t survival: got $gsv want $sv")
+    }
+  }
+}
