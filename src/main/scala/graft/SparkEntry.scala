@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Skew.queries ++ operators.Pipeline.queries ++
       operators.Privacy.queries ++ operators.ZOrder.queries ++
       operators.Retrieval.queries ++ operators.Audit.queries ++
-      operators.TimeSeries.queries ++ operators.Stats.queries
+      operators.TimeSeries.queries ++ operators.Stats.queries ++
+      operators.Recommender.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -39,5 +40,6 @@ object SparkEntry {
       operators.Skew.oracles ++ operators.Pipeline.oracles ++
       operators.Privacy.oracles ++ operators.ZOrder.oracles ++
       operators.Retrieval.oracles ++ operators.Audit.oracles ++
-      operators.TimeSeries.oracles ++ operators.Stats.oracles
+      operators.TimeSeries.oracles ++ operators.Stats.oracles ++
+      operators.Recommender.oracles
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{t => tbl}
+
+/** Collaborative-filtering primitives over the order/lineitem basket data:
+  * co-occurrence counts, item-item cosine similarity, and association
+  * rules (support/confidence/lift). The classic "customers who bought X
+  * also bought Y" layer — the same counting core that powers retrieval
+  * re-ranking and dataset curation ("docs cited together train together").
+  *
+  * SCALE SHAPE: every gate starts from the distinct (basket, item) pair
+  * list — one projection of lineitem. The pair generation is a self-join
+  * KEYED ON THE BASKET (shuffle co-partitions both sides), so the
+  * quadratic blowup is bounded per-basket (TPC-H baskets hold ≤7 lines;
+  * real carts are similarly capped), never global. Item marginals are
+  * O(|items|) and broadcast onto the pair aggregate. All counts are exact
+  * BIGINTs; cosine/confidence/lift are final-step double divisions
+  * quantized to 6 dp.
+  */
+object Recommender {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct (orderkey, partkey): the basket-item incidence list. */
+  private def baskets(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "lineitem")
+      .select(col("l_orderkey").as("bid"), col("l_partkey").as("item"))
+      .distinct()
+
+  private val basketsSql =
+    """baskets AS (
+      |  SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem)""".stripMargin
+
+  /** Unordered item pairs co-present in a basket, with pair counts. */
+  private def pairCounts(s: SparkSession, d: String): DataFrame = {
+    val b = baskets(s, d)
+    val l = b.select(col("bid"), col("item").as("a"))
+    val r = b.select(col("bid").as("bid2"), col("item").as("b"))
+    l.join(r, col("bid") === col("bid2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+  }
+
+  private val pairCountsSql =
+    s"""$basketsSql,
+       |pairs AS (
+       |  SELECT l.item AS a, r.item AS b, count(*) AS n_ab
+       |  FROM baskets l JOIN baskets r ON l.bid = r.bid AND l.item < r.item
+       |  GROUP BY 1, 2)""".stripMargin
+
+  // ---------------------------------------------------------- co-occurrence
+
+  /** rc_cooccur — item pairs bought together in ≥2 baskets, strongest
+    * first: the raw "frequently bought together" table. The ≥2 floor is
+    * the support threshold every co-occurrence system applies — singleton
+    * pairs are noise and make the output quadratic.
+    */
+  val rcCooccur: Q = (s, d) =>
+    pairCounts(s, d)
+      .where(col("n_ab") >= 2)
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+  val rcCooccurSql: String =
+    s"""WITH $pairCountsSql
+       |SELECT a, b, n_ab FROM pairs WHERE n_ab >= 2
+       |ORDER BY n_ab DESC, a, b""".stripMargin
+
+  // ------------------------------------------------------- item-item cosine
+
+  /** rc_itemsim — item-item cosine over binary basket-incidence vectors:
+    * sim(a,b) = n_ab / √(n_a·n_b), for pairs sharing ≥2 baskets. The
+    * adjusted form of co-occurrence that stops popular items from
+    * dominating every neighbor list; what an item-to-item recommender
+    * serves. Marginals broadcast onto the pair aggregate.
+    */
+  val rcItemsim: Q = (s, d) => {
+    val marg = baskets(s, d).groupBy(col("item")).agg(count(lit(1)).as("m"))
+    pairCounts(s, d)
+      .where(col("n_ab") >= 2)
+      .join(broadcast(marg.select(col("item").as("a"), col("m").as("n_a"))), Seq("a"))
+      .join(broadcast(marg.select(col("item").as("b"), col("m").as("n_b"))), Seq("b"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab") / sqrt((col("n_a") * col("n_b")).cast("double")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("a"), col("b"))
+  }
+  val rcItemsimSql: String =
+    s"""WITH $pairCountsSql,
+       |marg AS (SELECT item, count(*) AS m FROM baskets GROUP BY 1)
+       |SELECT p.a, p.b, p.n_ab, ma.m AS n_a, mb.m AS n_b,
+       |       round(p.n_ab / sqrt(CAST(ma.m * mb.m AS DOUBLE)), 6) AS cosine
+       |FROM pairs p JOIN marg ma ON ma.item = p.a JOIN marg mb ON mb.item = p.b
+       |WHERE p.n_ab >= 2
+       |ORDER BY cosine DESC, a, b""".stripMargin
+
+  // ------------------------------------------------------- association rules
+
+  /** rc_assoc — directed association rules a→b for pairs with support ≥2:
+    * confidence = P(b|a) and lift = P(b|a)/P(b), the Apriori read that
+    * separates "popular with everything" from genuinely predictive
+    * pairings (lift > 1). Both directions of each unordered pair are
+    * emitted — confidence is asymmetric. Basket total rides a 1-row
+    * broadcast.
+    */
+  val rcAssoc: Q = (s, d) => {
+    val marg = baskets(s, d).groupBy(col("item")).agg(count(lit(1)).as("m"))
+    val nb = baskets(s, d).agg(countDistinct(col("bid")).as("n_baskets"))
+    val p = pairCounts(s, d).where(col("n_ab") >= 2)
+    val both = p.select(col("a").as("ante"), col("b").as("cons"), col("n_ab"))
+      .unionByName(p.select(col("b").as("ante"), col("a").as("cons"), col("n_ab")))
+    both
+      .join(broadcast(marg.select(col("item").as("ante"), col("m").as("n_ante"))), Seq("ante"))
+      .join(broadcast(marg.select(col("item").as("cons"), col("m").as("n_cons"))), Seq("cons"))
+      .crossJoin(broadcast(nb))
+      .select(col("ante"), col("cons"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_ante"), 6).as("confidence"),
+        round(col("n_ab").cast("double") / col("n_ante") /
+          (col("n_cons").cast("double") / col("n_baskets")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("ante"), col("cons"))
+  }
+  val rcAssocSql: String =
+    s"""WITH $pairCountsSql,
+       |marg AS (SELECT item, count(*) AS m FROM baskets GROUP BY 1),
+       |nb AS (SELECT count(DISTINCT bid) AS n_baskets FROM baskets),
+       |both_dir AS (
+       |  SELECT a AS ante, b AS cons, n_ab FROM pairs WHERE n_ab >= 2
+       |  UNION ALL
+       |  SELECT b AS ante, a AS cons, n_ab FROM pairs WHERE n_ab >= 2)
+       |SELECT d.ante, d.cons, d.n_ab,
+       |       round(CAST(d.n_ab AS DOUBLE) / ma.m, 6) AS confidence,
+       |       round(CAST(d.n_ab AS DOUBLE) / ma.m
+       |             / (CAST(mc.m AS DOUBLE) / nb.n_baskets), 6) AS lift
+       |FROM both_dir d
+       |JOIN marg ma ON ma.item = d.ante
+       |JOIN marg mc ON mc.item = d.cons, nb
+       |ORDER BY lift DESC, ante, cons""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "rc_cooccur" -> rcCooccur,
+    "rc_itemsim" -> rcItemsim,
+    "rc_assoc"   -> rcAssoc,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rc_cooccur" -> rcCooccurSql,
+    "rc_itemsim" -> rcItemsimSql,
+    "rc_assoc"   -> rcAssocSql,
+  )
+}
