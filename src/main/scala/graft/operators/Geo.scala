@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{t => tbl}
+
+/** Geospatial primitives: deterministic synthetic coordinates, grid-cell
+  * aggregation, and a pruned haversine radius join. The "where are my
+  * users / what's within X km of each depot" layer; also the standard
+  * blocking pattern for any metric-space join (coordinates today,
+  * embedding buckets in ann_lsh_buckets — same shape).
+  *
+  * The tables carry no coordinates, so each entity gets a REPRODUCIBLE
+  * position from the md5-hex decode idiom (sp_weighted's integer-exact
+  * uniform): lat = u·180−90, lon = u'·360−180 from the first six hex
+  * digits of a keyed hash — bit-identical in both engines, so geometry
+  * derived from it is too.
+  */
+object Geo {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Integer-exact uniform in (0,1) decoded from the 6 leading hex digits
+    * of the `__geoh` column (callers project the keyed md5 there first).
+    */
+  private def hashU: Column = {
+    val terms = (1 to 6).map(i =>
+      (expr(s"instr('0123456789abcdef', substr(__geoh, $i, 1)) - 1") *
+        lit(math.pow(16, 6 - i).toLong))).reduce(_ + _)
+    (terms + lit(0.5)) / lit(16777216.0)
+  }
+
+  /** (key, lat, lon) for a table's integer key column. */
+  def coords(df: DataFrame, keyCol: String): DataFrame =
+    df.withColumn("__geoh", md5(concat(lit("lat:"), col(keyCol).cast("string"))))
+      .withColumn("lat", hashU * 180.0 - 90.0)
+      .withColumn("__geoh", md5(concat(lit("lon:"), col(keyCol).cast("string"))))
+      .withColumn("lon", hashU * 360.0 - 180.0)
+      .drop("__geoh")
+
+  private def coordsSql(table: String, keyCol: String, extra: String = ""): String = {
+    def u(pfx: String) = {
+      val terms = (1 to 6).map(i =>
+        s"(instr('0123456789abcdef', substr(md5('$pfx:' || CAST($keyCol AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+        .mkString(" + ")
+      s"(($terms) + 0.5) / 16777216.0"
+    }
+    s"""SELECT $keyCol$extra,
+       |       ${u("lat")} * 180.0 - 90.0 AS lat,
+       |       ${u("lon")} * 360.0 - 180.0 AS lon
+       |FROM $table""".stripMargin
+  }
+
+  /** Haversine great-circle distance in km (R = 6371.0088). */
+  def haversine(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dphi = radians(lat2 - lat1) / 2.0
+    val dlmb = radians(lon2 - lon1) / 2.0
+    lit(2.0 * 6371.0088) * asin(sqrt(
+      sin(dphi) * sin(dphi) +
+        cos(radians(lat1)) * cos(radians(lat2)) * sin(dlmb) * sin(dlmb)))
+  }
+
+  private def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"""2.0 * 6371.0088 * asin(sqrt(
+       |         sin(radians($lat2 - $lat1)/2.0) * sin(radians($lat2 - $lat1)/2.0)
+       |         + cos(radians($lat1)) * cos(radians($lat2))
+       |           * sin(radians($lon2 - $lon1)/2.0) * sin(radians($lon2 - $lon1)/2.0)))""".stripMargin
+
+  // ------------------------------------------------------------- cell stats
+
+  /** geo_cell_stats — customer density + mean balance per 10°×10° grid
+    * cell: the heat-map aggregation behind any "where is demand" view.
+    * One map-side-combined aggregation over the dimension; cells are
+    * exact floor() arithmetic on the hash-derived doubles, balances sum
+    * as quantized decimals (dq_corr discipline).
+    */
+  val geoCellStats: Q = (s, d) => {
+    coords(tbl(s, d, "customer"), "c_custkey")
+      .select(floor(col("lat") / 10.0).cast("long").as("cell_lat"),
+        floor(col("lon") / 10.0).cast("long").as("cell_lon"),
+        col("c_acctbal"))
+      .groupBy(col("cell_lat"), col("cell_lon"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal").cast("decimal(17,4)")).cast("double") /
+          count(lit(1)), 6).as("avg_bal"))
+      .orderBy(col("cell_lat"), col("cell_lon"))
+  }
+  val geoCellStatsSql: String =
+    s"""WITH c AS (${coordsSql("customer", "c_custkey", ", c_acctbal")})
+       |SELECT CAST(floor(lat / 10.0) AS BIGINT) AS cell_lat,
+       |       CAST(floor(lon / 10.0) AS BIGINT) AS cell_lon,
+       |       count(*) AS n,
+       |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(19,4))) AS DOUBLE) / count(*), 6)
+       |         AS avg_bal
+       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ radius join
+
+  /** geo_radius_join — (customer, supplier) pairs within 200 km, by
+    * banded pruning + exact haversine. The pruning is a LATITUDE-band
+    * equi-join: suppliers replicate into their 2° lat band ±1, customers
+    * probe their band. Sound at every latitude — if the latitudinal
+    * separation alone exceeds ~222 km (2°·111.19 km), the great-circle
+    * distance does too, so no qualifying pair escapes the ±1 window;
+    * longitude pruning is deliberately NOT applied because lon degrees
+    * shrink toward the poles (a fixed lon window would miss pairs — the
+    * bug most naive geo-grid joins ship with). The oracle is the
+    * UNPRUNED cross join: matching it proves the pruning exact.
+    *
+    * Scale: the band join hits ~3/90 of the cross product; the supplier
+    * side (dim-sized, ×3 replication) broadcasts. For big-big joins both
+    * sides bucket by band and the same plan co-partitions; add lon
+    * sub-cells per band (width ≥ 200km/cos(band edge)) to prune further
+    * without unsoundness.
+    */
+  val geoRadiusJoin: Q = (s, d) => {
+    val cust = coords(tbl(s, d, "customer"), "c_custkey")
+      .select(col("c_custkey"), col("lat").as("clat"), col("lon").as("clon"))
+      .withColumn("band", floor(col("clat") / 2.0).cast("long"))
+    val supp = coords(tbl(s, d, "supplier"), "s_suppkey")
+      .select(col("s_suppkey"), col("lat").as("slat"), col("lon").as("slon"))
+      .withColumn("b0", floor(col("slat") / 2.0).cast("long"))
+      .withColumn("band", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+      .drop("b0")
+    cust.join(broadcast(supp), Seq("band"))
+      .withColumn("dist_km",
+        round(haversine(col("clat"), col("clon"), col("slat"), col("slon")), 4))
+      .where(col("dist_km") <= 200.0)
+      .select(col("c_custkey"), col("s_suppkey"), col("dist_km"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+  val geoRadiusJoinSql: String =
+    s"""WITH c AS (${coordsSql("customer", "c_custkey")}),
+       |s AS (${coordsSql("supplier", "s_suppkey")}),
+       |d AS (
+       |  SELECT c.c_custkey, s.s_suppkey,
+       |       round(${haversineSql("c.lat", "c.lon", "s.lat", "s.lon")}, 4) AS dist_km
+       |  FROM c, s)
+       |SELECT c_custkey, s_suppkey, dist_km FROM d
+       |WHERE dist_km <= 200.0 ORDER BY c_custkey, s_suppkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "geo_cell_stats"  -> geoCellStats,
+    "geo_radius_join" -> geoRadiusJoin,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "geo_cell_stats"  -> geoCellStatsSql,
+    "geo_radius_join" -> geoRadiusJoinSql,
+  )
+}

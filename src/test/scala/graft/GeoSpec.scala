@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Geo
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Haversine correctness and band-pruning exactness for the geo gates. */
+class GeoSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("haversine matches the known Paris-London great-circle distance") {
+    val got = Seq((48.8566, 2.3522, 51.5074, -0.1278)).toDF("a", "b", "c", "d")
+      .select(Geo.haversine(col("a"), col("b"), col("c"), col("d")).as("km"))
+      .as[Double].collect().head
+    assert(math.abs(got - 343.56) < 1.0, s"got $got km")
+  }
+
+  test("banded radius join equals the unpruned cross join (pruning is exact)") {
+    val sf = "/root/testdata/sf0.001"
+    val pruned = Geo.geoRadiusJoin(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val cust = Geo.coords(graft.Tables.t(spark, sf, "customer"), "c_custkey")
+      .select($"c_custkey", $"lat".as("clat"), $"lon".as("clon"))
+    val supp = Geo.coords(graft.Tables.t(spark, sf, "supplier"), "s_suppkey")
+      .select($"s_suppkey", $"lat".as("slat"), $"lon".as("slon"))
+    val brute = cust.crossJoin(supp)
+      .withColumn("dist_km",
+        round(Geo.haversine($"clat", $"clon", $"slat", $"slon"), 4))
+      .where($"dist_km" <= 200.0)
+      .select($"c_custkey", $"s_suppkey", $"dist_km")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty, "fixture should yield at least one pair")
+    assert(pruned == brute,
+      s"pruning lost/invented pairs: ${pruned.diff(brute)} / ${brute.diff(pruned)}")
+  }
+}
