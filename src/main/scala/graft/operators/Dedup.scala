@@ -731,6 +731,42 @@ object Dedup {
       |WHERE levenshtein(a.text, b.text) <= 6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dd_jaro — Jaro-Winkler fuzzy-match pairs over part names, blocked by
+    * brand: the entity-resolution companion to [[editDistPairs]] for SHORT
+    * strings (names, titles, SKUs), where Levenshtein over-penalizes
+    * transpositions and a similarity in [0,1] beats an absolute edit
+    * budget. The scorer is the native [[graft.functions.JaroWinklerExpr]]
+    * Catalyst expression — the blocked quadratic inner loop runs inside
+    * whole-stage codegen calling a static kernel, no UDF serialization —
+    * and its semantics are probed equal to DuckDB's builtin
+    * `jaro_winkler_similarity`, which is exactly what the oracle runs.
+    *
+    * Brand blocking is an equi-join key: the corpus hash-partitions by
+    * block, pairs form only within a partition's block, and block sizes
+    * are bounded by the brand cardinality design (salt a hot block the
+    * sw_salted_join way if one brand dominates). Scores quantize to 6 dp
+    * before the threshold so boundary membership agrees across engines.
+    */
+  val jaroPairs: Q = (s, d) => {
+    import s.implicits._
+    val p = tbl(s, d, "part").select($"p_partkey", $"p_brand", $"p_name")
+    val l = p.select($"p_brand", $"p_partkey".as("part_a"), $"p_name".as("na"))
+    val r = p.select($"p_brand", $"p_partkey".as("part_b"), $"p_name".as("nb"))
+    l.join(r, "p_brand")
+      .where($"part_a" < $"part_b")
+      .withColumn("jw", round(graft.functions.strsim.jaro_winkler($"na", $"nb"), 6))
+      .where($"jw" >= 0.9)
+      .select($"part_a", $"part_b", $"jw")
+      .orderBy($"part_a", $"part_b")
+  }
+  val jaroPairsSql: String =
+    """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+      |       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
+      |ORDER BY part_a, part_b""".stripMargin
+
   // ---------------------------------------------- asymmetric containment
 
   /** Directional shingle-containment table over the probe slice
@@ -839,6 +875,7 @@ object Dedup {
     "dd_incremental"  -> ddIncremental,
     "dd_ppjoin"       -> ppJoinQ,
     "dd_editdist"     -> editDistPairs,
+    "dd_jaro"         -> jaroPairs,
     "dd_containment"  -> containment,
     "dd_lsh_curve"    -> lshCurve,
   )
@@ -857,6 +894,7 @@ object Dedup {
     "dd_incremental"  -> ddIncrementalSql,
     "dd_ppjoin"       -> ppJoinSql,
     "dd_editdist"     -> editDistPairsSql,
+    "dd_jaro"         -> jaroPairsSql,
     "dd_containment"  -> containmentSql,
     "dd_lsh_curve"    -> lshCurveSql,
   )
