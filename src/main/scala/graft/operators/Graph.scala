@@ -888,6 +888,144 @@ object Graph {
        |FROM (SELECT x, count(*) AS deg FROM und GROUP BY x)
        |GROUP BY deg ORDER BY deg""".stripMargin
 
+  // ------------------------------------------------------- neighbor Jaccard
+
+  /** Neighbor-set Jaccard for non-adjacent 2-hop pairs: |N(a)∩N(b)| /
+    * |N(a)∪N(b)| — the degree-normalized sibling of [[adamicAdar]] (same
+    * wedge-join candidate generation, same anti-join against existing
+    * edges), preferring pairs whose neighborhoods AGREE overall rather
+    * than merely touch through a selective hub. All three terms are exact
+    * integer counts (union = deg(a)+deg(b)−common), so the only float is
+    * the final division — no ln, tighter cross-engine story than AA.
+    */
+  def neighborJaccard(edges: DataFrame): DataFrame = {
+    val e = cleanEdges(edges, "neighborJaccard")
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+      .distinct()
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val wedges = und.select(col("x").as("z"), col("y").as("a"))
+      .join(und.select(col("x").as("z2"), col("y").as("b")),
+        col("z") === col("z2") && col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val cand = wedges.join(
+        e.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b")), Seq("a", "b"), "left_anti")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    cand
+      .join(deg.select(col("x").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("x").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        round(col("common").cast("double") /
+          (col("da") + col("db") - col("common")), 6).as("nbr_jaccard"))
+  }
+
+  /** gr_jaccard — neighbor-Jaccard link scores over the shingle-
+    * containment graph (grAdamic's input: LSH cluster graphs are
+    * near-cliques, so their non-adjacent 2-hop candidate set is empty —
+    * the containment graph has real open wedges).
+    */
+  val grJaccard: Q = (s, d) => {
+    import s.implicits._
+    neighborJaccard(Dedup.containmentTable(s, d)
+        .where($"cont_a" >= 0.5 || $"cont_b" >= 0.5)
+        .select($"a", $"b"))
+      .orderBy($"nbr_jaccard".desc, $"a", $"b")
+  }
+  val grJaccardSql: String =
+    s"""WITH ${Dedup.containmentCteSql},
+       |cund AS (SELECT a AS x, b AS y FROM cpairs UNION SELECT b AS x, a AS y FROM cpairs),
+       |cdeg AS (SELECT x, count(*) AS deg FROM cund GROUP BY x),
+       |wedges AS (
+       |  SELECT e1.y AS a, e2.y AS b
+       |  FROM cund e1 JOIN cund e2 ON e1.x = e2.x AND e1.y < e2.y),
+       |cand AS (
+       |  SELECT w.a, w.b, count(*) AS common
+       |  FROM wedges w LEFT JOIN cpairs p ON p.a = w.a AND p.b = w.b
+       |  WHERE p.a IS NULL GROUP BY w.a, w.b)
+       |SELECT c.a, c.b, c.common,
+       |       round(CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common), 6)
+       |         AS nbr_jaccard
+       |FROM cand c JOIN cdeg da ON da.x = c.a JOIN cdeg db ON db.x = c.b
+       |ORDER BY nbr_jaccard DESC, a, b""".stripMargin
+
+  // ------------------------------------------------------------------ HITS
+
+  /** Bipartite HITS (Kleinberg) over the customer→part purchase graph:
+    * hub(c) = Σ auth(p) over parts c buys, auth(p) = Σ hub(c) over its
+    * buyers, alternating for `iters` rounds. On a purchase graph the
+    * authorities are "parts bought by broad buyers" — the bipartite
+    * ranking behind catalog curation; the same loop ranks doc↔entity or
+    * query↔url graphs. Each half-step is one keyed join-aggregate
+    * (shuffle on the side being scored), pageRank's checkpoint-and-free
+    * loop discipline.
+    *
+    * Normalization is L∞ (divide by the max) rather than the textbook
+    * L2: max is order-free across partitions, while a float L2 sum is
+    * not — the pageRank determinism rule — and per-round 9-dp
+    * quantization pins the remaining keyed-sum noise in both engines.
+    */
+  def hitsBipartite(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    var hub = e.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0).as("hub")).localCheckpoint()
+    var auth = e.select(col("dst").as("id"))
+      .distinct().select(col("id"), lit(0.0).as("auth")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val as = e.join(hub, e("src") === hub("id"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("s"))
+      val nextAuth = as.crossJoin(broadcast(as.agg(max(col("s")).as("m"))))
+        .select(col("dst").as("id"), round(col("s") / col("m"), 9).as("auth"))
+        .localCheckpoint()
+      CheckpointBridge.freeCheckpoint(auth)
+      auth = nextAuth
+      val hs = e.join(auth, e("dst") === auth("id"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("s"))
+      val nextHub = hs.crossJoin(broadcast(hs.agg(max(col("s")).as("m"))))
+        .select(col("src").as("id"), round(col("s") / col("m"), 9).as("hub"))
+        .localCheckpoint()
+      CheckpointBridge.freeCheckpoint(hub)
+      hub = nextHub
+    }
+    e.unpersist()
+    hub.select(lit("hub").as("kind"), col("id"), col("hub").as("score"))
+      .unionByName(auth.select(lit("auth").as("kind"), col("id"), col("auth").as("score")))
+  }
+
+  /** gr_hits — 3-round bipartite HITS over customer→part purchases. */
+  val grHits: Q = (s, d) => {
+    import s.implicits._
+    val bp = tbl(s, d, "orders")
+      .join(tbl(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select($"o_custkey".as("src"), $"l_partkey".as("dst"))
+    hitsBipartite(bp)
+      .select($"kind", $"id", round($"score", 6).as("score"))
+      .orderBy($"kind", $"id")
+  }
+  val grHitsSql: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""a${k}s AS (
+         |  SELECT bp.dst, sum(h.hub) AS s
+         |  FROM bp JOIN hub${k - 1} h ON bp.src = h.id GROUP BY bp.dst),
+         |auth$k AS (
+         |  SELECT dst AS id, round(s / (SELECT max(s) FROM a${k}s), 9) AS auth FROM a${k}s),
+         |h${k}s AS (
+         |  SELECT bp.src, sum(a.auth) AS s
+         |  FROM bp JOIN auth$k a ON bp.dst = a.id GROUP BY bp.src),
+         |hub$k AS (
+         |  SELECT src AS id, round(s / (SELECT max(s) FROM h${k}s), 9) AS hub FROM h${k}s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bp AS (
+       |  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |hub0 AS (SELECT DISTINCT src AS id, 1.0 AS hub FROM bp),
+       |$rounds
+       |SELECT 'hub' AS kind, id, round(hub, 6) AS score FROM hub3
+       |UNION ALL
+       |SELECT 'auth' AS kind, id, round(auth, 6) AS score FROM auth3
+       |ORDER BY kind, id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "cc_clusters"    -> ccClusters,
     "cc_star"        -> ccStarClusters,
@@ -899,7 +1037,9 @@ object Graph {
     "gr_kcore"       -> grKCore,
     "gr_adamic"      -> grAdamic,
     "gr_degdist"     -> grDegDist,
-    "gr_bfs"         -> grBfs)
+    "gr_bfs"         -> grBfs,
+    "gr_jaccard"     -> grJaccard,
+    "gr_hits"        -> grHits)
   val oracles: Map[String, String] = Map(
     "cc_clusters"    -> ccClustersSql,
     "cc_star"        -> ccClustersSql,
@@ -911,5 +1051,7 @@ object Graph {
     "gr_kcore"       -> grKCoreSql,
     "gr_adamic"      -> grAdamicSql,
     "gr_degdist"     -> grDegDistSql,
-    "gr_bfs"         -> grBfsSql)
+    "gr_bfs"         -> grBfsSql,
+    "gr_jaccard"     -> grJaccardSql,
+    "gr_hits"        -> grHitsSql)
 }

@@ -420,6 +420,30 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(math.abs(est - 700L) <= 35L, s"HLL estimate $est off by >5%")
   }
 
+  test("neighborJaccard scores open wedges by neighborhood agreement") {
+    // (1,2),(1,3),(2,3),(1,4): non-adjacent 2-hop pairs are (2,4),(3,4),
+    // each sharing only hub 1 → 1/(2+1−1) = 0.5; triangle pairs are edges.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = Graph.neighborJaccard(g)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (a, b, c, j) => (a, b) -> ((c, j)) }.toMap
+    assert(got == Map((2L, 4L) -> ((1L, 0.5)), (3L, 4L) -> ((1L, 0.5))), s"got $got")
+  }
+
+  test("hitsBipartite ranks the shared part as top authority") {
+    // 1→{10,11}, 2→{11,12}: part 11 has both buyers → auth 1.0, the
+    // exclusive parts get 0.5; both customers are symmetric hubs (1.0).
+    val bp = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L)).toDF("src", "dst")
+    val got = Graph.hitsBipartite(bp, iters = 3)
+      .as[(String, Long, Double)].collect()
+      .map { case (k, id, sc) => (k, id) -> sc }.toMap
+    assert(math.abs(got(("auth", 11L)) - 1.0) < 1e-6)
+    assert(math.abs(got(("auth", 10L)) - 0.5) < 1e-6)
+    assert(math.abs(got(("auth", 12L)) - 0.5) < 1e-6)
+    assert(math.abs(got(("hub", 1L)) - 1.0) < 1e-6)
+    assert(math.abs(got(("hub", 2L)) - 1.0) < 1e-6)
+  }
+
   test("kCore converges past the requested minimum rounds on long peel chains") {
     // Triangle {0,1,2} with a 6-pendant chain 2-10-11-12-13-14-15: peeling
     // exposes one chain node per round, so the fixpoint needs 6 rounds.
