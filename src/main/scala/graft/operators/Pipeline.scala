@@ -338,7 +338,78 @@ object Pipeline {
        |       count(*) AS n_postings
        |FROM dt GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ------------------------------------------------------------------ DSIR
+
+  /** pl_dsir — data selection via importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how much more likely
+    * its hashed-unigram bag is under a TARGET distribution (here the
+    * English slice — the paper's "formal/quality" proxy) than under the
+    * raw pool, log w(x) = Σ_tokens [ln p̂_tgt(bucket) − ln p̂_raw(bucket)],
+    * length-normalized. Resampling by this weight is how pretraining
+    * pipelines tilt a web crawl toward a curated domain without training
+    * a classifier first (the counting dual of tx_clf_score).
+    *
+    * Mechanics: tokens hash into 512 buckets via the md5-hex decode
+    * (integer-exact in both engines), both distributions are add-one-
+    * smoothed bucket counts — all BIGINT aggregates — and the per-doc
+    * score is one keyed sum of identical ln terms, quantized to 6 dp.
+    * Scale shape: one token explode (narrow), two O(buckets) count
+    * tables broadcast back onto the token stream, one keyed sum per doc
+    * — scan-speed plus a doc-keyed exchange, no pairwise anything.
+    */
+  val plDsir: Q = (s, d) => {
+    import s.implicits._
+    val bucketExpr = "(" + (1 to 6).map(i =>
+      s"(instr('0123456789abcdef', substr(md5(tok), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}L")
+      .mkString(" + ") + ") % 512"
+    val toks = tbl(s, d, "documents")
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+      .where(length($"tok") > 0)
+      .withColumn("b", expr(bucketExpr))
+    val tgt = toks.where($"lang" === "en")
+      .groupBy($"b").agg(count(lit(1)).as("ct"))
+    val raw = toks.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tots = toks.agg(
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt"),
+      count(lit(1)).as("tr"))
+    val llr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .select($"b",
+        (log((coalesce($"ct", lit(0L)) + 1L).cast("double") / ($"tt" + 512L)) -
+          log(($"cr" + 1L).cast("double") / ($"tr" + 512L))).as("llr"))
+    toks.join(broadcast(llr), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum($"llr") / count(lit(1)), 6).as("dsir_logw"))
+      .orderBy($"doc_id")
+  }
+  val plDsirSql: String = {
+    val bucket = "(" + (1 to 6).map(i =>
+      s"(instr('0123456789abcdef', substr(md5(tok), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+      .mkString(" + ") + ") % 512"
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, $bucket AS b
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE len(tok) > 0),
+       |tgt AS (SELECT b, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+       |raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+       |tots AS (
+       |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+       |         count(*) AS tr
+       |  FROM toks),
+       |llr AS (
+       |  SELECT raw.b,
+       |         ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) / (tots.tt + 512))
+       |         - ln(CAST(raw.cr + 1 AS DOUBLE) / (tots.tr + 512)) AS llr
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tots)
+       |SELECT t.doc_id, count(*) AS n_toks,
+       |       round(sum(l.llr) / count(*), 6) AS dsir_logw
+       |FROM toks t JOIN llr l ON l.b = t.b
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "pl_dsir"         -> plDsir,
     "pl_corpus_clean" -> corpusClean,
     "pl_funnel"       -> funnel,
     "pl_pretrain"     -> pretrain,
@@ -349,6 +420,7 @@ object Pipeline {
     "pl_search_index" -> searchIndex)
 
   val oracles: Map[String, String] = Map(
+    "pl_dsir"         -> plDsirSql,
     "pl_corpus_clean" -> corpusCleanSql,
     "pl_funnel"       -> funnelSql,
     "pl_pretrain"     -> pretrainSql,

@@ -1702,6 +1702,100 @@ object Relational {
       |              WHERE c_custkey = o_custkey AND c_mktsegment = 'MACHINERY')
       |ORDER BY o_orderkey""".stripMargin
 
+  /** A13 — unpivot (wide→long): the inverse of a9_pivot, melting the four
+    * lineitem measures into (key, measure, value) rows via `stack` — the
+    * narrow shape feature stores and plotting layers want. Pure
+    * projection + explode: no shuffle except the presentation sort, and
+    * column pruning still reaches the scan (only the four measures +
+    * keys are read).
+    */
+  val a13Unpivot: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "lineitem").where($"l_orderkey" < 1000)
+      .select($"l_orderkey", $"l_linenumber",
+        expr("""stack(4, 'discount', l_discount, 'extendedprice', l_extendedprice,
+               |         'quantity', l_quantity, 'tax', l_tax) AS (measure, value)""".stripMargin))
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+  }
+  val a13UnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, measure, value
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, 'discount' AS measure, l_discount AS value
+      |  FROM lineitem WHERE l_orderkey < 1000
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      |  FROM lineitem WHERE l_orderkey < 1000
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'quantity', l_quantity
+      |  FROM lineitem WHERE l_orderkey < 1000
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'tax', l_tax
+      |  FROM lineitem WHERE l_orderkey < 1000)
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
+  /** A14 — exact order statistics per group: interpolated quartiles
+    * (Spark `percentile` and DuckDB `quantile_cont` both use the type-7
+    * index p·(n−1), so the interpolation arithmetic is identical) plus a
+    * DETERMINISTIC mode — smallest value among the most frequent,
+    * computed with an explicit count+rank rather than either engine's
+    * tie-arbitrary mode(). Medians of integral quantities interpolate to
+    * exact halves — no float hazard.
+    */
+  val a14Median: Q = (s, d) => {
+    import s.implicits._
+    val li = tbl(s, d, "lineitem")
+    val quart = li.groupBy($"l_returnflag".as("flag")).agg(
+      count(lit(1)).as("n"),
+      expr("percentile(l_quantity, 0.25)").as("q1"),
+      expr("percentile(l_quantity, 0.5)").as("median"),
+      expr("percentile(l_quantity, 0.75)").as("q3"))
+    val mode = li.groupBy($"l_returnflag".as("flag"), $"l_quantity").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"flag").orderBy($"c".desc, $"l_quantity")))
+      .where($"rk" === 1)
+      .select($"flag", $"l_quantity".as("mode_qty"))
+    quart.join(mode, Seq("flag")).orderBy($"flag")
+  }
+  val a14MedianSql: String =
+    """WITH quart AS (
+      |  SELECT l_returnflag AS flag, count(*) AS n,
+      |         quantile_cont(l_quantity, 0.25) AS q1,
+      |         quantile_cont(l_quantity, 0.5)  AS median,
+      |         quantile_cont(l_quantity, 0.75) AS q3
+      |  FROM lineitem GROUP BY 1),
+      |md AS (
+      |  SELECT flag, l_quantity AS mode_qty FROM (
+      |    SELECT l_returnflag AS flag, l_quantity, count(*) AS c,
+      |           row_number() OVER (PARTITION BY l_returnflag
+      |                              ORDER BY count(*) DESC, l_quantity) AS rk
+      |    FROM lineitem GROUP BY 1, 2)
+      |  WHERE rk = 1)
+      |SELECT q.flag, q.n, q.q1, q.median, q.q3, md.mode_qty
+      |FROM quart q JOIN md USING (flag) ORDER BY q.flag""".stripMargin
+
+  /** W7 — percent_rank + cume_dist over per-user totals: the relative-
+    * standing twins of w4's ntile (exact integer-ratio outputs, so the
+    * only floats are two final divisions, quantized). Same post-aggregate
+    * O(|users|) global window as w4 — sketch-based bounds are the scale
+    * path when |users| alone exceeds a sort budget.
+    */
+  val w7PercentRank: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.orderBy($"total", $"user_id")
+    tbl(s, d, "events")
+      .groupBy($"user_id").agg(sum(floor($"value").cast("long")).as("total"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy($"user_id")
+  }
+  val w7PercentRankSql: String =
+    """WITH tot AS (SELECT user_id, CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total
+      |             FROM events GROUP BY user_id)
+      |SELECT user_id, total,
+      |       round(percent_rank() OVER (ORDER BY total, user_id), 6) AS pct_rank,
+      |       round(cume_dist()    OVER (ORDER BY total, user_id), 6) AS cume
+      |FROM tot ORDER BY user_id""".stripMargin
+
   // ----------------------------------------------------------------- export
 
   val queries: Map[String, Q] = Map(
@@ -1733,6 +1827,9 @@ object Relational {
     "e8_last_update"   -> e8LastUpdate,
     "w2_running_sum"   -> w2RunningSum,
     "a9_pivot"         -> a9Pivot,
+    "a13_unpivot"      -> a13Unpivot,
+    "a14_median"       -> a14Median,
+    "w7_percent_rank"  -> w7PercentRank,
     "w4_ntile"         -> w4Ntile,
     "u1_union"         -> u1Union,
     "u2_intersect"     -> u2Intersect,
@@ -1797,6 +1894,9 @@ object Relational {
     "e8_last_update"   -> e8LastUpdateSql,
     "w2_running_sum"   -> w2RunningSumSql,
     "a9_pivot"         -> a9PivotSql,
+    "a13_unpivot"      -> a13UnpivotSql,
+    "a14_median"       -> a14MedianSql,
+    "w7_percent_rank"  -> w7PercentRankSql,
     "w4_ntile"         -> w4NtileSql,
     "u1_union"         -> u1UnionSql,
     "u2_intersect"     -> u2IntersectSql,
