@@ -917,7 +917,107 @@ object Similarity {
       |  WHERE x.vec_id < 3)
       |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
 
+  // ---------------------------------------------------------------- PCA
+
+  private val PcaDims = 8
+
+  /** ml_pca_cov — distributed covariance matrix over the leading
+    * [[PcaDims]] embedding dimensions: the moment computation under PCA /
+    * whitening / Mahalanobis — the one part of PCA that actually touches
+    * the corpus (the eigen-solve runs on the collected d×d matrix,
+    * [[pcaTopComponent]]). ONE fused aggregation carries all d sums and
+    * d(d+1)/2 product-sums (dq_corr's one-scan shape); the 36 upper-
+    * triangle entries unpivot from that single row via `stack`.
+    *
+    * Cross-engine exactness: float32 components quantize to
+    * decimal(12,8) BEFORE any multiplication, so every sum is an
+    * order-free exact decimal (a raw float Σxy differs between engines
+    * by summation order); the only doubles are the final cov divisions,
+    * quantized to 6 dp.
+    */
+  val pcaCov: Q = (s, d) => {
+    def dc(i: Int) = element_at(col("embedding"), i).cast("decimal(12,8)")
+    val pairs = for { i <- 1 to PcaDims; j <- i to PcaDims } yield (i, j)
+    val moments =
+      (1 to PcaDims).map(i => sum(dc(i)).as(s"s_$i")) ++
+        pairs.map { case (i, j) => sum(dc(i) * dc(j)).as(s"sp_${i}_$j") }
+    val agg = tbl(s, d, "embeddings")
+      .agg(count(lit(1)).cast("double").as("n"), moments: _*)
+    val withCov = pairs.foldLeft(agg) { case (df, (i, j)) =>
+      df.withColumn(s"cov_${i}_$j", round(
+        col(s"sp_${i}_$j").cast("double") / col("n") -
+          (col(s"s_$i").cast("double") / col("n")) *
+          (col(s"s_$j").cast("double") / col("n")), 6))
+    }
+    val stackArgs = pairs.map { case (i, j) => s"$i, $j, cov_${i}_$j" }.mkString(", ")
+    withCov
+      .select(expr(s"stack(${pairs.size}, $stackArgs) AS (dim_i, dim_j, cov)"))
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+  val pcaCovSql: String = {
+    def dc(i: Int) = s"CAST(emb[$i] AS DECIMAL(12,8))"
+    val pairs = for { i <- 1 to PcaDims; j <- i to PcaDims } yield (i, j)
+    val moments =
+      ((1 to PcaDims).map(i => s"sum(${dc(i)}) AS s_$i") ++
+        pairs.map { case (i, j) => s"sum(${dc(i)} * ${dc(j)}) AS sp_${i}_$j" })
+        .mkString(",\n       |         ")
+    val rows = pairs.map { case (i, j) =>
+      s"""SELECT $i AS dim_i, $j AS dim_j,
+         |  round(CAST(sp_${i}_$j AS DOUBLE) / n
+         |        - (CAST(s_$i AS DOUBLE) / n) * (CAST(s_$j AS DOUBLE) / n), 6) AS cov
+         |FROM agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT embedding AS emb FROM embeddings),
+       |agg AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         $moments
+       |  FROM e)
+       |$rows
+       |ORDER BY dim_i, dim_j""".stripMargin
+  }
+
+  /** Top principal component of the [[PcaDims]]-dim covariance by Jacobi
+    * eigen-decomposition on the COLLECTED d×d matrix (tiny, driver-side,
+    * deterministic — the distributed work is [[pcaCov]]'s moment pass),
+    * plus the per-row projection column. The standard split for PCA at
+    * scale: moments distribute, the O(d³) solve does not need to.
+    */
+  def pcaTopComponent(s: SparkSession, d: String): (Array[Double], DataFrame) = {
+    val covRows = pcaCov(s, d).collect()
+    val dim = PcaDims
+    val m = Array.ofDim[Double](dim, dim)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    // Jacobi sweeps: rotate out the largest off-diagonal until negligible.
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 0 until 50; p <- 0 until dim; q <- p + 1 until dim
+         if math.abs(m(p)(q)) > 1e-12) {
+      val theta = 0.5 * math.atan2(2 * m(p)(q), m(q)(q) - m(p)(p))
+      val (c, sn) = (math.cos(theta), math.sin(theta))
+      for (k <- 0 until dim) {
+        val (mkp, mkq) = (m(k)(p), m(k)(q))
+        m(k)(p) = c * mkp - sn * mkq; m(k)(q) = sn * mkp + c * mkq
+      }
+      for (k <- 0 until dim) {
+        val (mpk, mqk) = (m(p)(k), m(q)(k))
+        m(p)(k) = c * mpk - sn * mqk; m(q)(k) = sn * mpk + c * mqk
+      }
+      for (k <- 0 until dim) {
+        val (vkp, vkq) = (v(k)(p), v(k)(q))
+        v(k)(p) = c * vkp - sn * vkq; v(k)(q) = sn * vkp + c * vkq
+      }
+    }
+    val top = (0 until dim).maxBy(i => m(i)(i))
+    val vec = Array.tabulate(dim)(k => v(k)(top))
+    val proj = (1 to dim).map(i =>
+      element_at(col("embedding"), i) * lit(vec(i - 1))).reduce(_ + _)
+    (vec, tbl(s, d, "embeddings").select(col("vec_id"), proj.as("pc1")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml_pca_cov"        -> pcaCov,
     "ann_sq8"           -> sq8Q,
     "ann_filtered"      -> annFiltered,
     "ann_bruteforce"    -> annBruteforce,
@@ -934,6 +1034,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_pca_cov"        -> pcaCovSql,
     "ann_sq8"           -> sq8Sql,
     "ann_filtered"      -> annFilteredSql,
     "ann_bruteforce"    -> annBruteforceSql,

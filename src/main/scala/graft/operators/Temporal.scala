@@ -767,7 +767,48 @@ object Temporal {
 
   // ----------------------------------------------------------------- export
 
+  // ------------------------------------------------------------- streaks
+
+  /** ev_streak — longest consecutive-active-day streak per user, by the
+    * gaps-and-islands anchor: on each user's DISTINCT active days,
+    * day − row_number() is constant within a run of consecutive days, so
+    * one per-user window plus two keyed counts yields every streak. The
+    * engagement metric ("longest streak") product analytics sits next to
+    * DAU; pure date/integer arithmetic end to end.
+    *
+    * Scale shape: the stream collapses to distinct (user, day) in one
+    * combine; the window partitions by user (no global sort) over
+    * O(active days) rows per user.
+    */
+  val evStreak: Q = (s, d) => {
+    import s.implicits._
+    val events = tbl(s, d, "events")
+    val days = events.select($"user_id", eventDay(events).as("day")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    days
+      .withColumn("anchor", date_sub($"day", row_number().over(w)))
+      .groupBy($"user_id", $"anchor").agg(count(lit(1)).as("len"))
+      .groupBy($"user_id").agg(
+        max($"len").as("longest_streak"),
+        sum($"len").as("n_active_days"))
+      .orderBy($"user_id")
+  }
+  val evStreakSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |runs AS (
+      |  SELECT user_id,
+      |         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |                    AS INTEGER) AS anchor
+      |  FROM days),
+      |lens AS (
+      |  SELECT user_id, anchor, count(*) AS len FROM runs GROUP BY 1, 2)
+      |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+      |       CAST(sum(len) AS BIGINT) AS n_active_days
+      |FROM lens GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ev_streak"     -> evStreak,
     "w3_sessionize" -> w3Sessionize,
     "aj_asof"       -> ajAsof,
     "rj_range"      -> rjRange,
@@ -788,6 +829,7 @@ object Temporal {
     "w3_sessionize" -> w3SessionizeSql,
     "aj_asof"       -> ajAsofSql,
     "rj_range"      -> rjRangeSql,
+    "ev_streak"     -> evStreakSql,
     "ev_retention"  -> evRetentionSql,
     "ev_gapfill"    -> evGapfillSql,
     "ev_anomaly"    -> evAnomalySql,

@@ -565,6 +565,62 @@ object TextAnalysis {
        |                * (count(*) - sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END))), 6) AS auc
        |FROM ranked""".stripMargin
 
+  /** tx_clf_calib — reliability diagram of the trained quality scorer:
+    * score the WHOLE corpus (not just the labeled slice), bin predictions
+    * into deciles, and compare each bin's mean prediction against its
+    * observed positive rate under the same stop-ratio labeling rule
+    * extended corpus-wide. The companion eval to [[clfAuc]]: AUC says the
+    * ranking works, calibration says whether 0.8 MEANS 80% — the number a
+    * quality-threshold picker actually needs. Bins are score DECILES
+    * (ntile over the 6-dp score with doc_id tie-break — a total order,
+    * identical in both engines; equal-width bins would collapse onto the
+    * 3-step model's narrow score band), counts are exact BIGINTs, and
+    * the two means are final-step divisions.
+    */
+  val clfCalib: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val feats = clfCache.getOrCompute(s, d)(
+      clfFeatures(docs).localCheckpoint(true))
+    val labels = clfLabelCache.getOrCompute(s, d)(
+      clfLabels(docs).localCheckpoint(true))
+    val allLab = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        when(size(expr(s"filter(toks, t -> t IN ($stopSqlList))")).cast("double")
+          / size(col("toks")).cast("double") >= ClfLabelThresh, 1L)
+          .otherwise(0L).as("y"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .orderBy(col("clf_score"), col("doc_id"))
+    clfScoreWith(feats, clfTrain(feats, labels))
+      .join(allLab, Seq("doc_id"))
+      .withColumn("bin", ntile(10).over(wb).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("clf_score")) / count(lit(1)), 6).as("mean_pred"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6).as("frac_pos"))
+      .orderBy(col("bin"))
+  }
+  val clfCalibSql: String =
+    s"""WITH $clfCteSql,
+       |scored AS (
+       |  SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS clf_score
+       |  FROM (SELECT doc_id, sum(x * w) AS z
+       |        FROM feats JOIN w$ClfIters USING (j) GROUP BY doc_id)),
+       |alllab AS (
+       |  SELECT doc_id,
+       |         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+       |                          t -> t IN ($stopSqlList))) AS DOUBLE)
+       |                / len(string_split(text, ' ')) >= $ClfLabelThresh
+       |              THEN 1 ELSE 0 END AS y
+       |  FROM documents)
+       |SELECT bin, count(*) AS n,
+       |       round(sum(clf_score) / count(*), 6) AS mean_pred,
+       |       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+       |FROM (SELECT clf_score, y,
+       |             CAST(ntile(10) OVER (ORDER BY clf_score, doc_id) AS BIGINT) AS bin
+       |      FROM scored JOIN alllab USING (doc_id))
+       |GROUP BY 1 ORDER BY bin""".stripMargin
+
   // ------------------------------------------------------------------ BPE
 
   /** BPE vocabulary training — the merge-pair iteration that completes the
@@ -1124,6 +1180,7 @@ object TextAnalysis {
     "tx_clf_score"   -> clfScore,
     "tx_colloc"      -> colloc,
     "tx_clf_auc"     -> clfAuc,
+    "tx_clf_calib"   -> clfCalib,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1148,5 +1205,6 @@ object TextAnalysis {
     "tx_clf_score"   -> clfScoreSql,
     "tx_colloc"      -> collocSql,
     "tx_clf_auc"     -> clfAucSql,
+    "tx_clf_calib"   -> clfCalibSql,
   )
 }
