@@ -235,15 +235,130 @@ object Privacy {
        |FROM u ORDER BY event_type""".stripMargin
   }
 
+  // ------------------------------------------------------- ε-accounting
+
+  /** pii_dp_ledger — privacy-budget accounting across a SEQUENCE of DP
+    * releases over the same stream. One release is never the whole story:
+    * a pipeline publishes the type histogram this week, the day-of-week
+    * profile next week, the hourly load curve after that, and the privacy
+    * loss COMPOSES. The ledger is the artifact a privacy review actually
+    * audits: per release (ε, bucket count, a checksum certifying exactly
+    * which noisy values left the building) and two running totals —
+    *   - `eps_basic_total`: sequential composition, Σε (pure ε-DP;
+    *     Laplace releases have δ = 0);
+    *   - `eps_adv_total`: the heterogeneous advanced-composition bound
+    *     (Dwork–Roth Thm 3.20), √(2·ln(1/δ′)·Σε²) + Σ ε·(e^ε − 1) at
+    *     δ′ = 1e-6 (`adv_delta`) — tighter once many small-ε releases
+    *     stack, and the number a reviewer compares against the org's
+    *     total-budget policy.
+    *
+    * Scale shape: ONE scan of the stream — the three bucket keys are
+    * melted via `stack` into (release, bucket) rows, so all histograms
+    * share one map-side-combined aggregation; noise is O(total buckets)
+    * scalar work; the ledger itself is 3 rows through a 1-partition
+    * window (O(releases), never data-sized). The per-release checksum is
+    * an md5 over the sorted "bucket:scaled-noisy-count" strings —
+    * quantized to integers (×10⁴) so both engines hash identical bytes.
+    *
+    * Same keyed-hash Laplace stand-in as [[dpCounts]] (declared: the
+    * gate's key is public, so the gate release is reproducible, not
+    * formally private; production passes a fresh secret per release and
+    * the ledger rows stay valid because composition depends only on ε).
+    */
+  def dpLedger(noiseKey: String): Q = (s, d) => {
+    val hvTerms = (1 to 6).map(i =>
+      s"(instr('0123456789abcdef', substr(__h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}L")
+      .mkString(" + ")
+    val melted = tbl(s, d, "events").select(
+        expr("stack(3, 'a_type_hist', event_type, " +
+          "'b_dow_hist', cast(weekday(ts) + 1 as string), " +
+          "'c_hour_hist', cast(hour(ts) as string)) as (release, bucket)"))
+    val eps = when(col("release") === "a_type_hist", 0.5)
+      .when(col("release") === "b_dow_hist", 0.25)
+      .otherwise(0.2)
+    val noisy = melted.groupBy(col("release"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__h", md5(concat(lit(noiseKey + ":"), col("release"),
+        lit(":"), col("bucket"))))
+      .withColumn("__u", (expr(hvTerms) + 0.5) / 16777216.0)
+      .withColumn("dp_scaled",
+        round((col("n") + lit(-1.0) / eps * signum(col("__u") - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(col("__u") - 0.5))) * 10000.0)
+          .cast("long"))
+    val perRelease = noisy
+      .withColumn("__s", concat(col("bucket"), lit(":"), col("dp_scaled").cast("string")))
+      .groupBy(col("release"))
+      .agg(max(eps).as("epsilon"),
+        count(lit(1)).as("n_buckets"),
+        md5(concat_ws("|", sort_array(collect_list(col("__s")))).cast("binary"))
+          .as("release_md5"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("release"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perRelease
+      .withColumn("eps_basic_total", round(sum(col("epsilon")).over(w), 6))
+      .withColumn("eps_adv_total", round(
+        sqrt(lit(2.0) * log(lit(1000000.0)) *
+          sum(col("epsilon") * col("epsilon")).over(w)) +
+          sum(col("epsilon") * (exp(col("epsilon")) - 1.0)).over(w), 6))
+      .withColumn("adv_delta", lit(1.0e-6))
+      .select(col("release"), col("epsilon"), col("n_buckets"),
+        col("release_md5"), col("eps_basic_total"), col("eps_adv_total"),
+        col("adv_delta"))
+      .orderBy(col("release"))
+  }
+  val dpLedgerSql: String = {
+    def hv(h: String) = (1 to 6).map(i =>
+      s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH melted AS (
+       |  SELECT 'a_type_hist' AS release, event_type AS bucket FROM events
+       |  UNION ALL
+       |  SELECT 'b_dow_hist', CAST(isodow(ts) AS VARCHAR) FROM events
+       |  UNION ALL
+       |  SELECT 'c_hour_hist', CAST(hour(ts) AS VARCHAR) FROM events),
+       |counts AS (
+       |  SELECT release, bucket, count(*) AS n,
+       |         CAST(CASE release WHEN 'a_type_hist' THEN 0.5
+       |                           WHEN 'b_dow_hist' THEN 0.25
+       |                           ELSE 0.2 END AS DOUBLE) AS eps,
+       |         md5('ledger:' || release || ':' || bucket) AS h
+       |  FROM melted GROUP BY 1, 2),
+       |noisy AS (
+       |  SELECT release, bucket, n, eps,
+       |         (${hv("h")} + 0.5) / 16777216.0 AS u
+       |  FROM counts),
+       |scaled AS (
+       |  SELECT release, eps,
+       |         bucket || ':' || CAST(CAST(round(
+       |           (n + (-1.0) / eps * sign(u - 0.5) *
+       |            ln(1.0 - 2.0 * abs(u - 0.5))) * 10000.0) AS BIGINT) AS VARCHAR) AS s
+       |  FROM noisy),
+       |per_release AS (
+       |  SELECT release, max(eps) AS epsilon, count(*) AS n_buckets,
+       |         md5(string_agg(s, '|' ORDER BY s)) AS release_md5
+       |  FROM scaled GROUP BY release)
+       |SELECT release, epsilon, n_buckets, release_md5,
+       |       round(sum(epsilon) OVER w, 6) AS eps_basic_total,
+       |       round(sqrt(2.0 * ln(1000000.0) * sum(epsilon * epsilon) OVER w)
+       |             + sum(epsilon * (exp(epsilon) - 1.0)) OVER w, 6) AS eps_adv_total,
+       |       CAST(0.000001 AS DOUBLE) AS adv_delta
+       |FROM per_release
+       |WINDOW w AS (ORDER BY release ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY release""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "pii_scrub"     -> piiScrub,
     "pii_kanon"     -> kAnon,
     "pii_dp_counts" -> dpCounts(noiseKey = "dp"), // gate: PUBLIC demo key, disclosed non-private
+    "pii_dp_ledger" -> dpLedger(noiseKey = "ledger"),
   )
 
   val oracles: Map[String, String] = Map(
     "pii_scrub"     -> piiScrubSql,
     "pii_kanon"     -> kAnonSql,
     "pii_dp_counts" -> dpCountsSql,
+    "pii_dp_ledger" -> dpLedgerSql,
   )
 }

@@ -223,6 +223,40 @@ class PrivacySpec extends AnyFunSuite {
       "a fresh key must change the release's noise")
   }
 
+  test("dpLedger composes ε correctly and is deterministic only under the same key") {
+    val rows = Privacy.dpLedger(noiseKey = "ledger")(spark, sf)
+      .select($"release", $"epsilon", $"release_md5",
+        $"eps_basic_total", $"eps_adv_total")
+      .as[(String, Double, String, Double, Double)].collect().toSeq
+    assert(rows.map(_._1) == Seq("a_type_hist", "b_dow_hist", "c_hour_hist"))
+    val eps = rows.map(_._2)
+    assert(eps == Seq(0.5, 0.25, 0.2))
+    // basic composition: running Σε, exactly
+    val basics = rows.map(_._4)
+    eps.inits.toSeq.reverse.drop(1).zip(basics).foreach { case (pre, tot) =>
+      assert(math.abs(pre.sum - tot) < 1e-9, s"Σ$pre != $tot") }
+    // advanced composition (Dwork–Roth Thm 3.20 heterogeneous, δ' = 1e-6):
+    // recompute the bound independently and compare at the 6-dp quantum
+    val advs = rows.map(_._5)
+    (1 to 3).foreach { k =>
+      val pre = eps.take(k)
+      val want = math.sqrt(2.0 * math.log(1e6) * pre.map(e => e * e).sum) +
+        pre.map(e => e * (math.exp(e) - 1.0)).sum
+      assert(math.abs(want - advs(k - 1)) < 1e-5, s"adv($pre): $want vs ${advs(k - 1)}") }
+    // for FEW releases the basic bound is tighter; advanced wins only as
+    // many small-ε releases stack — the ledger reports both so the
+    // reviewer takes min. Sanity: both are positive and ordered.
+    assert(basics == basics.sorted && advs == advs.sorted)
+    // determinism: same key → identical checksums; fresh key → different
+    val again = Privacy.dpLedger(noiseKey = "ledger")(spark, sf)
+      .select($"release_md5").as[String].collect().toSeq
+    assert(again == rows.map(_._3))
+    val secret = Privacy.dpLedger(noiseKey = "s3cr3t")(spark, sf)
+      .select($"release_md5").as[String].collect().toSeq
+    assert(secret != rows.map(_._3),
+      "a fresh key must change every release checksum")
+  }
+
   test("hash split is total, stable, and roughly 75/12.5/12.5") {
     val split = operators.Sampling.split3(spark, sf)
     val counts = split.groupBy($"split").count()
