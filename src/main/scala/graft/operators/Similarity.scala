@@ -835,6 +835,153 @@ object Similarity {
       |  FROM scored)
       |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
 
+  // ------------------------------------------------------ residual IVF-PQ
+
+  /** Residual vectors: each embedding minus its assigned Lloyd cell
+    * centroid. PQ codebooks trained on residuals only have to cover the
+    * WITHIN-cell spread (the coarse quantizer already removed the
+    * between-cell variance), so the same 4 codes/vector buy a finer
+    * quantization grid — FAISS's IVFPQ default encoding, vs the
+    * raw-vector encoding [[annIvfPq]] uses. Determinism: float→double
+    * cast is exact, centroid components are round(·,6) doubles, and the
+    * per-component subtraction is one exact double op — both engines
+    * compute bit-identical residuals, so the downstream Lloyd training
+    * (floor(x·1e6) quantized) stays hash-checkable.
+    */
+  private def residualTable(e: DataFrame, cents: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"))
+      .join(ivfAssign(e, cents).select(col("vec_id"), col("centroid")), Seq("vec_id"))
+      .join(broadcast(cents.select(col("cid").as("centroid"), col("ce"))), Seq("centroid"))
+      .select(col("vec_id"),
+        expr("zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), ce, (x, y) -> x - y)")
+          .as("embedding"))
+
+  /** Public residual-table view for specs/evals (same artifact the
+    * trained path persists). */
+  def residuals(e: DataFrame, cents: DataFrame): DataFrame = residualTable(e, cents)
+
+  /** Mean PQ quantization distortion E‖x − decode(encode(x))‖² — the
+    * equal-code-size quality metric for codebook variants (recall on
+    * synthetic random vectors is floor-level for ANY 4×K-centroid PQ:
+    * 64-dim i.i.d. distances concentrate, so distortion is the metric
+    * that separates encodings; see PERF.md residual-PQ entry).
+    */
+  def pqMeanDistortion(v: DataFrame, cb: DataFrame, stride: Long = 125L): Double =
+    pqSubs(v)
+      .join(pqEncode(v, stride, codebook = Some(cb))
+        .withColumnRenamed("n", "vec_id").withColumnRenamed("code", "cid"),
+        Seq("vec_id", "j"))
+      .join(broadcast(cb), Seq("j", "cid"))
+      .groupBy(col("vec_id")).agg(sum(pqD2).as("d2"))
+      .agg(avg(col("d2"))).head().getDouble(0)
+
+  /** Residual-PQ artifacts: sub-codebooks Lloyd-trained on residuals and
+    * the residual code index — persisted like [[trainedPq]]'s (same
+    * content-fingerprint + params key discipline; a regenerated corpus
+    * retrains instead of serving stale codes).
+    */
+  private def trainedResidualPq(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
+    // The residual table itself is an artifact: its lineage contains a
+    // full corpus×K assign, which Lloyd training would otherwise
+    // recompute once per iteration per consumer (measured 12× slower
+    // unmaterialized). Doubles roundtrip parquet exactly, so training on
+    // the artifact is hash-identical to training on the live chain.
+    val res = graft.IndexStore.materialize(s, s"pqr_residuals_v1_${d}_${fp}_s125_lloyd2")(
+      residualTable(tbl(s, d, "embeddings"), trainedIvf(s, d)))
+    val cb = graft.IndexStore.materialize(s, s"pqr_codebook_v1_${d}_${fp}_s125_lloyd2")(
+      lloydSubCodebooks(res, stride = 125L, iters = 2))
+    val codes = graft.IndexStore.materialize(s, s"pqr_codes_v1_${d}_${fp}_s125_lloyd2")(
+      pqEncode(res, stride = 125L, codebook = Some(cb)))
+    (cb, codes)
+  }
+
+  /** ann_ivfpq_residual — IVF-PQ search over RESIDUAL codes. Identical
+    * scan shape to [[ivfPqSearch]] (cell equi-join prunes the code index
+    * to ~nprobe/K of the corpus, ADC table broadcasts) with one change:
+    * the ADC lookup table is keyed by (probe, CELL) — the query residual
+    * q − c differs per probed cell, so each probed cell gets its own
+    * 4×K sub-distance table. That multiplies the broadcast by nprobe
+    * (still probes × nprobe × 4 × K rows — KiB at any scale), not the
+    * scan side, which is the trade FAISS makes too.
+    */
+  def ivfPqResidualSearch(e: DataFrame, cents: DataFrame, cb: DataFrame,
+                          codes: DataFrame, probeMax: Long = 5L, k: Int = 3,
+                          nprobe: Int = 2): DataFrame = {
+    val cells = ivfAssign(e, cents).select(col("vec_id").as("n"), col("centroid").as("cell"))
+    val wc = Window.partitionBy(col("q")).orderBy(col("c6").desc, col("cid"))
+    val probeRes = e.where(col("vec_id") < probeMax)
+      .select(col("vec_id").as("q"), col("embedding").as("eq"))
+      .crossJoin(broadcast(cents))
+      .select(col("q"), col("eq"), col("cid"), col("ce"), round(cos("eq", "ce"), 6).as("c6"))
+      .withColumn("r", row_number().over(wc)).where(col("r") <= nprobe)
+      .select(col("q"), col("cid").as("cell"),
+        expr("zip_with(transform(eq, x -> CAST(x AS DOUBLE)), ce, (x, y) -> x - y)")
+          .as("remb"))
+    val qd = probeRes
+      .select(col("q"), col("cell"), explode(expr(
+        "transform(sequence(0, 3), j -> named_struct('j', j, 'sv', slice(remb, 16*j+1, 16)))")).as("s"))
+      .select(col("q"), col("cell"), col("s.j").as("j"), col("s.sv").as("sv"))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("q"), col("cell"), col("j"), col("cid").as("code"), pqD2.as("qd2"))
+    val scored = codes.join(cells, Seq("n"))
+      .join(broadcast(qd), Seq("cell", "j", "code"))
+      .where(col("q") =!= col("n"))
+      .groupBy(col("q"), col("n"))
+      .agg(round(sum(col("qd2")), 6).as("adist"))
+    val w = Window.partitionBy(col("q")).orderBy(col("adist"), col("n"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("q"), col("rank"))
+  }
+
+  val annIvfPqResidual: Q = (s, d) => {
+    val (cb, codes) = trainedResidualPq(s, d)
+    ivfPqResidualSearch(tbl(s, d, "embeddings"), trainedIvf(s, d), cb, codes)
+  }
+  val annIvfPqResidualSql: String =
+    s"""WITH ${lloydCteSql(125L, 2)},
+      |asg AS (SELECT e.vec_id AS n,
+      |               max_by(c2.cid, round(list_cosine_similarity(e.emb, c2.ce), 6)
+      |                             * 1000000000000 - c2.cid) AS cell
+      |        FROM e CROSS JOIN c2 GROUP BY e.vec_id),
+      |r AS (SELECT e.vec_id,
+      |             list_transform(range(1, ${Dim + 1}), i -> e.emb[i] - c2.ce[i]) AS emb
+      |      FROM e JOIN asg ON asg.n = e.vec_id JOIN c2 ON c2.cid = asg.cell),
+      |js AS (SELECT unnest(range(0, 4)) AS j),
+      |sub AS (SELECT vec_id, j, emb[16*j+1 : 16*j+16] AS sv FROM r CROSS JOIN js),
+      |${pqLloydCteSql(125L, 2)},
+      |codes AS (
+      |  SELECT sub.vec_id AS n, j,
+      |         min_by(cid, round(list_sum(list_transform(range(1, 17), i -> (sv[i]-csv[i])*(sv[i]-csv[i]))), 6) * 1e12 + cid) AS code
+      |  FROM sub JOIN sc2 USING (j) GROUP BY n, j),
+      |pc AS (SELECT q, cell,
+      |              list_transform(range(1, ${Dim + 1}), i -> eq[i] - ce[i]) AS remb
+      |       FROM (
+      |         SELECT e.vec_id AS q, e.emb AS eq, c2.cid AS cell, c2.ce,
+      |                row_number() OVER (PARTITION BY e.vec_id
+      |                  ORDER BY round(list_cosine_similarity(e.emb, c2.ce), 6) DESC,
+      |                           c2.cid) AS r
+      |         FROM e CROSS JOIN c2 WHERE e.vec_id < 5)
+      |       WHERE r <= 2),
+      |qsub AS (SELECT q, cell, j, remb[16*j+1 : 16*j+16] AS sv FROM pc CROSS JOIN js),
+      |qd AS (
+      |  SELECT q, cell, j, cid AS code,
+      |         list_sum(list_transform(range(1, 17), i -> (sv[i]-csv[i])*(sv[i]-csv[i]))) AS qd2
+      |  FROM qsub JOIN sc2 USING (j)),
+      |scored AS (
+      |  SELECT qd.q, codes.n, round(sum(qd.qd2), 6) AS adist
+      |  FROM codes
+      |  JOIN asg ON asg.n = codes.n
+      |  JOIN qd ON qd.cell = asg.cell AND qd.j = codes.j AND qd.code = codes.code
+      |  WHERE qd.q != codes.n
+      |  GROUP BY qd.q, codes.n)
+      |SELECT q, n, adist, rank FROM (
+      |  SELECT q, n, adist,
+      |         row_number() OVER (PARTITION BY q ORDER BY adist, n) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
+
   // ------------------------------------------------- scalar quantization
 
   /** ann_sq8 — scalar (SQ8) quantization of the embedding table: per-dim
@@ -1029,6 +1176,7 @@ object Similarity {
     "ann_recall_eval"   -> recallEvalQ,
     "ann_pq"            -> annPq,
     "ann_ivfpq"         -> annIvfPq,
+    "ann_ivfpq_residual" -> annIvfPqResidual,
     "dd_semdedup"       -> semDedupQ,
     "dd_semdedup_inc"   -> semDedupIncQ,
   )
@@ -1046,6 +1194,7 @@ object Similarity {
     "ann_recall_eval"   -> recallEvalSql,
     "ann_pq"            -> annPqSql,
     "ann_ivfpq"         -> annIvfPqSql,
+    "ann_ivfpq_residual" -> annIvfPqResidualSql,
     "dd_semdedup"       -> semDedupSql,
     "dd_semdedup_inc"   -> semDedupIncSql,
   )

@@ -451,4 +451,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bounds("middle")._2 <= bounds("head")._1)
     out.unpersist()
   }
+
+  test("residual PQ cuts quantization distortion vs raw-vector PQ at equal code size") {
+    // FAISS-IVFPQ's reason to encode residuals: the coarse quantizer has
+    // already removed between-cell variance, so the same 4×K codes cover
+    // only within-cell spread. At equal code size the residual encoding
+    // must reconstruct strictly better (lower mean ‖x − decode‖²). Recall
+    // deltas on the synthetic corpus are floor-level noise (PERF.md), so
+    // distortion is the assertable quality metric.
+    import operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val cents = Similarity.lloydCentroids(e, stride = 125L, iters = 2)
+    val res = Similarity.residuals(e, cents).cache()
+    val raw = e.select($"vec_id", $"embedding")
+    val cbRaw = Similarity.lloydSubCodebooks(raw, stride = 125L, iters = 2)
+    val cbRes = Similarity.lloydSubCodebooks(res, stride = 125L, iters = 2)
+    val dRaw = Similarity.pqMeanDistortion(raw, cbRaw)
+    val dRes = Similarity.pqMeanDistortion(res, cbRes)
+    res.unpersist()
+    assert(dRes > 0.0 && dRaw > 0.0)
+    info(f"mean distortion: raw $dRaw%.4f, residual $dRes%.4f (${dRes / dRaw * 100}%.1f%%)")
+    assert(dRes < dRaw,
+      f"residual PQ should reconstruct better: residual $dRes%.4f vs raw $dRaw%.4f")
+  }
 }

@@ -262,4 +262,44 @@ class PlanGuardSpec extends AnyFunSuite {
     val windows = plan.collect { case w: WindowExec => w }
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (automatic path; salting covers what AQE can't)") {
+    // Skew.saltedJoin salts by hand; this asserts the AUTOMATIC lever —
+    // spark.sql.adaptive.skewJoin — actually fires on a skewed exchange,
+    // so PERF.md's "AQE handles join skew, manual salting is for
+    // aggregations / cached exchanges / bucketed scans whose partitioning
+    // must be preserved" claim is machine-checked, not folklore. The
+    // thresholds are lowered to gate scale (the hot partition is ~20 MiB
+    // here vs the 256 MiB production default); the mechanism is identical.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{concat_ws, lit, lpad, when}
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536")
+    val saved = keys.map { case (k, _) => k -> util.Try(spark.conf.get(k)).toOption }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key (300k rows ≈ 24 MiB post-shuffle) among 96 cold ones
+      val fact = spark.range(0, 330000).select(
+        when($"id" < 300000, 0L).otherwise($"id" % 97).as("k"),
+        lpad($"id".cast("string"), 72, "x").as("payload"))
+      val dim = spark.range(0, 97).select($"id".as("k"),
+        concat_ws("-", lit("d"), $"id").as("attr"))
+      val joined = fact.join(dim, "k")
+      // execute THIS plan (count() would plan a separate aggregate query
+      // whose adaptive run wouldn't finalize joined's own plan)
+      assert(joined.queryExecution.toRdd.count() == 330000L)
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("skew=true"),
+        s"expected AQE skew-join split in the final adaptive plan:\n${planStr.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
