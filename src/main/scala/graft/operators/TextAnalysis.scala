@@ -776,21 +776,41 @@ object TextAnalysis {
     * re-trains AND re-encodes in SQL (the train CTEs from [[bpeCteSql]]
     * plus one replace level per merge over the pretoken stream).
     */
-  // trained merge tables are per-corpus-snapshot artifacts: train once per
-  // (session, dir), reuse across encode calls (the IndexStore discipline,
-  // held as N driver rows since that's all a merge table is)
-  private val bpeMergeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(String, String)]]()
+  // The trained vocabulary is a per-corpus-snapshot ARTIFACT, persisted
+  // via IndexStore (content-fingerprint keyed like the PQ codebooks):
+  // one parquet table holding the merge list (merge_rank ≥ 1) and the
+  // training alphabet (merge_rank = 0, one char per row). Encode — any
+  // session, any JVM — loads the artifact and never retrains; a
+  // regenerated corpus changes the fingerprint and keys a fresh train.
+  // The in-memory map only avoids re-reading the parquet per call (the
+  // whole vocabulary is N + |alphabet| driver rows).
+  private val bpeVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Seq[(String, String)], String)]()
 
-  def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] = {
-    bpeMergeCache.keySet.removeIf(e => e._1.sparkContext.isStopped)
-    bpeMergeCache.computeIfAbsent((s, d), { _ =>
-      import s.implicits._
-      bpeTrain(tbl(s, d, "documents"), BpeN)
-        .as[(Long, String, String)].collect().toSeq // N rows — driver-bounded
-        .map { case (_, l, r) => (l, r) }
+  /** (merges in rank order, training alphabet as a sorted char string). */
+  def trainedVocab(s: SparkSession, d: String): (Seq[(String, String)], String) = {
+    bpeVocabCache.keySet.removeIf(e => e._1.sparkContext.isStopped)
+    bpeVocabCache.computeIfAbsent((s, d), { _ =>
+      val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
+      val art = graft.IndexStore.materialize(s, s"bpe_vocab_v1_${d}_${fp}_n$BpeN") {
+        val alpha = tbl(s, d, "documents")
+          .select(explode(pretokenize(col("text"))).as("w"))
+          .select(explode(expr("regexp_extract_all(w, '(?s).', 0)")).as("c"))
+          .distinct()
+          .select(lit(0L).as("merge_rank"), col("c").as("lhs"),
+            lit(null).cast("string").as("rhs"))
+        bpeTrain(tbl(s, d, "documents"), BpeN).unionByName(alpha)
+      }
+      val rows = art.collect() // N merges + |alphabet| chars — driver-bounded
+      val merges = rows.filter(_.getLong(0) > 0L).sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val alpha = rows.filter(_.getLong(0) == 0L).map(_.getString(1)).sorted.mkString
+      (merges, alpha)
     })
   }
+
+  def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    trainedVocab(s, d)._1
 
   val bpeEncodeQ: Q = (s, d) =>
     bpeEncode(tbl(s, d, "documents"), trainedMerges(s, d))
@@ -819,6 +839,105 @@ object TextAnalysis {
               |                                 chr(2) || chr(1)))) AS BIGINT) AS n_bpe
               |FROM e$BpeN GROUP BY doc_id ORDER BY doc_id""".stripMargin
     sb.toString
+  }
+
+  /** Byte-fallback wrapped form: each char inside the training alphabet
+    * wraps as `⟨c⟩`; any OOV char decomposes into its UTF-8 bytes, each
+    * a `⟨<0xXX>⟩` symbol — SentencePiece's `byte_fallback`, making the
+    * vocabulary CLOSED (alphabet + merges + 256 byte symbols) so no
+    * input can produce an unknown token. Pure per-char expression work
+    * (regexp char split, membership against the alphabet literal, hex of
+    * the UTF-8 encoding) — codegen'd, scan-speed, no extra shuffle.
+    */
+  private def wrappedWithFallback(alpha: String): org.apache.spark.sql.Column = {
+    val chars = expr("regexp_extract_all(w, '(?s).', 0)")
+    concat_ws("", transform(chars, c => {
+      val hx = hex(encode(c, "UTF-8"))
+      val bytes = concat_ws("", transform(
+        sequence(lit(1), (length(hx) / lit(2)).cast("int")),
+        i => concat(lit(s"$BpeS1<0x"), hx.substr(i * lit(2) - lit(1), lit(2)),
+          lit(s">$BpeS2"))))
+      when(lit(alpha).contains(c), concat(lit(BpeS1), c, lit(BpeS2)))
+        .otherwise(bytes)
+    }))
+  }
+
+  /** Encode with byte fallback: OOV chars become UTF-8 byte tokens, then
+    * the trained merges apply unchanged (byte symbols are multi-char, so
+    * no trained merge pattern can match across them unless the corpus
+    * itself trained that literal — deterministic either way).
+    */
+  def bpeEncodeByteFallback(docs: DataFrame, merges: Seq[(String, String)],
+                            alpha: String): DataFrame = {
+    val mergedCol = merges.foldLeft(wrappedWithFallback(alpha)) { case (c, (l, r)) =>
+      replace(c, lit(s"$BpeS1$l$BpeS2$BpeS1$r$BpeS2"), lit(s"$BpeS1$l$r$BpeS2"))
+    }
+    docs.select(col("doc_id"), posexplode(pretokenize(col("text"))).as(Seq("pre_idx", "w")))
+      .withColumn("m", mergedCol)
+      .select(col("doc_id"), col("pre_idx"), bpeSyms("m").as("bpe_toks"))
+  }
+
+  /** tx_bpe_oov — the OOV path oracle-gated end-to-end: plant characters
+    * the training corpus never saw (é, 日本 — the corpus is ASCII) onto a
+    * probe slice, encode FROM THE PERSISTED VOCAB ARTIFACT with byte
+    * fallback, and report per-doc token count, byte-token count, and a
+    * token-multiset md5. The oracle retrains the vocabulary in SQL
+    * (bpeCteSql), rebuilds the alphabet, and re-runs the identical
+    * fallback encode — so artifact-served and retrained-from-scratch
+    * encodes are proven hash-equal, which is the artifact's correctness
+    * contract. Planted chars use unicode escapes / chr() so both engines
+    * see identical code points regardless of source encodings.
+    */
+  val bpeOovQ: Q = (s, d) => {
+    val (merges, alpha) = trainedVocab(s, d)
+    val planted = tbl(s, d, "documents").where(col("doc_id") < 200)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" caf\u00e9")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" \u65e5\u672c")).otherwise(lit("")))
+        .as("text"))
+    bpeEncodeByteFallback(planted, merges, alpha)
+      .select(col("doc_id"), explode(col("bpe_toks")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bpe"),
+        sum(when(col("tok").rlike("^<0x[0-9A-F]{2}>$"), 1L).otherwise(0L)).as("n_byte"),
+        md5(concat_ws("\u0003", sort_array(collect_list(col("tok")))).cast("binary"))
+          .as("tok_md5"))
+      .orderBy(col("doc_id"))
+  }
+  val bpeOovSql: String = {
+    val re = PretokenRe.replace("'", "''")
+    s"""WITH ${bpeCteSql(BpeN)},
+       |alpha AS (
+       |  SELECT string_agg(c, '' ORDER BY c) AS alpha
+       |  FROM (SELECT DISTINCT unnest(regexp_extract_all(w, '(?s).')) AS c
+       |        FROM (SELECT unnest(regexp_extract_all(text, '$re')) AS w FROM documents))),
+       |planted AS (
+       |  SELECT doc_id,
+       |         text || CASE WHEN doc_id % 3 = 0 THEN ' caf' || chr(233) ELSE '' END
+       |              || CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(26085) || chr(26412) ELSE '' END AS text
+       |  FROM documents WHERE doc_id < 200),
+       |f0 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         array_to_string(list_transform(regexp_extract_all(w, '(?s).'), c ->
+       |           CASE WHEN contains(alpha, c) THEN chr(1) || c || chr(2)
+       |                ELSE array_to_string(list_transform(
+       |                       range(1, length(hex(encode(c))) // 2 + 1),
+       |                       i -> chr(1) || '<0x' || substr(hex(encode(c)), i*2-1, 2) || '>' || chr(2)), '')
+       |           END), '') AS wrapped
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$re')) AS w FROM planted)
+       |       CROSS JOIN alpha)${(1 to BpeN).map(t => s""",
+       |f$t AS MATERIALIZED (
+       |  SELECT doc_id, replace(wrapped, chr(1) || lhs || chr(2) || chr(1) || rhs || chr(2),
+       |                         chr(1) || lhs || rhs || chr(2)) AS wrapped
+       |  FROM f${t - 1} CROSS JOIN b$t)""").mkString}
+       |SELECT doc_id, count(*) AS n_bpe,
+       |       CAST(sum(CASE WHEN regexp_matches(tok, '^<0x[0-9A-F]{2}>$$') THEN 1 ELSE 0 END) AS BIGINT) AS n_byte,
+       |       md5(string_agg(tok, chr(3) ORDER BY tok)) AS tok_md5
+       |FROM (SELECT doc_id,
+       |             unnest(string_split(substr(wrapped, 2, length(wrapped) - 2),
+       |                                 chr(2) || chr(1))) AS tok
+       |      FROM f$BpeN WHERE length(wrapped) >= 2)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** tx_lm_score — corpus-trained bigram language-model scoring: the cheap
@@ -1177,6 +1296,7 @@ object TextAnalysis {
     "tx_pretokens"   -> pretokens,
     "tx_bpe_train"   -> bpeTrainQ,
     "tx_bpe_encode"  -> bpeEncodeQ,
+    "tx_bpe_oov"     -> bpeOovQ,
     "tx_clf_score"   -> clfScore,
     "tx_colloc"      -> colloc,
     "tx_clf_auc"     -> clfAuc,
@@ -1202,6 +1322,7 @@ object TextAnalysis {
     "tx_pretokens"   -> pretokensSql,
     "tx_bpe_train"   -> bpeTrainSql,
     "tx_bpe_encode"  -> bpeEncodeSql,
+    "tx_bpe_oov"     -> bpeOovSql,
     "tx_clf_score"   -> clfScoreSql,
     "tx_colloc"      -> collocSql,
     "tx_clf_auc"     -> clfAucSql,

@@ -452,6 +452,43 @@ class LlmOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("byte-fallback BPE round-trips held-out text with unseen characters, from the persisted vocab") {
+    import operators.TextAnalysis
+    // vocab served from the IndexStore artifact (train-once contract)
+    val (merges, alpha) = TextAnalysis.trainedVocab(spark, sf)
+    assert(merges.size == TextAnalysis.BpeN && alpha.nonEmpty)
+    // ASCII corpus → these chars are genuinely outside the trained alphabet
+    val heldOut = "naïve café — größer 日本語 œuf 100€!"
+    heldOut.filter(_ > 127).foreach(c =>
+      assert(!alpha.contains(c), s"'$c' unexpectedly in training alphabet"))
+    val docs = Seq((1L, heldOut), (2L, "plain ascii text survives too"))
+      .toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncodeByteFallback(docs, merges, alpha)
+      .orderBy($"doc_id", $"pre_idx")
+      .as[(Long, Int, Seq[String])].collect()
+    // decode: byte tokens <0xXX> back to raw bytes, ordinary symbols to
+    // their UTF-8 bytes; the reassembled byte stream must equal the text
+    val byteTok = "^<0x([0-9A-F]{2})>$".r
+    val decoded = enc.groupBy(_._1).map { case (id, rows) =>
+      val bytes = rows.sortBy(_._2).flatMap(_._3).flatMap {
+        case byteTok(h) => Seq(Integer.parseInt(h, 16).toByte)
+        case sym        => sym.getBytes("UTF-8").toSeq
+      }
+      id -> new String(bytes.toArray, "UTF-8")
+    }
+    assert(decoded(1L) == heldOut, s"round-trip broke: ${decoded(1L)}")
+    assert(decoded(2L) == "plain ascii text survives too")
+    // every token is in the CLOSED vocabulary: alphabet chars, trained
+    // merge products, or byte symbols — nothing else can appear
+    val merged = merges.map { case (l, r) => l + r }.toSet
+    enc.flatMap(_._3).foreach { t =>
+      val ok = byteTok.findFirstIn(t).isDefined || merged.contains(t) ||
+        (t.length == 1 && alpha.contains(t(0))) ||
+        t.forall(alpha.contains(_)) // intermediate merge concatenations
+      assert(ok, s"token '$t' outside the closed vocabulary")
+    }
+  }
+
   test("residual PQ cuts quantization distortion vs raw-vector PQ at equal code size") {
     // FAISS-IVFPQ's reason to encode residuals: the coarse quantizer has
     // already removed between-cell variance, so the same 4×K codes cover
