@@ -191,7 +191,19 @@ object IncrementalClusters {
     * window over the only complete copy.
     */
   private def persistVersion(sigs: DataFrame, labels: DataFrame, stateDir: String,
-                             version: Long, fullSigs: Boolean): Unit = {
+                             version: Long, fullSigs: Boolean): Unit =
+    persistVersionImpl(sigs, labels, stateDir, version, fullSigs)
+
+  /** [[persistVersion]] with crash injection for the StatefulStreamingSpec
+    * crash matrix (SinksSpec.upsertCommittedImpl discipline): kill between
+    * the segment write and the manifest rename, or between the rename and
+    * GC — the two windows the commit-protocol note above claims are safe.
+    */
+  private[graft] def persistVersionImpl(sigs: DataFrame, labels: DataFrame,
+                                        stateDir: String, version: Long,
+                                        fullSigs: Boolean,
+                                        crashBeforeManifest: Boolean = false,
+                                        crashBeforeGc: Boolean = false): Unit = {
     val base = new java.io.File(stateDir)
     base.mkdirs()
     val vDir = new java.io.File(base, s"v$version")
@@ -204,11 +216,15 @@ object IncrementalClusters {
       labels.write.mode("overwrite")
         .parquet(new java.io.File(vDir, "labels").getPath)
     }
+    if (crashBeforeManifest)
+      throw new RuntimeException("injected crash: segment written, manifest not renamed")
     val tmp = new java.io.File(base, s"_LATEST.tmp.$version")
     java.nio.file.Files.write(tmp.toPath, version.toString.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, new java.io.File(base, "_LATEST").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (crashBeforeGc)
+      throw new RuntimeException("injected crash: manifest renamed, GC not run")
     // GC strictly after the manifest points at the new version: drop
     // segments folded into the newest _FULL, old label snapshots, and
     // whole versions with neither live sigs nor the current labels

@@ -131,11 +131,24 @@ object Tail {
     * the in-place bucketed layout can expose. Same O(touched-bucket)
     * write cost; read the table back with `Sinks.readCommitted`.
     */
+  /** Auto-compaction: every commit folds the snapshot back to ONE
+    * generation once it references more than `maxGens` — at a 30 s
+    * trigger a day's 2,880 micro-batch generations stay bounded at
+    * maxGens, with the fold cost amortized O(table/maxGens) per batch
+    * (Sinks.compactIfNeeded inherits the manifest commit's
+    * crash-safety). File count in the serving table is therefore
+    * ≤ maxGens·touched-buckets at all times — spec-proven
+    * (StreamingSpec "bounded file count"). The RAW events dir is the
+    * write-once archive log, deliberately append-only (object-store
+    * shape); its file hygiene is an offline `ZOrder.compaction` pass
+    * over date partitions, not a per-batch concern.
+    */
   def startWithEntriesCommitted(spark: SparkSession, rawDir: String, eventsDir: String,
                                 entriesDir: String, checkpointDir: String,
                                 trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
                                 blocks: Option[DataFrame] = None,
-                                nBuckets: Int = 256): StreamingQuery = {
+                                nBuckets: Int = 256,
+                                maxGens: Int = 16): StreamingQuery = {
     val raw = spark.readStream.schema(Schemas.rawLogs).json(rawDir)
     raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -152,7 +165,7 @@ object Tail {
             val (_, refreshed) =
               EntriesFold.incrementalDelta(allEvents, prev, decoded)
             Sinks.upsertCommitted(spark, entriesDir, refreshed,
-              nBuckets = nBuckets, keyCol = "namehash")
+              nBuckets = nBuckets, keyCol = "namehash", maxGens = maxGens)
           }
         } finally decoded.unpersist()
         ()

@@ -226,6 +226,92 @@ class StatefulStreamingSpec extends AnyFunSuite {
   private def stream(inDir: java.io.File) =
     spark.readStream.schema("doc_id long, text string").json(inDir.getPath)
 
+  test("durable commit crash BETWEEN segment write and manifest rename: " +
+       "reader stays on the pre-crash commit; redelivery completes the version") {
+    import graft.streaming.IncrementalClusters
+    val stDir = java.nio.file.Files.createTempDirectory("graft_crash_a")
+      .resolve("state").toString
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .where($"doc_id" < 150).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = all.splitAt(100)
+    val s1 = IncrementalClusters.foldBatch(
+      IncrementalClusters.empty(spark), b1.toDF("doc_id", "text"))
+    IncrementalClusters.persistState(s1, stDir, 0L)
+    val labels0 = IncrementalClusters.loadState(spark, stDir).get
+      .labels.as[(Long, Long)].collect().toMap
+    val sigs0 = IncrementalClusters.loadState(spark, stDir).get
+      .sigs.select($"doc_id").as[Long].collect().toSet
+
+    val s2 = IncrementalClusters.foldBatch(
+      IncrementalClusters.loadState(spark, stDir).get, b2.toDF("doc_id", "text"))
+    val delta = s2.sigs.join(s1.sigs.select($"doc_id"), Seq("doc_id"), "left_anti")
+    intercept[RuntimeException] {
+      IncrementalClusters.persistVersionImpl(delta, s2.labels, stDir, 1L,
+        fullSigs = false, crashBeforeManifest = true)
+    }
+    // the v1 segment is fully on disk but NOT committed: the manifest
+    // still points at v0 and the loaded state is bit-for-bit the old one
+    assert(IncrementalClusters.committedVersion(stDir).contains(0L))
+    val rec = IncrementalClusters.loadState(spark, stDir).get
+    assert(rec.sigs.select($"doc_id").as[Long].collect().toSet == sigs0)
+    assert(rec.labels.as[(Long, Long)].collect().toMap == labels0)
+    // the redelivered commit (same version, same bytes) finds the complete
+    // segment, skips the rewrite, and just moves the manifest
+    IncrementalClusters.persistVersionImpl(delta, s2.labels, stDir, 1L,
+      fullSigs = false)
+    assert(IncrementalClusters.committedVersion(stDir).contains(1L))
+    val after = IncrementalClusters.loadState(spark, stDir).get
+    assert(after.sigs.count() == all.size)
+    assert(after.labels.as[(Long, Long)].collect().toMap ==
+      s2.labels.as[(Long, Long)].collect().toMap)
+  }
+
+  test("durable commit crash BETWEEN manifest rename and GC: the committed " +
+       "state reads exactly, stale segments are healed by dedup then swept") {
+    import graft.streaming.IncrementalClusters
+    val stDir = java.nio.file.Files.createTempDirectory("graft_crash_b")
+      .resolve("state").toString
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .where($"doc_id" < 180).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val (b1, rest) = all.splitAt(80)
+    val (b2, b3) = rest.splitAt(60)
+    val s1 = IncrementalClusters.foldBatch(
+      IncrementalClusters.empty(spark), b1.toDF("doc_id", "text"))
+    IncrementalClusters.persistState(s1, stDir, 0L)
+    val s2 = IncrementalClusters.foldBatch(
+      IncrementalClusters.loadState(spark, stDir).get, b2.toDF("doc_id", "text"))
+    IncrementalClusters.persistVersionImpl(
+      s2.sigs.join(s1.sigs.select($"doc_id"), Seq("doc_id"), "left_anti"),
+      s2.labels, stDir, 1L, fullSigs = false)
+    // compaction commit (full union at v2) crashes after the rename,
+    // before GC: v0 (_FULL) and the v1 delta survive alongside v2
+    intercept[RuntimeException] {
+      IncrementalClusters.persistVersionImpl(s2.sigs, s2.labels, stDir, 2L,
+        fullSigs = true, crashBeforeGc = true)
+    }
+    assert(IncrementalClusters.committedVersion(stDir).contains(2L))
+    val live = new java.io.File(stDir).listFiles()
+      .filter(_.getName.matches("v\\d+")).map(_.getName).toSet
+    assert(live == Set("v0", "v1", "v2"),
+      s"crash window should leave all segments on disk, got $live")
+    // the reader heals the overlap by doc_id dedup: exactly the committed state
+    val rec = IncrementalClusters.loadState(spark, stDir).get
+    assert(rec.sigs.count() == b1.size + b2.size)
+    assert(rec.labels.as[(Long, Long)].collect().toMap ==
+      s2.labels.as[(Long, Long)].collect().toMap)
+    // the NEXT commit's GC sweeps everything below the newest _FULL
+    val s3 = IncrementalClusters.foldBatch(rec, b3.toDF("doc_id", "text"))
+    IncrementalClusters.persistVersionImpl(
+      s3.sigs.join(rec.sigs.select($"doc_id"), Seq("doc_id"), "left_anti"),
+      s3.labels, stDir, 3L, fullSigs = false)
+    val swept = new java.io.File(stDir).listFiles()
+      .filter(_.getName.matches("v\\d+")).map(_.getName).toSet
+    assert(swept == Set("v2", "v3"), s"stale pre-compaction segments not swept: $swept")
+    assert(IncrementalClusters.loadState(spark, stDir).get.sigs.count() == all.size)
+  }
+
   test("stream-stream interval join matches across batches within the bound") {
     implicit val sql = spark.sqlContext
     val imps = MemoryStream[(Timestamp, Long)]

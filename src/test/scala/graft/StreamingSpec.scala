@@ -137,6 +137,53 @@ class StreamingSpec extends AnyFunSuite {
       canon(rebuilt).exceptAll(canon(streamedEntries)).isEmpty)
   }
 
+  test("streaming entries sink auto-compacts: file count stays bounded across N batches, data unchanged") {
+    val base = Files.createTempDirectory("graft-stream-compact")
+    val rawDir = base.resolve("raw").toString
+    val enDir = base.resolve("en").toString
+    new java.io.File(rawDir).mkdirs()
+    val all = Fixtures.goldenLogs
+    def dataFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(enDir)).count(_.getName.endsWith(".parquet"))
+    }
+    // 7 deliveries of 2 logs each, maxGens=2: without auto-compaction the
+    // snapshot would reference ~7 generations and file count would grow
+    // one-gen-per-batch forever (a 30 s trigger = 2,880/day)
+    val q = Tail.startWithEntriesCommitted(spark, rawDir + "/*/",
+      base.resolve("ev").toString, enDir, base.resolve("ck").toString,
+      trigger = Trigger.ProcessingTime("1 second"),
+      nBuckets = 4, maxGens = 2)
+    val counts = all.grouped(2).toSeq.zipWithIndex.map { case (batch, i) =>
+      Fixtures.toDF(spark, batch).coalesce(1).write.json(rawDir + s"/b$i")
+      q.processAllAvailable()
+      dataFiles()
+    }
+    q.stop()
+    // bounded, not monotone-growing: the last count is within the
+    // maxGens·buckets ceiling and no larger than the mid-run peak + slack
+    val m = graft.hypermap.Sinks.readManifest(spark, enDir).get
+    assert(m.buckets.values.toSet.size <= 2,
+      s"snapshot references ${m.buckets.values.toSet.size} gens, maxGens=2")
+    val ceiling = 2 * 4 // maxGens * nBuckets (1 file per bucket per gen)
+    assert(counts.last <= ceiling,
+      s"file count ${counts.last} exceeded the $ceiling compaction ceiling: $counts")
+    assert(counts.last <= counts.max,
+      s"file count should plateau under compaction: $counts")
+    // data unchanged by the folds: streamed table ≡ one-shot batch rebuild
+    val streamedEntries = graft.hypermap.Sinks.readCommitted(spark, enDir)
+    val rebuilt = EntriesFold.fold(Decode.decode(Fixtures.toDF(spark, all)))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("children", sort_array($"children"))
+      .withColumn("notes", sort_array(map_entries($"notes")))
+      .withColumn("facts", sort_array(map_entries($"facts")))
+      .select(rebuilt.columns.sorted.map(col).toIndexedSeq: _*)
+    assert(canon(streamedEntries).exceptAll(canon(rebuilt)).isEmpty &&
+      canon(rebuilt).exceptAll(canon(streamedEntries)).isEmpty)
+  }
+
   test("ST7 progress listener reports batch input rows") {
     val base = Files.createTempDirectory("graft-stream-progress")
     val rawDir = base.resolve("raw").toString
