@@ -408,7 +408,78 @@ object Pipeline {
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 
+  /** pl_decontam — benchmark-contamination screen (the GPT-3 appendix-C
+    * recipe, kept by every serious pretraining pipeline since): a corpus
+    * document is contaminated when it shares any 13-token n-gram with the
+    * held-out evaluation set, and must be dropped (or span-scrubbed)
+    * BEFORE training so benchmark numbers measure generalization, not
+    * memorization. The gate treats docs 0–19 as the "benchmark" and
+    * plants real contamination — every corpus doc ≡ 3 (mod 7) gets a
+    * 120-char span of one benchmark doc appended — so the screen fires
+    * non-vacuously and the hit counts are exactly checkable.
+    *
+    * Scale shape: the benchmark gram set is EVAL-sized (thousands of
+    * grams, not corpus-sized) → builds once, broadcasts onto one corpus
+    * scan's exploded gram stream; the per-doc aggregation is the only
+    * shuffle and carries matching grams only (the inner join prunes the
+    * stream to hits before the exchange). At 100 TB this is scan speed —
+    * the same shape as tx_clf_score's broadcast weight join.
+    */
+  val decontam: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val evalDocs = docs.where(col("doc_id") < 20)
+      .select(col("doc_id").as("eval_id"), col("text").as("etext"))
+    val planted = docs.where(col("doc_id") >= 20)
+      .join(broadcast(evalDocs), col("doc_id") % 20 === col("eval_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" "), substring(col("etext"), 1, 120)))
+          .otherwise(col("text")).as("text"))
+    def grams(df: DataFrame, idCol: String) = df
+      .select(col(idCol), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 13)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(w) - 12), i -> concat_ws(' ', slice(w, i, 13)))"))
+        .as("g"))
+    val eg = grams(evalDocs.select(col("eval_id"), col("etext").as("text")), "eval_id")
+      .distinct()
+    grams(planted, "doc_id").distinct()
+      .join(broadcast(eg), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+  val decontamSql: String =
+    """WITH ev AS (SELECT doc_id AS eval_id, text AS etext FROM documents WHERE doc_id < 20),
+      |planted AS (
+      |  SELECT c.doc_id,
+      |         CASE WHEN c.doc_id % 7 = 3
+      |              THEN c.text || ' ' || substr(e.etext, 1, 120)
+      |              ELSE c.text END AS text
+      |  FROM documents c JOIN ev e ON c.doc_id % 20 = e.eval_id
+      |  WHERE c.doc_id >= 20),
+      |eg AS (
+      |  SELECT DISTINCT eval_id, g FROM (
+      |    SELECT eval_id,
+      |           unnest(list_transform(range(1, len(w) - 11),
+      |                  i -> array_to_string(w[i:i+12], ' '))) AS g
+      |    FROM (SELECT eval_id, string_split(etext, ' ') AS w FROM ev)
+      |    WHERE len(w) >= 13)),
+      |cg AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(w) - 11),
+      |                  i -> array_to_string(w[i:i+12], ' '))) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM planted)
+      |    WHERE len(w) >= 13))
+      |SELECT cg.doc_id, count(DISTINCT cg.g) AS n_grams,
+      |       count(DISTINCT eg.eval_id) AS n_eval_docs
+      |FROM cg JOIN eg USING (g)
+      |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pl_decontam"     -> decontam,
     "pl_dsir"         -> plDsir,
     "pl_corpus_clean" -> corpusClean,
     "pl_funnel"       -> funnel,
@@ -420,6 +491,7 @@ object Pipeline {
     "pl_search_index" -> searchIndex)
 
   val oracles: Map[String, String] = Map(
+    "pl_decontam"     -> decontamSql,
     "pl_dsir"         -> plDsirSql,
     "pl_corpus_clean" -> corpusCleanSql,
     "pl_funnel"       -> funnelSql,
