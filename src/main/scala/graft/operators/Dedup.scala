@@ -767,6 +767,109 @@ object Dedup {
       |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
       |ORDER BY part_a, part_b""".stripMargin
 
+  // ------------------------------------------- probabilistic linkage
+
+  /** dd_linkage — Fellegi–Sunter probabilistic record linkage (the 1969
+    * model every production entity-resolution system — Splink, dedupe.io,
+    * census matching — still runs): two noisy views of the customer table
+    * are blocked, each candidate pair gets an agreement vector over the
+    * compare fields, and the match score is the sum of per-field
+    * log-likelihood weights ln(m/u) on agreement / ln((1−m)/(1−u)) on
+    * disagreement. The m (P(agree|match)) and u (P(agree|non-match))
+    * parameters are estimated EMPIRICALLY inside the query — m from the
+    * known-same-key pairs, u from the blocked cross pairs — which is the
+    * supervised estimation path (EM is the unsupervised variant; same
+    * scoring once parameters exist). Probabilities clamp to
+    * [1e-4, 1−1e-4] so a perfectly-agreeing field cannot emit ±∞.
+    *
+    * The "dirty source" plants field noise deterministically: name typo
+    * on key ≡ 0 (mod 3), balance shift on ≡ 0 (mod 4), segment overwrite
+    * on ≡ 0 (mod 7) — so m < 1 per field, u > 0 (segments collide 1-in-5,
+    * balances rarely, names never), and the output mixes confident
+    * matches with genuinely ambiguous all-field-disagree pairs.
+    *
+    * Scale shape: blocking is an equi-join (nationkey) — pairs form only
+    * within co-partitioned blocks, sw_salted_join is the hot-block
+    * fallback; the m/u tables are TWO 1-row aggregates broadcast back
+    * onto the pair stream (scalar-join class); agreement columns are
+    * codegen'd comparisons. One pair-table materialization serves all
+    * three consumers.
+    */
+  val linkage: Q = (s, d) => {
+    import s.implicits._
+    val c = tbl(s, d, "customer")
+    val a = c.select($"c_custkey".as("ka"), $"c_nationkey".as("blk"),
+      $"c_name".as("na"), $"c_acctbal".as("ba"), $"c_mktsegment".as("sa"))
+    val b = c.where($"c_custkey" % 10 === 0).select(
+      $"c_custkey".as("kb"), $"c_nationkey".as("blk"),
+      when($"c_custkey" % 3 === 0,
+        concat(substring($"c_name", 1, 2), lit("x"), substring($"c_name", 4, 100)))
+        .otherwise($"c_name").as("nb"),
+      when($"c_custkey" % 4 === 0, $"c_acctbal" + 1.0)
+        .otherwise($"c_acctbal").as("bb"),
+      when($"c_custkey" % 7 === 0, lit("AUTOMOBILE"))
+        .otherwise($"c_mktsegment").as("sb"))
+    val pairs = a.join(b, "blk")
+      .select($"ka", $"kb",
+        ($"na" === $"nb").cast("long").as("g_name"),
+        ($"ba" === $"bb").cast("long").as("g_bal"),
+        ($"sa" === $"sb").cast("long").as("g_mkt"))
+      .localCheckpoint()
+    def clamp(p: org.apache.spark.sql.Column) =
+      least(greatest(p, lit(0.0001)), lit(0.9999))
+    val m = pairs.where($"ka" === $"kb").agg(
+      avg($"g_name").as("m_name"), avg($"g_bal").as("m_bal"), avg($"g_mkt").as("m_mkt"))
+    val u = pairs.where($"ka" =!= $"kb").agg(
+      avg($"g_name").as("u_name"), avg($"g_bal").as("u_bal"), avg($"g_mkt").as("u_mkt"))
+    def w(g: String, mP: String, uP: String) =
+      round(when(col(g) === 1L, log(clamp(col(mP)) / clamp(col(uP))))
+        .otherwise(log((lit(1.0) - clamp(col(mP))) / (lit(1.0) - clamp(col(uP))))), 6)
+    pairs.crossJoin(broadcast(m)).crossJoin(broadcast(u))
+      .select($"ka", $"kb", $"g_name", $"g_bal", $"g_mkt",
+        round(w("g_name", "m_name", "u_name") + w("g_bal", "m_bal", "u_bal") +
+          w("g_mkt", "m_mkt", "u_mkt"), 6).as("score"),
+        ($"ka" === $"kb").cast("long").as("is_true"))
+      .where($"score" > 0.0)
+      .orderBy($"ka", $"kb")
+  }
+  val linkageSql: String =
+    """WITH a AS (SELECT c_custkey AS ka, c_nationkey AS blk, c_name AS na,
+      |                  c_acctbal AS ba, c_mktsegment AS sa FROM customer),
+      |b AS (SELECT c_custkey AS kb, c_nationkey AS blk,
+      |             CASE WHEN c_custkey % 3 = 0
+      |                  THEN substr(c_name, 1, 2) || 'x' || substr(c_name, 4, 100)
+      |                  ELSE c_name END AS nb,
+      |             CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 1.0
+      |                  ELSE c_acctbal END AS bb,
+      |             CASE WHEN c_custkey % 7 = 0 THEN 'AUTOMOBILE'
+      |                  ELSE c_mktsegment END AS sb
+      |      FROM customer WHERE c_custkey % 10 = 0),
+      |pairs AS (
+      |  SELECT ka, kb,
+      |         CAST(na = nb AS BIGINT) AS g_name,
+      |         CAST(ba = bb AS BIGINT) AS g_bal,
+      |         CAST(sa = sb AS BIGINT) AS g_mkt
+      |  FROM a JOIN b USING (blk)),
+      |m AS (SELECT avg(g_name) AS m_name, avg(g_bal) AS m_bal, avg(g_mkt) AS m_mkt
+      |      FROM pairs WHERE ka = kb),
+      |u AS (SELECT avg(g_name) AS u_name, avg(g_bal) AS u_bal, avg(g_mkt) AS u_mkt
+      |      FROM pairs WHERE ka != kb),
+      |scored AS (
+      |  SELECT ka, kb, g_name, g_bal, g_mkt,
+      |         round(
+      |           round(CASE WHEN g_name = 1
+      |             THEN ln(least(greatest(m_name, 0.0001), 0.9999) / least(greatest(u_name, 0.0001), 0.9999))
+      |             ELSE ln((1.0 - least(greatest(m_name, 0.0001), 0.9999)) / (1.0 - least(greatest(u_name, 0.0001), 0.9999))) END, 6)
+      |         + round(CASE WHEN g_bal = 1
+      |             THEN ln(least(greatest(m_bal, 0.0001), 0.9999) / least(greatest(u_bal, 0.0001), 0.9999))
+      |             ELSE ln((1.0 - least(greatest(m_bal, 0.0001), 0.9999)) / (1.0 - least(greatest(u_bal, 0.0001), 0.9999))) END, 6)
+      |         + round(CASE WHEN g_mkt = 1
+      |             THEN ln(least(greatest(m_mkt, 0.0001), 0.9999) / least(greatest(u_mkt, 0.0001), 0.9999))
+      |             ELSE ln((1.0 - least(greatest(m_mkt, 0.0001), 0.9999)) / (1.0 - least(greatest(u_mkt, 0.0001), 0.9999))) END, 6), 6) AS score,
+      |         CAST(ka = kb AS BIGINT) AS is_true
+      |  FROM pairs CROSS JOIN m CROSS JOIN u)
+      |SELECT * FROM scored WHERE score > 0.0 ORDER BY ka, kb""".stripMargin
+
   // ---------------------------------------------- asymmetric containment
 
   /** Directional shingle-containment table over the probe slice
@@ -876,6 +979,7 @@ object Dedup {
     "dd_ppjoin"       -> ppJoinQ,
     "dd_editdist"     -> editDistPairs,
     "dd_jaro"         -> jaroPairs,
+    "dd_linkage"      -> linkage,
     "dd_containment"  -> containment,
     "dd_lsh_curve"    -> lshCurve,
   )
@@ -895,6 +999,7 @@ object Dedup {
     "dd_ppjoin"       -> ppJoinSql,
     "dd_editdist"     -> editDistPairsSql,
     "dd_jaro"         -> jaroPairsSql,
+    "dd_linkage"      -> linkageSql,
     "dd_containment"  -> containmentSql,
     "dd_lsh_curve"    -> lshCurveSql,
   )

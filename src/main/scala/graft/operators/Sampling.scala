@@ -401,7 +401,93 @@ object Sampling {
        |FROM w GROUP BY b ORDER BY b""".stripMargin
   }
 
+  /** sp_domain_mix — token-budget allocation across corpus domains with
+    * per-domain epoch caps, by waterfilling: each domain wants a share of
+    * the training budget ∝ its mixing weight, but no domain may repeat
+    * more than `capEpochs` times (the "don't run 40 epochs of the tiny
+    * high-quality domain" rule every data-mixing recipe enforces — the
+    * Pile's epoch column, LLaMA's sampling proportions). Allocation:
+    * proportional shares; domains over their cap freeze AT the cap; the
+    * freed budget re-spreads ∝ weight over the uncapped rest; repeat.
+    * The capped set grows monotonically, so the unrolled 3 rounds reach
+    * the fixpoint for any realistic domain count (spec-asserted: round 3
+    * changes nothing vs round 2).
+    *
+    * Weights here are md5-derived (1–4) to force real cap pressure on
+    * the near-uniform synthetic sources; production passes its own
+    * weight column (quality scores, DSIR importance means). Scale shape:
+    * the whole computation runs on the O(domains) aggregate — ONE
+    * map-side-combined pass over the corpus, then scalar-broadcast
+    * rounds over a table of tens of rows; allocs are 6-dp-quantized
+    * BEFORE every ≥-cap comparison so boundary membership agrees across
+    * engines.
+    */
+  val domainMix: Q = (s, d) => {
+    val capEpochs = 1.5
+    val toks = tbl(s, d, "documents").groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("tokens"))
+      .withColumn("weight",
+        expr("CAST((instr('0123456789abcdef', substr(md5(source), 1, 1)) - 1) % 4 AS DOUBLE)")
+          + 1.0)
+      .withColumn("cap", col("tokens").cast("double") * capEpochs)
+    val tot = toks.agg(sum(col("tokens")).cast("double").as("budget"),
+      sum(col("weight")).as("wsum"))
+    var cur = toks.crossJoin(broadcast(tot))
+      .withColumn("alloc", round(col("budget") * col("weight") / col("wsum"), 6))
+      .withColumn("capped", (col("alloc") >= col("cap")).cast("long"))
+      .select(col("source"), col("tokens"), col("weight"), col("cap"),
+        col("budget"), col("alloc"), col("capped"))
+    for (_ <- 1 to 3) {
+      val stats = cur.agg(
+        coalesce(sum(when(col("capped") === 1L, col("cap"))), lit(0.0)).as("fixed"),
+        coalesce(sum(when(col("capped") === 0L, col("weight"))), lit(0.0)).as("uw"))
+      cur = cur.crossJoin(broadcast(stats))
+        .withColumn("alloc", when(col("capped") === 1L, col("cap"))
+          .otherwise(round((col("budget") - col("fixed")) * col("weight") / col("uw"), 6)))
+        .withColumn("capped", greatest(col("capped"),
+          (col("alloc") >= col("cap")).cast("long")))
+        .drop("fixed", "uw")
+    }
+    cur.select(col("source"), col("tokens"), col("weight"), col("alloc"),
+        round(col("alloc") / col("tokens").cast("double"), 6).as("epochs"),
+        col("capped"))
+      .orderBy(col("source"))
+  }
+  val domainMixSql: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""s$k AS (SELECT coalesce(sum(CASE WHEN capped = 1 THEN cap END), 0.0) AS fixed,
+         |           coalesce(sum(CASE WHEN capped = 0 THEN weight END), 0.0) AS uw
+         |    FROM a${k - 1}),
+         |a$k AS (
+         |  SELECT source, tokens, weight, cap, budget,
+         |         CASE WHEN capped = 1 THEN cap
+         |              ELSE round((budget - fixed) * weight / uw, 6) END AS alloc,
+         |         greatest(capped, CAST(
+         |           (CASE WHEN capped = 1 THEN cap
+         |                 ELSE round((budget - fixed) * weight / uw, 6) END) >= cap
+         |           AS BIGINT)) AS capped
+         |  FROM a${k - 1} CROSS JOIN s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens,
+       |         CAST((instr('0123456789abcdef', substr(md5(source), 1, 1)) - 1) % 4 AS DOUBLE)
+       |           + 1.0 AS weight,
+       |         CAST(sum(n_chars) AS DOUBLE) * 1.5 AS cap
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS budget, sum(weight) AS wsum FROM toks),
+       |a0 AS (
+       |  SELECT source, tokens, weight, cap, budget,
+       |         round(budget * weight / wsum, 6) AS alloc,
+       |         CAST(round(budget * weight / wsum, 6) >= cap AS BIGINT) AS capped
+       |  FROM toks CROSS JOIN tot),
+       |$rounds
+       |SELECT source, tokens, weight, alloc,
+       |       round(alloc / CAST(tokens AS DOUBLE), 6) AS epochs, capped
+       |FROM a3 ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "sp_domain_mix" -> domainMix,
     "sp_reservoir"  -> reservoirPerGroup,
     "sp_stratified" -> stratifiedSample,
     "sp_mixture"    -> mixture,
@@ -416,6 +502,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "sp_domain_mix" -> domainMixSql,
     "sp_reservoir"  -> reservoirPerGroupSql,
     "sp_stratified" -> stratifiedSampleSql,
     "sp_mixture"    -> mixtureSql,

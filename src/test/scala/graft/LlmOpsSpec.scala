@@ -489,6 +489,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("domain-mix waterfilling: feasible (≤cap), budget-conserving, and ∝-weight among uncapped") {
+    val out = operators.Sampling.domainMix(spark, sf)
+      .as[(String, Long, Double, Double, Double, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    val capEpochs = 1.5
+    val budget = out.map(_._2).sum.toDouble
+    // feasibility: no domain exceeds its epoch cap (the fixpoint was
+    // reached inside the unrolled rounds — a non-converged allocation
+    // would leave a newly-capped domain above cap)
+    out.foreach { case (src, toks, _, alloc, epochs, capped) =>
+      assert(alloc <= toks * capEpochs + 1e-3, s"$src over cap: $alloc")
+      assert(math.abs(epochs - alloc / toks) < 1e-5)
+      assert((capped == 1L) == (epochs >= capEpochs - 1e-6),
+        s"$src capped flag inconsistent: $epochs/$capped") }
+    // conservation: the whole budget is spent (waterfilling redistributes
+    // frozen domains' surplus instead of dropping it)
+    assert(math.abs(out.map(_._4).sum - budget) < 1.0,
+      s"allocated ${out.map(_._4).sum} of $budget")
+    // proportionality: uncapped domains all get the same tokens-per-weight
+    val ratios = out.filter(_._6 == 0L).map(r => r._4 / r._3)
+    assert(ratios.nonEmpty && out.exists(_._6 == 1L),
+      "fixture should mix capped and uncapped domains")
+    assert(ratios.max - ratios.min < 1e-3, s"uncapped shares not ∝ weight: $ratios")
+  }
+
   test("residual PQ cuts quantization distortion vs raw-vector PQ at equal code size") {
     // FAISS-IVFPQ's reason to encode residuals: the coarse quantizer has
     // already removed between-cell variance, so the same 4×K codes cover

@@ -105,14 +105,38 @@ class PlanGuardSpec extends AnyFunSuite {
       // ix_mlt crossJoins the ONE-ROW doc-count aggregate for its idf —
       // the tx_tfidf scalar-join class; a12_rfm crossJoins its ONE-ROW
       // max-date and tercile-threshold aggregates — same class.
-      "ix_mlt", "a12_rfm")
-    SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.foreach { q =>
+      "ix_mlt", "a12_rfm",
+      // ann_ivfpq_residual rides the same ivfAssign corpus × O(K)
+      // centroid broadcast as ann_ivfpq (twice: cell assignment + probe
+      // cell ranking) — the declared IVF-assignment shape.
+      "ann_ivfpq_residual",
+      // dd_linkage crossJoins its two ONE-ROW m/u parameter aggregates
+      // onto the pair stream; sp_domain_mix crossJoins the ONE-ROW
+      // budget total and per-round ONE-ROW waterfilling stats onto the
+      // O(domains) table — scalar-join class, both.
+      "dd_linkage", "sp_domain_mix",
+      // pl_dsir crossJoins the ONE-ROW raw/target total-count aggregates
+      // that normalize its hashed-unigram likelihood ratios — scalar-join
+      // class (the O(512) count tables themselves broadcast-hash-join).
+      "pl_dsir",
+      // round-9 stats/ts/recsys families, all scalar- or dimension-
+      // bounded products: rc_assoc (ONE-ROW basket total), st_ttest
+      // (O(segments)² moment self-pairing), st_chisq (distinct-type ×
+      // distinct-dow grid densification — the ev_gapfill class — plus
+      // ONE-ROW grand totals), st_km (ONE-ROW cohort-size aggregates),
+      // ts_ewma / ts_cusum (ONE-ROW series stats onto the O(days)
+      // table), tx_clf_calib (inherits tx_clf_score's ONE-ROW gradient
+      // normalizer per training step).
+      "rc_assoc", "st_ttest", "st_chisq", "st_km",
+      "ts_ewma", "ts_cusum", "tx_clf_calib")
+    val offenders = SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.flatMap { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
         case j: CartesianProductExec => j
       }
-      assert(bad.isEmpty, s"$q plans ${bad.map(_.nodeName).mkString(",")}")
+      if (bad.isEmpty) None else Some(s"$q plans ${bad.map(_.nodeName).mkString(",")}")
     }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
   test("dq_corr computes all 21 moments from a single lineitem scan, no joins") {
