@@ -807,7 +807,98 @@ object Temporal {
       |       CAST(sum(len) AS BIGINT) AS n_active_days
       |FROM lens GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** ev_attrib — multi-touch conversion attribution: every `purchase` is
+    * credited back to the `view`/`click` touchpoints of the SAME user in
+    * the preceding 7 days, under the four standard models side by side —
+    * first-touch, last-touch, linear, and U-shape/position (40% first,
+    * 40% last, 20% split over middles; 1 touch → 100%, 2 → 50/50). The
+    * marketing-analytics question ("which channel earns the
+    * conversion?") that every event pipeline answers weekly, and the
+    * models disagree by design — the gate output exhibits the spread.
+    *
+    * Scale shape: the touch↔conversion pairing is a USER-keyed equi-join
+    * with a range predicate on top — both sides shuffle on user_id once,
+    * pairs are bounded per user, never a time-range cross product; the
+    * per-conversion rank/count ride ONE window partitioned by
+    * (user, conversion). Credits become exact micro-units
+    * (round(c·1e6) as BIGINT) before the final aggregation, so the sum
+    * is order-free and hash-stable; the 2×4 output rows divide back
+    * once.
+    */
+  val evAttrib: Q = (s, d) => {
+    import s.implicits._
+    val events = tbl(s, d, "events")
+    val ets = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => $"ts"
+    }
+    val conv = events.where($"event_type" === "purchase")
+      .select($"user_id", ets.as("cts"), $"event_id".as("conv_id"))
+    val touch = events.where($"event_type".isin("view", "click"))
+      .select($"user_id", ets.as("tts"), $"event_type".as("touch_type"),
+        $"event_id".as("touch_id"))
+    val paired = conv.join(touch, Seq("user_id"))
+      .where($"tts" < $"cts" && $"tts" >= $"cts" - expr("INTERVAL 7 DAYS"))
+    val w = Window.partitionBy($"user_id", $"conv_id")
+    val ranked = paired
+      .withColumn("r", row_number().over(w.orderBy($"tts", $"touch_id")))
+      .withColumn("n", count(lit(1)).over(w))
+    def micro(c: org.apache.spark.sql.Column) = round(c * 1e6).cast("long")
+    val credited = ranked.select($"touch_type",
+      micro(when($"r" === 1, 1.0).otherwise(0.0)).as("c_first"),
+      micro(when($"r" === $"n", 1.0).otherwise(0.0)).as("c_last"),
+      micro(lit(1.0) / $"n").as("c_linear"),
+      micro(when($"n" === 1, 1.0)
+        .when($"n" === 2, 0.5)
+        .when($"r" === 1 || $"r" === $"n", 0.4)
+        .otherwise(lit(0.2) / ($"n" - 2))).as("c_ushape"))
+      .groupBy($"touch_type")
+      .agg(sum($"c_first").as("f"), sum($"c_last").as("l"),
+        sum($"c_linear").as("li"), sum($"c_ushape").as("u"))
+    credited.select($"touch_type", expr(
+        "stack(4, 'a_first', f, 'b_last', l, 'c_linear', li, 'd_ushape', u) AS (model, micro)"))
+      .select($"model", $"touch_type", round($"micro" / 1e6, 6).as("credit"))
+      .orderBy($"model", $"touch_type")
+  }
+  val evAttribSql: String =
+    """WITH conv AS (
+      |  SELECT user_id, ts AS cts, event_id AS conv_id FROM events
+      |  WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT user_id, ts AS tts, event_type AS touch_type, event_id AS touch_id
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |ranked AS (
+      |  SELECT touch_type,
+      |         row_number() OVER (PARTITION BY c.user_id, conv_id
+      |                            ORDER BY tts, touch_id) AS r,
+      |         count(*) OVER (PARTITION BY c.user_id, conv_id) AS n
+      |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+      |  WHERE tts < cts AND tts >= cts - INTERVAL 7 DAY),
+      |credited AS (
+      |  SELECT touch_type,
+      |         CAST(round(CASE WHEN r = 1 THEN 1.0 ELSE 0.0 END * 1e6) AS BIGINT) AS c_first,
+      |         CAST(round(CASE WHEN r = n THEN 1.0 ELSE 0.0 END * 1e6) AS BIGINT) AS c_last,
+      |         CAST(round(1.0 / n * 1e6) AS BIGINT) AS c_linear,
+      |         CAST(round(CASE WHEN n = 1 THEN 1.0
+      |                         WHEN n = 2 THEN 0.5
+      |                         WHEN r = 1 OR r = n THEN 0.4
+      |                         ELSE 0.2 / (n - 2) END * 1e6) AS BIGINT) AS c_ushape
+      |  FROM ranked),
+      |agg AS (
+      |  SELECT touch_type, sum(c_first) AS f, sum(c_last) AS l,
+      |         sum(c_linear) AS li, sum(c_ushape) AS u
+      |  FROM credited GROUP BY touch_type),
+      |melted AS (
+      |  SELECT touch_type, 'a_first' AS model, f AS micro FROM agg
+      |  UNION ALL SELECT touch_type, 'b_last', l FROM agg
+      |  UNION ALL SELECT touch_type, 'c_linear', li FROM agg
+      |  UNION ALL SELECT touch_type, 'd_ushape', u FROM agg)
+      |SELECT model, touch_type, round(CAST(micro AS DOUBLE) / 1e6, 6) AS credit
+      |FROM melted ORDER BY model, touch_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ev_attrib"     -> evAttrib,
     "ev_streak"     -> evStreak,
     "w3_sessionize" -> w3Sessionize,
     "aj_asof"       -> ajAsof,
@@ -829,6 +920,7 @@ object Temporal {
     "w3_sessionize" -> w3SessionizeSql,
     "aj_asof"       -> ajAsofSql,
     "rj_range"      -> rjRangeSql,
+    "ev_attrib"     -> evAttribSql,
     "ev_streak"     -> evStreakSql,
     "ev_retention"  -> evRetentionSql,
     "ev_gapfill"    -> evGapfillSql,
