@@ -210,11 +210,63 @@ object Audit {
        |ORDER BY pair""".stripMargin
   }
 
+  /** dq_stats — ANALYZE-style catalog statistics for the fact table's
+    * numeric columns: row count, null count, exact NDV, min, max per
+    * column — the statistics a cost-based optimizer (and every data-
+    * quality dashboard) reads before planning joins or flagging drift.
+    * One logical scan: all 7 columns' aggregates fuse into a single
+    * aggregation (Spark plans the multi-distinct via one expand — still
+    * one pass over the file), unpivoted to a 7-row report via `stack`
+    * (the dq_corr discipline). At 100 TB the exact NDV swaps for
+    * approx_count_distinct / the HLL sketch family (sk_hll_est pins that
+    * estimator's error) — the report is advisory either way; the gate
+    * keeps exact NDV so the oracle hash-matches.
+    */
+  val stats: Q = (s, d) => {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"))
+    }
+    val one = tbl(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', null_$c, ndv_$c, min_$c, max_$c").mkString(", ")
+    one.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_distinct, min_v, max_v)"))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+      .orderBy(col("column_name"))
+  }
+  val statsSql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount")
+    val aggCols = cols.map { c =>
+      s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_$c,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS ndv_$c,
+         |       CAST(min($c) AS DOUBLE) AS min_$c, CAST(max($c) AS DOUBLE) AS max_$c""".stripMargin
+    }.mkString(",\n       ")
+    val branches = cols.map(c =>
+      s"SELECT '$c' AS column_name, n_rows, null_$c AS n_null, ndv_$c AS n_distinct, min_$c AS min_v, max_$c AS max_v FROM one")
+      .mkString("\n  UNION ALL ")
+    s"""WITH one AS (
+       |  SELECT count(*) AS n_rows,
+       |       $aggCols
+       |  FROM lineitem)
+       |SELECT column_name, n_rows, n_null, n_distinct, min_v, max_v FROM (
+       |  $branches)
+       |ORDER BY column_name""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_stats"      -> stats,
     "dq_fk_orphans" -> fkOrphans,
     "dq_rules"      -> rules,
     "dq_corr"       -> corrMatrix)
   val oracles: Map[String, String] = Map(
+    "dq_stats"      -> statsSql,
     "dq_fk_orphans" -> fkOrphansSql,
     "dq_rules"      -> rulesSql,
     "dq_corr"       -> corrMatrixSql)

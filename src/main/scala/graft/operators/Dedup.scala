@@ -179,6 +179,97 @@ object Dedup {
       |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
       |ORDER BY a, b""".stripMargin
 
+  /** dd_lsh_eval — the measured point behind dd_lsh_curve's theory sheet:
+    * precision/recall of the 2-band×4-row LSH candidate set against
+    * EXACT Jaccard ≥ 0.2 ground truth on the probe domain (doc_id <
+    * 200, the lshPairs fixture). The eval every banding re-tune runs
+    * before shipping: the curve says P(candidate | s) analytically; this
+    * measures what the corpus actually yields — recall misses are pairs
+    * above threshold that no band caught, precision misses are band
+    * collisions below it (the verify stage's workload). The measured
+    * point agrees with the sheet: at a J ≈ 0.2 ground-truth bar the
+    * curve predicts P(candidate) = 1−(1−0.2⁴)² ≈ 0.003, and the gate
+    * measures recall in exactly that band — the b=2, r=4 banding is a
+    * NEAR-dup sieve; catching 0.2-similar pairs needs more bands of
+    * fewer rows (the curve names the trade).
+    *
+    * Scale shape: ground truth comes from the shared-shingle equi-join
+    * (pairs with zero shared shingles have J = 0 and can't enter either
+    * set), LSH candidates from the banded equi-join — both
+    * bucket-bounded; the two pair sets full-outer-join on (a, b) and
+    * reduce to one metrics row. At corpus scale ground truth is computed
+    * on a SAMPLED probe domain exactly like this gate's.
+    */
+  val lshEval: Q = (s, d) => {
+    val docs = tbl(s, d, "documents").where(col("doc_id") < 200)
+    val sh = shingles(docs).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val truth = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .where(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")).cast("double") >= 0.2)
+      .select(col("a"), col("b"), lit(1L).as("in_truth"))
+    val banded = md5Banded(docs)
+    val cand = banded.select(col("doc_id").as("a"), col("band"), col("bsig"))
+      .join(banded.select(col("doc_id").as("b"), col("band"), col("bsig")),
+        Seq("band", "bsig"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .withColumn("in_cand", lit(1L))
+    truth.join(cand, Seq("a", "b"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_cand")), lit(0L)).as("n_candidates"),
+        coalesce(sum(col("in_truth")), lit(0L)).as("n_truth"),
+        coalesce(sum(col("in_cand") * col("in_truth")), lit(0L)).as("tp"))
+      .select(col("n_candidates"), col("n_truth"), col("tp"),
+        round(col("tp").cast("double") / col("n_candidates"), 6).as("precision"),
+        round(col("tp").cast("double") / col("n_truth"), 6).as("recall"))
+  }
+  val lshEvalSql: String = {
+    val mins = (0 until NumHashes)
+      .map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(", ")
+    s"""WITH shj AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(text)-3), i -> substr(text, i, 5))) AS sh
+       |    FROM documents WHERE doc_id < 200 AND len(text) >= 5)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shj GROUP BY doc_id),
+       |truth AS (
+       |  SELECT a, b, 1 AS in_truth FROM (
+       |    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |    FROM shj x JOIN shj y ON x.sh = y.sh WHERE x.doc_id < y.doc_id
+       |    GROUP BY 1, 2) i
+       |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2),
+       |sig AS (
+       |  SELECT doc_id, $mins
+       |  FROM (SELECT doc_id,
+       |               unnest(list_transform(range(1, len(text)-3), i -> substr(text, i, 5))) AS sh
+       |        FROM documents WHERE doc_id < 200 AND len(text) >= 5)
+       |  GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bsig FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bsig FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, 1 AS in_cand
+       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bsig = y.bsig
+       |  WHERE x.doc_id < y.doc_id),
+       |joined AS (
+       |  SELECT coalesce(t.in_truth, 0) AS in_truth, coalesce(c.in_cand, 0) AS in_cand
+       |  FROM truth t FULL OUTER JOIN cand c ON t.a = c.a AND t.b = c.b)
+       |SELECT CAST(sum(in_cand) AS BIGINT) AS n_candidates,
+       |       CAST(sum(in_truth) AS BIGINT) AS n_truth,
+       |       CAST(sum(in_cand * in_truth) AS BIGINT) AS tp,
+       |       round(CAST(sum(in_cand * in_truth) AS DOUBLE) / sum(in_cand), 6) AS precision,
+       |       round(CAST(sum(in_cand * in_truth) AS DOUBLE) / sum(in_truth), 6) AS recall
+       |FROM joined""".stripMargin
+  }
+
   /** Substring-level duplication signal (the word-k-gram approximation of
     * suffix-array exact-substring dedup, Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better"): a k-gram position is
@@ -980,6 +1071,7 @@ object Dedup {
     "dd_editdist"     -> editDistPairs,
     "dd_jaro"         -> jaroPairs,
     "dd_linkage"      -> linkage,
+    "dd_lsh_eval"     -> lshEval,
     "dd_containment"  -> containment,
     "dd_lsh_curve"    -> lshCurve,
   )
@@ -1000,6 +1092,7 @@ object Dedup {
     "dd_editdist"     -> editDistPairsSql,
     "dd_jaro"         -> jaroPairsSql,
     "dd_linkage"      -> linkageSql,
+    "dd_lsh_eval"     -> lshEvalSql,
     "dd_containment"  -> containmentSql,
     "dd_lsh_curve"    -> lshCurveSql,
   )
