@@ -825,9 +825,15 @@ object Temporal {
     * is order-free and hash-stable; the 2×4 output rows divide back
     * once.
     */
-  val evAttrib: Q = (s, d) => {
+  val evAttrib: Q = (s, d) => attribution(tbl(s, d, "events"))
+
+  /** Core of [[evAttrib]] over any (user_id, ts, event_type, event_id)
+    * stream — split out so specs drive closed-form fixtures through the
+    * exact production path.
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
-    val events = tbl(s, d, "events")
     val ets = events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr("ts div 1000"))

@@ -488,4 +488,70 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(out.forall(r => r.isNullAt(1) && !r.getBoolean(2)),
       s"zero-variance days must have NULL z / false flag: ${out.toSeq}")
   }
+
+  test("attribution closed forms: n=2 splits, n=3 U-shape 40/20/40, window excludes stale touches") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: view, click, purchase (n=2 touches)
+    // user 2: view, view, click, purchase (n=3); plus a view 10 days
+    //         before the purchase — outside the 7-day window, no credit
+    // user 3: purchase with no touches — contributes nothing
+    val ev = Seq(
+      (1L, t("2026-01-01 10:00:00"), "view", 101L),
+      (1L, t("2026-01-02 10:00:00"), "click", 102L),
+      (1L, t("2026-01-03 10:00:00"), "purchase", 103L),
+      (2L, t("2026-02-01 09:00:00"), "view", 201L),
+      (2L, t("2026-02-02 09:00:00"), "view", 202L),
+      (2L, t("2026-02-03 09:00:00"), "click", 203L),
+      (2L, t("2026-02-04 09:00:00"), "purchase", 204L),
+      (2L, t("2026-01-25 09:00:00"), "view", 205L), // 10 days out: stale
+      (3L, t("2026-03-01 09:00:00"), "purchase", 301L),
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = operators.Temporal.attribution(ev)
+      .as[(String, String, Double)].collect()
+      .map { case (m, tt, c) => (m, tt) -> c }.toMap
+    def c(m: String, tt: String) = out.getOrElse((m, tt), 0.0)
+    // first touch: both users' earliest in-window touch is a view
+    assert(c("a_first", "view") == 2.0 && c("a_first", "click") == 0.0)
+    // last touch before purchase is the click for both users
+    assert(c("b_last", "click") == 2.0 && c("b_last", "view") == 0.0)
+    // linear: u1 gives 0.5/0.5; u2 gives 2/3 view, 1/3 click
+    assert(math.abs(c("c_linear", "view") - (0.5 + 2.0 / 3)) < 1e-4)
+    assert(math.abs(c("c_linear", "click") - (0.5 + 1.0 / 3)) < 1e-4)
+    // U-shape: u1 (n=2) → 0.5/0.5; u2 (n=3) → first view .4 + middle view .2, last click .4
+    assert(math.abs(c("d_ushape", "view") - (0.5 + 0.6)) < 1e-4)
+    assert(math.abs(c("d_ushape", "click") - (0.5 + 0.4)) < 1e-4)
+    // every model distributes exactly 2.0 conversions (u3 has no touches)
+    Seq("a_first", "b_last", "c_linear", "d_ushape").foreach { m =>
+      assert(math.abs(c(m, "view") + c(m, "click") - 2.0) < 1e-4, s"$m not conserving") }
+  }
+
+  test("linkage separates true pairs from cross pairs and recovers planted perturbations") {
+    val out = operators.Dedup.linkage(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Double, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    val truePairs = out.filter(_._7 == 1L)
+    val falsePos = out.filter(_._7 == 0L)
+    // every b-side record (custkey % 10 == 0) surfaces its true pair with
+    // a positive score UNLESS all three perturbations landed on it at
+    // once (k ≡ 0 mod lcm(3,4,7)·10 = 420 — e.g. key 0), where every
+    // field disagrees and the model CORRECTLY scores it as a non-match
+    val bKeys = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .where($"c_custkey" % 10 === 0).select($"c_custkey").as[Long].collect().toSet
+    val expected = bKeys.filterNot(_ % 420 == 0)
+    assert(expected.subsetOf(truePairs.map(_._1).toSet),
+      s"missing true pairs: ${expected -- truePairs.map(_._1).toSet}")
+    assert(truePairs.size <= bKeys.size)
+    // mean true score strictly above mean surviving-false score
+    val mt = truePairs.map(_._6).sum / truePairs.size
+    if (falsePos.nonEmpty) {
+      val mf = falsePos.map(_._6).sum / falsePos.size
+      assert(mt > mf, s"true mean $mt should beat false mean $mf")
+    }
+    // planted perturbation classes are visible among the true pairs
+    assert(truePairs.exists(_._3 == 0L), "no name-typo pair found")
+    assert(truePairs.exists(_._4 == 0L), "no balance-shift pair found")
+    assert(truePairs.exists(p => p._3 == 1L && p._4 == 1L && p._5 == 1L),
+      "no untouched all-agree pair found")
+  }
 }
