@@ -338,6 +338,117 @@ object Pipeline {
        |       count(*) AS n_postings
        |FROM dt GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** pl_corpus_build — the WHOLE pre-training admission pipeline as one
+    * declarative plan: every corpus document is admitted or dropped with
+    * a reason, precedence contaminated ≻ duplicate ≻ low-quality —
+    *   - contaminated: shares a 13-gram with the benchmark slice (the
+    *     [[decontam]] screen, same planted fixture);
+    *   - duplicate: a non-canonical member of an LSH connected-component
+    *     cluster (the pl_search_index keep-set);
+    *   - low_quality: under the 200-char floor (stand-in for the full
+    *     tx_quality score — same plan shape, trivially mirrored).
+    * Output is the per-language admission report a data-governance
+    * review signs off on. The point of the gate is COMPOSITION: three
+    * families' verdicts reach one plan as two anti-join-able doc sets
+    * plus a scan predicate, Catalyst prunes whatever the report doesn't
+    * need, and the oracle re-runs all three stages in SQL — so the
+    * handoffs, not just the stages, are hash-checked.
+    *
+    * Scale shape: the gram screen broadcasts an eval-sized set; the
+    * cluster verdict is the SessionCache'd label artifact (O(clustered
+    * docs)); both reach the corpus scan as broadcast semi-joins; the
+    * report aggregation is one map-side-combined shuffle of O(langs)
+    * groups.
+    */
+  val corpusBuild: Q = (s, d) => {
+    import s.implicits._
+    val docs = tbl(s, d, "documents")
+    // stage 1: contamination (planted like pl_decontam, same screen)
+    val evalDocs = docs.where($"doc_id" < 20)
+      .select($"doc_id".as("eval_id"), $"text".as("etext"))
+    val planted = docs.where($"doc_id" >= 20)
+      .join(broadcast(evalDocs), col("doc_id") % 20 === col("eval_id"))
+      .select($"doc_id",
+        when($"doc_id" % 7 === 3, concat($"text", lit(" "), substring($"etext", 1, 120)))
+          .otherwise($"text").as("text"))
+    def grams(df: DataFrame, idCol: String) = df
+      .select(col(idCol), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 13)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(w) - 12), i -> concat_ws(' ', slice(w, i, 13)))"))
+        .as("g"))
+    val contaminated = grams(planted, "doc_id")
+      .join(broadcast(grams(evalDocs.select($"eval_id", $"etext".as("text")), "eval_id")
+        .select($"g").distinct()), Seq("g"))
+      .select($"doc_id").distinct().withColumn("contam", lit(1L))
+    // stage 2: dedup drops (LSH clusters → canonical keep set)
+    val labels = Graph.ccClusters(s, d)
+    val canon = Graph.ddCanonical(s, d).select($"cluster", $"keep_doc")
+    val dups = labels.join(canon, Seq("cluster"))
+      .where($"doc_id" =!= $"keep_doc")
+      .select($"doc_id").withColumn("dup", lit(1L))
+    // stage 3: admission with reason precedence, per-language report
+    docs.where($"doc_id" >= 20)
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(dups, Seq("doc_id"), "left")
+      .select($"lang",
+        when($"contam" === 1L, "contaminated")
+          .when($"dup" === 1L, "duplicate")
+          .when($"n_chars" < 200, "low_quality")
+          .otherwise("kept").as("verdict"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"verdict" === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"verdict" === "contaminated", 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when($"verdict" === "duplicate", 1L).otherwise(0L)).as("n_dup"),
+        sum(when($"verdict" === "low_quality", 1L).otherwise(0L)).as("n_lowq"))
+      .orderBy($"lang")
+  }
+  val corpusBuildSql: String =
+    s"""${Graph.ccReachCte},
+       |lab AS (SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY n),
+       |keepdoc AS (
+       |  SELECT cluster, max_by(d.doc_id, d.n_chars * 2147483648 - d.doc_id) AS keep_doc
+       |  FROM lab JOIN documents d USING (doc_id) GROUP BY cluster),
+       |dups AS (
+       |  SELECT l.doc_id FROM lab l JOIN keepdoc k USING (cluster)
+       |  WHERE l.doc_id <> k.keep_doc),
+       |ev AS (SELECT doc_id AS eval_id, text AS etext FROM documents WHERE doc_id < 20),
+       |planted AS (
+       |  SELECT c.doc_id,
+       |         CASE WHEN c.doc_id % 7 = 3
+       |              THEN c.text || ' ' || substr(e.etext, 1, 120)
+       |              ELSE c.text END AS text
+       |  FROM documents c JOIN ev e ON c.doc_id % 20 = e.eval_id
+       |  WHERE c.doc_id >= 20),
+       |eg AS (
+       |  SELECT DISTINCT g FROM (
+       |    SELECT unnest(list_transform(range(1, len(w) - 11),
+       |           i -> array_to_string(w[i:i+12], ' '))) AS g
+       |    FROM (SELECT string_split(etext, ' ') AS w FROM ev)
+       |    WHERE len(w) >= 13)),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(w) - 11),
+       |           i -> array_to_string(w[i:i+12], ' '))) AS g
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM planted)
+       |    WHERE len(w) >= 13)
+       |  WHERE g IN (SELECT g FROM eg)),
+       |verdicts AS (
+       |  SELECT lang,
+       |         CASE WHEN doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+       |              WHEN doc_id IN (SELECT doc_id FROM dups) THEN 'duplicate'
+       |              WHEN n_chars < 200 THEN 'low_quality'
+       |              ELSE 'kept' END AS verdict
+       |  FROM documents WHERE doc_id >= 20)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN verdict = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |       CAST(sum(CASE WHEN verdict = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       CAST(sum(CASE WHEN verdict = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq
+       |FROM verdicts GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------------ DSIR
 
   /** pl_dsir — data selection via importance resampling (Xie et al. 2023,
@@ -480,6 +591,7 @@ object Pipeline {
 
   val queries: Map[String, Q] = Map(
     "pl_decontam"     -> decontam,
+    "pl_corpus_build" -> corpusBuild,
     "pl_dsir"         -> plDsir,
     "pl_corpus_clean" -> corpusClean,
     "pl_funnel"       -> funnel,
@@ -492,6 +604,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "pl_decontam"     -> decontamSql,
+    "pl_corpus_build" -> corpusBuildSql,
     "pl_dsir"         -> plDsirSql,
     "pl_corpus_clean" -> corpusCleanSql,
     "pl_funnel"       -> funnelSql,

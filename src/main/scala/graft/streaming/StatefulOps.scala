@@ -104,6 +104,28 @@ object StatefulOps {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Native gap-session aggregation via Spark's `session_window`: counts
+    * (or any algebraic agg) per (key, session), where a session extends
+    * while successive events arrive within `gap` of each other and
+    * FINALIZES once the watermark passes its close — the declarative
+    * twin of [[sessionizeStateful]] for the common count/sum case.
+    * Prefer THIS when the per-session result is algebraic: Catalyst
+    * plans the merging-session aggregation natively (state store holds
+    * open sessions only, sessions merge on overlap, eviction rides the
+    * watermark) and the query stays whole-stage-codegen around the
+    * stateful operator; reach for flatMapGroupsWithState only when the
+    * session carries custom non-algebraic state. Works identically on a
+    * batch DataFrame (minus the watermark), which is what the spec's
+    * batch-equivalence case exercises.
+    */
+  def sessionWindowCounts(events: DataFrame, tsCol: String, keyCol: String,
+                          gap: String, watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"))
+
   /** Stream-stream interval join: match rows of two live streams on an
     * equi-key where the right event lands within [left ts, left ts +
     * within] — the ad-attribution / request-response correlation shape.

@@ -341,6 +341,52 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window merges gap-sessions and finalizes behind the watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "user")
+    val q = StatefulOps.sessionWindowCounts(df, "ts", "user",
+        gap = "1 minute", watermarkDelay = "30 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_counts").start()
+    try {
+      // user a: two events 30 s apart (ONE session — gap < 1 min), then
+      // a third 5 min later that opens a second session
+      input.addData((t("2026-01-01 00:00:00"), "a"), (t("2026-01-01 00:00:30"), "a"))
+      q.processAllAvailable()
+      assert(spark.table("sess_counts").count() == 0) // still open
+
+      input.addData((t("2026-01-01 00:05:00"), "a"))
+      q.processAllAvailable() // watermark 00:04:30 > first session close 00:01:30
+      val afterFirst = spark.table("sess_counts")
+        .as[(String, Timestamp, Timestamp, Long)].collect().toSet
+      assert(afterFirst == Set(("a", t("2026-01-01 00:00:00"), t("2026-01-01 00:01:30"), 2L)),
+        s"first session should finalize merged with both events: $afterFirst")
+
+      // advance the watermark far past the second session
+      input.addData((t("2026-01-01 00:30:00"), "b"))
+      input.addData((t("2026-01-01 01:00:00"), "b"))
+      q.processAllAvailable()
+      val all = spark.table("sess_counts")
+        .as[(String, Timestamp, Timestamp, Long)].collect().toSet
+      assert(all.contains(("a", t("2026-01-01 00:05:00"), t("2026-01-01 00:06:00"), 1L)),
+        s"second session missing: $all")
+    } finally q.stop()
+    // batch equivalence: the same function over a static frame agrees
+    // with the custom sessionizer's grouping at the same gap
+    val batch = Seq(
+      (t("2026-01-01 00:00:00"), "a"), (t("2026-01-01 00:00:30"), "a"),
+      (t("2026-01-01 00:05:00"), "a"), (t("2026-01-01 00:30:00"), "b"),
+    ).toDF("ts", "user")
+    val sessions = StatefulOps.sessionWindowCounts(batch, "ts", "user",
+        gap = "1 minute", watermarkDelay = "0 seconds")
+      .as[(String, Timestamp, Timestamp, Long)].collect().toSet
+    assert(sessions == Set(
+      ("a", t("2026-01-01 00:00:00"), t("2026-01-01 00:01:30"), 2L),
+      ("a", t("2026-01-01 00:05:00"), t("2026-01-01 00:06:00"), 1L),
+      ("b", t("2026-01-01 00:30:00"), t("2026-01-01 00:31:00"), 1L)))
+  }
+
   test("watermarked windowed counts finalize once the watermark passes") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
