@@ -220,7 +220,10 @@ object Audit {
     * (the dq_corr discipline). At 100 TB the exact NDV swaps for
     * approx_count_distinct / the HLL sketch family (sk_hll_est pins that
     * estimator's error) — the report is advisory either way; the gate
-    * keeps exact NDV so the oracle hash-matches.
+    * keeps exact NDV so the oracle hash-matches. Cost note: the 7-way
+    * exact multi-distinct is the suite's third-largest gate (~3 s sf0.1,
+    * the ×7 expand) — the right budget for a per-snapshot ANALYZE job
+    * that every subsequent plan consults, not a per-query cost.
     */
   val stats: Q = (s, d) => {
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
