@@ -263,14 +263,67 @@ object Audit {
        |ORDER BY column_name""".stripMargin
   }
 
+  // ------------------------------------------------------------ Benford scan
+
+  /** dq_benford — first-significant-digit distribution of `o_totalprice`
+    * against Benford's law, the standard fabricated-data / unit-drift
+    * screen an ingest audit runs on any naturally-spanning numeric column
+    * (amounts, populations, file sizes). Per digit d ∈ 1..9: observed
+    * count and frequency, the Benford expectation log₁₀(1 + 1/d), and the
+    * digit's χ² contribution n·(obs − exp)²/exp; the audit verdict is the
+    * summed χ² against the 8-df critical value, which a reviewer reads
+    * off the 9-row table.
+    *
+    * Exactness: the digit comes from the DECIMAL STRING of floor(price)
+    * (cast of a BIGINT — engine-identical), never from log10 of a double
+    * whose boundary behavior differs; counts are exact BIGINTs, and the
+    * three float outputs are short identical IEEE formulas quantized to
+    * 6 dp. Scale shape: one map-side-combined 9-bucket aggregation over
+    * the scan — O(rows) in, 9 rows out, no shuffle beyond the combine.
+    */
+  val benford: Q = (s, d) => {
+    val digits = tbl(s, d, "orders")
+      .where(col("o_totalprice") >= 1.0)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("n_total"))
+    val expFreq = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n_total"), 6).as("obs_freq"),
+        round(expFreq, 6).as("benford_freq"),
+        round(
+          (col("n_obs").cast("double") - col("n_total") * expFreq) *
+            (col("n_obs").cast("double") - col("n_total") * expFreq) /
+            (col("n_total") * expFreq), 6).as("chi2_part"))
+      .orderBy(col("digit"))
+  }
+  val benfordSql: String =
+    """WITH dg AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+      |           AS digit,
+      |         count(*) AS n_obs
+      |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+      |tot AS (SELECT sum(n_obs) AS n_total FROM dg)
+      |SELECT digit, n_obs,
+      |       round(CAST(n_obs AS DOUBLE) / n_total, 6) AS obs_freq,
+      |       round((ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS benford_freq,
+      |       round((CAST(n_obs AS DOUBLE) - n_total * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+      |             * (CAST(n_obs AS DOUBLE) - n_total * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+      |             / (n_total * (ln(1.0 + 1.0 / digit) / ln(10.0))), 6) AS chi2_part
+      |FROM dg, tot ORDER BY digit""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dq_stats"      -> stats,
     "dq_fk_orphans" -> fkOrphans,
     "dq_rules"      -> rules,
-    "dq_corr"       -> corrMatrix)
+    "dq_corr"       -> corrMatrix,
+    "dq_benford"    -> benford)
   val oracles: Map[String, String] = Map(
     "dq_stats"      -> statsSql,
     "dq_fk_orphans" -> fkOrphansSql,
     "dq_rules"      -> rulesSql,
-    "dq_corr"       -> corrMatrixSql)
+    "dq_corr"       -> corrMatrixSql,
+    "dq_benford"    -> benfordSql)
 }

@@ -348,6 +348,175 @@ object Sketches {
        |  JOIN (SELECT tok, count(*) AS nb FROM btoks GROUP BY tok) cb USING (tok))
        |SELECT est, exact, est >= exact AS ok FROM est, ex""".stripMargin
 
+  // ------------------------------------------- KMV / theta distinct sketch
+
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the
+    * mechanism inside Theta sketches): hash every key to a uniform 48-bit
+    * integer, keep the k smallest DISTINCT hash values; with u_k the k-th
+    * smallest, est = (k−1)·2⁴⁸/u_k, and a sketch holding fewer than k
+    * values IS the exact count. What KMV adds over HLL is SET ALGEBRA
+    * BEYOND UNION: the k smallest of A∪B are computable from the two
+    * sketches alone, and tagging each surviving hash with membership
+    * gives the intersection estimate |K∩A∩B|/k · est(A∪B) — the
+    * "users who did BOTH" question HLL registers cannot answer.
+    *
+    * Exactness discipline: hashes stay in BIGINT domain end-to-end (48
+    * bits of md5 — conv here, '0x' cast in DuckDB); (k−1)·2⁴⁸ = 63·2⁴⁸ <
+    * 2⁵⁴ is float-exact, so est is ONE double division, quantized 4 dp.
+    *
+    * Scale shape: the per-type sketch is a distinct-hash aggregation
+    * (map-side combined) followed by a per-type top-k — at scale the
+    * top-k rides the same partial-aggregation path (per-partition k
+    * smallest, merged), so the full hash set never concentrates; the
+    * finished sketch is k longs per group, broadcastable, and unions
+    * across corpus shards by "merge + keep k smallest" exactly like
+    * [[cmsMerge]] sums counters.
+    */
+  private val KmvK = 128
+  private val KmvDomain = 281474976710656L // 2^48
+
+  private def kmvHash(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("kmv:"), key.cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+  private def kmvHashSql(keyExpr: String): String =
+    s"CAST('0x' || substr(md5('kmv:' || $keyExpr), 1, 12) AS BIGINT)"
+
+  /** The sketched key is the ACTIVE USER-DAY (user_id:calendar-day) — the
+    * DAU-accounting unit whose per-type sets genuinely differ (every user
+    * eventually touches every event type in the synthetic stream, but not
+    * on every day), so union vs intersection is a real distinction.
+    * Schema-adaptive ts decode per TimeSeries.dailyIdx.
+    */
+  private def userDayKey(ev: DataFrame) = {
+    val day = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        to_date(timestamp_micros(expr("ts div 1000")))
+      case _ => to_date(col("ts"))
+    }
+    concat(col("user_id").cast("string"), lit(":"), day.cast("string"))
+  }
+  private val userDayKeySql = "user_id || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)"
+
+  /** sk_kmv_est — per-event-type distinct active-user-day estimate from
+    * the KMV sketch vs the exact count, with the ±40 % (≈4.5σ at k=128)
+    * bound surfaced as `ok`.
+    */
+  val kmvEst: Q = (s, d) => {
+    import s.implicits._
+    val ev = tbl(s, d, "events")
+    val hashes = ev.select($"event_type", kmvHash(userDayKey(ev)).as("h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"h")
+    val sk = hashes.withColumn("rk", row_number().over(w))
+      .where($"rk" <= KmvK)
+      .groupBy($"event_type").agg(
+        count(lit(1)).as("m"),
+        max(when($"rk" === KmvK, $"h")).as("uk"))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct(userDayKey(ev)).as("exact_n"))
+    exact.join(sk, Seq("event_type"))
+      .withColumn("est", round(
+        when($"m" < KmvK, $"m".cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble * KmvDomain) / $"uk".cast("double")), 4))
+      .select($"event_type", $"exact_n", $"est",
+        (abs($"est" - $"exact_n") <= $"exact_n" * 0.5).as("ok"))
+      .orderBy($"event_type")
+  }
+  val kmvEstSql: String =
+    s"""WITH hs AS (
+       |  SELECT DISTINCT event_type, ${kmvHashSql(s"($userDayKeySql)")} AS h FROM events),
+       |rk AS (
+       |  SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       |  FROM hs),
+       |sk AS (
+       |  SELECT event_type, count(*) AS m,
+       |         max(CASE WHEN rk = $KmvK THEN h END) AS uk
+       |  FROM rk WHERE rk <= $KmvK GROUP BY event_type),
+       |ex AS (
+       |  SELECT event_type, count(DISTINCT $userDayKeySql) AS exact_n
+       |  FROM events GROUP BY event_type)
+       |SELECT event_type, exact_n,
+       |       round(CASE WHEN m < $KmvK THEN CAST(m AS DOUBLE)
+       |                  ELSE ${(KmvK - 1).toDouble * KmvDomain} / CAST(uk AS DOUBLE) END, 4)
+       |         AS est,
+       |       abs(round(CASE WHEN m < $KmvK THEN CAST(m AS DOUBLE)
+       |                  ELSE ${(KmvK - 1).toDouble * KmvDomain} / CAST(uk AS DOUBLE) END, 4)
+       |           - exact_n) <= exact_n * 0.5 AS ok
+       |FROM ex JOIN sk USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
+  /** sk_kmv_setops — the set-algebra payoff: estimate |viewed-days ∪
+    * purchased-days| and their INTERSECTION (user-days with both a view
+    * and a purchase — the same-day conversion set) from the KMV sketches
+    * alone. The union sketch is the k smallest distinct hashes across
+    * both sets; each carries (in_view, in_purchase) membership, so the
+    * intersection estimate is ρ·est_union with ρ = fraction of the union
+    * sketch in both. Both emit exact, est, and a bound check (union at
+    * ±50 %, intersection ±60 % — ρ adds binomial noise on top of u_k's).
+    */
+  val kmvSetops: Q = (s, d) => {
+    import s.implicits._
+    val ev = tbl(s, d, "events").where($"event_type".isin("view", "purchase"))
+    val flags = ev
+      .select(kmvHash(userDayKey(ev)).as("h"), $"event_type")
+      .groupBy($"h").agg(
+        max(when($"event_type" === "view", 1).otherwise(0)).as("in_a"),
+        max(when($"event_type" === "purchase", 1).otherwise(0)).as("in_b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"h")
+    val sk = flags.withColumn("rk", row_number().over(w))
+      .where($"rk" <= KmvK)
+      .agg(count(lit(1)).as("m"),
+        max(when($"rk" === KmvK, $"h")).as("uk"),
+        sum($"in_a" * $"in_b").as("rho_n"))
+    val exact = ev.groupBy(userDayKey(ev).as("ud")).agg(
+        max(when($"event_type" === "view", 1).otherwise(0)).as("a"),
+        max(when($"event_type" === "purchase", 1).otherwise(0)).as("b"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum($"a" * $"b").as("exact_inter"))
+    exact.crossJoin(sk)
+      .withColumn("est_union", round(
+        when($"m" < KmvK, $"m".cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble * KmvDomain) / $"uk".cast("double")), 4))
+      .withColumn("est_inter", round(
+        $"rho_n".cast("double") / $"m" *
+          when($"m" < KmvK, $"m".cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble * KmvDomain) / $"uk".cast("double")), 4))
+      .select(
+        $"exact_union", $"est_union",
+        (abs($"est_union" - $"exact_union") <= $"exact_union" * 0.5).as("ok_union"),
+        $"exact_inter", $"est_inter",
+        (abs($"est_inter" - $"exact_inter") <= $"exact_inter" * 0.6).as("ok_inter"))
+  }
+  val kmvSetopsSql: String =
+    s"""WITH ev AS (SELECT $userDayKeySql AS ud, event_type FROM events
+       |            WHERE event_type IN ('view', 'purchase')),
+       |flags AS (
+       |  SELECT ${kmvHashSql("ud")} AS h,
+       |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_a,
+       |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+       |  FROM ev GROUP BY 1),
+       |rk AS (SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rk FROM flags),
+       |sk AS (SELECT count(*) AS m, max(CASE WHEN rk = $KmvK THEN h END) AS uk,
+       |              sum(in_a * in_b) AS rho_n
+       |       FROM rk WHERE rk <= $KmvK),
+       |ue AS (SELECT CASE WHEN m < $KmvK THEN CAST(m AS DOUBLE)
+       |                   ELSE ${(KmvK - 1).toDouble * KmvDomain} / CAST(uk AS DOUBLE) END AS eu,
+       |              m, rho_n FROM sk),
+       |ex AS (
+       |  SELECT count(*) AS exact_union,
+       |         CAST(sum(a * b) AS BIGINT) AS exact_inter
+       |  FROM (SELECT ud,
+       |               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+       |               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+       |        FROM ev GROUP BY ud))
+       |SELECT exact_union, round(eu, 4) AS est_union,
+       |       abs(round(eu, 4) - exact_union) <= exact_union * 0.5 AS ok_union,
+       |       exact_inter, round(CAST(rho_n AS DOUBLE) / m * eu, 4) AS est_inter,
+       |       abs(round(CAST(rho_n AS DOUBLE) / m * eu, 4) - exact_inter)
+       |         <= exact_inter * 0.6 AS ok_inter
+       |FROM ex, ue""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sk_hll_bound"      -> hllBound,
     "sk_quantile_bound" -> quantileBound,
@@ -356,6 +525,8 @@ object Sketches {
     "sk_hll_regs"       -> hllRegs,
     "sk_hll_est"        -> hllEst,
     "sk_cms_join"       -> cmsJoinEst,
+    "sk_kmv_est"        -> kmvEst,
+    "sk_kmv_setops"     -> kmvSetops,
   )
 
   val oracles: Map[String, String] = Map(
@@ -366,5 +537,7 @@ object Sketches {
     "sk_hll_regs"       -> hllRegsSql,
     "sk_hll_est"        -> hllEstSql,
     "sk_cms_join"       -> cmsJoinEstSql,
+    "sk_kmv_est"        -> kmvEstSql,
+    "sk_kmv_setops"     -> kmvSetopsSql,
   )
 }

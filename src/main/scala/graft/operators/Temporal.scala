@@ -175,6 +175,61 @@ object Temporal {
       |FROM events JOIN bands ON value >= lo AND value < hi
       |GROUP BY band_id ORDER BY band_id""".stripMargin
 
+  // -------------------------------------------------------------- band join
+
+  /** Band join: pairs within `width` of each other on a numeric column —
+    * `|left.x − right.y| ≤ width` — plus optional equi-keys. The classic
+    * "similar price / similar timestamp" join that naively plans as a
+    * broadcast-nested-loop O(n·m) scan. Bucketing makes it a hash join:
+    * each side keys on floor(x/width); the RIGHT side expands to its
+    * bucket ±1 (any y within `width` of x lands in one of those three),
+    * so the equi-join on (keys…, bucket) covers every qualifying pair
+    * exactly once (left rows carry ONE bucket — no dedup needed) and the
+    * residual |x−y| ≤ width filter drops the over-approximation.
+    *
+    * Scale shape: shuffle on (keys…, bucket) — both sides co-partition;
+    * per-bucket row counts are value-density-bounded, so the expansion
+    * factor is a flat 3× on the build side, never O(n·m). Pick `width`
+    * at the band you actually need: the bucket grid IS the candidate
+    * blocking, exactly like dd_lsh's bands or geo_radius_join's cells.
+    */
+  def bandJoin(left: DataFrame, leftCol: String, right: DataFrame,
+               rightCol: String, width: Double,
+               keys: Seq[String] = Nil): DataFrame = {
+    require(width > 0, "width must be positive")
+    val l = left.withColumn("__bucket", floor(col(leftCol) / width).cast("long"))
+    val r = right
+      .withColumn("__bucket", explode(expr(
+        s"sequence(CAST(floor($rightCol / $width) AS LONG) - 1, " +
+          s"CAST(floor($rightCol / $width) AS LONG) + 1)")))
+    l.join(r, keys :+ "__bucket")
+      .where(abs(col(leftCol) - col(rightCol)) <= width)
+      .drop("__bucket")
+  }
+
+  /** rj_band — same-nation (customer, supplier) pairs with account
+    * balances within 25.0 of each other, via the bucketed band join
+    * (hash join on (nation, bucket) instead of a nested-loop theta join).
+    */
+  val rjBand: Q = (s, d) => {
+    import s.implicits._
+    val cust = tbl(s, d, "customer")
+      .select($"c_nationkey".as("nationkey"), $"c_custkey", $"c_acctbal")
+    val supp = tbl(s, d, "supplier")
+      .select($"s_nationkey".as("nationkey"), $"s_suppkey", $"s_acctbal")
+    bandJoin(cust, "c_acctbal", supp, "s_acctbal", 25.0, Seq("nationkey"))
+      .select($"nationkey", $"c_custkey", $"s_suppkey",
+        round($"c_acctbal" - $"s_acctbal", 2).as("bal_diff"))
+      .orderBy($"nationkey", $"c_custkey", $"s_suppkey")
+  }
+  val rjBandSql: String =
+    """SELECT c.c_nationkey AS nationkey, c.c_custkey, s.s_suppkey,
+      |       round(c.c_acctbal - s.s_acctbal, 2) AS bal_diff
+      |FROM customer c JOIN supplier s
+      |  ON c.c_nationkey = s.s_nationkey
+      | AND abs(c.c_acctbal - s.s_acctbal) <= 25.0
+      |ORDER BY nationkey, c_custkey, s_suppkey""".stripMargin
+
   // --------------------------------------------------------- calendar days
 
   /** Calendar day of `events.ts`, adaptive to how the driver's parquet
@@ -909,6 +964,7 @@ object Temporal {
     "w3_sessionize" -> w3Sessionize,
     "aj_asof"       -> ajAsof,
     "rj_range"      -> rjRange,
+    "rj_band"       -> rjBand,
     "ev_retention"  -> evRetention,
     "ev_gapfill"    -> evGapfill,
     "ev_anomaly"    -> evAnomaly,
@@ -926,6 +982,7 @@ object Temporal {
     "w3_sessionize" -> w3SessionizeSql,
     "aj_asof"       -> ajAsofSql,
     "rj_range"      -> rjRangeSql,
+    "rj_band"       -> rjBandSql,
     "ev_attrib"     -> evAttribSql,
     "ev_streak"     -> evStreakSql,
     "ev_retention"  -> evRetentionSql,
