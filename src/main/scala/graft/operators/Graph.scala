@@ -863,6 +863,172 @@ object Graph {
        |SELECT node AS doc_id, dist FROM d6 ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ weighted SSSP
+
+  /** Weighted single-source shortest paths by fixed-round Bellman-Ford
+    * relaxation: each round, dist(y) = min(dist(y), min over in-edges
+    * dist(x) + w(x,y)). The weighted upgrade of [[bfsFromSeed]] — "how
+    * FAR is every doc from this one" where edge length encodes
+    * dissimilarity, so path length is accumulated divergence (provenance
+    * chains, contamination blast radius with strength attenuating per
+    * hop).
+    *
+    * DETERMINISM: unlike pageRank's per-round float sums, SSSP is exactly
+    * reproducible — every candidate distance is ONE addition chain down a
+    * specific path (same operands, same order in any engine) and min() is
+    * order-free, so results hash-match without per-round quantization.
+    * Rounds bound the hop depth exactly like bfs; each round is one join
+    * + one min-aggregation keyed on node id, dist is O(reached nodes),
+    * checkpoint-and-free loop discipline throughout. Non-negative weights
+    * assumed (Bellman-Ford tolerates negatives, but `rounds` then needs
+    * to reach |V|−1 for convergence).
+    */
+  def ssspFromSeed(edges: DataFrame, seed: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, "need at least one relaxation round")
+    val und = edges.select(col("a").as("x"), col("b").as("y"), col("w"))
+      .union(edges.select(col("b").as("x"), col("a").as("y"), col("w")))
+      .distinct().persist()
+    var dist = seed.select(col("node").cast("long").as("node"),
+        col("dist").cast("double").as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = dist.unionByName(
+          dist.join(und, dist("node") === und("x"))
+            .select(col("y").as("node"), (col("dist") + col("w")).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      CheckpointBridge.freeCheckpoint(dist)
+      dist = next
+    }
+    und.unpersist()
+    dist
+  }
+
+  /** gr_sssp — weighted shortest distances from the containment graph's
+    * min node over ALL shingle-sharing pairs (no ≥0.5 cut — the denser
+    * weighted graph), edge length = round(2 − cont_a − cont_b, 6): near-
+    * identical docs are ~0 apart, barely-overlapping ones ~2. Source
+    * derived in-plan (bfsFromSeed discipline); 8 rounds ≥ the gate
+    * graph's weighted-path depth, oracle unrolls identically.
+    */
+  val grSssp: Q = (s, d) => {
+    import s.implicits._
+    val edges = Dedup.containmentTable(s, d)
+      .select($"a", $"b", round(lit(2.0) - $"cont_a" - $"cont_b", 6).as("w"))
+    val seed = edges.agg(min(least($"a", $"b")).as("node"))
+      .where($"node".isNotNull)
+      .select($"node", lit(0.0).as("dist"))
+    ssspFromSeed(edges, seed)
+      .select($"node".as("doc_id"), round($"dist", 6).as("dist"))
+      .orderBy($"doc_id")
+  }
+  val grSsspSql: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""d$r AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT u.y AS node, d.dist + u.w AS dist
+         |    FROM d${r - 1} d JOIN wund u ON d.node = u.x)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.containmentCteSql},
+       |wedges AS (SELECT a, b, round(2.0 - cont_a - cont_b, 6) AS w FROM cont),
+       |wund AS (SELECT a AS x, b AS y, w FROM wedges
+       |         UNION SELECT b AS x, a AS y, w FROM wedges),
+       |src AS (SELECT min(x) AS s FROM wund),
+       |d0 AS (SELECT s AS node, CAST(0 AS DOUBLE) AS dist FROM src),
+       |$rounds
+       |SELECT node AS doc_id, round(dist, 6) AS dist FROM d8 ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------ personalized PageRank
+
+  /** Personalized PageRank: the restart mass returns to a SEED SET
+    * instead of spreading uniformly — pr(v) becomes "probability a
+    * random walk restarting at the seeds is at v", the standard
+    * relevance-to-this-node score for related-document expansion and
+    * seed-based spam/trust propagation (TrustRank). Same per-round
+    * shape as [[pageRank]] (one join + one aggregation keyed on node,
+    * contribution sums map-side combined, checkpoint-and-free), same
+    * per-round 9-dp quantization making the float sums engine-stable;
+    * the only change is the base term: (1−d)·1[v ∈ S]/|S| — nodes keep
+    * rank ONLY through walk proximity to a seed.
+    */
+  def pprFromSeed(edges: DataFrame, seed: DataFrame, iters: Int = 5,
+                  damping: Double = 0.85): DataFrame = {
+    val e = cleanEdges(edges, "pprFromSeed")
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+      .distinct().persist()
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val seeds = seed.select(col("node").cast("long").as("sn")).distinct()
+    val ns = seeds.agg(count(lit(1)).as("ns"))
+    // (node, deg, seedw) — seedw = 1/|S| on seeds, 0 elsewhere; the whole
+    // per-node state the iteration needs, checkpointed once.
+    val nodes = deg
+      .join(seeds, deg("x") === seeds("sn"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("x").as("node"), col("deg"),
+        when(col("sn").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("ns"), 9)).as("seedw"))
+      .localCheckpoint()
+    var pr = nodes.select(col("node"), col("deg"), col("seedw").as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(und, pr("node") === und("x"))
+        .groupBy(col("y")).agg(sum(col("pr") / col("deg")).as("s"))
+      val next = nodes
+        .join(contrib, nodes("node") === contrib("y"), "left")
+        .select(col("node"), col("deg"),
+          round(lit(1.0 - damping) * col("seedw") +
+            lit(damping) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
+        .localCheckpoint()
+      CheckpointBridge.freeCheckpoint(pr)
+      pr = next
+    }
+    und.unpersist()
+    pr.select(col("node"), col("pr"))
+  }
+
+  /** gr_ppr — 5-round personalized PageRank over the LSH pair graph,
+    * restarted at its min node (derived in-plan): rank concentrates in
+    * the seed's duplicate cluster and decays to 0 elsewhere — contrast
+    * gr_pagerank, where every component keeps mass.
+    */
+  val grPpr: Q = (s, d) => {
+    import s.implicits._
+    val pairs = lshPairGraph(s, d)
+    val seed = pairs.agg(min(least($"a", $"b")).as("node"))
+      .where($"node".isNotNull)
+    pprFromSeed(pairs, seed)
+      .select($"node".as("doc_id"), round($"pr", 6).as("ppr"))
+      .orderBy($"doc_id")
+  }
+  val grPprSql: String = {
+    val iterCtes = (1 to 5).map { k =>
+      s"""ppr$k AS (
+         |  SELECT nodes.node, nodes.deg,
+         |         round((1 - 0.85) * nodes.seedw + 0.85 * coalesce(c.s, 0), 9) AS pr
+         |  FROM nodes LEFT JOIN (
+         |    SELECT u.y AS node, sum(p.pr / p.deg) AS s
+         |    FROM ppr${k - 1} p JOIN und u ON p.node = u.x GROUP BY u.y) c
+         |  ON nodes.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$ccReachCte,
+       |deg AS (SELECT x, count(*) AS deg FROM und GROUP BY x),
+       |src AS (SELECT min(x) AS sn FROM und),
+       |nodes AS (
+       |  SELECT deg.x AS node, deg.deg,
+       |         CASE WHEN deg.x = (SELECT sn FROM src)
+       |              THEN round(1.0 / 1, 9) ELSE 0.0 END AS seedw
+       |  FROM deg),
+       |ppr0 AS (SELECT node, deg, seedw AS pr FROM nodes),
+       |$iterCtes
+       |SELECT node AS doc_id, round(pr, 6) AS ppr
+       |FROM ppr5 ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------- degree distribution
 
   /** gr_degdist — degree histogram of the LSH pair graph: how many nodes
@@ -1045,6 +1211,8 @@ object Graph {
     "gr_adamic"      -> grAdamic,
     "gr_degdist"     -> grDegDist,
     "gr_bfs"         -> grBfs,
+    "gr_sssp"        -> grSssp,
+    "gr_ppr"         -> grPpr,
     "gr_jaccard"     -> grJaccard,
     "gr_hits"        -> grHits)
   val oracles: Map[String, String] = Map(
@@ -1059,6 +1227,8 @@ object Graph {
     "gr_adamic"      -> grAdamicSql,
     "gr_degdist"     -> grDegDistSql,
     "gr_bfs"         -> grBfsSql,
+    "gr_sssp"        -> grSsspSql,
+    "gr_ppr"         -> grPprSql,
     "gr_jaccard"     -> grJaccardSql,
     "gr_hits"        -> grHitsSql)
 }

@@ -148,15 +148,114 @@ object Multimodal {
       |FROM b, (SELECT unnest(range(0, 4)) AS i)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ------------------------------------------------- perceptual-hash dedup
+
+  /** mm_phash — perceptual-hash near-duplicate detection over the media
+    * view: the image-dedup step of a multimodal corpus pipeline (pHash/
+    * aHash family), with the DECODE stubbed per this file's discipline
+    * and everything downstream of it real. The stub "luma plane" samples
+    * 64 evenly-strided bytes of the payload (a real decoder resizes to
+    * 8×8 grayscale — same fixed-length output contract); the average-hash
+    * rule then sets bit i iff pixel_i > mean, packed into two 32-bit
+    * words. Near-identical payloads (the corpus's planted near-dups)
+    * differ in few sampled bytes ⇒ small Hamming distance.
+    *
+    * The SCALE part is candidate generation: comparing all pairs is
+    * O(n²), so the 64-bit hash splits into four 16-bit BANDS and pairs
+    * are generated by equi-join on (band_idx, band_value) — the exact
+    * multi-index trick of Manku et al. (WWW'07) for SimHash at web
+    * scale: any two hashes within Hamming distance 3 share a band by
+    * pigeonhole (GUARANTEED recall at d ≤ 3; the d ≤ 10 tail is
+    * best-effort, as in production). Bands shuffle on (idx, value) —
+    * co-partitioned, skew-bounded by band-bucket population; the
+    * verification step is O(candidates), each a 2×xor+popcount.
+    *
+    * Exactness: pixels are BIGINT codepoints; the mean test is the
+    * integer compare px·64 > Σpx (no float division anywhere); the hash
+    * words, bands, xor and bit_count are all 64-bit integer ops —
+    * bit-identical in DuckDB.
+    */
+  val phash: Q = (s, d) => {
+    val base = tbl(s, d, "documents")
+      .where(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text"),
+        expr("length(text) div 64").cast("long").as("stride"))
+    val px = base
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(63L))).as("i"),
+        ascii(expr("substring(text, CAST(1 + i * stride AS INT), 1)"))
+          .cast("long").as("px"))
+    val hashes = px
+      .withColumn("spx", sum(col("px")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .withColumn("bit", (col("px") * 64L > col("spx")).cast("long"))
+      .groupBy(col("doc_id")).agg(
+        sum(when(col("i") < 32, col("bit") * expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"))
+          .otherwise(0L)).as("hi"),
+        sum(when(col("i") >= 32, col("bit") * expr("shiftleft(CAST(1 AS BIGINT), CAST(i - 32 AS INT))"))
+          .otherwise(0L)).as("lo"))
+    val bands = hashes.select(col("doc_id"), col("hi"), col("lo"),
+      expr("""stack(4, 0, hi % 65536, 1, hi div 65536,
+             |         2, lo % 65536, 3, lo div 65536) AS (band_idx, band_val)""".stripMargin))
+    val cand = bands.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("a"), col("hi").as("hi_a"), col("lo").as("lo_a"))
+      .join(bands.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("b"), col("hi").as("hi_b"), col("lo").as("lo_b")),
+        Seq("band_idx", "band_val"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"))
+      .distinct()
+    cand
+      .select(col("a"), col("b"),
+        (bit_count(expr("hi_a ^ hi_b")) + bit_count(expr("lo_a ^ lo_b")))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= 10)
+      .orderBy(col("a"), col("b"))
+  }
+  val phashSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, CAST(len(text) // 64 AS BIGINT) AS stride
+      |  FROM documents WHERE len(text) >= 64),
+      |px AS (
+      |  SELECT doc_id, i,
+      |         CAST(ascii(substr(text, CAST(1 + i * stride AS INT), 1)) AS BIGINT) AS px
+      |  FROM base, (SELECT unnest(range(0, 64)) AS i)),
+      |pm AS (
+      |  SELECT doc_id, i, px, sum(px) OVER (PARTITION BY doc_id) AS spx FROM px),
+      |hs AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN i < 32 AND px * 64 > spx
+      |                       THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS hi,
+      |         CAST(sum(CASE WHEN i >= 32 AND px * 64 > spx
+      |                       THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INT) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM pm GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, hi, lo, band_idx,
+      |         CASE band_idx WHEN 0 THEN hi % 65536 WHEN 1 THEN hi // 65536
+      |                       WHEN 2 THEN lo % 65536 ELSE lo // 65536 END AS band_val
+      |  FROM hs, (SELECT unnest(range(0, 4)) AS band_idx)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+      |         x.hi AS hi_a, x.lo AS lo_a, y.hi AS hi_b, y.lo AS lo_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+      |   AND x.doc_id < y.doc_id)
+      |SELECT a, b,
+      |       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 10
+      |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_media_meta" -> mediaMeta,
     "mm_features"   -> mediaFeatures,
     "mm_frames"     -> mediaFrames,
+    "mm_phash"      -> phash,
   )
 
   val oracles: Map[String, String] = Map(
     "mm_media_meta" -> mediaMetaSql,
     "mm_features"   -> mediaFeaturesSql,
     "mm_frames"     -> mediaFramesSql,
+    "mm_phash"      -> phashSql,
   )
 }
