@@ -26,7 +26,8 @@ object SparkEntry {
       operators.Privacy.queries ++ operators.ZOrder.queries ++
       operators.Retrieval.queries ++ operators.Audit.queries ++
       operators.TimeSeries.queries ++ operators.Stats.queries ++
-      operators.Recommender.queries ++ operators.Geo.queries
+      operators.Recommender.queries ++ operators.Geo.queries ++
+      operators.Learn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.Privacy.oracles ++ operators.ZOrder.oracles ++
       operators.Retrieval.oracles ++ operators.Audit.oracles ++
       operators.TimeSeries.oracles ++ operators.Stats.oracles ++
-      operators.Recommender.oracles ++ operators.Geo.oracles
+      operators.Recommender.oracles ++ operators.Geo.oracles ++
+      operators.Learn.oracles
 }

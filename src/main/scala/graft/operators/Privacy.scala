@@ -348,9 +348,118 @@ object Privacy {
        |ORDER BY release""".stripMargin
   }
 
+  // ------------------------------------------- l-diversity / t-closeness
+
+  /** pii_ldiversity — the attribute-disclosure check k-anonymity misses
+    * (Machanavajjhala et al. 2007): a class can hold k rows yet leak the
+    * SENSITIVE attribute if all k share one value. Per quasi-identifier
+    * class (lang × 100-char length bucket, kAnon's level-0 grid) with
+    * `source` as the sensitive attribute: class size, distinct-l, and
+    * ENTROPY l-diversity exp(−Σ p·ln p) — the effective number of
+    * sensitive values an attacker must still distinguish — with the
+    * ok flag at distinct-l ≥ 3.
+    *
+    * Exactness: each −p·ln p term is quantized to 9 dp and summed as
+    * DECIMAL (order-free, the Learn.nbScores discipline); the final exp
+    * is one libm call on an identical input. Scale: one (class, source)
+    * count — map-side combined, output O(classes × sources).
+    */
+  val lDiversity: Q = (s, d) => {
+    val cells = tbl(s, d, "documents")
+      .select(col("lang"), expr("n_chars div 100").as("b0"), col("source"))
+      .groupBy(col("lang"), col("b0"), col("source")).agg(count(lit(1)).as("a"))
+    val pc = cells.withColumn("n", sum(col("a")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("lang"), col("b0"))))
+    val p = col("a").cast("double") / col("n")
+    val cls = pc.groupBy(col("lang"), col("b0")).agg(
+      max(col("n")).as("n"),
+      count(lit(1)).as("l_distinct"),
+      sum(round(p * -log(p), 9).cast("decimal(18,9)")).as("h"))
+    cls.select(col("lang"),
+        concat(col("b0") * 100, lit("-"), col("b0") * 100 + 99).as("len_range"),
+        col("n").as("class_size"), col("l_distinct"),
+        round(exp(col("h").cast("double")), 6).as("entropy_l"),
+        (col("l_distinct") >= 3).as("ok_l"))
+      .orderBy(col("lang"), col("len_range"))
+  }
+  val lDiversitySql: String =
+    """WITH cells AS (
+      |  SELECT lang, n_chars // 100 AS b0, source, count(*) AS a
+      |  FROM documents GROUP BY 1, 2, 3),
+      |pc AS (
+      |  SELECT lang, b0, source, a,
+      |         sum(a) OVER (PARTITION BY lang, b0) AS n
+      |  FROM cells),
+      |cls AS (
+      |  SELECT lang, b0, max(n) AS n, count(*) AS l_distinct,
+      |         sum(CAST(round((CAST(a AS DOUBLE) / n) * -ln(CAST(a AS DOUBLE) / n), 9)
+      |                  AS DECIMAL(18,9))) AS h
+      |  FROM pc GROUP BY 1, 2)
+      |SELECT lang,
+      |       CAST(b0 * 100 AS VARCHAR) || '-' || CAST(b0 * 100 + 99 AS VARCHAR) AS len_range,
+      |       CAST(n AS BIGINT) AS class_size, l_distinct,
+      |       round(exp(CAST(h AS DOUBLE)), 6) AS entropy_l,
+      |       l_distinct >= 3 AS ok_l
+      |FROM cls ORDER BY lang, len_range""".stripMargin
+
+  /** pii_tcloseness — the distribution-skew check l-diversity misses: a
+    * class can be 3-diverse yet still reveal that its members are, say,
+    * 90 % one source when the corpus is 20 %. Per QI class: the total-
+    * variation distance ½·Σ_s |p_class(s) − p_corpus(s)| to the global
+    * sensitive distribution, flagged at t ≤ 0.35.
+    *
+    * Exactness: TVD is computed as Σ|a·N − b·n| — EXACT BIGINT
+    * numerators (a = class×source count, b = global source count) — with
+    * the single division by 2·n·N deferred to the end; no float sum
+    * anywhere. Absent (class, source) cells enter as |0 − b·n| via the
+    * class × source cross join (sources are O(1) and broadcast).
+    */
+  val tCloseness: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+      .select(col("lang"), expr("n_chars div 100").as("b0"), col("source"))
+    val cells = docs.groupBy(col("lang"), col("b0"), col("source"))
+      .agg(count(lit(1)).as("a"))
+    val cls = cells.groupBy(col("lang"), col("b0")).agg(sum(col("a")).as("n"))
+    val glob = docs.groupBy(col("source")).agg(count(lit(1)).as("b"))
+    val tot = glob.agg(sum(col("b")).as("nn"))
+    cls.crossJoin(broadcast(glob))
+      .join(cells, Seq("lang", "b0", "source"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("lang"), col("b0"), col("n"), col("nn"))
+      .agg(sum(abs(coalesce(col("a"), lit(0L)) * col("nn") - col("b") * col("n")))
+        .as("num"))
+      .select(col("lang"),
+        concat(col("b0") * 100, lit("-"), col("b0") * 100 + 99).as("len_range"),
+        col("n").as("class_size"),
+        round(col("num").cast("double") / (lit(2.0) * col("n") * col("nn")), 6).as("tvd"),
+        (col("num").cast("double") / (lit(2.0) * col("n") * col("nn")) <= 0.35).as("ok_t"))
+      .orderBy(col("lang"), col("len_range"))
+  }
+  val tClosenessSql: String =
+    """WITH docs AS (
+      |  SELECT lang, n_chars // 100 AS b0, source FROM documents),
+      |cells AS (SELECT lang, b0, source, count(*) AS a FROM docs GROUP BY 1, 2, 3),
+      |cls AS (SELECT lang, b0, sum(a) AS n FROM cells GROUP BY 1, 2),
+      |gsrc AS (SELECT source, count(*) AS b FROM docs GROUP BY 1),
+      |tot AS (SELECT sum(b) AS nn FROM gsrc),
+      |num AS (
+      |  SELECT c.lang, c.b0, c.n,
+      |         sum(abs(coalesce(ce.a, 0) * (SELECT nn FROM tot) - g.b * c.n)) AS num
+      |  FROM cls c CROSS JOIN gsrc g
+      |  LEFT JOIN cells ce ON ce.lang = c.lang AND ce.b0 = c.b0 AND ce.source = g.source
+      |  GROUP BY 1, 2, 3)
+      |SELECT lang,
+      |       CAST(b0 * 100 AS VARCHAR) || '-' || CAST(b0 * 100 + 99 AS VARCHAR) AS len_range,
+      |       CAST(n AS BIGINT) AS class_size,
+      |       round(CAST(num AS DOUBLE) / (2.0 * n * (SELECT nn FROM tot)), 6) AS tvd,
+      |       CAST(num AS DOUBLE) / (2.0 * n * (SELECT nn FROM tot)) <= 0.35 AS ok_t
+      |FROM num ORDER BY lang, len_range""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pii_scrub"     -> piiScrub,
     "pii_kanon"     -> kAnon,
+    "pii_ldiv"      -> lDiversity,
+    "pii_tclose"    -> tCloseness,
     "pii_dp_counts" -> dpCounts(noiseKey = "dp"), // gate: PUBLIC demo key, disclosed non-private
     "pii_dp_ledger" -> dpLedger(noiseKey = "ledger"),
   )
@@ -358,6 +467,8 @@ object Privacy {
   val oracles: Map[String, String] = Map(
     "pii_scrub"     -> piiScrubSql,
     "pii_kanon"     -> kAnonSql,
+    "pii_ldiv"      -> lDiversitySql,
+    "pii_tclose"    -> tClosenessSql,
     "pii_dp_counts" -> dpCountsSql,
     "pii_dp_ledger" -> dpLedgerSql,
   )

@@ -275,11 +275,93 @@ object Stats {
       |SELECT dur AS t, n_risk, deaths, survival
       |FROM surv WHERE deaths > 0 ORDER BY t""".stripMargin
 
+  // ------------------------------------------------------ Mann-Whitney U
+
+  /** st_mannwhitney — the rank-sum test between two customer segments on
+    * account balance: the nonparametric partner of st_ttest for when the
+    * distributional assumption isn't earned (heavy tails, outliers —
+    * exactly what balance-like columns have). Exact MIDRANKS with full
+    * tie handling: per distinct value, midrank = prior-count + (t+1)/2;
+    * U = R_A − n_A(n_A+1)/2; z uses the tie-corrected variance
+    * (n_A·n_B/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+    *
+    * Exactness: ranks never touch floats — 2·midrank = 2·cumprev + t + 1
+    * is an exact BIGINT, so the rank sum R2 = Σ_v t_Av·(2·midrank_v) and
+    * the tie term Σ(t³−t) are order-free integer aggregates; z is one
+    * short IEEE formula over those integers, quantized 6 dp.
+    *
+    * Scale shape: one map-side-combined count keyed on (value) — O(rows)
+    * in, O(distinct values) out; the midrank window orders only the
+    * distinct-value table (bounded by value cardinality, not row count);
+    * the final statistic is a scalar aggregate. Nothing data-sized
+    * crosses a single partition except the distinct-value series — the
+    * same envelope as ev_anomaly's daily window.
+    */
+  val stMannWhitney: Q = (s, d) => {
+    val pool = tbl(s, d, "customer")
+      .where(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+      .select(when(col("c_mktsegment") === "AUTOMOBILE", lit("a"))
+        .otherwise(lit("b")).as("grp"), dec(col("c_acctbal")).as("v"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val byVal = pool.groupBy(col("v")).agg(
+        count(lit(1)).as("t"),
+        sum(when(col("grp") === "a", 1L).otherwise(0L)).as("ta"))
+      .withColumn("cumprev", coalesce(sum(col("t")).over(w), lit(0L)))
+    val agg = byVal.agg(
+      sum(col("ta")).as("na"),
+      sum(col("t") - col("ta")).as("nb"),
+      sum(col("ta") * (lit(2L) * col("cumprev") + col("t") + 1L)).as("r2"),
+      sum(when(col("t") > 1, col("t") * col("t") * col("t") - col("t"))
+        .otherwise(0L)).as("tie3"))
+    agg.select(col("na"), col("nb"),
+        (col("r2").cast("double") / 2.0 - col("na").cast("double") * (col("na") + 1L) / 2.0)
+          .as("u_a"), col("tie3"),
+        (col("na") + col("nb")).as("n"))
+      .select(col("na"), col("nb"), round(col("u_a"), 1).as("u_a"),
+        round(
+          (col("u_a") - col("na").cast("double") * col("nb") / 2.0) /
+            sqrt(col("na").cast("double") * col("nb") / 12.0 *
+              ((col("n") + 1L).cast("double") -
+                col("tie3").cast("double") / (col("n") * (col("n") - 1L)))), 6)
+          .as("z"))
+  }
+  val stMannWhitneySql: String =
+    """WITH pool AS (
+      |  SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'a' ELSE 'b' END AS grp,
+      |         CAST(c_acctbal AS DECIMAL(17,4)) AS v
+      |  FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')),
+      |byval AS (
+      |  SELECT v, count(*) AS t,
+      |         CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ta
+      |  FROM pool GROUP BY v),
+      |cm AS (
+      |  SELECT v, t, ta,
+      |         coalesce(sum(t) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev
+      |  FROM byval),
+      |agg AS (
+      |  SELECT CAST(sum(ta) AS BIGINT) AS na,
+      |         CAST(sum(t - ta) AS BIGINT) AS nb,
+      |         CAST(sum(ta * (2 * cumprev + t + 1)) AS BIGINT) AS r2,
+      |         CAST(sum(CASE WHEN t > 1 THEN t*t*t - t ELSE 0 END) AS BIGINT) AS tie3
+      |  FROM cm),
+      |ua AS (
+      |  SELECT na, nb, tie3, na + nb AS n,
+      |         CAST(r2 AS DOUBLE) / 2.0 - CAST(na AS DOUBLE) * (na + 1) / 2.0 AS u_a
+      |  FROM agg)
+      |SELECT na, nb, round(u_a, 1) AS u_a,
+      |       round((u_a - CAST(na AS DOUBLE) * nb / 2.0)
+      |             / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+      |                    * (CAST(n + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / (n * (n - 1)))), 6)
+      |         AS z
+      |FROM ua""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st_ttest"  -> stTtest,
     "st_chisq"  -> stChisq,
     "st_linreg" -> stLinreg,
     "st_km"     -> stKm,
+    "st_mannwhitney" -> stMannWhitney,
   )
 
   val oracles: Map[String, String] = Map(
@@ -287,5 +369,6 @@ object Stats {
     "st_chisq"  -> stChisqSql,
     "st_linreg" -> stLinregSql,
     "st_km"     -> stKmSql,
+    "st_mannwhitney" -> stMannWhitneySql,
   )
 }

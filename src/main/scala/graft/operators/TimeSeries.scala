@@ -228,11 +228,68 @@ object TimeSeries {
        |SELECT day, n, cusum, abs(cusum) = peak AS is_changepoint
        |FROM run, pk ORDER BY day""".stripMargin
 
+  // ----------------------------------------------------------- periodogram
+
+  /** ts_periodogram — Fourier power at candidate integer periods 2..14
+    * days over the daily-count series: P(p) = S_c² + S_s² with
+    * S_c = Σ_t n_t·cos(2πt/p), S_s = Σ_t n_t·sin(2πt/p), normalized by
+    * N². The spectral way to ASK "is there a weekly cycle" rather than
+    * assume it — ts_decompose hard-codes period 7; this is the operator
+    * that justifies the 7 (the power column peaks at the true period).
+    * A full FFT is overkill for candidate-period screening: this is the
+    * Goertzel-style direct evaluation, O(days × candidate periods).
+    *
+    * Determinism: cos/sin outputs are quantized to 9 dp (JVM Math.cos vs
+    * C libm can differ in the last ulp), each n_t·cos term to 6 dp, and
+    * the sums ride DECIMAL(18,6) — order-free — with the squaring done
+    * once on the exact totals. Scale: the events stream collapses to
+    * O(days) in one map-side-combined agg; the trig table is
+    * O(days × 13) — bounded by calendar length, never corpus size.
+    */
+  val tsPeriodogram: Q = (s, d) => {
+    val days = dailyIdx(s, d)
+    val nDays = days.agg(count(lit(1)).as("nd"))
+    val terms = days
+      .select(col("t"), col("n"), explode(sequence(lit(2L), lit(14L))).as("p"))
+      .select(col("p"),
+        round(col("n") * round(
+          cos(lit(2.0) * lit(math.Pi) * col("t") / col("p")), 9), 6)
+          .cast("decimal(18,6)").as("tc"),
+        round(col("n") * round(
+          sin(lit(2.0) * lit(math.Pi) * col("t") / col("p")), 9), 6)
+          .cast("decimal(18,6)").as("ts"))
+    terms.groupBy(col("p"))
+      .agg(sum(col("tc")).as("sc"), sum(col("ts")).as("ss"))
+      .crossJoin(broadcast(nDays))
+      .select(col("p"),
+        round(col("sc").cast("double"), 4).as("sc"),
+        round(col("ss").cast("double"), 4).as("ss"),
+        round((col("sc").cast("double") * col("sc").cast("double") +
+          col("ss").cast("double") * col("ss").cast("double")) /
+          (col("nd") * col("nd")).cast("double"), 6).as("power"))
+      .orderBy(col("p"))
+  }
+  val tsPeriodogramSql: String =
+    s"""WITH $dailyIdxSql,
+       |terms AS (
+       |  SELECT p,
+       |         CAST(round(n * round(cos(2.0 * pi() * t / p), 9), 6) AS DECIMAL(18,6)) AS tc,
+       |         CAST(round(n * round(sin(2.0 * pi() * t / p), 9), 6) AS DECIMAL(18,6)) AS ts
+       |  FROM idx, (SELECT unnest(range(2, 15)) AS p)),
+       |nd AS (SELECT count(*) AS nd FROM idx),
+       |sums AS (SELECT p, sum(tc) AS sc, sum(ts) AS ss FROM terms GROUP BY p)
+       |SELECT p, round(CAST(sc AS DOUBLE), 4) AS sc, round(CAST(ss AS DOUBLE), 4) AS ss,
+       |       round((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+       |              + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+       |             / CAST(nd * nd AS DOUBLE), 6) AS power
+       |FROM sums, nd ORDER BY p""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ts_ewma"      -> tsEwma,
     "ts_acf"       -> tsAcf,
     "ts_decompose" -> tsDecompose,
     "ts_cusum"     -> tsCusum,
+    "ts_periodogram" -> tsPeriodogram,
   )
 
   val oracles: Map[String, String] = Map(
@@ -240,5 +297,6 @@ object TimeSeries {
     "ts_acf"       -> tsAcfSql,
     "ts_decompose" -> tsDecomposeSql,
     "ts_cusum"     -> tsCusumSql,
+    "ts_periodogram" -> tsPeriodogramSql,
   )
 }
