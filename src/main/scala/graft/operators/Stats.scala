@@ -282,7 +282,7 @@ object Stats {
     * distributional assumption isn't earned (heavy tails, outliers —
     * exactly what balance-like columns have). Exact MIDRANKS with full
     * tie handling: per distinct value, midrank = prior-count + (t+1)/2;
-    * U = R_A − n_A(n_A+1)/2; z uses the tie-corrected variance
+    * U = R_A − n_A(n_A+1)/2; z uses the tie-corrected variance\n    * (NULL when that variance is 0 — an all-tied pool — in both engines,\n    * the ev_anomaly zero-variance rule);
     * (n_A·n_B/12)·((n+1) − Σ(t³−t)/(n(n−1))).
     *
     * Exactness: ranks never touch floats — 2·midrank = 2·cumprev + t + 1
@@ -317,13 +317,15 @@ object Stats {
         (col("r2").cast("double") / 2.0 - col("na").cast("double") * (col("na") + 1L) / 2.0)
           .as("u_a"), col("tie3"),
         (col("na") + col("nb")).as("n"))
+      .withColumn("var_u",
+        col("na").cast("double") * col("nb") / 12.0 *
+          ((col("n") + 1L).cast("double") -
+            col("tie3").cast("double") / (col("n") * (col("n") - 1L))))
       .select(col("na"), col("nb"), round(col("u_a"), 1).as("u_a"),
-        round(
-          (col("u_a") - col("na").cast("double") * col("nb") / 2.0) /
-            sqrt(col("na").cast("double") * col("nb") / 12.0 *
-              ((col("n") + 1L).cast("double") -
-                col("tie3").cast("double") / (col("n") * (col("n") - 1L)))), 6)
-          .as("z"))
+        when(col("var_u") <= 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("u_a") - col("na").cast("double") * col("nb") / 2.0) /
+              sqrt(col("var_u")), 6)).as("z"))
   }
   val stMannWhitneySql: String =
     """WITH pool AS (
@@ -348,13 +350,17 @@ object Stats {
       |ua AS (
       |  SELECT na, nb, tie3, na + nb AS n,
       |         CAST(r2 AS DOUBLE) / 2.0 - CAST(na AS DOUBLE) * (na + 1) / 2.0 AS u_a
-      |  FROM agg)
+      |  FROM agg),
+      |vu AS (
+      |  SELECT na, nb, u_a,
+      |         CAST(na AS DOUBLE) * nb / 12.0
+      |           * (CAST(n + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / (n * (n - 1))) AS var_u
+      |  FROM ua)
       |SELECT na, nb, round(u_a, 1) AS u_a,
-      |       round((u_a - CAST(na AS DOUBLE) * nb / 2.0)
-      |             / sqrt(CAST(na AS DOUBLE) * nb / 12.0
-      |                    * (CAST(n + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / (n * (n - 1)))), 6)
-      |         AS z
-      |FROM ua""".stripMargin
+      |       CASE WHEN var_u <= 0.0 THEN NULL
+      |            ELSE round((u_a - CAST(na AS DOUBLE) * nb / 2.0) / sqrt(var_u), 6)
+      |       END AS z
+      |FROM vu""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "st_ttest"  -> stTtest,

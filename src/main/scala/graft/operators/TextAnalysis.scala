@@ -1277,7 +1277,96 @@ object TextAnalysis {
        |WHERE c2 >= 5
        |ORDER BY pmi DESC, bg LIMIT 25""".stripMargin
 
+  // ------------------------------------------------------------- TextRank
+
+  /** tx_textrank — corpus-level keyword extraction by weighted PageRank
+    * over the word co-occurrence graph (Mihalcea & Tarau 2004): nodes are
+    * non-stopword tokens, edge weight = adjacent-bigram frequency (both
+    * directions summed), 5 damped power-iteration rounds, top-20 by
+    * score. The unsupervised "what is this corpus about" signal a
+    * pipeline wants per-source/per-cluster — unlike tf-idf it rewards
+    * tokens that CONNECT to other central tokens, not just frequent ones.
+    *
+    * Scale shape: the graph is built FROM THE MATERIALIZED BIGRAM COUNTS
+    * ([[bigramCounts]] — the same artifact tx_lm_score trains on), so no
+    * extra corpus scan; the graph is vocabulary-bounded (O(distinct
+    * bigrams) edges regardless of corpus rows), each iteration is one
+    * join + one keyed aggregation over it, and the per-round 9-dp
+    * rounding is the pageRank determinism discipline. The c2 ≥ 2 floor
+    * prunes hapax edges — the standard noise cut that also bounds the
+    * edge list under vocab².
+    */
+  val textrank: Q = (s, d) => {
+    import s.implicits._
+    val dirEdges = bigramCounts(s, d)
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .withColumn("w2", substring_index($"bg", " ", -1))
+      .where($"w1" =!= $"w2" && $"c2" >= 2 &&
+        !$"w1".isin(Stopwords: _*) && !$"w2".isin(Stopwords: _*))
+    val und = dirEdges.select($"w1".as("x"), $"w2".as("y"), $"c2".as("c"))
+      .unionByName(dirEdges.select($"w2".as("x"), $"w1".as("y"), $"c2".as("c")))
+      .groupBy($"x", $"y").agg(sum($"c").as("w"))
+    val wdeg = und.groupBy($"x").agg(sum($"w").as("wd")).localCheckpoint()
+    val edges = und.join(wdeg, Seq("x"))
+      .select($"x", $"y", ($"w".cast("double") / $"wd").as("frac"))
+      .localCheckpoint()
+    val n = wdeg.count()
+    var pr = wdeg.select($"x".as("node"), round(lit(1.0 / math.max(n, 1L)), 9).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to 5) {
+      val contrib = pr.join(edges, pr("node") === edges("x"))
+        .groupBy($"y").agg(sum($"pr" * $"frac").as("s"))
+      val next = wdeg
+        .join(contrib, wdeg("x") === contrib("y"), "left")
+        .select($"x".as("node"),
+          round(lit(0.15 / math.max(n, 1L)) +
+            lit(0.85) * coalesce($"s", lit(0.0)), 9).as("pr"))
+        .localCheckpoint()
+      pr = next
+    }
+    pr.withColumn("rk", row_number().over(
+        Window.orderBy($"pr".desc, $"node")))
+      .where($"rk" <= 20)
+      .select($"rk".cast("long").as("rk"), $"node".as("tok"),
+        round($"pr", 6).as("score"))
+      .orderBy($"rk")
+  }
+  val textrankSql: String = {
+    val iterCtes = (1 to 5).map { k =>
+      s"""tr$k AS (
+         |  SELECT wdeg.x AS node,
+         |         round(0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.s, 0), 9) AS pr
+         |  FROM wdeg LEFT JOIN (
+         |    SELECT e.y, sum(p.pr * e.frac) AS s
+         |    FROM tr${k - 1} p JOIN edges e ON p.node = e.x GROUP BY e.y) c
+         |  ON wdeg.x = c.y)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $lmCteSql,
+       |de AS (
+       |  SELECT w1, w2, c2 FROM (
+       |    SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, c2
+       |    FROM c2)
+       |  WHERE w1 <> w2 AND c2 >= 2
+       |    AND w1 NOT IN ($stopSqlList) AND w2 NOT IN ($stopSqlList)),
+       |und AS (
+       |  SELECT x, y, CAST(sum(c) AS BIGINT) AS w FROM (
+       |    SELECT w1 AS x, w2 AS y, c2 AS c FROM de
+       |    UNION ALL SELECT w2 AS x, w1 AS y, c2 AS c FROM de)
+       |  GROUP BY x, y),
+       |wdeg AS (SELECT x, CAST(sum(w) AS BIGINT) AS wd FROM und GROUP BY x),
+       |nn AS (SELECT count(*) AS n FROM wdeg),
+       |edges AS (
+       |  SELECT u.x, u.y, CAST(u.w AS DOUBLE) / d.wd AS frac
+       |  FROM und u JOIN wdeg d ON u.x = d.x),
+       |tr0 AS (SELECT x AS node, round(1.0 / (SELECT n FROM nn), 9) AS pr FROM wdeg),
+       |$iterCtes
+       |SELECT CAST(rk AS BIGINT) AS rk, node AS tok, round(pr, 6) AS score FROM (
+       |  SELECT node, pr, row_number() OVER (ORDER BY pr DESC, node) AS rk FROM tr5)
+       |WHERE rk <= 20 ORDER BY rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx_textrank"    -> textrank,
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
     "tx_langid"      -> langid,
@@ -1304,6 +1393,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "tx_textrank"    -> textrankSql,
     "tx_tokens"      -> tokensSql,
     "tx_quality"     -> qualitySql,
     "tx_langid"      -> langidSql,

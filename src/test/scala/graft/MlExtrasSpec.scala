@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Similarity, Temporal, TextAnalysis}
+import graft.operators.{Learn, Multimodal, Similarity, Temporal, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -41,5 +41,44 @@ class MlExtrasSpec extends AnyFunSuite {
     assert(bins.map(_._1).toSeq == (1L to 10L), s"got ${bins.map(_._1).toSeq}")
     assert(bins.zip(bins.tail).forall { case ((_, a), (_, b)) => b >= a - 1e-9 },
       s"decile means must be non-decreasing: ${bins.toSeq}")
+  }
+
+  test("nbScores reproduces the hand-computed add-one posterior and argmax") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    // train (id%5!=0): doc1 lang a "x x", doc2 lang b "y y"; test doc0 "x"
+    Seq((0L, "a", "x"), (1L, "a", "x x"), (2L, "b", "y y"))
+      .toDF("doc_id", "lang", "text").write.parquet(s"$dir/documents.parquet")
+    val scores = Learn.nbScores(spark, dir).collect()
+      .map(r => r.getAs[String]("label") ->
+        r.getAs[java.math.BigDecimal]("score").doubleValue).toMap
+    // P(x|a) = (2+1)/(2+2), P(x|b) = (0+1)/(2+2); priors both 1/2
+    assert(math.abs(scores("a") - (math.log(0.5) + math.log(0.75))) < 1e-6)
+    assert(math.abs(scores("b") - (math.log(0.5) + math.log(0.25))) < 1e-6)
+    val conf = Learn.nbConfusion(spark, dir)
+      .as[(String, String, Long)].collect()
+    assert(conf.toSeq == Seq(("a", "a", 1L)))
+  }
+
+  test("textrank scores a symmetric 2-token graph uniformly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-trank").toString
+    Seq((1L, "alpha beta alpha beta alpha"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.textrank(spark, dir)
+      .as[(Long, String, Double)].collect()
+    assert(out.map(_._2).sorted.toSeq == Seq("alpha", "beta"))
+    assert(out.forall(_._3 == 0.5), s"expected uniform 0.5: ${out.toSeq}")
+  }
+
+  test("phash pairs identical payloads at hamming 0 and skips unrelated ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    val base = (1 to 80).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val other = (1 to 80).map(i => ('a' + (i * i * 11 + 3) % 26).toChar).mkString
+    Seq((1L, base), (2L, base), (3L, other))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Multimodal.phash(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.contains((1L, 2L, 0L)), s"identical pair missing: $out")
+    assert(out.forall(p => !(p._1 == 1L && p._2 == 3L) || p._3 > 0),
+      "unrelated docs must not collide at distance 0")
   }
 }

@@ -318,4 +318,40 @@ class PrivacySpec extends AnyFunSuite {
       assert(rebuilt == orig(id), s"doc $id failed to round-trip")
     }
   }
+
+  test("lDiversity: single-source class scores entropy 1, balanced class its source count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ldiv").toString
+    import spark.implicits._
+    // class (en, bucket 0): 6 docs all from src0 -> l=1, entropy_l=1, not ok
+    // class (de, bucket 0): 3 sources x 2 docs -> l=3, entropy_l=3, ok
+    val rows = (1 to 6).map(i => (i.toLong, "en", "src0", 10L)) ++
+      (7 to 12).map(i => (i.toLong, "de", s"src${(i - 7) / 2}", 10L))
+    rows.toDF("doc_id", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Privacy.lDiversity(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("l_distinct"), r.getAs[Double]("entropy_l"),
+          r.getAs[Boolean]("ok_l")))).toMap
+    assert(out("en") == ((1L, 1.0, false)))
+    assert(out("de")._1 == 3L && math.abs(out("de")._2 - 3.0) < 1e-6 && out("de")._3)
+  }
+
+  test("tCloseness: class mirroring the corpus mix has tvd 0; a pure class has the max") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tclose").toString
+    import spark.implicits._
+    // corpus: 8 docs, 4 srcA + 4 srcB. class en = 2A+2B (mirror, tvd 0);
+    // class de = 2A+2B split across buckets? keep de pure: 2A only ->
+    // p_class = (1,0) vs global (0.5,0.5) -> tvd = 0.5
+    val rows = Seq(
+      (1L, "en", "A", 10L), (2L, "en", "A", 10L), (3L, "en", "B", 10L), (4L, "en", "B", 10L),
+      (5L, "de", "A", 10L), (6L, "de", "A", 10L), (7L, "zh", "B", 10L), (8L, "zh", "B", 10L))
+    rows.toDF("doc_id", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Privacy.tCloseness(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Double]("tvd"), r.getAs[Boolean]("ok_t")))).toMap
+    assert(out("en") == ((0.0, true)))
+    assert(out("de") == ((0.5, false)))
+    assert(out("zh") == ((0.5, false)))
+  }
 }

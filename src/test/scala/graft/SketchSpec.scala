@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.sketch
+import graft.operators.Sketches
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -87,5 +88,27 @@ class SketchSpec extends AnyFunSuite {
     assert(merged.join(whole, Seq("r", "b"))
       .where(merged("c") =!= whole("c")).isEmpty)
     assert(merged.count() == whole.count())
+  }
+
+  test("KMV sketch is exact below k and its set-ops recover crafted overlaps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    // day 2024-07-01: views by users 1,2; purchase by user 2 only
+    val ts = java.sql.Timestamp.valueOf("2024-07-01 10:00:00")
+    Seq((1L, 1L, "view", ts), (2L, 2L, "view", ts), (3L, 2L, "purchase", ts),
+        (4L, 1L, "view", ts)) // duplicate user-day view must not double-count
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val est = Sketches.kmvEst(spark, dir)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // below k the sketch IS the exact set: est == exact, ok everywhere
+    assert(est("view") == ((2L, 2.0, true)))
+    assert(est("purchase") == ((1L, 1.0, true)))
+    val so = Sketches.kmvSetops(spark, dir).collect().head
+    assert(so.getAs[Long]("exact_union") == 2L)
+    assert(so.getAs[Double]("est_union") == 2.0)
+    assert(so.getAs[Long]("exact_inter") == 1L)
+    assert(so.getAs[Double]("est_inter") == 1.0)
+    assert(so.getAs[Boolean]("ok_union") && so.getAs[Boolean]("ok_inter"))
   }
 }

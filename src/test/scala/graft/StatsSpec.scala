@@ -87,4 +87,29 @@ class StatsSpec extends AnyFunSuite {
       assert(math.abs(gsv - sv) < 1e-5, s"t=$t survival: got $gsv want $sv")
     }
   }
+
+  test("stMannWhitney matches the textbook U and tie-free z") {
+    val dir = tmp()
+    // A = {1,2}, B = {3,4}: ranks 1..4, R_A = 3, U_A = 0,
+    // z = (0 - 2) / sqrt(4*5/12) = -1.549193
+    val rows = Seq(("AUTOMOBILE", 1.0), ("AUTOMOBILE", 2.0),
+      ("BUILDING", 3.0), ("BUILDING", 4.0))
+    rows.toDF("c_mktsegment", "c_acctbal").write.parquet(s"$dir/customer.parquet")
+    val r = Stats.stMannWhitney(spark, dir).collect().head
+    assert(r.getAs[Long]("na") == 2L && r.getAs[Long]("nb") == 2L)
+    assert(r.getAs[Double]("u_a") == 0.0)
+    assert(math.abs(r.getAs[Double]("z") - (-1.549193)) < 1e-6)
+  }
+
+  test("stMannWhitney midranks: all-tied pools give U = na*nb/2 and z = 0") {
+    val dir = tmp()
+    val rows = Seq(("AUTOMOBILE", 5.0), ("AUTOMOBILE", 5.0),
+      ("BUILDING", 5.0), ("BUILDING", 5.0))
+    rows.toDF("c_mktsegment", "c_acctbal").write.parquet(s"$dir/customer.parquet")
+    val r = Stats.stMannWhitney(spark, dir).collect().head
+    assert(r.getAs[Double]("u_a") == 2.0) // na*nb/2
+    // an all-tied pool has tie-corrected variance 0: z must surface as
+    // NULL (the ev_anomaly zero-variance rule), never NaN/Inf
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
 }

@@ -554,4 +554,53 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(truePairs.exists(p => p._3 == 1L && p._4 == 1L && p._5 == 1L),
       "no untouched all-agree pair found")
   }
+
+  test("ssspFromSeed accumulates weighted path distances exactly") {
+    import spark.implicits._
+    // path 1 -0.5- 2 -0.5- 3 -0.5- 4, plus shortcut 1 -1.2- 4:
+    // shortest to 4 is 1.5 via the path, not the 1.2+? shortcut... the
+    // direct edge IS 1.2 < 1.5, so dist(4) = 1.2 — both routes exercised.
+    val edges = Seq((1L, 2L, 0.5), (2L, 3L, 0.5), (3L, 4L, 0.5), (1L, 4L, 1.2))
+      .toDF("a", "b", "w")
+    val seed = Seq((1L, 0.0)).toDF("node", "dist")
+    val out = Graph.ssspFromSeed(edges, seed, rounds = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0, 4L -> 1.2))
+  }
+
+  test("ssspFromSeed on an empty seed yields an empty frame, lazily") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1.0)).toDF("a", "b", "w")
+    val seed = Seq.empty[(Long, Double)].toDF("node", "dist")
+    assert(Graph.ssspFromSeed(edges, seed, rounds = 2).count() == 0L)
+  }
+
+  test("pprFromSeed concentrates restart mass on the seed (2-node closed form)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val seed = Seq(Tuple1(1L)).toDF("node")
+    val out = Graph.pprFromSeed(edges, seed, iters = 5)
+      .as[(Long, Double)].collect().toMap
+    // hand-unrolled 5 rounds with per-round 9dp rounding:
+    // (1, 0) -> (.15, .85) -> (.8725, .1275) -> (.258375, .741625)
+    // -> (.78038125, .21961875) -> (.336675938, .663324063)
+    assert(math.abs(out(1L) - 0.336675938) < 1e-9, s"got ${out(1L)}")
+    assert(math.abs(out(2L) - 0.663324063) < 1e-9, s"got ${out(2L)}")
+  }
+
+  test("bandJoin returns exactly the naive theta-join pairs, boundary inclusive") {
+    import spark.implicits._
+    val left = (0 until 40).map(i => (i.toLong, i * 0.7)).toDF("lid", "lv")
+    val right = (0 until 40).map(j => (j.toLong, 2.0 + j * 0.9)).toDF("rid", "rv")
+    val w = 1.5
+    val fast = Temporal.bandJoin(left, "lv", right, "rv", w)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val naive = left.crossJoin(right).where(abs($"lv" - $"rv") <= w)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(fast == naive && fast.nonEmpty)
+    // exact boundary: |3.5 - 2.0| = 1.5 == w must be kept
+    val bl = Seq((1L, 3.5)).toDF("lid", "lv")
+    val br = Seq((2L, 2.0)).toDF("rid", "rv")
+    assert(Temporal.bandJoin(bl, "lv", br, "rv", 1.5).count() == 1L)
+  }
 }

@@ -77,4 +77,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(toPeak.zip(toPeak.tail).forall { case (a, b) => b < a },
       s"prefix must fall monotonically: ${toPeak.toSeq}")
   }
+
+  test("tsPeriodogram peaks at a planted 3-day cycle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pgram").toString
+    import spark.implicits._
+    // 12 days: counts 9,1,1,9,1,1,... -> strongest power at p=3
+    val rows = for {
+      day <- 0 until 12
+      n = if (day % 3 == 0) 9 else 1
+      k <- 0 until n
+    } yield ((day * 100 + k).toLong,
+      java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:00"))
+    rows.toDF("event_id", "ts").write.parquet(s"$dir/events.parquet")
+    val out = TimeSeries.tsPeriodogram(spark, dir).collect()
+      .map(r => r.getAs[Long]("p") -> r.getAs[Double]("power")).toMap
+    val best = out.maxBy(_._2)._1
+    assert(best == 3L, s"expected peak at p=3, got $best: $out")
+    // the planted cycle should dominate the non-harmonic periods clearly
+    assert(out(3L) > 5.0 * out(5L), s"p3=${out(3L)} p5=${out(5L)}")
+  }
 }
