@@ -1038,6 +1038,65 @@ object TextAnalysis {
     s"""WITH $lmCteSql
       |SELECT doc_id, n_bigrams, lm_score FROM lmsc ORDER BY doc_id""".stripMargin
 
+  /** tx_kn_score — interpolated Kneser-Ney bigram scoring (Kneser & Ney
+    * 1995; Chen & Goodman 1999's recommended form), the LM-quality
+    * upgrade over tx_lm_score's add-one smoothing:
+    * P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·)
+    *            + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··), D = 0.75.
+    * The continuation probability scores w₂ by how many CONTEXTS it
+    * follows, not raw frequency — the fix for add-one's overestimate of
+    * frequent-but-context-bound tokens, and the difference a perplexity
+    * filter actually notices on boilerplate.
+    *
+    * Scale shape: identical to tx_lm_score — everything derives from the
+    * one materialized bigram-count artifact (c1, the two N₁₊ tables, and
+    * the scalar all aggregate c2, never rescan the corpus); scoring is
+    * one corpus scan against broadcast side tables. Same 6-dp mean-log
+    * rounding discipline.
+    */
+  val knScore: Q = (s, d) => {
+    import s.implicits._
+    val c2 = bigramCounts(s, d)
+    val c1 = c2
+      .select(substring_index($"bg", " ", 1).as("w1"), $"c2")
+      .groupBy($"w1").agg(sum($"c2").as("c1"), count(lit(1)).as("n1f"))
+    val n1b = c2
+      .select(substring_index($"bg", " ", -1).as("w2"))
+      .groupBy($"w2").agg(count(lit(1)).as("n1b"))
+    val nbi = c2.agg(count(lit(1)).as("nbi"))
+    val p = (greatest($"c2" - 0.75, lit(0.0)) +
+      lit(0.75) * $"n1f" * ($"n1b".cast("double") / $"nbi")) / $"c1"
+    bigramsOf(tbl(s, d, "documents"))
+      .join(broadcast(c2), Seq("bg"))
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .withColumn("w2", substring_index($"bg", " ", -1))
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(n1b), Seq("w2"))
+      .crossJoin(broadcast(nbi))
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(p)), 6).as("kn_score"))
+      .orderBy($"doc_id")
+  }
+  val knScoreSql: String =
+    s"""WITH $lmCteSql,
+       |kc1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1,
+       |               count(*) AS n1f
+       |        FROM c2 GROUP BY 1),
+       |n1b AS (SELECT string_split(bg, ' ')[2] AS w2, count(*) AS n1b
+       |        FROM c2 GROUP BY 1),
+       |nbi AS (SELECT count(*) AS nbi FROM c2)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       round(avg(ln((greatest(c2 - 0.75, 0.0)
+       |                     + 0.75 * n1f * (CAST(n1b AS DOUBLE) / nbi)) / c1)), 6)
+       |         AS kn_score
+       |FROM bg
+       |JOIN c2 USING (bg)
+       |JOIN kc1 ON kc1.w1 = string_split(bg, ' ')[1]
+       |JOIN n1b ON n1b.w2 = string_split(bg, ' ')[2]
+       |CROSS JOIN nbi
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** tx_pp_bucket — CCNet-style perplexity bucketing (Wenzek et al. 2020):
     * score every doc under the corpus bigram LM, then split the corpus
     * into head / middle / tail thirds by score — the bucketing that CCNet
@@ -1367,6 +1426,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "tx_textrank"    -> textrank,
+    "tx_kn_score"    -> knScore,
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
     "tx_langid"      -> langid,
@@ -1394,6 +1454,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "tx_textrank"    -> textrankSql,
+    "tx_kn_score"    -> knScoreSql,
     "tx_tokens"      -> tokensSql,
     "tx_quality"     -> qualitySql,
     "tx_langid"      -> langidSql,

@@ -81,4 +81,19 @@ class MlExtrasSpec extends AnyFunSuite {
     assert(out.forall(p => !(p._1 == 1L && p._2 == 3L) || p._3 > 0),
       "unrelated docs must not collide at distance 0")
   }
+
+  test("knScore matches the hand-computed interpolated Kneser-Ney mean log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kn").toString
+    // "x y x y": c2 = {xy:2, yx:1}; c1_x=2 n1f_x=1; c1_y=1 n1f_y=1;
+    // N1+(.y)=1, N1+(.x)=1, N1+(..)=2, D=0.75:
+    // p(y|x) = (1.25 + .75*.5)/2 = 0.8125; p(x|y) = (0.25 + .375)/1 = 0.625
+    // mean ln over positions [xy, yx, xy] = (2 ln .8125 + ln .625)/3
+    Seq((1L, "x y x y")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val (id, nb, score) = TextAnalysis.knScore(spark, dir)
+      .as[(Long, Long, Double)].collect().head
+    val expected = (2 * math.log(0.8125) + math.log(0.625)) / 3
+    assert(id == 1L && nb == 3L)
+    assert(math.abs(score - expected) < 1e-6, s"got $score want $expected")
+  }
 }

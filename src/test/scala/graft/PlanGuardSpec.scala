@@ -42,9 +42,24 @@ class PlanGuardSpec extends AnyFunSuite {
     // tx_clf_score: the corpus-side feature scan must join the 65-row
     // weight table by broadcast hash, never shuffle the corpus for it
     Seq("s3_dim_join", "rj_range", "tx_clf_score").foreach { q =>
+      // (rj_band is asserted separately below: its band-bucket equi-join
+      // must plan as a hash join, never a nested loop)
       val bhj = planOf(q).collect { case j: BroadcastHashJoinExec => j }
       assert(bhj.nonEmpty, s"$q: expected a BroadcastHashJoin")
     }
+  }
+
+  test("rj_band plans the band predicate as a bucket equi-join (hash), not a theta nested loop") {
+    val plan = planOf("rj_band")
+    val nlj = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(nlj.isEmpty, s"band join degenerated to a nested loop:\n$plan")
+    val hashJoins = plan.collect {
+      case j if j.nodeName.contains("HashJoin") || j.nodeName.contains("SortMergeJoin") => j
+    }
+    assert(hashJoins.nonEmpty, s"expected a hash/sort-merge equi-join on (nation, bucket):\n$plan")
   }
 
   test("no operator plans a nested-loop or cartesian join except declared cross products") {
@@ -128,7 +143,18 @@ class PlanGuardSpec extends AnyFunSuite {
       // table), tx_clf_calib (inherits tx_clf_score's ONE-ROW gradient
       // normalizer per training step).
       "rc_assoc", "st_ttest", "st_chisq", "st_km",
-      "ts_ewma", "ts_cusum", "tx_clf_calib")
+      "ts_ewma", "ts_cusum", "tx_clf_calib",
+      // round-9 additions. Scalar-join class (ONE-ROW aggregate
+      // crossJoins): dq_benford (digit total), sk_kmv_setops (sketch +
+      // exact 1-row frames), ts_periodogram (day count), tx_kn_score
+      // (distinct-bigram total), ml_nb_score / ml_nb_confusion (vocab
+      // scalar + the O(labels) label list — dimension-bounded like
+      // ev_gapfill's grid), pii_tclose (O(sources) global distribution
+      // onto the class table). Plan-builds-the-loop class (cc_clusters
+      // reason): gr_sssp, gr_ppr, tx_textrank.
+      "dq_benford", "sk_kmv_setops", "ts_periodogram", "tx_kn_score",
+      "ml_nb_score", "ml_nb_confusion", "pii_tclose",
+      "gr_sssp", "gr_ppr", "tx_textrank")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.flatMap { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
