@@ -858,6 +858,57 @@ object Dedup {
       |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
       |ORDER BY part_a, part_b""".stripMargin
 
+  // ---------------------------------------- sorted-neighborhood blocking
+
+  /** dd_sorted_neighborhood — the third classic blocking scheme next to
+    * [[editDistPairs]]' equi-key blocks and dd_lsh_pairs' hash buckets:
+    * sort the corpus by a sorting key (here the 30-char text prefix),
+    * then compare each record only against its w−1 successors in sort
+    * order. Where key blocking drops a pair whose keys differ in ONE
+    * char, sorted-neighborhood still adjacencies them — the recall/cost
+    * dial is the window width, not the key's exactness.
+    *
+    * The single-node formulation ("slide a window down the sorted file")
+    * is inherently sequential; the Spark-first re-expression is a RANK
+    * OFFSET EQUI-JOIN: rank every record once with a global-sort
+    * row_number, explode each probe row into (rank+1 … rank+w−1), and
+    * hash-join ranks — pairs that straddle a sort-partition boundary
+    * form exactly like interior ones, with no partition-edge special
+    * case. The global sort range-partitions the corpus (Spark's sort
+    * machinery, not a single reducer); the verify stage is the bounded
+    * 3-arg levenshtein of [[editDistPairs]]. Survivors canonicalize to
+    * (least, greatest) doc ids since sort order ≠ id order.
+    */
+  val sortedNeighborhood: Q = (s, d) => {
+    import s.implicits._
+    val docs = tbl(s, d, "documents").where($"doc_id" < 1000)
+      .select($"doc_id", $"text", substring($"text", 1, 30).as("skey"))
+    val rn = docs.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy($"skey", $"doc_id")).cast("long"))
+    val probe = rn.select($"rn", $"doc_id".as("id_a"), $"text".as("ta"))
+      .withColumn("off", explode(array(lit(1L), lit(2L))))
+      .withColumn("rn_b", $"rn" + $"off")
+    val build = rn.select($"rn".as("rn_b"), $"doc_id".as("id_b"), $"text".as("tb"))
+    probe.join(build, "rn_b")
+      .withColumn("lev", levenshtein($"ta", $"tb", 6))
+      .where($"lev" >= 0)
+      .select(least($"id_a", $"id_b").as("doc_a"),
+        greatest($"id_a", $"id_b").as("doc_b"), $"lev".cast("long").as("lev"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+  val sortedNeighborhoodSql: String =
+    """WITH d AS (SELECT doc_id, text, substr(text, 1, 30) AS skey
+      |           FROM documents WHERE doc_id < 1000),
+      |rn AS (SELECT doc_id, text,
+      |              row_number() OVER (ORDER BY skey, doc_id) AS rn
+      |       FROM d)
+      |SELECT least(a.doc_id, b.doc_id) AS doc_a,
+      |       greatest(a.doc_id, b.doc_id) AS doc_b,
+      |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+      |FROM rn a JOIN rn b ON b.rn - a.rn BETWEEN 1 AND 2
+      |WHERE levenshtein(a.text, b.text) <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------- probabilistic linkage
 
   /** dd_linkage — Fellegi–Sunter probabilistic record linkage (the 1969
@@ -1070,6 +1121,7 @@ object Dedup {
     "dd_ppjoin"       -> ppJoinQ,
     "dd_editdist"     -> editDistPairs,
     "dd_jaro"         -> jaroPairs,
+    "dd_sortnbr"      -> sortedNeighborhood,
     "dd_linkage"      -> linkage,
     "dd_lsh_eval"     -> lshEval,
     "dd_containment"  -> containment,
@@ -1091,6 +1143,7 @@ object Dedup {
     "dd_ppjoin"       -> ppJoinSql,
     "dd_editdist"     -> editDistPairsSql,
     "dd_jaro"         -> jaroPairsSql,
+    "dd_sortnbr"      -> sortedNeighborhoodSql,
     "dd_linkage"      -> linkageSql,
     "dd_lsh_eval"     -> lshEvalSql,
     "dd_containment"  -> containmentSql,

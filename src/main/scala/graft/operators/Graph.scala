@@ -942,6 +942,85 @@ object Graph {
        |SELECT node AS doc_id, round(dist, 6) AS dist FROM d8 ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------- harmonic closeness
+
+  /** Bounded-hop harmonic closeness centrality: C(v) = Σ_{0<d(v,u)≤h} 1/d(v,u)
+    * — the centrality that (unlike classic closeness) is well-defined on
+    * DISCONNECTED graphs, which candidate-pair graphs always are. Ranks
+    * cluster cores above bridge nodes above satellites.
+    *
+    * Multi-source BFS: ONE (src, node, dist) state frame seeded with every
+    * node at distance 0, expanded h rounds by the same join + min-keyed
+    * aggregation as [[bfsFromSeed]] — all sources ride each round's single
+    * shuffle together rather than looping BFS per source. State is
+    * O(Σ_v |ball_h(v)|), which the hop bound caps; at web scale the exact
+    * ball gives way to HyperBall (Boldi & Vigna, 2013 — HLL counters per
+    * node, same per-round join shape), which [[Sketches]]' HLL registers
+    * would back.
+    *
+    * Exactness: distances are BIGINT hops; the harmonic sum is computed as
+    * Σ 12 div d — an exact integer for d ∈ 1..4 (12 = lcm(1..4)) summed
+    * order-free — divided by 12.0 ONCE at the end (one IEEE op, 6 dp), so
+    * no float fold ever differs between engines.
+    */
+  def harmonicCloseness(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val e = cleanEdges(edges, "harmonicCloseness")
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+      .distinct().persist()
+    var dist = und.select(col("x").as("src"), col("x").as("node"), lit(0L).as("dist"))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val exp = dist.join(und, dist("node") === und("x"))
+        .select(col("src"), col("y").as("node"), (col("dist") + 1L).as("dist"))
+      val next = dist.select(col("src"), col("node"), col("dist")).union(exp)
+        .groupBy(col("src"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      CheckpointBridge.freeCheckpoint(dist)
+      dist = next
+    }
+    und.unpersist()
+    // lcm(1..rounds): every 1/d term becomes the exact integer lcm/d, so
+    // the sum is order-free; overflows long past rounds≈40, far beyond any
+    // sensible hop bound (and the frontier state explodes first).
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (1L to rounds.toLong).foldLeft(1L)((l, i) => l / gcd(l, i) * i)
+    dist.where(col("dist") > 0)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("reached"),
+        sum(expr(s"$lcm div dist")).as("hnum"))
+      .select(col("src"), col("reached"),
+        round(col("hnum").cast("double") / lcm.toDouble, 6).as("harmonic"))
+  }
+
+  /** gr_closeness — 4-hop harmonic closeness over the LSH pair graph;
+    * oracle unrolls the identical 4 min-dist rounds.
+    */
+  val grCloseness: Q = (s, d) => {
+    import s.implicits._
+    harmonicCloseness(lshPairGraph(s, d))
+      .select($"src".as("doc_id"), $"reached", $"harmonic")
+      .orderBy($"doc_id")
+  }
+  val grClosenessSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""h$r AS (
+         |  SELECT src, node, min(dist) AS dist FROM (
+         |    SELECT src, node, dist FROM h${r - 1}
+         |    UNION ALL
+         |    SELECT d.src, u.y AS node, d.dist + 1 AS dist
+         |    FROM h${r - 1} d JOIN und u ON d.node = u.x)
+         |  GROUP BY src, node)""".stripMargin
+    }.mkString(",\n")
+    s"""$ccReachCte,
+       |h0 AS (SELECT DISTINCT x AS src, x AS node, CAST(0 AS BIGINT) AS dist FROM und),
+       |$rounds
+       |SELECT src AS doc_id, count(*) AS reached,
+       |       round(CAST(sum(12 // dist) AS DOUBLE) / 12.0, 6) AS harmonic
+       |FROM h4 WHERE dist > 0 GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------ personalized PageRank
 
   /** Personalized PageRank: the restart mass returns to a SEED SET
@@ -1214,7 +1293,8 @@ object Graph {
     "gr_sssp"        -> grSssp,
     "gr_ppr"         -> grPpr,
     "gr_jaccard"     -> grJaccard,
-    "gr_hits"        -> grHits)
+    "gr_hits"        -> grHits,
+    "gr_closeness"   -> grCloseness)
   val oracles: Map[String, String] = Map(
     "cc_clusters"    -> ccClustersSql,
     "cc_star"        -> ccClustersSql,
@@ -1230,5 +1310,6 @@ object Graph {
     "gr_sssp"        -> grSsspSql,
     "gr_ppr"         -> grPprSql,
     "gr_jaccard"     -> grJaccardSql,
-    "gr_hits"        -> grHitsSql)
+    "gr_hits"        -> grHitsSql,
+    "gr_closeness"   -> grClosenessSql)
 }

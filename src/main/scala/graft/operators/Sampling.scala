@@ -338,6 +338,58 @@ object Sampling {
       |FROM events e JOIN mad m USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  // ---------------------------------------------------------- winsorization
+
+  /** pf_winsorize — tail-clamped (p05/p95) per-group mean of the event
+    * value: the robust-mean companion to [[outliers]] — where that gate
+    * FLAGS heavy tails, this one neutralizes them, the standard pre-step
+    * before feeding a skewed metric to anything that assumes finite
+    * variance (quality scores, per-domain averages, reward signals).
+    *
+    * Two passes: exact `percentile` per group (sort-based; at 100 TB swap
+    * for `percentile_approx`'s mergeable KLL sketch — outliers' note),
+    * fences rounded to 6 dp BEFORE the clamp so both engines clamp
+    * against identical doubles; then one map-side-combined aggregation of
+    * the clamped values quantized to decimal(17,4) — order-free sums,
+    * doubles only in the final mean (6 dp).
+    */
+  val winsorize: Q = (s, d) => {
+    val ev = tbl(s, d, "events").select(col("event_type"), col("value"))
+    val fences = ev.groupBy(col("event_type")).agg(
+      round(expr("percentile(value, CAST(0.05 AS DOUBLE))"), 6).as("p05"),
+      round(expr("percentile(value, CAST(0.95 AS DOUBLE))"), 6).as("p95"))
+    val w = ev.join(broadcast(fences), "event_type")
+      .withColumn("wv", least(greatest(col("value"), col("p05")), col("p95")))
+    w.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        first(col("p05")).as("p05"), first(col("p95")).as("p95"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
+        sum(col("value").cast("decimal(17,4)")).as("sraw"),
+        sum(col("wv").cast("decimal(17,4)")).as("swin"))
+      .select(col("event_type"), col("n"), col("p05"), col("p95"),
+        col("n_lo"), col("n_hi"),
+        round(col("sraw").cast("double") / col("n"), 6).as("mean_raw"),
+        round(col("swin").cast("double") / col("n"), 6).as("mean_wins"))
+      .orderBy(col("event_type"))
+  }
+  val winsorizeSql: String =
+    """WITH f AS (
+      |  SELECT event_type,
+      |         round(quantile_cont(value, CAST(0.05 AS DOUBLE)), 6) AS p05,
+      |         round(quantile_cont(value, CAST(0.95 AS DOUBLE)), 6) AS p95
+      |  FROM events GROUP BY event_type),
+      |w AS (
+      |  SELECT e.event_type, f.p05, f.p95, e.value,
+      |         least(greatest(e.value, f.p05), f.p95) AS wv
+      |  FROM events e JOIN f USING (event_type))
+      |SELECT event_type, count(*) AS n, min(p05) AS p05, min(p95) AS p95,
+      |       CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |       CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |       round(CAST(sum(CAST(value AS DECIMAL(17,4))) AS DOUBLE) / count(*), 6) AS mean_raw,
+      |       round(CAST(sum(CAST(wv AS DECIMAL(17,4))) AS DOUBLE) / count(*), 6) AS mean_wins
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------ Poisson bootstrap
 
   /** Cumulative Poisson(1) CDF at k = 0..4 — identical decimal literals in
@@ -498,6 +550,7 @@ object Sampling {
     "pf_profile"    -> profile,
     "pf_drift"      -> drift,
     "pf_outliers"   -> outliers,
+    "pf_winsorize"  -> winsorize,
     "sk_top_tokens" -> topTokens,
   )
 
@@ -513,6 +566,7 @@ object Sampling {
     "pf_profile"    -> profileSql,
     "pf_drift"      -> driftSql,
     "pf_outliers"   -> outliersSql,
+    "pf_winsorize"  -> winsorizeSql,
     "sk_top_tokens" -> topTokensSql,
   )
 }

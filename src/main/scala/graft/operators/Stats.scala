@@ -362,12 +362,152 @@ object Stats {
       |       END AS z
       |FROM vu""".stripMargin
 
+  // ------------------------------------------ Kolmogorov-Smirnov two-sample
+
+  /** st_ks — the two-sample Kolmogorov-Smirnov D between two customer
+    * segments on account balance: the distribution-FREE "are these two
+    * samples drawn from the same distribution" test, sensitive to any
+    * difference (location, scale, shape) where st_ttest sees only means
+    * and st_mannwhitney only stochastic order. D = sup|F_a(v) − F_b(v)|
+    * over the pooled support, evaluated AT the jump points (sufficient —
+    * both ECDFs are right-continuous step functions).
+    *
+    * Exactness: D never touches floats until the last step — the sup of
+    * |ca·nb − cb·na| over cumulative BIGINT counts is an exact integer
+    * max, divided by na·nb once at the end; the asymptotic statistic
+    * sqrt(na·nb/(na+nb))·D is one IEEE op on those integers, 6 dp.
+    *
+    * Scale shape: st_mannwhitney's envelope — one map-side-combined
+    * count keyed by value (O(rows) → O(distinct values)), a window
+    * ordered over the distinct-value series only, and a scalar max.
+    */
+  val stKs: Q = (s, d) => {
+    val pool = tbl(s, d, "customer")
+      .where(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+      .select(when(col("c_mktsegment") === "AUTOMOBILE", lit("a"))
+        .otherwise(lit("b")).as("grp"), dec(col("c_acctbal")).as("v"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byVal = pool.groupBy(col("v")).agg(
+        sum(when(col("grp") === "a", 1L).otherwise(0L)).as("ta"),
+        sum(when(col("grp") === "b", 1L).otherwise(0L)).as("tb"))
+      .withColumn("ca", sum(col("ta")).over(w))
+      .withColumn("cb", sum(col("tb")).over(w))
+    val tot = byVal.agg(max(col("ca")).as("na"), max(col("cb")).as("nb"))
+    byVal.crossJoin(broadcast(tot))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("supn"))
+      .select(col("na"), col("nb"),
+        round(col("supn").cast("double") / (col("na") * col("nb")), 6).as("d_stat"),
+        round(sqrt((col("na") * col("nb")).cast("double") / (col("na") + col("nb"))) *
+          (col("supn").cast("double") / (col("na") * col("nb"))), 6).as("ks_stat"))
+  }
+  val stKsSql: String =
+    """WITH pool AS (
+      |  SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'a' ELSE 'b' END AS grp,
+      |         CAST(c_acctbal AS DECIMAL(17,4)) AS v
+      |  FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')),
+      |byval AS (
+      |  SELECT v,
+      |         CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+      |         CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS tb
+      |  FROM pool GROUP BY v),
+      |cum AS (
+      |  SELECT v,
+      |         CAST(sum(ta) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+      |         CAST(sum(tb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+      |  FROM byval),
+      |tot AS (SELECT CAST(max(ca) AS BIGINT) AS na, CAST(max(cb) AS BIGINT) AS nb FROM cum),
+      |sup AS (SELECT CAST(max(abs(cum.ca * tot.nb - cum.cb * tot.na)) AS BIGINT) AS supn
+      |        FROM cum, tot)
+      |SELECT na, nb,
+      |       round(CAST(supn AS DOUBLE) / (na * nb), 6) AS d_stat,
+      |       round(sqrt(CAST(na * nb AS DOUBLE) / (na + nb))
+      |             * (CAST(supn AS DOUBLE) / (na * nb)), 6) AS ks_stat
+      |FROM sup, tot""".stripMargin
+
+  // ---------------------------------------------------- one-way ANOVA
+
+  /** st_anova — one-way ANOVA of account balance across ALL market
+    * segments: the k-group generalization of st_ttest ("does segment
+    * explain balance at all" before any pairwise digging), reported as
+    * F = (SSB/(k−1))/(SSW/(n−k)) plus η² = SSB/SST effect size.
+    *
+    * Exactness: per-group (n, Σx, Σx²) are BIGINT/decimal sums —
+    * order-free; SSB/SSW come from the moment identities
+    * SST = Σx² − (Σx)²/n, SSW = Σ_g (Σx²_g − (Σx_g)²/n_g), SSB = SST−SSW,
+    * each a short IEEE sequence on per-group doubles folded over k rows
+    * (contributions quantized to 6 dp first, the st_chisq fold rule).
+    *
+    * Scale shape: ONE map-side-combined aggregation over the corpus to
+    * k moment rows; everything after is O(k) on the driver-sized frame.
+    */
+  val stAnova: Q = (s, d) => {
+    val m = tbl(s, d, "customer")
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("c_acctbal"))).as("sx"),
+        sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("sxx"))
+      .select(col("n"), col("sx"), col("sxx"),
+        // 2-dp-quantized then DECIMAL: the k-term fold is order-free (a
+        // plain double sum here is run-to-run flaky under DuckDB's
+        // parallel aggregation — observed 2e-6 drift on 5 terms), and
+        // 2 dp — not the suite's 6 — because rounding a ~1e9-magnitude
+        // double at 6 dp is itself engine-divergent (DuckDB's x·1e6
+        // path vs Spark's BigDecimal disagree in the last ulp; the
+        // welch_df 4-dp rule). Also double-first before squaring
+        // (st_linreg's decimal-overflow rule).
+        round(col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n"), 2)
+          .cast("decimal(28,2)").as("ssw_g"))
+    m.agg(count(lit(1)).as("k"), sum(col("n")).as("n"),
+        sum(col("sx")).as("gsx"), sum(col("sxx")).as("gsxx"),
+        sum(col("ssw_g")).cast("double").as("ssw"))
+      .select(col("k"), col("n"),
+        (col("gsxx").cast("double") -
+          col("gsx").cast("double") * col("gsx").cast("double") / col("n")).as("sst"),
+        col("ssw"))
+      .select(col("k"), col("n"),
+        round(col("sst") - col("ssw"), 2).as("ssb"),
+        round(col("ssw"), 2).as("ssw"),
+        round(((col("sst") - col("ssw")) / (col("k") - 1)) /
+          (col("ssw") / (col("n") - col("k"))), 6).as("f_stat"),
+        round((col("sst") - col("ssw")) / col("sst"), 6).as("eta2"))
+  }
+  val stAnovaSql: String =
+    """WITH m AS (
+      |  SELECT c_mktsegment AS seg, count(*) AS n,
+      |         sum(CAST(c_acctbal AS DECIMAL(17,4))) AS sx,
+      |         sum(CAST(c_acctbal AS DECIMAL(17,4)) * CAST(c_acctbal AS DECIMAL(17,4))) AS sxx
+      |  FROM customer GROUP BY 1),
+      |g AS (
+      |  SELECT n, sx, sxx,
+      |         CAST(round(CAST(sxx AS DOUBLE)
+      |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n, 2)
+      |              AS DECIMAL(28,2)) AS ssw_g
+      |  FROM m),
+      |agg AS (
+      |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
+      |         sum(sx) AS gsx, sum(sxx) AS gsxx, CAST(sum(ssw_g) AS DOUBLE) AS ssw
+      |  FROM g),
+      |sst AS (
+      |  SELECT k, n, ssw,
+      |         CAST(gsxx AS DOUBLE) - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) / n AS sst
+      |  FROM agg)
+      |SELECT k, n,
+      |       round(sst - ssw, 2) AS ssb,
+      |       round(ssw, 2) AS ssw,
+      |       round(((sst - ssw) / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
+      |       round((sst - ssw) / sst, 6) AS eta2
+      |FROM sst""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st_ttest"  -> stTtest,
     "st_chisq"  -> stChisq,
     "st_linreg" -> stLinreg,
     "st_km"     -> stKm,
     "st_mannwhitney" -> stMannWhitney,
+    "st_ks"     -> stKs,
+    "st_anova"  -> stAnova,
   )
 
   val oracles: Map[String, String] = Map(
@@ -376,5 +516,7 @@ object Stats {
     "st_linreg" -> stLinregSql,
     "st_km"     -> stKmSql,
     "st_mannwhitney" -> stMannWhitneySql,
+    "st_ks"     -> stKsSql,
+    "st_anova"  -> stAnovaSql,
   )
 }

@@ -81,6 +81,69 @@ object TimeSeries {
        |FROM idx b JOIN idx a ON a.t <= b.t
        |GROUP BY b.day, b.n ORDER BY b.day""".stripMargin
 
+  // -------------------------------------------- Holt / double exponential
+
+  /** ts_holt — trend-aware smoothing of the daily count by Brown's double
+    * exponential method (the equal-parameter member of the Holt family):
+    * S1 = EWMA(x), S2 = EWMA(S1), level = 2·S1 − S2,
+    * trend = α/(1−α)·(S1 − S2), one-step forecast = level + trend. Where
+    * [[tsEwma]] lags behind a drifting series by design, this extrapolates
+    * the drift — the capacity-planning read over ingest counters.
+    *
+    * Both recursions unroll to CLOSED-FORM weights over the day-pair
+    * triangle (seeded S1₀ = S2₀ = x₀):
+    * w1(t,i) = α(1−α)^{t−i} (i≥1), w1(t,0) = (1−α)^t;
+    * w2(t,i) = α²(t−i+1)(1−α)^{t−i} (i≥1), w2(t,0) = (1+tα)(1−α)^t —
+    * declarative weighted sums, so both engines compute identical terms
+    * instead of folding sequentially. Each term quantizes to 9 dp before
+    * the fold (st_chisq's rule), outputs to 6 dp. α is 0.3; α² is written
+    * `0.3*0.3` in BOTH engines (the literal 0.09 is a different double).
+    *
+    * Scale shape: tsEwma's — the corpus collapses to O(days) once, the
+    * O(days²) triangle never touches events.
+    */
+  val tsHolt: Q = (s, d) => {
+    val idx = dailyIdx(s, d)
+    val b = idx.select(col("day"), col("n"), col("t"))
+    val a = idx.select(col("t").as("i"), col("n").as("xi"))
+    val k = col("t") - col("i")
+    val alpha = lit(0.3)
+    val a2 = lit(0.3) * lit(0.3)
+    val sm = b.join(a, a("i") <= b("t"))
+      .withColumn("s1term", round(
+        when(col("i") === 0, pow(lit(0.7), col("t")))
+          .otherwise(alpha * pow(lit(0.7), k)) * col("xi"), 9))
+      .withColumn("s2term", round(
+        when(col("i") === 0, (lit(1.0) + alpha * col("t")) * pow(lit(0.7), col("t")))
+          .otherwise(a2 * (k + 1) * pow(lit(0.7), k)) * col("xi"), 9))
+      .groupBy(col("day"), col("n"))
+      .agg(sum(col("s1term")).as("s1"), sum(col("s2term")).as("s2"))
+    sm.select(col("day"), col("n"),
+        round(lit(2.0) * col("s1") - col("s2"), 6).as("level"),
+        round(lit(0.3) / lit(0.7) * (col("s1") - col("s2")), 6).as("trend"),
+        round(lit(2.0) * col("s1") - col("s2") +
+          lit(0.3) / lit(0.7) * (col("s1") - col("s2")), 6).as("forecast"))
+      .orderBy(col("day"))
+  }
+  val tsHoltSql: String =
+    s"""WITH $dailyIdxSql,
+       |tri AS (
+       |  SELECT b.day, b.n,
+       |         round(CASE WHEN a.t = 0 THEN power(0.7, b.t)
+       |                    ELSE 0.3 * power(0.7, b.t - a.t) END * a.n, 9) AS s1term,
+       |         round(CASE WHEN a.t = 0 THEN (1.0 + 0.3 * b.t) * power(0.7, b.t)
+       |                    ELSE 0.3 * 0.3 * (b.t - a.t + 1) * power(0.7, b.t - a.t)
+       |               END * a.n, 9) AS s2term
+       |  FROM idx b JOIN idx a ON a.t <= b.t),
+       |sm AS (
+       |  SELECT day, n, sum(s1term) AS s1, sum(s2term) AS s2
+       |  FROM tri GROUP BY day, n)
+       |SELECT day, n,
+       |       round(2.0 * s1 - s2, 6) AS level,
+       |       round(0.3 / 0.7 * (s1 - s2), 6) AS trend,
+       |       round(2.0 * s1 - s2 + 0.3 / 0.7 * (s1 - s2), 6) AS forecast
+       |FROM sm ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------------- ACF
 
   /** ts_acf — autocorrelation of the daily series at lags 1..7: Pearson r
@@ -286,6 +349,7 @@ object TimeSeries {
 
   val queries: Map[String, Q] = Map(
     "ts_ewma"      -> tsEwma,
+    "ts_holt"      -> tsHolt,
     "ts_acf"       -> tsAcf,
     "ts_decompose" -> tsDecompose,
     "ts_cusum"     -> tsCusum,
@@ -294,6 +358,7 @@ object TimeSeries {
 
   val oracles: Map[String, String] = Map(
     "ts_ewma"      -> tsEwmaSql,
+    "ts_holt"      -> tsHoltSql,
     "ts_acf"       -> tsAcfSql,
     "ts_decompose" -> tsDecomposeSql,
     "ts_cusum"     -> tsCusumSql,

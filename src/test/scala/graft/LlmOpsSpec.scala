@@ -200,6 +200,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top == 777777L, s"planted dup of probe 3 ranked below 1: got $top")
   }
 
+  test("sortedNeighborhood pairs sort-adjacent near-dups that key blocking would split") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snb").toString
+    // Docs 1/2 differ INSIDE the first 20 chars (editDistPairs' block key
+    // would separate them) but sort adjacently on the 30-char prefix;
+    // doc 3 is far from both; doc 4 sorts between nothing relevant.
+    Seq(
+      (1L, "alpha document body shared tail one two three"),
+      (2L, "alphb document body shared tail one two three"),
+      (3L, "zzz completely different text with nothing in common here"),
+      (4L, "middle of the road text that matches neither neighbor at all"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.sortedNeighborhood(spark, dir)
+      .select($"doc_a", $"doc_b", $"lev").as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1L)), s"got ${pairs.toSeq}")
+  }
+
   test("dd_canonical keeps exactly one representative per duplicate cluster, " +
        "and it has the cluster's max n_chars") {
     val canon = operators.Graph.ddCanonical(spark, sf)

@@ -54,6 +54,60 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r2 - 1.0) < 1e-6)
   }
 
+  test("stKs computes the exact ECDF sup-gap on a hand-built pool") {
+    val dir = tmp()
+    // a = {1,2,3}, b = {2,3,4}: F_a-F_b = 1/3 at v=1,2,3 → D = 1/3;
+    // ks = sqrt(3·3/6)·(1/3) = sqrt(1.5)/3.
+    val rows = Seq(1, 2, 3).map(v => ("AUTOMOBILE", v.toDouble)) ++
+      Seq(2, 3, 4).map(v => ("BUILDING", v.toDouble))
+    rows.toDF("c_mktsegment", "c_acctbal").write.parquet(s"$dir/customer.parquet")
+    val r = Stats.stKs(spark, dir).collect().head
+    assert(r.getAs[Long]("na") == 3L && r.getAs[Long]("nb") == 3L)
+    assert(math.abs(r.getAs[Double]("d_stat") - 1.0 / 3) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ks_stat") - math.sqrt(1.5) / 3) < 1e-6)
+  }
+
+  test("stKs is 0 on identical samples and 1 on disjoint ones") {
+    val same = tmp()
+    (Seq(1, 2, 3).map(v => ("AUTOMOBILE", v.toDouble)) ++
+      Seq(1, 2, 3).map(v => ("BUILDING", v.toDouble)))
+      .toDF("c_mktsegment", "c_acctbal").write.parquet(s"$same/customer.parquet")
+    assert(Stats.stKs(spark, same).collect().head.getAs[Double]("d_stat") == 0.0)
+    val disj = tmp()
+    (Seq(1, 2).map(v => ("AUTOMOBILE", v.toDouble)) ++
+      Seq(10, 11).map(v => ("BUILDING", v.toDouble)))
+      .toDF("c_mktsegment", "c_acctbal").write.parquet(s"$disj/customer.parquet")
+    assert(Stats.stKs(spark, disj).collect().head.getAs[Double]("d_stat") == 1.0)
+  }
+
+  test("stAnova matches the textbook two-group decomposition") {
+    val dir = tmp()
+    // A={1,2,3}, B={4,5,6}: grand=3.5, SSB = 3·1.5²·2 = 13.5, SSW = 2+2 = 4,
+    // F = 13.5/(4/4) = 13.5, eta² = 13.5/17.5.
+    val rows = Seq(1, 2, 3).map(v => ("A", v.toDouble)) ++
+      Seq(4, 5, 6).map(v => ("B", v.toDouble))
+    rows.toDF("c_mktsegment", "c_acctbal").write.parquet(s"$dir/customer.parquet")
+    val r = Stats.stAnova(spark, dir).collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(math.abs(r.getAs[Double]("ssb") - 13.5) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ssw") - 4.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("f_stat") - 13.5) < 1e-6)
+    assert(math.abs(r.getAs[Double]("eta2") - 13.5 / 17.5) < 1e-6)
+  }
+
+  test("winsorize clamps exactly the tail 5% each side at the interpolated fences") {
+    val dir = tmp()
+    (1 to 100).map(v => ("X", v.toDouble)).toDF("event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val r = operators.Sampling.winsorize(spark, dir).collect().head
+    // percentile(1..100, .05) = 5.95, (.95) = 95.05 (linear interpolation)
+    assert(r.getAs[Double]("p05") == 5.95 && r.getAs[Double]("p95") == 95.05)
+    assert(r.getAs[Long]("n_lo") == 5L && r.getAs[Long]("n_hi") == 5L)
+    assert(r.getAs[Double]("mean_raw") == 50.5)
+    // symmetric clamp: (5·5.95 + Σ6..95 + 5·95.05)/100 = 50.5 again
+    assert(r.getAs[Double]("mean_wins") == 50.5)
+  }
+
   test("stKm reproduces the Freireich 6-MP Kaplan-Meier curve") {
     // Classic remission times (weeks → days here, 1:1): observed
     // 6,6,6,7,10,13,16,22,23; censored 6,9,10,11,17,19,20,25,32,32,34,35.

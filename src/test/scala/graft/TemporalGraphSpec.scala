@@ -258,6 +258,24 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(cc.values.toSet.size == 1, "sanity: CC does fuse them")
   }
 
+  test("harmonicCloseness on a 5-path matches the exact 1/d sums") {
+    // Path 1-2-3-4-5, hop bound 4 covers every pair. Exact rationals:
+    // end nodes 1+1/2+1/3+1/4 = 25/12; next-in 1+1+1/2+1/3 = 17/6;
+    // center 1+1+1/2+1/2 = 3.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val c = Graph.harmonicCloseness(edges, rounds = 4)
+      .as[(Long, Long, Double)].collect()
+      .map { case (n, r, h) => n -> ((r, h)) }.toMap
+    assert(c(1L) == ((4L, 2.083333)) && c(5L) == ((4L, 2.083333)), s"got $c")
+    assert(c(2L) == ((4L, 2.833333)) && c(4L) == ((4L, 2.833333)), s"got $c")
+    assert(c(3L) == ((4L, 3.0)), s"got $c")
+    // Hop bound caps reach: with rounds=1 only direct neighbors count.
+    val c1 = Graph.harmonicCloseness(edges, rounds = 1)
+      .as[(Long, Long, Double)].collect()
+      .map { case (n, r, h) => n -> ((r, h)) }.toMap
+    assert(c1(1L) == ((1L, 1.0)) && c1(3L) == ((2L, 2.0)), s"got $c1")
+  }
+
   test("kCore peels pendants and chains, keeps the dense backbone") {
     // Triangle {0,1,2} with a pendant chain 2-10-11: the 2-core is the
     // triangle alone (peeling 11 exposes 10, which peels next round),

@@ -42,6 +42,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("tsHolt closed form matches the sequential Brown recursion") {
+    val got = TimeSeries.tsHolt(spark, weekly)
+      .select($"n", $"level", $"trend", $"forecast")
+      .as[(Long, Double, Double, Double)].collect()
+    var s1 = got.head._1.toDouble
+    var s2 = s1
+    got.zipWithIndex.foreach { case ((x, lv, tr, fc), i) =>
+      if (i > 0) { s1 = 0.3 * x + 0.7 * s1; s2 = 0.3 * s1 + 0.7 * s2 }
+      val (el, et) = (2 * s1 - s2, 0.3 / 0.7 * (s1 - s2))
+      assert(math.abs(lv - el) < 1e-4, s"day $i level: $lv vs $el")
+      assert(math.abs(tr - et) < 1e-4, s"day $i trend: $tr vs $et")
+      assert(math.abs(fc - (el + et)) < 1e-4, s"day $i forecast")
+    }
+  }
+
+  test("tsHolt locks onto a linear ramp: trend → slope, forecast → next value") {
+    val ramp = corpus((0 until 30).map(d => 10 + 2 * d))
+    val last = TimeSeries.tsHolt(spark, ramp)
+      .orderBy($"day").select($"trend", $"forecast")
+      .as[(Double, Double)].collect().last
+    // After 30 days of a +2/day ramp the trend estimate is ≈2 and the
+    // one-step forecast ≈ the unobserved day-30 value 10+2·30 = 70.
+    assert(math.abs(last._1 - 2.0) < 0.05, s"trend ${last._1}")
+    assert(math.abs(last._2 - 70.0) < 0.5, s"forecast ${last._2}")
+  }
+
   test("tsAcf peaks at the planted weekly lag") {
     val acf = TimeSeries.tsAcf(spark, weekly)
       .select($"lag", $"acf").as[(Int, Double)].collect().toMap
