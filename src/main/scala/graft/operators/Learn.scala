@@ -171,13 +171,106 @@ object Learn {
        |FROM pred WHERE rk = 1
        |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
 
+  // ------------------------------------------------- target (mean) encoding
+
+  /** fe_target_encode — smoothed target encoding of a categorical column
+    * (the feature-engineering workhorse for high-cardinality categories):
+    * enc(c) = (Σ_c y + m·prior) / (n_c + m) with prior the global target
+    * mean and m = 100 pseudo-observations — a rare category shrinks to
+    * the prior, a common one approaches its own mean, and no category
+    * ever leaks a raw small-sample mean into a model.
+    *
+    * Scale shape: ONE map-side-combined aggregation to O(categories)
+    * moment rows; the global prior is a broadcast scalar; the encoder
+    * table it emits is the broadcast-join artifact downstream feature
+    * pipelines apply to the full corpus. Sums are exact decimals
+    * (order-free); enc/prior are short identical IEEE sequences, 6 dp.
+    */
+  val targetEncode: Q = (s, d) => {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(17,4)")
+    val g = tbl(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+    val tot = g.agg(sum(col("n")).as("gn"), sum(col("sv")).as("gs"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("prior", col("gs").cast("double") / col("gn"))
+      .select(col("event_type"), col("n"),
+        round(col("prior"), 6).as("prior"),
+        round((col("sv").cast("double") + lit(100.0) * col("prior")) /
+          (col("n") + lit(100L)), 6).as("enc"))
+      .orderBy(col("event_type"))
+  }
+  val targetEncodeSql: String =
+    """WITH g AS (
+      |  SELECT event_type, count(*) AS n,
+      |         sum(CAST(value AS DECIMAL(17,4))) AS sv
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS gn, sum(sv) AS gs FROM g)
+      |SELECT event_type, n,
+      |       round(CAST(gs AS DOUBLE) / gn, 6) AS prior,
+      |       round((CAST(sv AS DOUBLE) + 100.0 * (CAST(gs AS DOUBLE) / gn))
+      |             / (n + 100), 6) AS enc
+      |FROM g, tot ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------- embedding standardization
+
+  /** fe_scale — per-dimension mean/std of the embedding column: the
+    * standardization pass (whitening prep) every vector pipeline runs
+    * before PCA/clustering/ANN, and the per-dim drift monitor for an
+    * embedding source. Vectors explode positionally and collapse in ONE
+    * map-side-combined aggregation keyed on dim — O(rows·dim) in,
+    * O(dim) out, no shuffle wider than the dimension count.
+    *
+    * Exactness: floats quantize to 1e-6 fixed point FIRST (Similarity's
+    * convention — floor(x·1e6) is the identical integer in both
+    * engines), so every moment is an exact integer/decimal sum; the
+    * mean/std formulas are one short IEEE sequence on those integers
+    * (6 dp). Unbiased (n−1) variance.
+    */
+  val scaleStats: Q = (s, d) => {
+    val x = tbl(s, d, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i").cast("long").as("dim"),
+        floor(col("x") * lit(1e6)).cast("long").as("xq"))
+    x.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq").cast("decimal(28,0)")).as("sx"),
+        sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("sxx"))
+      .select(col("dim"), col("n"),
+        round(col("sx").cast("double") / 1e6 / col("n"), 6).as("mean"),
+        round(sqrt((col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+          (col("n") - 1)) / 1e6, 6).as("std"))
+      .orderBy(col("dim"))
+  }
+  val scaleStatsSql: String =
+    """WITH e0 AS (SELECT vec_id, embedding AS e FROM embeddings),
+      |x AS (
+      |  SELECT i AS dim, CAST(floor(e[i + 1] * 1e6) AS BIGINT) AS xq
+      |  FROM (SELECT vec_id, e, unnest(range(0, len(e))) AS i FROM e0)),
+      |m AS (
+      |  SELECT dim, count(*) AS n,
+      |         sum(CAST(xq AS DECIMAL(28,0))) AS sx,
+      |         sum(CAST(xq * xq AS DECIMAL(38,0))) AS sxx
+      |  FROM x GROUP BY dim)
+      |SELECT CAST(dim AS BIGINT) AS dim, n,
+      |       round(CAST(sx AS DOUBLE) / 1e6 / n, 6) AS mean,
+      |       round(sqrt((CAST(sxx AS DOUBLE)
+      |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |                  / (n - 1)) / 1e6, 6) AS std
+      |FROM m ORDER BY dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ml_nb_score"     -> nbScore,
     "ml_nb_confusion" -> nbConfusion,
+    "fe_target_encode" -> targetEncode,
+    "fe_scale"        -> scaleStats,
   )
 
   val oracles: Map[String, String] = Map(
     "ml_nb_score"     -> nbScoreSql,
     "ml_nb_confusion" -> nbConfusionSql,
+    "fe_target_encode" -> targetEncodeSql,
+    "fe_scale"        -> scaleStatsSql,
   )
 }

@@ -500,6 +500,75 @@ object Stats {
       |       round((sst - ssw) / sst, 6) AS eta2
       |FROM sst""".stripMargin
 
+  // -------------------------------------- Brown-Forsythe (Levene) test
+
+  /** st_levene — the Brown-Forsythe test for EQUAL VARIANCES across
+    * market segments: one-way ANOVA on z = |x − median_g|, the robust
+    * (median-centered) Levene variant. The gatekeeper for st_anova and
+    * st_ttest's pooled-variance cousin — "may I even assume
+    * homoscedasticity" — and on its own the screen for a segment whose
+    * dispersion (not mean) shifted, which drift monitors miss.
+    *
+    * Two passes: exact per-group `percentile` medians (rounded 6 dp so
+    * both engines center on identical doubles; pf_outliers' convention,
+    * percentile_approx at 100 TB), then st_anova's moment discipline on
+    * z quantized to decimal(17,4) — order-free sums, the 2-dp large-
+    * magnitude SSW fold, F at 6 dp since it is an O(1) ratio.
+    */
+  val stLevene: Q = (s, d) => {
+    val ev = tbl(s, d, "customer")
+      .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"))
+    val med = ev.groupBy(col("seg"))
+      .agg(round(expr("percentile(v, CAST(0.5 AS DOUBLE))"), 6).as("med"))
+    val z = ev.join(broadcast(med), "seg")
+      .select(col("seg"), abs(col("v") - col("med")).cast("decimal(17,4)").as("z"))
+    val m = z.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("sz"),
+        sum(col("z") * col("z")).as("szz"))
+      .select(col("n"), col("sz"), col("szz"),
+        round(col("szz").cast("double") -
+          col("sz").cast("double") * col("sz").cast("double") / col("n"), 2)
+          .cast("decimal(28,2)").as("ssw_g"))
+    m.agg(count(lit(1)).as("k"), sum(col("n")).as("n"),
+        sum(col("sz")).as("gsz"), sum(col("szz")).as("gszz"),
+        sum(col("ssw_g")).cast("double").as("ssw"))
+      .select(col("k"), col("n"), col("ssw"),
+        (col("gszz").cast("double") -
+          col("gsz").cast("double") * col("gsz").cast("double") / col("n")).as("sst"))
+      .select(col("k"), col("n"),
+        round(((col("sst") - col("ssw")) / (col("k") - 1)) /
+          (col("ssw") / (col("n") - col("k"))), 6).as("f_stat"))
+  }
+  val stLeveneSql: String =
+    """WITH ev AS (SELECT c_mktsegment AS seg, c_acctbal AS v FROM customer),
+      |med AS (
+      |  SELECT seg, round(quantile_cont(v, CAST(0.5 AS DOUBLE)), 6) AS med
+      |  FROM ev GROUP BY seg),
+      |z AS (
+      |  SELECT ev.seg, CAST(abs(ev.v - med.med) AS DECIMAL(17,4)) AS z
+      |  FROM ev JOIN med USING (seg)),
+      |m AS (
+      |  SELECT seg, count(*) AS n, sum(z) AS sz, sum(z * z) AS szz
+      |  FROM z GROUP BY seg),
+      |g AS (
+      |  SELECT n, sz, szz,
+      |         CAST(round(CAST(szz AS DOUBLE)
+      |                    - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n, 2)
+      |              AS DECIMAL(28,2)) AS ssw_g
+      |  FROM m),
+      |agg AS (
+      |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
+      |         sum(sz) AS gsz, sum(szz) AS gszz,
+      |         CAST(sum(ssw_g) AS DOUBLE) AS ssw
+      |  FROM g),
+      |sst AS (
+      |  SELECT k, n, ssw,
+      |         CAST(gszz AS DOUBLE) - CAST(gsz AS DOUBLE) * CAST(gsz AS DOUBLE) / n AS sst
+      |  FROM agg)
+      |SELECT k, n,
+      |       round(((sst - ssw) / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
+      |FROM sst""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st_ttest"  -> stTtest,
     "st_chisq"  -> stChisq,
@@ -508,6 +577,7 @@ object Stats {
     "st_mannwhitney" -> stMannWhitney,
     "st_ks"     -> stKs,
     "st_anova"  -> stAnova,
+    "st_levene" -> stLevene,
   )
 
   val oracles: Map[String, String] = Map(
@@ -518,5 +588,6 @@ object Stats {
     "st_mannwhitney" -> stMannWhitneySql,
     "st_ks"     -> stKsSql,
     "st_anova"  -> stAnovaSql,
+    "st_levene" -> stLeveneSql,
   )
 }

@@ -1338,6 +1338,73 @@ object TextAnalysis {
 
   // ------------------------------------------------------------- TextRank
 
+  /** tx_rake — RAKE keyword extraction (Rose et al. 2010), the
+    * non-iterative complement to [[textrank]]: candidate phrases are
+    * maximal stopword-free token runs; each word scores deg/freq where
+    * freq counts its phrase occurrences and deg additionally credits
+    * co-occurring phrase words (deg = Σ phrase length over containing
+    * phrases); a phrase scores the sum of its words. Multi-word terms
+    * win because their words borrow each other's degree — the property
+    * tf-idf and textrank (token-granular) both miss.
+    *
+    * Spark-first shape: phrase segmentation is gaps-and-islands — a
+    * per-doc window (p − row_number over non-stopword tokens) labels
+    * each run, so segmentation parallelizes per doc with no sequential
+    * scan. Word stats are ONE keyed aggregation over phrase-word pairs
+    * (vocabulary-bounded output); phrase scoring joins the broadcast
+    * stats back to DISTINCT phrase texts (identical text ⇒ identical
+    * score, so occurrences collapse first). Scores are exact-ratio
+    * sums: deg/freq quantized 9 dp, ≤ 4 terms per phrase, result 6 dp.
+    */
+  val rake: Q = (s, d) => {
+    import s.implicits._
+    val t = tbl(s, d, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p", "tok")))
+    val ns = t.where(!$"tok".isin(Stopwords: _*) && $"tok" =!= "")
+      .withColumn("grp", $"p" - row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"p")))
+    val occ = ns.groupBy($"doc_id", $"grp")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, tok))), x -> x.tok), ' ')").as("phrase"),
+        count(lit(1)).as("plen"))
+    val wo = occ.select($"phrase", $"plen", explode(split($"phrase", " ")).as("w"))
+    val stats = wo.groupBy($"w")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+    val bp = occ.where($"plen" <= 4)
+      .groupBy($"phrase").agg(count(lit(1)).as("n_occur"))
+      .where($"n_occur" >= 2)
+    val sc = bp.select($"phrase", $"n_occur", explode(split($"phrase", " ")).as("w"))
+      .join(broadcast(stats), Seq("w"))
+      .groupBy($"phrase", $"n_occur")
+      .agg(round(sum(round($"deg".cast("double") / $"freq", 9)), 6).as("score"))
+    sc.withColumn("rk", row_number().over(Window.orderBy($"score".desc, $"phrase")))
+      .where($"rk" <= 20)
+      .select($"rk".cast("long").as("rk"), $"phrase", $"n_occur", $"score")
+      .orderBy($"rk")
+  }
+  val rakeSql: String =
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |t AS (SELECT doc_id, p, toks[p + 1] AS tok FROM (
+       |        SELECT doc_id, toks, unnest(range(0, len(toks))) AS p FROM t0)),
+       |ns AS (SELECT doc_id, p, tok,
+       |              p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |       FROM t WHERE tok NOT IN ($stopSqlList) AND tok <> ''),
+       |occ AS (SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY p) AS phrase,
+       |               count(*) AS plen
+       |        FROM ns GROUP BY doc_id, grp),
+       |wo AS (SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS w FROM occ),
+       |stats AS (SELECT w, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+       |          FROM wo GROUP BY w),
+       |bp AS (SELECT phrase, count(*) AS n_occur FROM occ WHERE plen <= 4
+       |       GROUP BY phrase HAVING count(*) >= 2),
+       |wd AS (SELECT phrase, n_occur, unnest(string_split(phrase, ' ')) AS w FROM bp),
+       |sc AS (SELECT phrase, n_occur,
+       |              round(sum(round(CAST(deg AS DOUBLE) / freq, 9)), 6) AS score
+       |       FROM wd JOIN stats USING (w) GROUP BY phrase, n_occur)
+       |SELECT CAST(rk AS BIGINT) AS rk, phrase, n_occur, score FROM (
+       |  SELECT phrase, n_occur, score,
+       |         row_number() OVER (ORDER BY score DESC, phrase) AS rk FROM sc)
+       |WHERE rk <= 20 ORDER BY rk""".stripMargin
+
   /** tx_textrank — corpus-level keyword extraction by weighted PageRank
     * over the word co-occurrence graph (Mihalcea & Tarau 2004): nodes are
     * non-stopword tokens, edge weight = adjacent-bigram frequency (both
@@ -1426,6 +1493,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "tx_textrank"    -> textrank,
+    "tx_rake"        -> rake,
     "tx_kn_score"    -> knScore,
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
@@ -1454,6 +1522,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "tx_textrank"    -> textrankSql,
+    "tx_rake"        -> rakeSql,
     "tx_kn_score"    -> knScoreSql,
     "tx_tokens"      -> tokensSql,
     "tx_quality"     -> qualitySql,

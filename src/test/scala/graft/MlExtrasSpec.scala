@@ -69,6 +69,42 @@ class MlExtrasSpec extends AnyFunSuite {
     assert(out.forall(_._3 == 0.5), s"expected uniform 0.5: ${out.toSeq}")
   }
 
+  test("rake ranks a repeated multi-word phrase above a more frequent single word") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rake").toString
+    // Phrases per doc: "deep learning model" ×1, "cat" ×3 (stopwords split).
+    // deg/freq: deep=learning=model = 6/2 = 3 → phrase score 9; cat = 6/6 = 1.
+    val text = "the deep learning model of the cat and the cat and the cat"
+    Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.rake(spark, dir)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, "deep learning model", 2L, 9.0), (2L, "cat", 6L, 1.0)),
+      s"got $out")
+  }
+
+  test("targetEncode shrinks category means toward the prior by m=100") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tenc").toString
+    (Seq.fill(2)(("A", 10.0)) ++ Seq.fill(2)(("B", 20.0)))
+      .toDF("event_type", "value").write.parquet(s"$dir/events.parquet")
+    val out = Learn.targetEncode(spark, dir)
+      .as[(String, Long, Double, Double)].collect()
+      .map { case (t, n, p, e) => t -> ((n, p, e)) }.toMap
+    // prior 15; enc_A = (20+1500)/102, enc_B = (40+1500)/102
+    assert(out("A") == ((2L, 15.0, 14.901961)), s"got $out")
+    assert(out("B") == ((2L, 15.0, 15.098039)), s"got $out")
+  }
+
+  test("scaleStats recovers exact per-dim mean and unbiased std") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fsc").toString
+    Seq((1L, Seq(0.0f, 1.0f)), (2L, Seq(2.0f, 3.0f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val out = Learn.scaleStats(spark, dir)
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (dim, n, m, sd) => dim -> ((n, m, sd)) }.toMap
+    assert(out(0L) == ((2L, 1.0, 1.414214)), s"got $out")
+    assert(out(1L) == ((2L, 2.0, 1.414214)), s"got $out")
+  }
+
   test("phash pairs identical payloads at hamming 0 and skips unrelated ones") {
     val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
     val base = (1 to 80).map(i => ('a' + (i * 7) % 26).toChar).mkString

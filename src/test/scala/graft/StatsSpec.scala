@@ -95,6 +95,22 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("eta2") - 13.5 / 17.5) < 1e-6)
   }
 
+  test("stLevene flags a dispersion-only difference the mean tests miss") {
+    val dir = tmp()
+    // A = {1,2,3} (z = 1,0,1), B = {10,30,50} (z = 20,0,20): same shape,
+    // 20× spread. Hand-rolled with the operator's 2-dp SSW quantization:
+    // ssw = 0.67 + 266.67 = 267.34, sst = 802 − 42²/6 = 508,
+    // F = (508 − 267.34) / (267.34/4).
+    val rows = Seq(1, 2, 3).map(v => ("A", v.toDouble)) ++
+      Seq(10, 30, 50).map(v => ("B", v.toDouble))
+    rows.toDF("c_mktsegment", "c_acctbal").write.parquet(s"$dir/customer.parquet")
+    val r = Stats.stLevene(spark, dir).collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    val f = (508.0 - 267.34) / (267.34 / 4)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-4,
+      s"got ${r.getAs[Double]("f_stat")} want $f")
+  }
+
   test("winsorize clamps exactly the tail 5% each side at the interpolated fences") {
     val dir = tmp()
     (1 to 100).map(v => ("X", v.toDouble)).toDF("event_type", "value")
