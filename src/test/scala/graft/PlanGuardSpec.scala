@@ -154,7 +154,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // reason): gr_sssp, gr_ppr, tx_textrank.
       "dq_benford", "sk_kmv_setops", "ts_periodogram", "tx_kn_score",
       "ml_nb_score", "ml_nb_confusion", "pii_tclose",
-      "gr_sssp", "gr_ppr", "tx_textrank")
+      "gr_sssp", "gr_ppr", "tx_textrank",
+      // Scalar-join class: st_ks crossJoins its ONE-ROW (na, nb) totals;
+      // fe_target_encode its ONE-ROW global prior. ts_holt is the
+      // ts_ewma O(days)² closed-form triangle (both sides day-bounded).
+      "st_ks", "fe_target_encode", "ts_holt")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.flatMap { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
@@ -163,6 +167,24 @@ class PlanGuardSpec extends AnyFunSuite {
       if (bad.isEmpty) None else Some(s"$q plans ${bad.map(_.nodeName).mkString(",")}")
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("dd_sortnbr pairs by a rank-offset HASH join; tx_rake segments with per-doc windows") {
+    // sorted-neighborhood: the offset explode must make the pair stage a
+    // hash equi-join on rank, never a rank-band nested loop.
+    val snb = planOf("dd_sortnbr")
+    val hashJoins = snb.collect {
+      case j if j.nodeName.contains("HashJoin") || j.nodeName.contains("SortMergeJoin") => j
+    }
+    assert(hashJoins.nonEmpty, s"expected a hash join on rank:\n$snb")
+    // RAKE: the gaps-and-islands window partitions by doc_id — no global
+    // single-partition ordered scan over the token stream. (The only
+    // unpartitioned window is the final top-20 ranking over the tiny
+    // deduped-phrase table.)
+    val rake = planOf("tx_rake")
+    val winSpecs = rake.collect { case w: WindowExec => w }
+    assert(winSpecs.exists(_.partitionSpec.nonEmpty),
+      s"phrase segmentation window must partition by doc:\n$rake")
   }
 
   test("dq_corr computes all 21 moments from a single lineitem scan, no joins") {
