@@ -148,6 +148,79 @@ object Multimodal {
       |FROM b, (SELECT unnest(range(0, 4)) AS i)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ----------------------------------------------- framed energy / VAD stub
+
+  /** Per-payload frame energies: 8-bit-PCM-style interpretation of the
+    * binary content (sample = byte − 128), non-overlapping `frame`-byte
+    * windows, energy = mean squared sample. The voice-activity /
+    * silence-trim front of every audio pipeline has exactly this shape:
+    * binary in → per-frame scalar out, batched per partition; a real
+    * decoder swaps the byte view for PCM floats, nothing else moves.
+    */
+  def frameEnergies(content: Array[Byte], frame: Int): Array[Double] = {
+    val nf = content.length / frame
+    Array.tabulate(nf) { f =>
+      var s = 0L
+      var i = f * frame
+      while (i < (f + 1) * frame) {
+        val v = (content(i) & 0xff) - 128
+        s += v.toLong * v
+        i += 1
+      }
+      s.toDouble / frame
+    }
+  }
+
+  /** mm_energy — VAD-style active-frame detection through the REAL
+    * distributed path: the [[frameEnergies]] kernel runs per partition
+    * (mapPartitions — the Scala analogue of a batched Pandas UDF),
+    * frames posexplode, and per-media stats collapse in one keyed
+    * aggregation. Active = energy > 1500: on text payloads space-heavy
+    * frames (space = 32 → sample² 9216) cross it, letter-dense frames
+    * (~(−20)² ≈ 400) don't — so the gate exercises both branches.
+    *
+    * Exactness: each energy is (Σ v²)/32 with v² BIGINT — an exact
+    * multiple of 1/32 in double, so frame sums/means are exact integer
+    * arithmetic inside doubles (no rounding until the final 6 dp). The
+    * oracle rebuilds every byte from the hex encoding (mediaFeatures'
+    * trick) and replays the identical arithmetic.
+    */
+  val audioEnergy: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val media = asMedia(tbl(s, d, "documents").where(col("doc_id") < 60))
+    val en = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) => (id, frameEnergies(c, 32)) })
+      .toDF("media_id", "energies")
+      .select(col("media_id"), posexplode(col("energies")).as(Seq("frame_idx", "e")))
+    en.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("e") > 1500.0, 1L).otherwise(0L)).as("n_active"),
+        round(sum(col("e")) / count(lit(1)), 6).as("mean_energy"))
+      .orderBy(col("media_id"))
+  }
+  val audioEnergySql: String = {
+    // byte i (0-based) rebuilt from hex; duplicated because DuckDB
+    // lambdas have no let-binding.
+    def byteAt(off: String) =
+      s"((strpos('0123456789ABCDEF', substr(h, 2*($off)+1, 1)) - 1) * 16 + " +
+        s"strpos('0123456789ABCDEF', substr(h, 2*($off)+2, 1)) - 1 - 128)"
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+       |                  octet_length(encode(text)) AS n
+       |           FROM documents WHERE doc_id < 60),
+       |fr AS (SELECT doc_id, unnest(range(0, n // 32)) AS f, h FROM b),
+       |en AS (SELECT doc_id, f,
+       |              CAST(list_sum(list_transform(range(32*f, 32*f + 32), i ->
+       |                CAST(${byteAt("i")} * ${byteAt("i")} AS BIGINT)))
+       |                AS DOUBLE) / 32 AS e
+       |       FROM fr)
+       |SELECT doc_id AS media_id, count(*) AS n_frames,
+       |       CAST(sum(CASE WHEN e > 1500 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       |       round(sum(e) / count(*), 6) AS mean_energy
+       |FROM en GROUP BY doc_id ORDER BY media_id""".stripMargin
+  }
+
   // ------------------------------------------------- perceptual-hash dedup
 
   /** mm_phash — perceptual-hash near-duplicate detection over the media
@@ -250,6 +323,7 @@ object Multimodal {
     "mm_features"   -> mediaFeatures,
     "mm_frames"     -> mediaFrames,
     "mm_phash"      -> phash,
+    "mm_energy"     -> audioEnergy,
   )
 
   val oracles: Map[String, String] = Map(
@@ -257,5 +331,6 @@ object Multimodal {
     "mm_features"   -> mediaFeaturesSql,
     "mm_frames"     -> mediaFramesSql,
     "mm_phash"      -> phashSql,
+    "mm_energy"     -> audioEnergySql,
   )
 }

@@ -332,14 +332,92 @@ object Retrieval {
       |  JOIN norms nn ON nn.doc_id = d.n)
       |WHERE rank <= 5 ORDER BY q, rank""".stripMargin
 
+  // ------------------------------------------------------ spell correction
+
+  /** ix_spell — SymSpell-style query spell correction (Garbe's algorithm,
+    * the production standard because it replaces the per-query O(|Σ|·len)
+    * edit-candidate enumeration with PRECOMPUTED deletion neighborhoods):
+    * every vocab word and every probe expands to {itself} ∪ {delete-one
+    * variants}; two strings within edit distance 1 — and transposition-
+    * shaped distance-2s — are GUARANTEED to share a variant, so candidate
+    * generation is a plain hash EQUI-JOIN on the variant string, never a
+    * fuzzy scan of the vocabulary. Survivors verify with the bounded
+    * 3-arg levenshtein and rank (distance, then corpus frequency, then
+    * word) — frequency is the language model, as in every real corrector.
+    *
+    * The gate plants its own misspellings deterministically: the top-30
+    * frequent ≥5-char words with char 3 dropped, so the true source word
+    * sits at distance 1 and must win. Scale shape: the deletion index is
+    * O(vocab·len) rows built once per corpus snapshot (a persistable
+    * artifact like the BPE vocab); per-query work is the probe's ≤ len+1
+    * variants hash-joined against it — independent of corpus size.
+    */
+  val ixSpell: Q = (s, d) => {
+    import s.implicits._
+    val vocab = toks(s, d).groupBy($"tok").agg(count(lit(1)).as("freq"))
+      .where($"freq" >= 5 && length($"tok") >= 4)
+    val probes = vocab.where(length($"tok") >= 5)
+      .orderBy($"freq".desc, $"tok").limit(30)
+      .select(concat(substring($"tok", 1, 2), expr("substring(tok, 4)")).as("probe"))
+      .distinct()
+    def dels(c: String) = expr(
+      s"array_union(array($c), transform(sequence(1, length($c)), " +
+        s"i -> concat(substring($c, 1, i - 1), substring($c, i + 1))))")
+    val vocabDel = vocab.select($"tok", $"freq", explode(dels("tok")).as("variant"))
+    val probeDel = probes.select($"probe", explode(dels("probe")).as("variant"))
+    val cand = probeDel.join(vocabDel, "variant")
+      .select($"probe", $"tok", $"freq").distinct()
+      .withColumn("lev", levenshtein($"probe", $"tok", 2))
+      .where($"lev" >= 0)
+    cand.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"probe")
+          .orderBy($"lev", $"freq".desc, $"tok")))
+      .where($"rk" === 1)
+      .select($"probe", $"tok".as("suggestion"), $"lev".cast("long").as("lev"), $"freq")
+      .orderBy($"probe")
+  }
+  val ixSpellSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vocab AS (SELECT tok, count(*) AS freq FROM t
+      |          WHERE len(tok) > 0 GROUP BY tok
+      |          HAVING count(*) >= 5 AND len(tok) >= 4),
+      |probes AS (
+      |  SELECT DISTINCT substr(tok, 1, 2) || substr(tok, 4) AS probe FROM (
+      |    SELECT tok, freq FROM vocab WHERE len(tok) >= 5
+      |    ORDER BY freq DESC, tok LIMIT 30)),
+      |vdel AS (
+      |  SELECT tok, freq, unnest(list_distinct(list_append(
+      |           list_transform(range(1, len(tok) + 1),
+      |             i -> substr(tok, 1, i - 1) || substr(tok, i + 1)), tok))) AS variant
+      |  FROM vocab),
+      |pdel AS (
+      |  SELECT probe, unnest(list_distinct(list_append(
+      |           list_transform(range(1, len(probe) + 1),
+      |             i -> substr(probe, 1, i - 1) || substr(probe, i + 1)), probe))) AS variant
+      |  FROM probes),
+      |cand AS (
+      |  SELECT DISTINCT probe, tok, freq
+      |  FROM pdel JOIN vdel USING (variant)),
+      |scored AS (
+      |  SELECT probe, tok, freq, levenshtein(probe, tok) AS lev
+      |  FROM cand WHERE levenshtein(probe, tok) <= 2)
+      |SELECT probe, tok AS suggestion, CAST(lev AS BIGINT) AS lev, freq FROM (
+      |  SELECT probe, tok, freq, lev,
+      |         row_number() OVER (PARTITION BY probe
+      |                            ORDER BY lev, freq DESC, tok) AS rk
+      |  FROM scored)
+      |WHERE rk = 1 ORDER BY probe""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ix_postings" -> ixPostings,
+    "ix_spell"    -> ixSpell,
     "ix_bm25"     -> ixBm25,
     "ix_hybrid"   -> ixHybrid,
     "ix_phrase"   -> ixPhrase,
     "ix_mlt"      -> ixMlt)
   val oracles: Map[String, String] = Map(
     "ix_postings" -> ixPostingsSql,
+    "ix_spell"    -> ixSpellSql,
     "ix_bm25"     -> ixBm25Sql,
     "ix_hybrid"   -> ixHybridSql,
     "ix_phrase"   -> ixPhraseSql,

@@ -1338,6 +1338,84 @@ object TextAnalysis {
 
   // ------------------------------------------------------------- TextRank
 
+  /** tx_zipf — Zipf's-law fit of the token frequency distribution: OLS of
+    * ln(freq) on ln(rank) over the top-200 ranks, reporting slope (≈ −1
+    * for natural language; materially shallower/steeper flags synthetic,
+    * boilerplate-heavy, or spam-like corpora), intercept, and r². The
+    * one-number corpus-health read next to tx_entropy — a distribution-
+    * level signal no per-doc quality score sees.
+    *
+    * Scale shape: ONE map-side-combined token count (O(vocab) out); the
+    * rank window orders only the vocab table and the top-200 cut bounds
+    * the regression input to a constant. Exactness: each ln quantizes to
+    * 9 dp and every OLS moment sums those as DECIMAL(18,9)-derived
+    * products (order-free); the closed form is st_linreg's double
+    * sequence, 6 dp.
+    */
+  val zipf: Q = (s, d) => {
+    import s.implicits._
+    val freq = tbl(s, d, "documents")
+      .select(explode(split($"text", " ")).as("tok"))
+      .where(length($"tok") > 0)
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val ranked = freq.withColumn("rank",
+        row_number().over(Window.orderBy($"freq".desc, $"tok")))
+      .where($"rank" <= 200)
+      .select(round(log($"rank".cast("double")), 9).as("x"),
+        round(log($"freq".cast("double")), 9).as("y"))
+    val q = ranked.select(
+      $"x".cast("decimal(18,9)").as("x"), $"y".cast("decimal(18,9)").as("y"),
+      round($"x" * $"x", 9).cast("decimal(18,9)").as("xx"),
+      round($"x" * $"y", 9).cast("decimal(18,9)").as("xy"),
+      round($"y" * $"y", 9).cast("decimal(18,9)").as("yy"))
+    def sd(c: String) = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val covN = nD * sd("sxy") - sd("sx") * sd("sy")
+    val varXN = nD * sd("sxx") - sd("sx") * sd("sx")
+    val varYN = nD * sd("syy") - sd("sy") * sd("sy")
+    q.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"xx").as("sxx"), sum($"xy").as("sxy"), sum($"yy").as("syy"))
+      .select(col("n"),
+        round(covN / varXN, 6).as("slope"),
+        round((sd("sy") - covN / varXN * sd("sx")) / nD, 6).as("intercept"),
+        round(covN * covN / (varXN * varYN), 6).as("r2"))
+  }
+  val zipfSql: String =
+    """WITH freq AS (
+      |  SELECT tok, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE len(tok) > 0 GROUP BY tok),
+      |ranked AS (
+      |  SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+      |         round(ln(CAST(freq AS DOUBLE)), 9) AS y FROM (
+      |    SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+      |    FROM freq)
+      |  WHERE rank <= 200),
+      |q AS (
+      |  SELECT CAST(x AS DECIMAL(18,9)) AS x, CAST(y AS DECIMAL(18,9)) AS y,
+      |         CAST(round(x * x, 9) AS DECIMAL(18,9)) AS xx,
+      |         CAST(round(x * y, 9) AS DECIMAL(18,9)) AS xy,
+      |         CAST(round(y * y, 9) AS DECIMAL(18,9)) AS yy
+      |  FROM ranked),
+      |m AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(xx) AS sxx, sum(xy) AS sxy, sum(yy) AS syy
+      |  FROM q)
+      |SELECT n,
+      |       round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |             / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
+      |         AS slope,
+      |       round((CAST(sy AS DOUBLE)
+      |              - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |                / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      |                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+      |       round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |             * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |             / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      |              * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+      |         AS r2
+      |FROM m""".stripMargin
+
   /** tx_rake — RAKE keyword extraction (Rose et al. 2010), the
     * non-iterative complement to [[textrank]]: candidate phrases are
     * maximal stopword-free token runs; each word scores deg/freq where
@@ -1494,6 +1572,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "tx_textrank"    -> textrank,
     "tx_rake"        -> rake,
+    "tx_zipf"        -> zipf,
     "tx_kn_score"    -> knScore,
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
@@ -1523,6 +1602,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "tx_textrank"    -> textrankSql,
     "tx_rake"        -> rakeSql,
+    "tx_zipf"        -> zipfSql,
     "tx_kn_score"    -> knScoreSql,
     "tx_tokens"      -> tokensSql,
     "tx_quality"     -> qualitySql,

@@ -200,6 +200,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top == 777777L, s"planted dup of probe 3 ranked below 1: got $top")
   }
 
+  test("audioEnergy frames, thresholds, and averages with exact byte arithmetic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vad").toString
+    // 32 'a's (sample −31 → e = 961, inactive) + 32 spaces (−96 → 9216, active)
+    Seq((1L, "a" * 32 + " " * 32, "web")).toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Multimodal.audioEnergy(spark, dir).collect().head
+    assert(r.getAs[Long]("n_frames") == 2L && r.getAs[Long]("n_active") == 1L)
+    assert(r.getAs[Double]("mean_energy") == (961.0 + 9216.0) / 2)
+    // kernel directly: exact per-frame energies
+    val es = Multimodal.frameEnergies(("a" * 32 + " " * 32).getBytes("UTF-8"), 32)
+    assert(es.toSeq == Seq(961.0, 9216.0))
+  }
+
+  test("ixSpell corrects a planted deletion to the highest-frequency distance-1 word") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spell").toString
+    // vocab (freq ≥ 5, len ≥ 4): hello×10, help×6, world×8. Probes are the
+    // top-30 len≥5 words with char 3 dropped: helo (from hello), wold.
+    // "helo" is distance 1 from BOTH hello (delete) and help (substitute) —
+    // frequency must break the tie toward hello.
+    val text = (Seq.fill(10)("hello") ++ Seq.fill(6)("help") ++
+      Seq.fill(8)("world")).mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = operators.Retrieval.ixSpell(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(("helo", "hello", 1L, 10L), ("wold", "world", 1L, 8L)),
+      s"got $out")
+  }
+
   test("sortedNeighborhood pairs sort-adjacent near-dups that key blocking would split") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snb").toString
     // Docs 1/2 differ INSIDE the first 20 chars (editDistPairs' block key

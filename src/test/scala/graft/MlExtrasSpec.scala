@@ -69,6 +69,19 @@ class MlExtrasSpec extends AnyFunSuite {
     assert(out.forall(_._3 == 0.5), s"expected uniform 0.5: ${out.toSeq}")
   }
 
+  test("zipf fits an exact power law with slope -1 and r2 = 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    // freq = 12/rank exactly: a×12 b×6 c×4 d×3 → ln-ln line of slope −1
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.zipf(spark, dir).collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("slope") + 1.0) < 1e-4, s"slope ${r.getAs[Double]("slope")}")
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-6)
+  }
+
   test("rake ranks a repeated multi-word phrase above a more frequent single word") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rake").toString
     // Phrases per doc: "deep learning model" ×1, "cat" ×3 (stopwords split).
