@@ -139,13 +139,80 @@ object Geo {
        |SELECT c_custkey, s_suppkey, dist_km FROM d
        |WHERE dist_km <= 200.0 ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  // --------------------------------------------------------------- kNN join
+
+  /** geo_knn — 3 nearest suppliers per customer probe, banded candidate
+    * generation + exact haversine rerank: the spatial top-k behind
+    * nearest-depot / nearest-store assignment. Candidates come from the
+    * radius join's lat-band equi-join widened to ±2 bands (~±4.4°
+    * latitude); within the window each probe ranks its candidates by
+    * (distance, key) and keeps k=3.
+    *
+    * CONTRACT (the dd_editdist blocking precedent, disclosed not
+    * hidden): the band window is the recall/cost dial — a probe whose
+    * true 3rd-nearest lies beyond the latitudinal window keeps only its
+    * in-window neighbors, and the oracle applies the SAME window, so the
+    * gate proves the join/rank machinery. The production-complete
+    * variant iteratively widens the window for probes still short of k
+    * (the IVF multi-probe idea on bands); the per-round plan is
+    * identical to this one.
+    *
+    * Scale: probes hash-join the (dim-sized, ×5-replicated, broadcast)
+    * supplier bands; ranking is a per-probe window over O(candidates).
+    */
+  val geoKnn: Q = (s, d) => {
+    val cust = coords(tbl(s, d, "customer"), "c_custkey")
+      .where(col("c_custkey") <= 300)
+      .select(col("c_custkey"), col("lat").as("clat"), col("lon").as("clon"))
+      .withColumn("band", floor(col("clat") / 2.0).cast("long"))
+    val supp = coords(tbl(s, d, "supplier"), "s_suppkey")
+      .select(col("s_suppkey"), col("lat").as("slat"), col("lon").as("slon"))
+      .withColumn("b0", floor(col("slat") / 2.0).cast("long"))
+      .withColumn("band", explode(expr(
+        "transform(sequence(-2, 2), i -> b0 + CAST(i AS BIGINT))")))
+      .drop("b0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey")).orderBy(col("dist_km"), col("s_suppkey"))
+    cust.join(broadcast(supp), Seq("band"))
+      .withColumn("dist_km",
+        round(haversine(col("clat"), col("clon"), col("slat"), col("slon")), 4))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("c_custkey"), col("rk").cast("long").as("rk"),
+        col("s_suppkey"), col("dist_km"))
+      .orderBy(col("c_custkey"), col("rk"))
+  }
+  val geoKnnSql: String =
+    s"""WITH c AS (${coordsSql("customer", "c_custkey")}),
+       |s AS (${coordsSql("supplier", "s_suppkey")}),
+       |cb AS (SELECT c_custkey, lat AS clat, lon AS clon,
+       |              CAST(floor(lat / 2.0) AS BIGINT) AS band
+       |       FROM c WHERE c_custkey <= 300),
+       |sb AS (SELECT s_suppkey, slat, slon, b0 + off AS band FROM (
+       |         SELECT s_suppkey, lat AS slat, lon AS slon,
+       |                CAST(floor(lat / 2.0) AS BIGINT) AS b0
+       |         FROM s), (SELECT unnest(range(-2, 3)) AS off)),
+       |cand AS (
+       |  SELECT cb.c_custkey, sb.s_suppkey,
+       |         round(${haversineSql("cb.clat", "cb.clon", "sb.slat", "sb.slon")}, 4)
+       |           AS dist_km
+       |  FROM cb JOIN sb USING (band))
+       |SELECT c_custkey, CAST(rk AS BIGINT) AS rk, s_suppkey, dist_km FROM (
+       |  SELECT c_custkey, s_suppkey, dist_km,
+       |         row_number() OVER (PARTITION BY c_custkey
+       |                            ORDER BY dist_km, s_suppkey) AS rk
+       |  FROM cand)
+       |WHERE rk <= 3 ORDER BY c_custkey, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "geo_cell_stats"  -> geoCellStats,
     "geo_radius_join" -> geoRadiusJoin,
+    "geo_knn"         -> geoKnn,
   )
 
   val oracles: Map[String, String] = Map(
     "geo_cell_stats"  -> geoCellStatsSql,
     "geo_radius_join" -> geoRadiusJoinSql,
+    "geo_knn"         -> geoKnnSql,
   )
 }

@@ -500,6 +500,54 @@ object Stats {
       |       round((sst - ssw) / sst, 6) AS eta2
       |FROM sst""".stripMargin
 
+  // ------------------------------------------------ two-proportion z-test
+
+  /** st_proptest — the two-proportion z-test on purchase rate between the
+    * even/odd user-id cohorts (the deterministic 50/50 bucketing every
+    * experiment platform uses): the conversion-rate A/B read, pooled
+    * variance, the companion of st_ttest for binary outcomes. On this
+    * generator assignment is independent of behavior, so z ≈ 0 — the gate
+    * proves the measurement. All counts are exact BIGINTs from ONE
+    * conditional-aggregation scan (no per-cohort pass); z is one IEEE
+    * sequence over them, 6 dp.
+    */
+  val stProptest: Q = (s, d) => {
+    val agg = tbl(s, d, "events")
+      .select((col("user_id") % 2 === 0).as("grp_a"),
+        (col("event_type") === "purchase").as("hit"))
+      .agg(
+        sum(when(col("grp_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("grp_a") && col("hit"), 1L).otherwise(0L)).as("xa"),
+        sum(when(!col("grp_a"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("grp_a") && col("hit"), 1L).otherwise(0L)).as("xb"))
+    val pa = col("xa").cast("double") / col("na")
+    val pb = col("xb").cast("double") / col("nb")
+    val pp = (col("xa") + col("xb")).cast("double") / (col("na") + col("nb"))
+    agg.select(col("na"), col("xa"), col("nb"), col("xb"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round((pa - pb) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 6).as("z"))
+  }
+  val stProptestSql: String =
+    """WITH agg AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+      |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+      |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase'
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS xb
+      |  FROM events)
+      |SELECT na, xa, nb, xb,
+      |       round(CAST(xa AS DOUBLE) / na, 6) AS p_a,
+      |       round(CAST(xb AS DOUBLE) / nb, 6) AS p_b,
+      |       round((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+      |             / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+      |                    * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
+      |                    * (1.0 / na + 1.0 / nb)), 6) AS z
+      |FROM agg""".stripMargin
+
   // -------------------------------------- Brown-Forsythe (Levene) test
 
   /** st_levene — the Brown-Forsythe test for EQUAL VARIANCES across
@@ -578,6 +626,7 @@ object Stats {
     "st_ks"     -> stKs,
     "st_anova"  -> stAnova,
     "st_levene" -> stLevene,
+    "st_proptest" -> stProptest,
   )
 
   val oracles: Map[String, String] = Map(
@@ -589,5 +638,6 @@ object Stats {
     "st_ks"     -> stKsSql,
     "st_anova"  -> stAnovaSql,
     "st_levene" -> stLeveneSql,
+    "st_proptest" -> stProptestSql,
   )
 }

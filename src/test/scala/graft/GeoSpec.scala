@@ -34,4 +34,30 @@ class GeoSpec extends AnyFunSuite {
     assert(pruned == brute,
       s"pruning lost/invented pairs: ${pruned.diff(brute)} / ${brute.diff(pruned)}")
   }
+
+  test("geoKnn equals brute-force top-3 restricted to the declared band window") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Geo.geoKnn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    val cust = Geo.coords(graft.Tables.t(spark, sf, "customer"), "c_custkey")
+      .where($"c_custkey" <= 300)
+      .select($"c_custkey", $"lat".as("clat"), $"lon".as("clon"))
+    val supp = Geo.coords(graft.Tables.t(spark, sf, "supplier"), "s_suppkey")
+      .select($"s_suppkey", $"lat".as("slat"), $"lon".as("slon"))
+    val brute = cust.crossJoin(supp)
+      .where(floor($"slat" / 2.0) - floor($"clat" / 2.0) >= -2 &&
+        floor($"slat" / 2.0) - floor($"clat" / 2.0) <= 2)
+      .withColumn("dist_km",
+        round(Geo.haversine($"clat", $"clon", $"slat", $"slon"), 4))
+      .as[(Long, Double, Double, Long, Double, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(r => (r._7, r._4)).take(3).map(r => (r._4, r._7)).toSeq).toMap
+    assert(got.nonEmpty && got.keySet == brute.keySet.filter(brute(_).nonEmpty))
+    got.foreach { case (c, neigh) =>
+      assert(neigh == brute(c), s"probe $c: $neigh vs ${brute(c)}")
+      // ranked by distance, nearest first
+      assert(neigh.map(_._2) == neigh.map(_._2).sorted)
+    }
+  }
 }

@@ -95,6 +95,21 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("eta2") - 13.5 / 17.5) < 1e-6)
   }
 
+  test("stProptest matches the hand-computed pooled two-proportion z") {
+    val dir = tmp()
+    // even users: 2 purchases / 4 events; odd: 1 / 4.
+    // p̂ = 3/8; z = (0.5 − 0.25)/sqrt(0.375·0.625·0.5)
+    val rows = Seq(
+      (2L, "purchase"), (2L, "purchase"), (2L, "click"), (4L, "click"),
+      (1L, "purchase"), (1L, "click"), (3L, "click"), (3L, "click"))
+    rows.toDF("user_id", "event_type").write.parquet(s"$dir/events.parquet")
+    val r = Stats.stProptest(spark, dir).collect().head
+    assert(r.getAs[Long]("na") == 4L && r.getAs[Long]("xa") == 2L)
+    assert(r.getAs[Long]("nb") == 4L && r.getAs[Long]("xb") == 1L)
+    val z = (0.5 - 0.25) / math.sqrt(0.375 * 0.625 * 0.5)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-6, s"got ${r.getAs[Double]("z")}")
+  }
+
   test("stLevene flags a dispersion-only difference the mean tests miss") {
     val dir = tmp()
     // A = {1,2,3} (z = 1,0,1), B = {10,30,50} (z = 20,0,20): same shape,
