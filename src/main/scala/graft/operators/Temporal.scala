@@ -208,7 +208,7 @@ object Temporal {
   }
 
   /** rj_band — same-nation (customer, supplier) pairs with account
-    * balances within 25.0 of each other, via the bucketed band join
+    * balances within 250.0 of each other, via the bucketed band join
     * (hash join on (nation, bucket) instead of a nested-loop theta join).
     */
   val rjBand: Q = (s, d) => {
@@ -217,7 +217,7 @@ object Temporal {
       .select($"c_nationkey".as("nationkey"), $"c_custkey", $"c_acctbal")
     val supp = tbl(s, d, "supplier")
       .select($"s_nationkey".as("nationkey"), $"s_suppkey", $"s_acctbal")
-    bandJoin(cust, "c_acctbal", supp, "s_acctbal", 25.0, Seq("nationkey"))
+    bandJoin(cust, "c_acctbal", supp, "s_acctbal", 250.0, Seq("nationkey"))
       .select($"nationkey", $"c_custkey", $"s_suppkey",
         round($"c_acctbal" - $"s_acctbal", 2).as("bal_diff"))
       .orderBy($"nationkey", $"c_custkey", $"s_suppkey")
@@ -227,7 +227,7 @@ object Temporal {
       |       round(c.c_acctbal - s.s_acctbal, 2) AS bal_diff
       |FROM customer c JOIN supplier s
       |  ON c.c_nationkey = s.s_nationkey
-      | AND abs(c.c_acctbal - s.s_acctbal) <= 25.0
+      | AND abs(c.c_acctbal - s.s_acctbal) <= 250.0
       |ORDER BY nationkey, c_custkey, s_suppkey""".stripMargin
 
   // --------------------------------------------------------- calendar days
@@ -572,6 +572,82 @@ object Temporal {
       |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1)
       |SELECT c.event_type, nxt, n, round(CAST(n AS DOUBLE) / t, 6) AS p
       |FROM c JOIN tot USING (event_type) ORDER BY event_type, nxt""".stripMargin
+
+  // ---------------------------------------------------- growth accounting
+
+  /** ev_lifecycle — daily growth accounting: every active user is exactly
+    * one of NEW (first day ever), RETAINED (also active yesterday), or
+    * RESURRECTED (active before, but not yesterday); CHURNED(d) counts
+    * users active on d−1 and silent on d. The new/retained/resurrected/
+    * churned decomposition (the "growth accounting" identity:
+    * DAU(d) = new + retained + resurrected, ΔDAU = new + resurrected −
+    * churned) is the standard diagnosis layer above [[evDau]] — the same
+    * DAU can be healthy retention or a leaky bucket, and only this split
+    * tells them apart.
+    *
+    * Shape: ONE distinct (user, day) pass, then a single per-user
+    * ordered window (lag + lead in one pass) classifies every activity
+    * day AND locates each churn day (next gap > 1); both aggregations
+    * key on day. The full-outer day merge exists because a churn-only
+    * day (nobody active, someone churned) still owes a row; churn days
+    * past the corpus horizon are clipped against the broadcast max-day
+    * scalar. All counts are exact BIGINTs.
+    */
+  val evLifecycle: Q = (s, d) => {
+    import s.implicits._
+    val events = tbl(s, d, "events")
+    val ud = events.select($"user_id", eventDay(events).as("day")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val st = ud
+      .withColumn("prev", lag($"day", 1).over(w))
+      .withColumn("next", lead($"day", 1).over(w))
+    val act = st.groupBy($"day").agg(
+      sum(when($"prev".isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(datediff($"day", $"prev") === 1, 1L).otherwise(0L)).as("n_retained"),
+      sum(when($"prev".isNotNull && datediff($"day", $"prev") > 1, 1L).otherwise(0L))
+        .as("n_resurrected"))
+    val maxd = ud.agg(max($"day").as("maxd"))
+    val churn = st.where($"next".isNull || datediff($"next", $"day") > 1)
+      .select(date_add($"day", 1).as("cday"))
+      .crossJoin(broadcast(maxd)).where($"cday" <= $"maxd")
+      .groupBy($"cday").agg(count(lit(1)).as("n_churned"))
+    act.join(churn, act("day") === churn("cday"), "full")
+      .select(coalesce($"day", $"cday").as("day"),
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        coalesce($"n_retained", lit(0L)).as("n_retained"),
+        coalesce($"n_resurrected", lit(0L)).as("n_resurrected"),
+        coalesce($"n_churned", lit(0L)).as("n_churned"))
+      .orderBy($"day")
+  }
+  val evLifecycleSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |st AS (
+      |  SELECT user_id, day,
+      |         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+      |         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+      |  FROM ud),
+      |act AS (
+      |  SELECT day,
+      |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(sum(CASE WHEN datediff('day', prev, day) = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_retained,
+      |    CAST(sum(CASE WHEN prev IS NOT NULL AND datediff('day', prev, day) > 1
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM st GROUP BY day),
+      |maxd AS (SELECT max(day) AS maxd FROM ud),
+      |churn AS (
+      |  SELECT day + INTERVAL 1 DAY AS cday, count(*) AS n_churned
+      |  FROM st, maxd
+      |  WHERE (nxt IS NULL OR datediff('day', day, nxt) > 1)
+      |    AND day + INTERVAL 1 DAY <= maxd
+      |  GROUP BY 1)
+      |SELECT CAST(coalesce(act.day, churn.cday) AS DATE) AS day,
+      |       coalesce(n_new, 0) AS n_new,
+      |       coalesce(n_retained, 0) AS n_retained,
+      |       coalesce(n_resurrected, 0) AS n_resurrected,
+      |       coalesce(CAST(n_churned AS BIGINT), 0) AS n_churned
+      |FROM act FULL JOIN churn ON act.day = churn.cday
+      |ORDER BY day""".stripMargin
 
   // ------------------------------------------------------------ DAU / WAU
 
@@ -972,6 +1048,7 @@ object Temporal {
     "ev_ttc"        -> evTtc,
     "ev_latency"    -> evLatency,
     "ev_dau"        -> evDau,
+    "ev_lifecycle"  -> evLifecycle,
     "sn_scd2"       -> snScd2,
     "sn_diff"       -> snDiff,
     "sn_apply"      -> snApply,
@@ -992,6 +1069,7 @@ object Temporal {
     "ev_ttc"        -> evTtcSql,
     "ev_latency"    -> evLatencySql,
     "ev_dau"        -> evDauSql,
+    "ev_lifecycle"  -> evLifecycleSql,
     "sn_scd2"       -> snScd2Sql,
     "sn_diff"       -> snDiffSql,
     "sn_apply"      -> snApplySql,

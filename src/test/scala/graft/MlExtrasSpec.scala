@@ -69,6 +69,24 @@ class MlExtrasSpec extends AnyFunSuite {
     assert(out.forall(_._3 == 0.5), s"expected uniform 0.5: ${out.toSeq}")
   }
 
+  test("evLifecycle decomposes DAU into new/retained/resurrected and books churn days") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-life").toString
+    // user 1 active d1,d2,d4; user 2 active d2 only (d = 2024-05-0d)
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-05-0$day%d 10:00:00")
+    Seq((1L, t(1)), (1L, t(2)), (1L, t(4)), (2L, t(2)))
+      .toDF("user_id", "ts").write.parquet(s"$dir/events.parquet")
+    val out = Temporal.evLifecycle(spark, dir)
+      .select($"day".cast("string"), $"n_new", $"n_retained",
+        $"n_resurrected", $"n_churned")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-05-01", 1L, 0L, 0L, 0L),
+      ("2024-05-02", 1L, 1L, 0L, 0L),
+      ("2024-05-03", 0L, 0L, 0L, 2L),   // churn-only day still gets a row
+      ("2024-05-04", 0L, 0L, 1L, 0L)),  // user 1's post-horizon churn clipped
+      s"got $out")
+  }
+
   test("zipf fits an exact power law with slope -1 and r2 = 1") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
     // freq = 12/rank exactly: a×12 b×6 c×4 d×3 → ln-ln line of slope −1
