@@ -389,8 +389,89 @@ object ZOrder {
       |       count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes
       |FROM a GROUP BY part, bin ORDER BY part, bin""".stripMargin
 
+  // ----------------------------------------------- skip-ratio effectiveness
+
+  /** ly_file_skip — the WHY of this file: quantified min/max file pruning
+    * under three physical layouts of the same 32-file table. Every row
+    * gets a file under (a) insertion order, (b) value-sorted order,
+    * (c) Z-order on (user, value); per (layout, file) min/max envelopes
+    * are exactly the footer stats a lakehouse reader prunes with; a
+    * value-range predicate and a user-range predicate then count the
+    * files whose envelope intersects. Expected shape — and what the gate
+    * pins: insertion order scans ~everything on both predicates; a
+    * single-column sort is near-perfect on its column and useless on the
+    * other; Z-order prunes materially on BOTH — the multi-dimensional
+    * trade [[zvalueN]] exists to buy.
+    *
+    * Dimensions quantize to 8-bit ranks via ntile-256 (locality-
+    * preserving, unlike the & mask wrap), with full (col, event_id)
+    * orderings so every tile assignment is total-order deterministic.
+    * The global ntile windows are the ANALYZER'S emulation of a 32-file
+    * write on a sample — production writes use [[writeClustered]], where
+    * the layout key is the writer's range partitioner and no global
+    * window exists.
+    */
+  val fileSkip: Q = (s, d) => {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = tbl(s, d, "events").select($"event_id", $"user_id", $"value")
+    val px = ntile(256).over(W.orderBy($"user_id", $"event_id")) - 1
+    val py = ntile(256).over(W.orderBy($"value", $"event_id")) - 1
+    val laid = ev
+      .withColumn("zv", zvalue(px, py).cast("long"))
+      .withColumn("f_ins", ntile(32).over(W.orderBy($"event_id")).cast("long"))
+      .withColumn("f_val", ntile(32).over(W.orderBy($"value", $"event_id")).cast("long"))
+      .withColumn("f_z", ntile(32).over(W.orderBy($"zv", $"event_id")).cast("long"))
+      .select($"user_id", $"value",
+        expr("stack(3, 'insertion', f_ins, 'value_sorted', f_val, 'zorder', f_z)")
+          .as(Seq("layout", "file")))
+    val stats = laid.groupBy($"layout", $"file").agg(
+      min($"value").as("min_v"), max($"value").as("max_v"),
+      min($"user_id").as("min_u"), max($"user_id").as("max_u"))
+    stats.groupBy($"layout").agg(
+        count(lit(1)).as("n_files"),
+        sum(when($"min_v" <= 120.0 && $"max_v" >= 100.0, 1L).otherwise(0L))
+          .as("hit_value"),
+        sum(when($"min_u" <= 120L && $"max_u" >= 100L, 1L).otherwise(0L))
+          .as("hit_user"))
+      .orderBy($"layout")
+  }
+  val fileSkipSql: String = {
+    val zterms = (0 until Bits).map { i =>
+      s"(((px >> $i) & 1) << ${2 * i}) + (((py >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT event_id, user_id, value,
+       |         ntile(256) OVER (ORDER BY user_id, event_id) - 1 AS px,
+       |         ntile(256) OVER (ORDER BY value, event_id) - 1 AS py
+       |  FROM events),
+       |laid AS (
+       |  SELECT user_id, value,
+       |         ntile(32) OVER (ORDER BY event_id) AS f_ins,
+       |         ntile(32) OVER (ORDER BY value, event_id) AS f_val,
+       |         ntile(32) OVER (ORDER BY CAST($zterms AS BIGINT), event_id) AS f_z
+       |  FROM q),
+       |st AS (
+       |  SELECT layout, file, min(value) AS min_v, max(value) AS max_v,
+       |         min(user_id) AS min_u, max(user_id) AS max_u
+       |  FROM (
+       |    SELECT user_id, value, 'insertion' AS layout, CAST(f_ins AS BIGINT) AS file FROM laid
+       |    UNION ALL
+       |    SELECT user_id, value, 'value_sorted', CAST(f_val AS BIGINT) FROM laid
+       |    UNION ALL
+       |    SELECT user_id, value, 'zorder', CAST(f_z AS BIGINT) FROM laid)
+       |  GROUP BY layout, file)
+       |SELECT layout, count(*) AS n_files,
+       |       CAST(sum(CASE WHEN min_v <= 120.0 AND max_v >= 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS hit_value,
+       |       CAST(sum(CASE WHEN min_u <= 120 AND max_u >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS hit_user
+       |FROM st GROUP BY layout ORDER BY layout""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "ly_zorder"     -> zorderCurve,
+    "ly_file_skip"  -> fileSkip,
     "ly_zorder3"    -> zorder3Curve,
     "ly_hilbert"    -> hilbertCurve,
     "ly_hilbert3"   -> hilbert3Curve,
@@ -399,6 +480,7 @@ object ZOrder {
 
   val oracles: Map[String, String] = Map(
     "ly_zorder"     -> zorderCurveSql,
+    "ly_file_skip"  -> fileSkipSql,
     "ly_zorder3"    -> zorder3CurveSql,
     "ly_hilbert"    -> hilbertCurveSql,
     "ly_hilbert3"   -> hilbert3CurveSql,

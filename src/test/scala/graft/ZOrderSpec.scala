@@ -124,6 +124,24 @@ class ZOrderSpec extends AnyFunSuite {
       s"of ${total(s"$tmp/by_z3")} files")
   }
 
+  test("fileSkip gate pins the three-layout pruning shape") {
+    val rows = graft.operators.ZOrder.fileSkip(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (insN, insV, insU) = rows("insertion")
+    val (_, valV, valU) = rows("value_sorted")
+    val (_, zV, zU) = rows("zorder")
+    assert(insN == 32)
+    // insertion order prunes nothing on either predicate
+    assert(insV == 32 && insU == 32, s"got $rows")
+    // single-column sort: near-perfect on its column, blind on the other
+    assert(valV <= 4 && valU == 32, s"got $rows")
+    // z-order prunes MATERIALLY on both — strictly better than insertion
+    // everywhere, and better than the value sort on the user dimension
+    assert(zV < insV && zU < insU && zU < valU, s"got $rows")
+    assert(zV <= 12 && zU <= 24, s"z pruning weaker than designed: $rows")
+  }
+
   test("one z-layout prunes files on BOTH dims; a single-dim sort fails the other dim") {
     val events = Tables.events(spark, sf)
       .select($"event_id", $"user_id", $"event_type", $"value")
