@@ -573,6 +573,106 @@ object Temporal {
       |SELECT c.event_type, nxt, n, round(CAST(n AS DOUBLE) / t, 6) AS p
       |FROM c JOIN tot USING (event_type) ORDER BY event_type, nxt""".stripMargin
 
+  // -------------------------------------------------- bitemporal versions
+
+  /** sn_bitemporal — TWO-axis temporal versioning: valid time (when the
+    * fact is true in the world — the order's date) × transaction time
+    * (when the system learned it). [[snScd2]] tracks one axis and
+    * silently rewrites history on a correction; the bitemporal table
+    * keeps BOTH the wrong-then belief and the corrected one, which is
+    * what restatement-safe analytics ("what did we report in Q3 WITH the
+    * data we had then") and audit/compliance actually require.
+    *
+    * Corrections are planted deterministically: every 10th order is
+    * restated (+100.00) thirty days after its valid date. The version
+    * chain is ONE per-(key, valid-day) window — lead(tx_from) closes
+    * each belief interval half-open, null tx_to = current knowledge —
+    * so construction is a union plus a single keyed window at any scale.
+    */
+  val snBitemporal: Q = (s, d) => {
+    import s.implicits._
+    val o = tbl(s, d, "orders").where($"o_orderkey" < 2000)
+      .select($"o_orderkey", to_date($"o_orderdate").as("valid_day"),
+        $"o_totalprice".cast("decimal(12,2)").as("price"))
+    val orig = o.select($"o_orderkey", $"valid_day",
+      $"valid_day".as("tx_from"), $"price")
+    val corr = o.where($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", $"valid_day", date_add($"valid_day", 30).as("tx_from"),
+        ($"price" + lit(100).cast("decimal(12,2)")).cast("decimal(12,2)").as("price"))
+    val w = Window.partitionBy($"o_orderkey", $"valid_day").orderBy($"tx_from")
+    orig.unionByName(corr)
+      // open intervals close at the DATE-max sentinel, the bitemporal
+      // convention — and it keeps the column NULL-free (nullable dates
+      // round-trip as NaT/None inconsistently across engine bridges).
+      .withColumn("tx_to", coalesce(lead($"tx_from", 1).over(w),
+        lit("9999-12-31").cast("date")))
+      .withColumn("is_current",
+        when($"tx_to" === lit("9999-12-31").cast("date"), 1L).otherwise(0L))
+      .select($"o_orderkey", $"valid_day", $"tx_from", $"tx_to",
+        $"price".cast("double").as("price"), $"is_current")
+      .orderBy($"o_orderkey", $"tx_from")
+  }
+  val snBitemporalSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS valid_day,
+      |         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey < 2000),
+      |bi AS (
+      |  SELECT o_orderkey, valid_day, valid_day AS tx_from, price FROM o
+      |  UNION ALL
+      |  SELECT o_orderkey, valid_day, valid_day + INTERVAL 30 DAY,
+      |         CAST(price + 100 AS DECIMAL(12,2))
+      |  FROM o WHERE o_orderkey % 10 = 0)
+      |SELECT o_orderkey, valid_day, CAST(tx_from AS DATE) AS tx_from,
+      |       coalesce(CAST(lead(tx_from) OVER (PARTITION BY o_orderkey, valid_day
+      |                                         ORDER BY tx_from) AS DATE),
+      |                DATE '9999-12-31') AS tx_to,
+      |       CAST(price AS DOUBLE) AS price,
+      |       CAST(CASE WHEN lead(tx_from) OVER (PARTITION BY o_orderkey, valid_day
+      |                                          ORDER BY tx_from) IS NULL
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM bi ORDER BY o_orderkey, tx_from""".stripMargin
+
+  /** sn_asknown — the bitemporal POINT query: the belief state as of
+    * 1998-07-01 (mid-corpus: plenty of records exist and plenty of
+    * corrections are still unrecorded) — each order's price as the system knew it THEN (a
+    * correction recorded after the cutoff is invisible; one recorded
+    * before shows restated). The max-tx_from-≤-T version picks by one
+    * per-key window over tx_from ≤ T; `corrected` marks beliefs that
+    * already differ from the original record.
+    */
+  val snAsknown: Q = (s, d) => {
+    import s.implicits._
+    val cutoff = lit("1998-07-01").cast("date")
+    val bi = snBitemporal(s, d)
+    val w = Window.partitionBy($"o_orderkey", $"valid_day").orderBy($"tx_from".desc)
+    bi.where($"tx_from" <= cutoff)
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" === 1)
+      .select($"o_orderkey", $"valid_day", $"price".cast("double").as("price"),
+        when($"tx_from" > $"valid_day", 1L).otherwise(0L).as("corrected"))
+      .orderBy($"o_orderkey", $"valid_day")
+  }
+  val snAsknownSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS valid_day,
+      |         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey < 2000),
+      |bi AS (
+      |  SELECT o_orderkey, valid_day, valid_day AS tx_from, price FROM o
+      |  UNION ALL
+      |  SELECT o_orderkey, valid_day, valid_day + INTERVAL 30 DAY,
+      |         CAST(price + 100 AS DECIMAL(12,2))
+      |  FROM o WHERE o_orderkey % 10 = 0),
+      |known AS (
+      |  SELECT o_orderkey, valid_day, tx_from, price,
+      |         row_number() OVER (PARTITION BY o_orderkey, valid_day
+      |                            ORDER BY tx_from DESC) AS rk
+      |  FROM bi WHERE tx_from <= DATE '1998-07-01')
+      |SELECT o_orderkey, valid_day, CAST(price AS DOUBLE) AS price,
+      |       CAST(CASE WHEN tx_from > valid_day THEN 1 ELSE 0 END AS BIGINT) AS corrected
+      |FROM known WHERE rk = 1 ORDER BY o_orderkey, valid_day""".stripMargin
+
   // ---------------------------------------------------- growth accounting
 
   /** ev_lifecycle — daily growth accounting: every active user is exactly
@@ -1050,6 +1150,8 @@ object Temporal {
     "ev_dau"        -> evDau,
     "ev_lifecycle"  -> evLifecycle,
     "sn_scd2"       -> snScd2,
+    "sn_bitemporal" -> snBitemporal,
+    "sn_asknown"    -> snAsknown,
     "sn_diff"       -> snDiff,
     "sn_apply"      -> snApply,
     "sn_mv_refresh" -> snMvRefresh,
@@ -1071,6 +1173,8 @@ object Temporal {
     "ev_dau"        -> evDauSql,
     "ev_lifecycle"  -> evLifecycleSql,
     "sn_scd2"       -> snScd2Sql,
+    "sn_bitemporal" -> snBitemporalSql,
+    "sn_asknown"    -> snAsknownSql,
     "sn_diff"       -> snDiffSql,
     "sn_apply"      -> snApplySql,
     "sn_mv_refresh" -> snMvRefreshSql,

@@ -156,9 +156,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "ml_nb_score", "ml_nb_confusion", "pii_tclose",
       "gr_sssp", "gr_ppr", "tx_textrank",
       // Scalar-join class: st_ks crossJoins its ONE-ROW (na, nb) totals;
-      // fe_target_encode its ONE-ROW global prior. ts_holt is the
-      // ts_ewma O(days)² closed-form triangle (both sides day-bounded).
-      "st_ks", "fe_target_encode", "ts_holt")
+      // fe_target_encode its ONE-ROW global prior; ev_lifecycle its
+      // ONE-ROW max-day horizon clip. ts_holt is the ts_ewma O(days)²
+      // closed-form triangle (both sides day-bounded).
+      "st_ks", "fe_target_encode", "ts_holt", "ev_lifecycle")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.flatMap { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j

@@ -258,6 +258,34 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(cc.values.toSet.size == 1, "sanity: CC does fuse them")
   }
 
+  test("bitemporal versions keep both beliefs; as-known-at hides post-cutoff corrections") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bitemp").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // key 10: corrected 1998-05-31 (≤ cutoff) → restated price visible
+    // key 20: corrected 1998-07-15 (> cutoff) → original price visible
+    // key 3: never corrected
+    Seq((10L, d("1998-05-01"), 100.0), (20L, d("1998-06-15"), 50.0),
+        (3L, d("1998-01-01"), 70.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val bi = Temporal.snBitemporal(spark, dir).collect()
+    // one current belief per (key, valid day); corrected keys carry 2 versions
+    val byKey = bi.groupBy(_.getLong(0))
+    assert(byKey(10L).length == 2 && byKey(20L).length == 2 && byKey(3L).length == 1)
+    byKey.values.foreach(vs =>
+      assert(vs.count(_.getLong(5) == 1L) == 1, "exactly one current version"))
+    // the superseded belief's tx_to equals its successor's tx_from
+    val k10 = byKey(10L).sortBy(_.getDate(2).toString)
+    assert(k10.head.getDate(3).toString == k10.last.getDate(2).toString)
+    assert(k10.last.getDate(3).toString == "9999-12-31")
+    assert(k10.head.getDouble(4) == 100.0 && k10.last.getDouble(4) == 200.0)
+    val known = Temporal.snAsknown(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(known(10L) == ((200.0, 1L)), s"got $known") // correction visible
+    assert(known(20L) == ((50.0, 0L)), s"got $known")  // correction not yet known
+    assert(known(3L) == ((70.0, 0L)), s"got $known")
+  }
+
   test("harmonicCloseness on a 5-path matches the exact 1/d sums") {
     // Path 1-2-3-4-5, hop bound 4 covers every pair. Exact rationals:
     // end nodes 1+1/2+1/3+1/4 = 25/12; next-in 1+1+1/2+1/3 = 17/6;
