@@ -407,14 +407,19 @@ object ZOrder {
     * preserving, unlike the & mask wrap), with full (col, event_id)
     * orderings so every tile assignment is total-order deterministic.
     * The global ntile windows are the ANALYZER'S emulation of a 32-file
-    * write on a sample — production writes use [[writeClustered]], where
-    * the layout key is the writer's range partitioner and no global
-    * window exists.
+    * write — production writes use [[writeClustered]], where the layout
+    * key is the writer's range partitioner and no global window exists.
+    * The analyzer runs on a 1-in-10 SYSTEMATIC sample (event_id mod 10,
+    * deterministic, oracle-mirrored): layout comparison is a statistics
+    * question, and the sample keeps the emulation's one-partition sort
+    * bounded while the corpus grows (measured 7.6× wall at 10× data
+    * unsampled, ~flat sampled).
     */
   val fileSkip: Q = (s, d) => {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
-    val ev = tbl(s, d, "events").select($"event_id", $"user_id", $"value")
+    val ev = tbl(s, d, "events").where($"event_id" % 10 === 0)
+      .select($"event_id", $"user_id", $"value")
     val px = ntile(256).over(W.orderBy($"user_id", $"event_id")) - 1
     val py = ntile(256).over(W.orderBy($"value", $"event_id")) - 1
     val laid = ev
@@ -444,7 +449,7 @@ object ZOrder {
        |  SELECT event_id, user_id, value,
        |         ntile(256) OVER (ORDER BY user_id, event_id) - 1 AS px,
        |         ntile(256) OVER (ORDER BY value, event_id) - 1 AS py
-       |  FROM events),
+       |  FROM events WHERE event_id % 10 = 0),
        |laid AS (
        |  SELECT user_id, value,
        |         ntile(32) OVER (ORDER BY event_id) AS f_ins,
