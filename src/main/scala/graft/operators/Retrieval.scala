@@ -408,9 +408,53 @@ object Retrieval {
       |  FROM scored)
       |WHERE rk = 1 ORDER BY probe""".stripMargin
 
+  // --------------------------------------------------------- autocomplete
+
+  /** ix_suggest — the prefix-completion index build: top-3 completions by
+    * corpus frequency for every 2- and 3-char vocabulary prefix — the
+    * materialized trie every search box's typeahead reads (the trie is
+    * expressed RELATIONALLY: a (prefix, rank, term) table a point lookup
+    * hits by prefix key, which is how distributed serving stores —
+    * including the reference's own key/filter store — would hold it).
+    *
+    * Build shape: one token-count aggregation (O(vocab) out), each vocab
+    * word explodes into its ≤2 prefixes, and a per-prefix top-k window
+    * ranks by (freq desc, term) — O(vocab·2) rows through one keyed
+    * window, never a corpus-sized shuffle. freq ≥ 5 is the noise floor
+    * (ixSpell's), and the index is a per-snapshot artifact like the
+    * deletion neighborhoods.
+    */
+  val ixSuggest: Q = (s, d) => {
+    import s.implicits._
+    val vocab = toks(s, d).groupBy($"tok").agg(count(lit(1)).as("freq"))
+      .where($"freq" >= 5 && length($"tok") >= 4)
+    val pref = vocab.select($"tok", $"freq",
+      explode(array(substring($"tok", 1, 2), substring($"tok", 1, 3))).as("prefix"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"prefix").orderBy($"freq".desc, $"tok")
+    pref.withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .select($"prefix", $"rk".cast("long").as("rk"), $"tok".as("term"), $"freq")
+      .orderBy($"prefix", $"rk")
+  }
+  val ixSuggestSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vocab AS (SELECT tok, count(*) AS freq FROM t
+      |          WHERE len(tok) > 0 GROUP BY tok
+      |          HAVING count(*) >= 5 AND len(tok) >= 4),
+      |pref AS (
+      |  SELECT tok, freq, unnest([substr(tok, 1, 2), substr(tok, 1, 3)]) AS prefix
+      |  FROM vocab)
+      |SELECT prefix, CAST(rk AS BIGINT) AS rk, tok AS term, freq FROM (
+      |  SELECT prefix, tok, freq,
+      |         row_number() OVER (PARTITION BY prefix ORDER BY freq DESC, tok) AS rk
+      |  FROM pref)
+      |WHERE rk <= 3 ORDER BY prefix, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ix_postings" -> ixPostings,
     "ix_spell"    -> ixSpell,
+    "ix_suggest"  -> ixSuggest,
     "ix_bm25"     -> ixBm25,
     "ix_hybrid"   -> ixHybrid,
     "ix_phrase"   -> ixPhrase,
@@ -418,6 +462,7 @@ object Retrieval {
   val oracles: Map[String, String] = Map(
     "ix_postings" -> ixPostingsSql,
     "ix_spell"    -> ixSpellSql,
+    "ix_suggest"  -> ixSuggestSql,
     "ix_bm25"     -> ixBm25Sql,
     "ix_hybrid"   -> ixHybridSql,
     "ix_phrase"   -> ixPhraseSql,

@@ -500,6 +500,81 @@ object Stats {
       |       round((sst - ssw) / sst, 6) AS eta2
       |FROM sst""".stripMargin
 
+  // ------------------------------------------- higher moments (skew/kurt)
+
+  /** st_moments — per-event-type skewness and excess kurtosis from ONE
+    * pass of raw power sums (Σx..Σx⁴): the shape diagnostics that tell a
+    * monitoring pipeline whether a metric's distribution is drifting in
+    * ways mean/variance dashboards cannot see (asymmetry, tail mass) —
+    * and the moments are algebraic, so the same partial sums merge
+    * map-side, across partitions, and across streaming micro-batches.
+    *
+    * Exactness: values quantize to 1e-2 fixed point (xq = floor(x·100) —
+    * Similarity's integer convention), so Σxq^k are exact integer sums
+    * held as DECIMAL(38,0) (xq⁴ ≈ 6e18 fits a long per-term; the SUM
+    * does not, hence decimal). Central moments expand from raw ones in
+    * one short IEEE sequence per group: m2 = s2/n − μ², m3 = s3/n −
+    * 3μs2/n + 2μ³, m4 = s4/n − 4μs3/n + 6μ²s2/n − 3μ⁴; g1 = m3/m2^1.5,
+    * g2 = m4/m2² − 3, both 6 dp.
+    */
+  val stMoments: Q = (s, d) => {
+    val xq = floor(col("value") * 100).cast("long")
+    val m = tbl(s, d, "events")
+      .select(col("event_type"), xq.as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("s1"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"),
+        sum((col("x") * col("x") * col("x")).cast("decimal(38,0)")).as("s3"),
+        sum((col("x") * col("x") * col("x") * col("x")).cast("decimal(38,0)")).as("s4"))
+    // r-moments FIRST (each sum / n), then combine — the exact operation
+    // order the oracle's CTE chain uses, so both engines run the same
+    // IEEE sequence.
+    def sd(c: String) = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val mu = sd("s1") / nD
+    val r2 = sd("s2") / nD
+    val r3 = sd("s3") / nD
+    val r4 = sd("s4") / nD
+    val m2 = r2 - mu * mu
+    val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+    val m4 = r4 - lit(4.0) * mu * r3 +
+      lit(6.0) * mu * mu * r2 - lit(3.0) * mu * mu * mu * mu
+    m.select(col("event_type"), col("n"),
+        round(mu / 100.0, 6).as("mean"),
+        round(m3 / pow(m2, 1.5), 6).as("skewness"),
+        round(m4 / (m2 * m2) - 3.0, 6).as("kurtosis_excess"))
+      .orderBy(col("event_type"))
+  }
+  val stMomentsSql: String =
+    """WITH q AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x FROM events),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |         sum(CAST(x AS DECIMAL(38,0))) AS s1,
+      |         sum(CAST(x * x AS DECIMAL(38,0))) AS s2,
+      |         sum(CAST(x * x * x AS DECIMAL(38,0))) AS s3,
+      |         sum(CAST(x * x * x * x AS DECIMAL(38,0))) AS s4
+      |  FROM q GROUP BY event_type),
+      |c AS (
+      |  SELECT event_type, n,
+      |         CAST(s1 AS DOUBLE) / n AS mu,
+      |         CAST(s2 AS DOUBLE) / n AS r2,
+      |         CAST(s3 AS DOUBLE) / n AS r3,
+      |         CAST(s4 AS DOUBLE) / n AS r4
+      |  FROM m),
+      |cm AS (
+      |  SELECT event_type, n, mu,
+      |         r2 - mu * mu AS m2,
+      |         r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+      |         r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu AS m4
+      |  FROM c)
+      |SELECT event_type, n,
+      |       round(mu / 100.0, 6) AS mean,
+      |       round(m3 / power(m2, 1.5), 6) AS skewness,
+      |       round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+      |FROM cm ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------ two-proportion z-test
 
   /** st_proptest — the two-proportion z-test on purchase rate between the
@@ -627,6 +702,7 @@ object Stats {
     "st_anova"  -> stAnova,
     "st_levene" -> stLevene,
     "st_proptest" -> stProptest,
+    "st_moments" -> stMoments,
   )
 
   val oracles: Map[String, String] = Map(
@@ -639,5 +715,6 @@ object Stats {
     "st_anova"  -> stAnovaSql,
     "st_levene" -> stLeveneSql,
     "st_proptest" -> stProptestSql,
+    "st_moments" -> stMomentsSql,
   )
 }

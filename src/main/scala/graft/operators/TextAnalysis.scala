@@ -1338,6 +1338,45 @@ object TextAnalysis {
 
   // ------------------------------------------------------------- TextRank
 
+  /** tx_readability — Flesch reading-ease per document from three narrow
+    * regexp counts: words (whitespace tokens), sentences (terminator
+    * runs, floored at 1), and a syllable PROXY (vowel-group runs, the
+    * standard cheap estimator — exact syllabification needs a
+    * pronunciation lexicon no engine ships). The classic prose-difficulty
+    * feature a quality-scoring stack adds next to tx_quality's
+    * length/punct ratios; all three counts ride the projection (no
+    * shuffle but the final sort), and the score is one IEEE formula over
+    * exact integers, 4 dp.
+    */
+  val readability: Q = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "documents").where($"doc_id" < 500)
+      .select($"doc_id",
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long")).as("n_sents"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")
+          .as("n_syll"))
+      .withColumn("flesch", round(
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sents")) -
+          lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 4))
+      .orderBy($"doc_id")
+  }
+  val readabilitySql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+      |           AS n_words,
+      |         greatest(CAST(1 AS BIGINT),
+      |           CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sents,
+      |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
+      |  FROM documents WHERE doc_id < 500)
+      |SELECT doc_id, n_words, n_sents, n_syll,
+      |       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+      |                     - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** tx_zipf — Zipf's-law fit of the token frequency distribution: OLS of
     * ln(freq) on ln(rank) over the top-200 ranks, reporting slope (≈ −1
     * for natural language; materially shallower/steeper flags synthetic,
@@ -1573,6 +1612,7 @@ object TextAnalysis {
     "tx_textrank"    -> textrank,
     "tx_rake"        -> rake,
     "tx_zipf"        -> zipf,
+    "tx_readability" -> readability,
     "tx_kn_score"    -> knScore,
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
@@ -1603,6 +1643,7 @@ object TextAnalysis {
     "tx_textrank"    -> textrankSql,
     "tx_rake"        -> rakeSql,
     "tx_zipf"        -> zipfSql,
+    "tx_readability" -> readabilitySql,
     "tx_kn_score"    -> knScoreSql,
     "tx_tokens"      -> tokensSql,
     "tx_quality"     -> qualitySql,

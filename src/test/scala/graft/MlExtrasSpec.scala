@@ -69,6 +69,30 @@ class MlExtrasSpec extends AnyFunSuite {
     assert(out.forall(_._3 == 0.5), s"expected uniform 0.5: ${out.toSeq}")
   }
 
+  test("readability counts words/sentences/vowel-group syllables exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-read").toString
+    Seq((1L, "the cat runs. the dog sits!")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.readability(spark, dir).collect().head
+    assert(r.getAs[Long]("n_words") == 6L && r.getAs[Long]("n_sents") == 2L &&
+      r.getAs[Long]("n_syll") == 6L)
+    // 206.835 − 1.015·(6/2) − 84.6·(6/6)
+    assert(r.getAs[Double]("flesch") == 119.19)
+  }
+
+  test("ixSuggest ranks prefix completions by corpus frequency") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sugg").toString
+    val text = (Seq.fill(10)("hello") ++ Seq.fill(6)("help") ++
+      Seq.fill(5)("hero") ++ Seq.fill(7)("west")).mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = operators.Retrieval.ixSuggest(spark, dir)
+      .as[(String, Long, String, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(out("he") == Seq("hello", "help", "hero"), s"got $out")
+    assert(out("hel") == Seq("hello", "help") && out("her") == Seq("hero"))
+    assert(out("we") == Seq("west") && out("wes") == Seq("west"))
+  }
+
   test("evLifecycle decomposes DAU into new/retained/resurrected and books churn days") {
     val dir = java.nio.file.Files.createTempDirectory("graft-life").toString
     // user 1 active d1,d2,d4; user 2 active d2 only (d = 2024-05-0d)

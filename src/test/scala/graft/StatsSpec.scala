@@ -95,6 +95,18 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("eta2") - 13.5 / 17.5) < 1e-6)
   }
 
+  test("stMoments: symmetric two-point mass gives skew 0, excess kurtosis -2") {
+    val dir = tmp()
+    (Seq.fill(4)(("X", 0.0)) ++ Seq.fill(4)(("X", 2.0)))
+      .toDF("event_type", "value").write.parquet(s"$dir/events.parquet")
+    val r = Stats.stMoments(spark, dir).collect().head
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Double]("mean") == 1.0)
+    assert(r.getAs[Double]("skewness") == 0.0)
+    // Bernoulli(1/2): kurtosis = 1/(pq) - 3 = -2
+    assert(r.getAs[Double]("kurtosis_excess") == -2.0)
+  }
+
   test("stProptest matches the hand-computed pooled two-proportion z") {
     val dir = tmp()
     // even users: 2 purchases / 4 events; odd: 1 / 4.
