@@ -573,6 +573,78 @@ object Temporal {
       |SELECT c.event_type, nxt, n, round(CAST(n AS DOUBLE) / t, 6) AS p
       |FROM c JOIN tot USING (event_type) ORDER BY event_type, nxt""".stripMargin
 
+  // -------------------------------------------------- conversion paths
+
+  /** ev_paths — top converting paths: for every `purchase`, the ordered
+    * pair of event types that immediately preceded it in that user's
+    * stream, counted corpus-wide and ranked. Where pl_funnel checks ONE
+    * prescribed sequence and ev_markov gives single-step transition
+    * probabilities, this surfaces which multi-step approaches actually
+    * END in conversion — the "what journeys convert" read. Two per-user
+    * window lags (one ordered pass), one keyed count, a top-k rank;
+    * boundary purchases (fewer than 2 predecessors) keep their short
+    * path under a '∅' placeholder rather than vanishing.
+    */
+  val evPaths: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    val paths = tbl(s, d, "events")
+      .select($"user_id", $"event_id", $"event_type")
+      .withColumn("p1", lag($"event_type", 1).over(w))
+      .withColumn("p2", lag($"event_type", 2).over(w))
+      .where($"event_type" === "purchase")
+      .select(concat_ws(">", coalesce($"p2", lit("∅")),
+        coalesce($"p1", lit("∅")), lit("purchase")).as("path"))
+    paths.groupBy($"path").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy($"n".desc, $"path")))
+      .where($"rk" <= 15)
+      .select($"rk".cast("long").as("rk"), $"path", $"n")
+      .orderBy($"rk")
+  }
+  val evPathsSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_id, event_type,
+      |         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS p1,
+      |         lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS p2
+      |  FROM events),
+      |paths AS (
+      |  SELECT coalesce(p2, '∅') || '>' || coalesce(p1, '∅') || '>purchase' AS path
+      |  FROM lagged WHERE event_type = 'purchase'),
+      |cnt AS (SELECT path, count(*) AS n FROM paths GROUP BY path)
+      |SELECT CAST(rk AS BIGINT) AS rk, path, n FROM (
+      |  SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rk FROM cnt)
+      |WHERE rk <= 15 ORDER BY rk""".stripMargin
+
+  /** dq_freshness — per-stream staleness monitor: each event type's last
+    * active calendar day, its lag in days behind the freshest stream,
+    * and a stale flag at > 1 day — the ingest-liveness panel a pipeline
+    * alerts on (a stream silently stopping is the most common unnoticed
+    * failure). One map-side-combined max per type + a broadcast scalar;
+    * day-granular (the suite's raw-ts emission rule).
+    */
+  val dqFreshness: Q = (s, d) => {
+    import s.implicits._
+    val events = tbl(s, d, "events")
+    val lastByType = events
+      .select($"event_type", eventDay(events).as("day"))
+      .groupBy($"event_type").agg(max($"day").as("last_day"))
+    val freshest = lastByType.agg(max($"last_day").as("max_day"))
+    lastByType.crossJoin(broadcast(freshest))
+      .select($"event_type", $"last_day",
+        datediff($"max_day", $"last_day").cast("long").as("days_behind"),
+        (datediff($"max_day", $"last_day") > 1).as("stale"))
+      .orderBy($"event_type")
+  }
+  val dqFreshnessSql: String =
+    """WITH lastd AS (
+      |  SELECT event_type, max(CAST(ts AS DATE)) AS last_day
+      |  FROM events GROUP BY event_type),
+      |freshest AS (SELECT max(last_day) AS max_day FROM lastd)
+      |SELECT event_type, last_day,
+      |       CAST(datediff('day', last_day, max_day) AS BIGINT) AS days_behind,
+      |       datediff('day', last_day, max_day) > 1 AS stale
+      |FROM lastd, freshest ORDER BY event_type""".stripMargin
+
   // -------------------------------------------------- bitemporal versions
 
   /** sn_bitemporal — TWO-axis temporal versioning: valid time (when the
@@ -1149,6 +1221,8 @@ object Temporal {
     "ev_latency"    -> evLatency,
     "ev_dau"        -> evDau,
     "ev_lifecycle"  -> evLifecycle,
+    "ev_paths"      -> evPaths,
+    "dq_freshness"  -> dqFreshness,
     "sn_scd2"       -> snScd2,
     "sn_bitemporal" -> snBitemporal,
     "sn_asknown"    -> snAsknown,
@@ -1172,6 +1246,8 @@ object Temporal {
     "ev_latency"    -> evLatencySql,
     "ev_dau"        -> evDauSql,
     "ev_lifecycle"  -> evLifecycleSql,
+    "ev_paths"      -> evPathsSql,
+    "dq_freshness"  -> dqFreshnessSql,
     "sn_scd2"       -> snScd2Sql,
     "sn_bitemporal" -> snBitemporalSql,
     "sn_asknown"    -> snAsknownSql,

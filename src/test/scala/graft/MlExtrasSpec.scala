@@ -93,6 +93,27 @@ class MlExtrasSpec extends AnyFunSuite {
     assert(out("we") == Seq("west") && out("wes") == Seq("west"))
   }
 
+  test("evPaths mines preceding-pair conversion paths incl. boundary placeholders") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paths").toString
+    Seq((1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+        (2L, 1L, "purchase"))
+      .toDF("user_id", "event_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Temporal.evPaths(spark, dir)
+      .as[(Long, String, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(out == Map("view>click>purchase" -> 1L, "∅>∅>purchase" -> 1L), s"got $out")
+  }
+
+  test("dqFreshness flags a stream that went quiet behind the freshest one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fresh").toString
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-05-0$day%d 10:00:00")
+    Seq(("A", t(5)), ("A", t(1)), ("B", t(3)))
+      .toDF("event_type", "ts").write.parquet(s"$dir/events.parquet")
+    val out = Temporal.dqFreshness(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("A") == ((0L, false)) && out("B") == ((2L, true)), s"got $out")
+  }
+
   test("evLifecycle decomposes DAU into new/retained/resurrected and books churn days") {
     val dir = java.nio.file.Files.createTempDirectory("graft-life").toString
     // user 1 active d1,d2,d4; user 2 active d2 only (d = 2024-05-0d)

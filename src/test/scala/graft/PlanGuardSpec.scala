@@ -159,7 +159,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // fe_target_encode its ONE-ROW global prior; ev_lifecycle its
       // ONE-ROW max-day horizon clip. ts_holt is the ts_ewma O(days)²
       // closed-form triangle (both sides day-bounded).
-      "st_ks", "fe_target_encode", "ts_holt", "ev_lifecycle")
+      "st_ks", "fe_target_encode", "ts_holt", "ev_lifecycle",
+      // dq_freshness crossJoins its ONE-ROW freshest-stream scalar.
+      "dq_freshness")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.flatMap { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
