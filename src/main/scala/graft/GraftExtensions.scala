@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays") {
       es => CosineSim(es(0), es(1))
     }
+
+    // Optimizer rule: theta band joins (abs(l − r) <= w, no equi key)
+    // re-plan as bucketed hash joins — see BandJoinBucketRule scaladoc.
+    e.injectOptimizerRule(_ => graft.plans.BandJoinBucketRule)
   }
 }

@@ -222,6 +222,35 @@ object Temporal {
         round($"c_acctbal" - $"s_acctbal", 2).as("bal_diff"))
       .orderBy($"nationkey", $"c_custkey", $"s_suppkey")
   }
+  /** rj_band_auto — the SAME band join written as the naive theta join a
+    * library user would type: `abs(c_acctbal − s_acctbal) <= 250` with no
+    * equi key and no bucketing in the query. [[graft.plans.BandJoinBucketRule]]
+    * (injected via GraftExtensions) re-plans it as the bucketed hash join
+    * at optimization time — PlanGuardSpec asserts no nested loop survives,
+    * and this gate proves the rewrite's RESULTS against the unbucketed
+    * oracle. Cross-nation pairs are allowed here (no nation conjunct —
+    * that would hand the planner an equi key and the rule would correctly
+    * stand down), so the probe sides are narrowed to keep output bounded.
+    */
+  val rjBandAuto: Q = (s, d) => {
+    import s.implicits._
+    val cust = tbl(s, d, "customer").where($"c_custkey" <= 300)
+      .select($"c_custkey", $"c_acctbal")
+    val supp = tbl(s, d, "supplier")
+      .select($"s_suppkey", $"s_acctbal")
+    cust.join(supp, abs($"c_acctbal" - $"s_acctbal") <= 250.0)
+      .select($"c_custkey", $"s_suppkey",
+        round($"c_acctbal" - $"s_acctbal", 2).as("bal_diff"))
+      .orderBy($"c_custkey", $"s_suppkey")
+  }
+  val rjBandAutoSql: String =
+    """SELECT c.c_custkey, s.s_suppkey,
+      |       round(c.c_acctbal - s.s_acctbal, 2) AS bal_diff
+      |FROM customer c JOIN supplier s
+      |  ON abs(c.c_acctbal - s.s_acctbal) <= 250.0
+      |WHERE c.c_custkey <= 300
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   val rjBandSql: String =
     """SELECT c.c_nationkey AS nationkey, c.c_custkey, s.s_suppkey,
       |       round(c.c_acctbal - s.s_acctbal, 2) AS bal_diff
@@ -1213,6 +1242,7 @@ object Temporal {
     "aj_asof"       -> ajAsof,
     "rj_range"      -> rjRange,
     "rj_band"       -> rjBand,
+    "rj_band_auto"  -> rjBandAuto,
     "ev_retention"  -> evRetention,
     "ev_gapfill"    -> evGapfill,
     "ev_anomaly"    -> evAnomaly,
@@ -1236,6 +1266,7 @@ object Temporal {
     "aj_asof"       -> ajAsofSql,
     "rj_range"      -> rjRangeSql,
     "rj_band"       -> rjBandSql,
+    "rj_band_auto"  -> rjBandAutoSql,
     "ev_attrib"     -> evAttribSql,
     "ev_streak"     -> evStreakSql,
     "ev_retention"  -> evRetentionSql,

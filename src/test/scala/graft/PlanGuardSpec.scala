@@ -190,6 +190,34 @@ class PlanGuardSpec extends AnyFunSuite {
       s"phrase segmentation window must partition by doc:\n$rake")
   }
 
+  test("BandJoinBucketRule: a plain abs(l−r)<=w theta join plans as a HASH join, result equals naive") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.abs
+    val lv = (1 to 500).map(i => (i.toLong, (i * 7 % 997).toDouble))
+    val rv = (1 to 300).map(i => (i.toLong, (i * 13 % 997).toDouble))
+    val joined = lv.toDF("lid", "x").join(rv.toDF("rid", "y"), abs($"x" - $"y") <= 5.0)
+    val plan = joined.queryExecution.sparkPlan
+    val nlj = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case c: CartesianProductExec => c
+    }
+    assert(nlj.isEmpty, s"rule did not fire — band join planned as nested loop:\n$plan")
+    val hash = plan.collect {
+      case j if j.nodeName.contains("HashJoin") || j.nodeName.contains("SortMergeJoin") => j
+    }
+    assert(hash.nonEmpty, s"expected a hash/sort-merge join:\n$plan")
+    val got = joined.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val want = (for { (li, xv) <- lv; (ri, yv) <- rv if math.abs(xv - yv) <= 5.0 }
+      yield (li, ri)).toSet
+    assert(got == want, s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
+    // a join that already has an equi key is left alone (no double bucketing)
+    val equi = lv.toDF("lid", "x").join(rv.toDF("rid", "y"),
+      $"lid" === $"rid" && abs($"x" - $"y") <= 5.0)
+    assert(!equi.queryExecution.optimizedPlan.toString.contains("__band_bucket_l"),
+      "rule must skip joins that already have an equi key")
+  }
+
   test("dq_corr computes all 21 moments from a single lineitem scan, no joins") {
     val plan = planOf("dq_corr")
     val scans = plan.collectLeaves()
