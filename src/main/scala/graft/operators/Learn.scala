@@ -260,8 +260,67 @@ object Learn {
       |                  / (n - 1)) / 1e6, 6) AS std
       |FROM m ORDER BY dim""".stripMargin
 
+  // ----------------------------------------------------- feature hashing
+
+  /** fe_hashed — the hashing trick (Weinberger et al. 2009): tokens map
+    * to a FIXED 64-bucket feature space via bucket = md5 low bits, with a
+    * ±1 sign from another hash bit so collisions cancel in expectation —
+    * the featurizer that needs NO vocabulary artifact, no fit step, and
+    * no coordination, which is why online/streaming models default to
+    * it. Emits per-doc signed bucket counts for two probe buckets plus
+    * the L2 norm of the full hashed vector.
+    *
+    * One explode + one keyed aggregation; the hash arithmetic is the
+    * suite's portable ascii()-on-md5 integer decode, so DuckDB replays
+    * it bit-for-bit. Norms are exact integer sums (signed counts are
+    * ints; Σc² is an int) with one final sqrt, 6 dp.
+    */
+  val featureHash: Q = (s, d) => {
+    val t = tbl(s, d, "documents").where(col("doc_id") < 300)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .withColumn("h", md5(concat(lit("fh:"), col("tok"))))
+      // bucket: first two hex chars → 0..255 → % 64; sign: third hex digit parity
+      .withColumn("bucket",
+        ((expr("instr('0123456789abcdef', substr(h, 1, 1)) - 1") * 16 +
+          expr("instr('0123456789abcdef', substr(h, 2, 1)) - 1")) % 64).cast("long"))
+      .withColumn("sign",
+        when(expr("instr('0123456789abcdef', substr(h, 3, 1)) - 1") % 2 === 0, 1L)
+          .otherwise(-1L))
+    val vec = t.groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("c"))
+    vec.groupBy(col("doc_id"))
+      .agg(round(sqrt(sum(col("c") * col("c")).cast("double")), 6).as("l2"),
+        sum(when(col("bucket") === 7, col("c")).otherwise(0L)).as("b7"),
+        sum(when(col("bucket") === 42, col("c")).otherwise(0L)).as("b42"))
+      .orderBy(col("doc_id"))
+  }
+  val featureHashSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, tok, md5('fh:' || tok) AS h FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |    FROM documents WHERE doc_id < 300)
+      |  WHERE len(tok) > 0),
+      |b AS (
+      |  SELECT doc_id,
+      |         CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |               + instr('0123456789abcdef', substr(h, 2, 1)) - 1) % 64 AS BIGINT)
+      |           AS bucket,
+      |         CASE WHEN (instr('0123456789abcdef', substr(h, 3, 1)) - 1) % 2 = 0
+      |              THEN 1 ELSE -1 END AS sign
+      |  FROM t),
+      |vec AS (
+      |  SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS c
+      |  FROM b GROUP BY doc_id, bucket)
+      |SELECT doc_id,
+      |       round(sqrt(CAST(sum(c * c) AS DOUBLE)), 6) AS l2,
+      |       CAST(sum(CASE WHEN bucket = 7 THEN c ELSE 0 END) AS BIGINT) AS b7,
+      |       CAST(sum(CASE WHEN bucket = 42 THEN c ELSE 0 END) AS BIGINT) AS b42
+      |FROM vec GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ml_nb_score"     -> nbScore,
+    "fe_hashed"       -> featureHash,
     "ml_nb_confusion" -> nbConfusion,
     "fe_target_encode" -> targetEncode,
     "fe_scale"        -> scaleStats,
@@ -269,6 +328,7 @@ object Learn {
 
   val oracles: Map[String, String] = Map(
     "ml_nb_score"     -> nbScoreSql,
+    "fe_hashed"       -> featureHashSql,
     "ml_nb_confusion" -> nbConfusionSql,
     "fe_target_encode" -> targetEncodeSql,
     "fe_scale"        -> scaleStatsSql,

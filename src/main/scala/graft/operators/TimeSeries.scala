@@ -144,6 +144,67 @@ object TimeSeries {
        |       round(2.0 * s1 - s2 + 0.3 / 0.7 * (s1 - s2), 6) AS forecast
        |FROM sm ORDER BY day""".stripMargin
 
+  // -------------------------------------------------------------- backtest
+
+  /** ts_backtest — one-step-ahead forecast evaluation: walk the daily
+    * series, compare [[tsHolt]]'s forecast made at day t against the
+    * actual count at t+1, and report its MAE next to the PERSISTENCE
+    * baseline (forecast = today's value) — the "is the model worth its
+    * complexity" check every forecasting deployment owes itself (a
+    * smoother that cannot beat persistence is overhead). Emits both MAEs
+    * and the skill ratio.
+    *
+    * Shape: the holt table is O(days); actuals arrive by one lead()
+    * window over it; per-day absolute errors quantize to 6 dp and sum as
+    * DECIMAL(18,6) — order-free — with one final division each.
+    */
+  val tsBacktest: Q = (s, d) => {
+    val w = Window.orderBy(col("day"))
+    val fc = tsHolt(s, d)
+      .withColumn("next_n", lead(col("n"), 1).over(w))
+      .where(col("next_n").isNotNull)
+      .select(
+        round(abs(col("forecast") - col("next_n")), 6)
+          .cast("decimal(18,6)").as("e_holt"),
+        round(abs(col("n") - col("next_n")).cast("double"), 6)
+          .cast("decimal(18,6)").as("e_persist"))
+    fc.agg(count(lit(1)).as("n_days"),
+        sum(col("e_holt")).as("se_h"), sum(col("e_persist")).as("se_p"))
+      .select(col("n_days"),
+        round(col("se_h").cast("double") / col("n_days"), 6).as("mae_holt"),
+        round(col("se_p").cast("double") / col("n_days"), 6).as("mae_persistence"),
+        round(col("se_h").cast("double") / col("se_p").cast("double"), 6).as("skill"))
+  }
+  val tsBacktestSql: String =
+    s"""WITH $dailyIdxSql,
+       |tri AS (
+       |  SELECT b.day, b.n,
+       |         round(CASE WHEN a.t = 0 THEN power(0.7, b.t)
+       |                    ELSE 0.3 * power(0.7, b.t - a.t) END * a.n, 9) AS s1term,
+       |         round(CASE WHEN a.t = 0 THEN (1.0 + 0.3 * b.t) * power(0.7, b.t)
+       |                    ELSE 0.3 * 0.3 * (b.t - a.t + 1) * power(0.7, b.t - a.t)
+       |               END * a.n, 9) AS s2term
+       |  FROM idx b JOIN idx a ON a.t <= b.t),
+       |sm AS (
+       |  SELECT day, n, sum(s1term) AS s1, sum(s2term) AS s2
+       |  FROM tri GROUP BY day, n),
+       |fc AS (
+       |  SELECT day, n,
+       |         round(2.0 * s1 - s2 + 0.3 / 0.7 * (s1 - s2), 6) AS forecast
+       |  FROM sm),
+       |err AS (
+       |  SELECT CAST(round(abs(forecast - next_n), 6) AS DECIMAL(18,6)) AS e_holt,
+       |         CAST(round(abs(CAST(n - next_n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS e_persist
+       |  FROM (SELECT day, n, forecast,
+       |               lead(n) OVER (ORDER BY day) AS next_n FROM fc)
+       |  WHERE next_n IS NOT NULL)
+       |SELECT count(*) AS n_days,
+       |       round(CAST(sum(e_holt) AS DOUBLE) / count(*), 6) AS mae_holt,
+       |       round(CAST(sum(e_persist) AS DOUBLE) / count(*), 6) AS mae_persistence,
+       |       round(CAST(sum(e_holt) AS DOUBLE) / CAST(sum(e_persist) AS DOUBLE), 6)
+       |         AS skill
+       |FROM err""".stripMargin
+
   // ------------------------------------------------------------------- ACF
 
   /** ts_acf — autocorrelation of the daily series at lags 1..7: Pearson r
@@ -350,6 +411,7 @@ object TimeSeries {
   val queries: Map[String, Q] = Map(
     "ts_ewma"      -> tsEwma,
     "ts_holt"      -> tsHolt,
+    "ts_backtest"  -> tsBacktest,
     "ts_acf"       -> tsAcf,
     "ts_decompose" -> tsDecompose,
     "ts_cusum"     -> tsCusum,
@@ -359,6 +421,7 @@ object TimeSeries {
   val oracles: Map[String, String] = Map(
     "ts_ewma"      -> tsEwmaSql,
     "ts_holt"      -> tsHoltSql,
+    "ts_backtest"  -> tsBacktestSql,
     "ts_acf"       -> tsAcfSql,
     "ts_decompose" -> tsDecomposeSql,
     "ts_cusum"     -> tsCusumSql,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Learn, Multimodal, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Learn, Multimodal, Similarity, Temporal, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -130,6 +130,54 @@ class MlExtrasSpec extends AnyFunSuite {
       ("2024-05-03", 0L, 0L, 0L, 2L),   // churn-only day still gets a row
       ("2024-05-04", 0L, 0L, 1L, 0L)),  // user 1's post-horizon churn clipped
       s"got $out")
+  }
+
+  test("featureHash matches a JVM-side replay of the md5 bucket/sign arithmetic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fhash").toString
+    Seq((1L, "alpha alpha"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    def hx(tok: String): (Long, Long) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"fh:$tok".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bucket = (Integer.parseInt(h.substring(0, 2), 16) % 64).toLong
+      val sign = if (Integer.parseInt(h.substring(2, 3), 16) % 2 == 0) 1L else -1L
+      (bucket, sign)
+    }
+    def expect(toks: Seq[String]): (Double, Long, Long) = {
+      val vec = toks.map(hx).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      // the operator rounds l2 to 6 dp
+      (math.rint(math.sqrt(vec.values.map(c => c * c).sum.toDouble) * 1e6) / 1e6,
+        vec.getOrElse(7L, 0L), vec.getOrElse(42L, 0L))
+    }
+    val out = Learn.featureHash(spark, dir)
+      .as[(Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == expect(Seq("alpha", "alpha")), s"got ${out(1L)}")
+    assert(out(2L) == expect(Seq("alpha", "beta", "gamma")), s"got ${out(2L)}")
+    // a repeated token doubles its bucket magnitude: l2 of "alpha alpha" = 2
+    assert(out(1L)._1 == 2.0)
+  }
+
+  test("tsBacktest: on a linear ramp the trend-aware smoother beats persistence") {
+    val ramp = corpusTs((0 until 30).map(d => 10 + 2 * d))
+    val r = TimeSeries.tsBacktest(spark, ramp).collect().head
+    assert(r.getAs[Long]("n_days") == 29L)
+    val (h, p) = (r.getAs[Double]("mae_holt"), r.getAs[Double]("mae_persistence"))
+    assert(p == 2.0, s"persistence MAE on a +2/day ramp must be 2, got $p")
+    assert(h < p && r.getAs[Double]("skill") < 1.0, s"holt $h vs persistence $p")
+  }
+
+  /** events corpus whose daily counts follow `counts` from 2024-05-01. */
+  private def corpusTs(counts: Seq[Int]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts2").toString
+    val rows = for {
+      (c, d) <- counts.zipWithIndex
+      i <- 0 until c
+    } yield ((d * 1000 + i).toLong,
+      java.sql.Timestamp.valueOf(f"2024-05-${d + 1}%02d 12:00:00"))
+    rows.toDF("event_id", "ts").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    dir
   }
 
   test("zipf fits an exact power law with slope -1 and r2 = 1") {

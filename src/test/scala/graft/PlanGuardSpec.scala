@@ -160,8 +160,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // ONE-ROW max-day horizon clip. ts_holt is the ts_ewma O(days)²
       // closed-form triangle (both sides day-bounded).
       "st_ks", "fe_target_encode", "ts_holt", "ev_lifecycle",
-      // dq_freshness crossJoins its ONE-ROW freshest-stream scalar.
-      "dq_freshness")
+      // dq_freshness crossJoins its ONE-ROW freshest-stream scalar;
+      // ts_backtest rides ts_holt's O(days)² closed-form triangle.
+      "dq_freshness", "ts_backtest")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.flatMap { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
