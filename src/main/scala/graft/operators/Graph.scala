@@ -1021,6 +1021,62 @@ object Graph {
        |FROM h4 WHERE dist > 0 GROUP BY src ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- degree assortativity
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the edge list — positive means hubs attach to
+    * hubs (social-network shape), negative means hubs attach to leaves
+    * (star/hub-spoke shape, which LSH duplicate clusters approximate).
+    * The one-number structural fingerprint that distinguishes a
+    * candidate-pair graph made of tight clusters from one made of
+    * chains, without materializing any triangle or component.
+    *
+    * One degree aggregation + two broadcast joins back onto the edge
+    * list + one moment aggregation. Both edge directions are included,
+    * so the correlation is symmetric by construction. All moments are
+    * exact BIGINTs (degrees are counts); r is one IEEE formula, 6 dp.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = cleanEdges(edges, "assortativity")
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+      .distinct()
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val dd = und
+      .join(broadcast(deg.select(col("x"), col("deg").as("dx"))), Seq("x"))
+      .join(broadcast(deg.select(col("x").as("y"), col("deg").as("dy"))), Seq("y"))
+    dd.agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("m"),
+        round((col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+          (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("assortativity"))
+  }
+
+  /** gr_assort — degree assortativity of the LSH pair graph (duplicate
+    * clusters are near-cliques → weakly positive to near-zero r).
+    */
+  val grAssort: Q = (s, d) => {
+    import s.implicits._
+    assortativity(lshPairGraph(s, d))
+  }
+  val grAssortSql: String =
+    s"""$ccReachCte,
+       |deg AS (SELECT x, count(*) AS deg FROM und GROUP BY x),
+       |dd AS (
+       |  SELECT dx.deg AS dx, dy.deg AS dy
+       |  FROM und u JOIN deg dx ON u.x = dx.x JOIN deg dy ON u.y = dy.x),
+       |m AS (
+       |  SELECT count(*) AS m, CAST(sum(dx) AS BIGINT) AS sx,
+       |         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+       |         CAST(sum(dx * dy) AS BIGINT) AS sxy
+       |  FROM dd)
+       |SELECT m,
+       |       round(CAST(m * sxy - sx * sx AS DOUBLE)
+       |             / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+       |FROM m""".stripMargin
+
   // ------------------------------------------------ personalized PageRank
 
   /** Personalized PageRank: the restart mass returns to a SEED SET
@@ -1294,7 +1350,8 @@ object Graph {
     "gr_ppr"         -> grPpr,
     "gr_jaccard"     -> grJaccard,
     "gr_hits"        -> grHits,
-    "gr_closeness"   -> grCloseness)
+    "gr_closeness"   -> grCloseness,
+    "gr_assort"      -> grAssort)
   val oracles: Map[String, String] = Map(
     "cc_clusters"    -> ccClustersSql,
     "cc_star"        -> ccClustersSql,
@@ -1311,5 +1368,6 @@ object Graph {
     "gr_ppr"         -> grPprSql,
     "gr_jaccard"     -> grJaccardSql,
     "gr_hits"        -> grHitsSql,
-    "gr_closeness"   -> grClosenessSql)
+    "gr_closeness"   -> grClosenessSql,
+    "gr_assort"      -> grAssortSql)
 }

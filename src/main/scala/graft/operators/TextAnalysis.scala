@@ -1338,6 +1338,61 @@ object TextAnalysis {
 
   // ------------------------------------------------------------- TextRank
 
+  /** tx_burstiness — variance-to-mean ratio (VMR, over ALL docs incl.
+    * zeros) of per-doc counts for the top-20 corpus tokens: the Church &
+    * Gale burstiness diagnostic — function words spread evenly (VMR ≈ 1,
+    * Poisson), content/topic words clump into the few docs about that
+    * topic (VMR ≫ 1), and boilerplate repeated within templated pages
+    * shows extreme VMR. A corpus-health signal tf-idf assumes but never
+    * reports.
+    *
+    * The zeros never materialize: with N total docs, Σc and Σc² over
+    * docs CONTAINING the token equal the sums over all docs, so
+    * VMR = (Σc² − (Σc)²/N)/(N−1) / (Σc/N) comes from one (doc, tok)
+    * count aggregation + one token rollup. All moments exact BIGINTs;
+    * VMR is one IEEE sequence, 6 dp; top-20 by (count, token) total
+    * order.
+    */
+  val burstiness: Q = (s, d) => {
+    import s.implicits._
+    val docs = tbl(s, d, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val perDoc = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .where(length($"tok") > 0)
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val byTok = perDoc.groupBy($"tok").agg(
+      count(lit(1)).as("df"), sum($"c").as("total"), sum($"c" * $"c").as("sc2"))
+    byTok.crossJoin(broadcast(nDocs))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"total".desc, $"tok")))
+      .where($"rk" <= 20)
+      .select($"rk".cast("long").as("rk"), $"tok", $"df", $"total",
+        round(((col("sc2").cast("double") -
+          col("total").cast("double") * col("total").cast("double") / col("nd")) /
+          (col("nd") - 1)) / (col("total").cast("double") / col("nd")), 6).as("vmr"))
+      .orderBy($"rk")
+  }
+  val burstinessSql: String =
+    """WITH nd AS (SELECT count(*) AS nd FROM documents),
+      |perdoc AS (
+      |  SELECT doc_id, tok, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE len(tok) > 0 GROUP BY doc_id, tok),
+      |bytok AS (
+      |  SELECT tok, count(*) AS df, CAST(sum(c) AS BIGINT) AS total,
+      |         CAST(sum(c * c) AS BIGINT) AS sc2
+      |  FROM perdoc GROUP BY tok),
+      |ranked AS (
+      |  SELECT tok, df, total, sc2,
+      |         row_number() OVER (ORDER BY total DESC, tok) AS rk
+      |  FROM bytok)
+      |SELECT CAST(rk AS BIGINT) AS rk, tok, df, total,
+      |       round(((CAST(sc2 AS DOUBLE)
+      |               - CAST(total AS DOUBLE) * CAST(total AS DOUBLE) / nd.nd)
+      |              / (nd.nd - 1)) / (CAST(total AS DOUBLE) / nd.nd), 6) AS vmr
+      |FROM ranked, nd WHERE rk <= 20 ORDER BY rk""".stripMargin
+
   /** tx_readability — Flesch reading-ease per document from three narrow
     * regexp counts: words (whitespace tokens), sentences (terminator
     * runs, floored at 1), and a syllable PROXY (vowel-group runs, the
@@ -1613,6 +1668,7 @@ object TextAnalysis {
     "tx_rake"        -> rake,
     "tx_zipf"        -> zipf,
     "tx_readability" -> readability,
+    "tx_burstiness"  -> burstiness,
     "tx_kn_score"    -> knScore,
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
@@ -1644,6 +1700,7 @@ object TextAnalysis {
     "tx_rake"        -> rakeSql,
     "tx_zipf"        -> zipfSql,
     "tx_readability" -> readabilitySql,
+    "tx_burstiness"  -> burstinessSql,
     "tx_kn_score"    -> knScoreSql,
     "tx_tokens"      -> tokensSql,
     "tx_quality"     -> qualitySql,

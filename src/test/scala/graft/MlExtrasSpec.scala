@@ -69,6 +69,20 @@ class MlExtrasSpec extends AnyFunSuite {
     assert(out.forall(_._3 == 0.5), s"expected uniform 0.5: ${out.toSeq}")
   }
 
+  test("burstiness: clumped token VMR 4, evenly spread token VMR 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-burst").toString
+    // 'even' once per doc (variance 0); 'bursty' 4x in one doc
+    Seq((1L, "even bursty bursty bursty bursty"), (2L, "even"),
+        (3L, "even"), (4L, "even"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.burstiness(spark, dir)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(out("even") == ((4L, 4L, 0.0)), s"got $out")
+    // Σc²=16, var=(16−4)/3=4, mean=1 → VMR 4
+    assert(out("bursty") == ((1L, 4L, 4.0)), s"got $out")
+  }
+
   test("readability counts words/sentences/vowel-group syllables exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-read").toString
     Seq((1L, "the cat runs. the dog sits!")).toDF("doc_id", "text")

@@ -161,8 +161,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // closed-form triangle (both sides day-bounded).
       "st_ks", "fe_target_encode", "ts_holt", "ev_lifecycle",
       // dq_freshness crossJoins its ONE-ROW freshest-stream scalar;
-      // ts_backtest rides ts_holt's O(days)² closed-form triangle.
-      "dq_freshness", "ts_backtest")
+      // ts_backtest rides ts_holt's O(days)² closed-form triangle;
+      // tx_burstiness crossJoins its ONE-ROW corpus doc count.
+      "dq_freshness", "ts_backtest", "tx_burstiness")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.flatMap { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j

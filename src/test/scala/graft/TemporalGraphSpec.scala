@@ -286,6 +286,15 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(known(3L) == ((70.0, 0L)), s"got $known")
   }
 
+  test("assortativity reads a star as perfectly disassortative (-1)") {
+    // K1,3: every edge joins the degree-3 hub to a degree-1 leaf — the
+    // directed edge list is {(3,1)x3, (1,3)x3}, Pearson r = -1 exactly.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r = Graph.assortativity(star).collect().head
+    assert(r.getAs[Long]("m") == 6L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+  }
+
   test("harmonicCloseness on a 5-path matches the exact 1/d sums") {
     // Path 1-2-3-4-5, hop bound 4 covers every pair. Exact rationals:
     // end nodes 1+1/2+1/3+1/4 = 25/12; next-in 1+1+1/2+1/3 = 17/6;
