@@ -602,6 +602,65 @@ object Temporal {
       |SELECT c.event_type, nxt, n, round(CAST(n AS DOUBLE) / t, 6) AS p
       |FROM c JOIN tot USING (event_type) ORDER BY event_type, nxt""".stripMargin
 
+  // ------------------------------------------------------- cohort LTV
+
+  /** ev_ltv — cumulative value per user by cohort age: users cohort by
+    * the calendar WEEK of their first event; each (cohort, week-offset)
+    * cell sums event value and reports the RUNNING per-member LTV — the
+    * curve a growth model fits and the companion to [[Temporal]] cohort
+    * retention (that one counts survivors, this one weighs them). Value
+    * sums are decimal(17,4)-quantized (order-free); the running sum is a
+    * per-cohort window over O(cohorts × months) cells; cohort size is
+    * the month-0 member count, carried by a broadcast join.
+    */
+  val evLtv: Q = (s, d) => {
+    import s.implicits._
+    val events = tbl(s, d, "events")
+    val ev = events.select($"user_id", $"value",
+      trunc(eventDay(events), "week").as("week"))
+    val cohorts = ev.groupBy($"user_id").agg(min($"week").as("cohort"))
+    val sizes = cohorts.groupBy($"cohort").agg(count(lit(1)).as("cohort_users"))
+    val cells = ev.join(cohorts, "user_id")
+      // both dates are week-truncated Mondays, so the day gap is an exact
+      // multiple of 7 — integral division is portable where engine week
+      // arithmetic is not
+      .withColumn("off", expr("datediff(week, cohort) div 7"))
+      .groupBy($"cohort", $"off")
+      .agg(countDistinct($"user_id").as("n_active"),
+        sum($"value".cast("decimal(17,4)")).as("val"))
+    val w = Window.partitionBy($"cohort").orderBy($"off")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sizes), Seq("cohort"))
+      .withColumn("cumval", sum($"val").over(w))
+      .select($"cohort", $"off", $"cohort_users", $"n_active",
+        round($"val".cast("double"), 2).as("month_value"),
+        round($"cumval".cast("double") / $"cohort_users", 6).as("ltv_per_user"))
+      .orderBy($"cohort", $"off")
+  }
+  val evLtvSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, value, date_trunc('week', CAST(ts AS DATE)) AS week
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(week) AS cohort FROM ev GROUP BY user_id),
+      |sizes AS (SELECT cohort, count(*) AS cohort_users FROM cohorts GROUP BY cohort),
+      |cells AS (
+      |  SELECT c.cohort,
+      |         CAST(datediff('day', c.cohort, e.week) // 7 AS BIGINT) AS off,
+      |         count(DISTINCT e.user_id) AS n_active,
+      |         sum(CAST(e.value AS DECIMAL(17,4))) AS val
+      |  FROM ev e JOIN cohorts c USING (user_id)
+      |  GROUP BY 1, 2),
+      |run AS (
+      |  SELECT cohort, off, n_active, val,
+      |         sum(val) OVER (PARTITION BY cohort ORDER BY off
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumval
+      |  FROM cells)
+      |SELECT CAST(r.cohort AS DATE) AS cohort, r.off, s.cohort_users, r.n_active,
+      |       round(CAST(r.val AS DOUBLE), 2) AS month_value,
+      |       round(CAST(r.cumval AS DOUBLE) / s.cohort_users, 6) AS ltv_per_user
+      |FROM run r JOIN sizes s USING (cohort)
+      |ORDER BY cohort, off""".stripMargin
+
   // -------------------------------------------------- conversion paths
 
   /** ev_paths — top converting paths: for every `purchase`, the ordered
@@ -1252,6 +1311,7 @@ object Temporal {
     "ev_dau"        -> evDau,
     "ev_lifecycle"  -> evLifecycle,
     "ev_paths"      -> evPaths,
+    "ev_ltv"        -> evLtv,
     "dq_freshness"  -> dqFreshness,
     "sn_scd2"       -> snScd2,
     "sn_bitemporal" -> snBitemporal,
@@ -1278,6 +1338,7 @@ object Temporal {
     "ev_dau"        -> evDauSql,
     "ev_lifecycle"  -> evLifecycleSql,
     "ev_paths"      -> evPathsSql,
+    "ev_ltv"        -> evLtvSql,
     "dq_freshness"  -> dqFreshnessSql,
     "sn_scd2"       -> snScd2Sql,
     "sn_bitemporal" -> snBitemporalSql,

@@ -107,6 +107,23 @@ class MlExtrasSpec extends AnyFunSuite {
     assert(out("we") == Seq("west") && out("wes") == Seq("west"))
   }
 
+  test("evLtv builds running per-member cohort value curves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ltv").toString
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-05-$day%02d 10:00:00")
+    // w1 = week of Mon 2024-05-06, w2 = 2024-05-13.
+    // u1: 10.0 in w1, 20.0 in w2; u2: 30.0 in w1; u3 (w2 cohort): 40.0.
+    Seq((1L, t(6), 10.0), (1L, t(14), 20.0), (2L, t(8), 30.0), (3L, t(13), 40.0))
+      .toDF("user_id", "ts", "value").write.parquet(s"$dir/events.parquet")
+    val out = Temporal.evLtv(spark, dir)
+      .select($"cohort".cast("string"), $"off", $"cohort_users",
+        $"n_active", $"month_value", $"ltv_per_user")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("2024-05-06", 0L, 2L, 2L, 40.0, 20.0),
+      ("2024-05-06", 1L, 2L, 1L, 20.0, 30.0),
+      ("2024-05-13", 0L, 1L, 1L, 40.0, 40.0)), s"got $out")
+  }
+
   test("evPaths mines preceding-pair conversion paths incl. boundary placeholders") {
     val dir = java.nio.file.Files.createTempDirectory("graft-paths").toString
     Seq((1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
