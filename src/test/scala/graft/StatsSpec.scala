@@ -107,6 +107,36 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("kurtosis_excess") == -2.0)
   }
 
+  test("stMoments partials are mergeable: 3 disjoint slices equal the one-shot result") {
+    // The scale claim behind the operator: its raw power sums are
+    // algebraic, so per-batch partials merged by plain addition must
+    // reproduce the single-pass statistics exactly.
+    val rows = (1 to 90).map(i => ("X", (i * 37 % 100) / 7.0))
+    val whole = tmp()
+    rows.toDF("event_type", "value").write.parquet(s"$whole/events.parquet")
+    val oneShot = Stats.stMoments(spark, whole).collect().head
+    val parts = rows.grouped(30).map { slice =>
+      val dir = tmp()
+      slice.toDF("event_type", "value").write.parquet(s"$dir/events.parquet")
+      // the same fixed-point quantization the operator applies
+      slice.map(r => math.floor(r._2 * 100).toLong)
+    }.toSeq
+    val xs = parts.flatten
+    val (n, s1, s2, s3, s4) = (xs.size.toLong, xs.sum,
+      xs.map(x => x * x).sum, xs.map(x => x * x * x).sum,
+      xs.map(x => x * x * x * x).sum)
+    val mu = s1.toDouble / n
+    val (r2, r3, r4) = (s2.toDouble / n, s3.toDouble / n, s4.toDouble / n)
+    val m2 = r2 - mu * mu
+    val m3 = r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu
+    val m4 = r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(oneShot.getAs[Long]("n") == n)
+    assert(oneShot.getAs[Double]("skewness") == r6(m3 / math.pow(m2, 1.5)),
+      s"merged-partials skew disagrees with the operator")
+    assert(oneShot.getAs[Double]("kurtosis_excess") == r6(m4 / (m2 * m2) - 3.0))
+  }
+
   test("stProptest matches the hand-computed pooled two-proportion z") {
     val dir = tmp()
     // even users: 2 purchases / 4 events; odd: 1 / 4.
