@@ -221,6 +221,62 @@ object Multimodal {
        |FROM en GROUP BY doc_id ORDER BY media_id""".stripMargin
   }
 
+  // ------------------------------------------------ scene-change detection
+
+  /** mm_scene — shot-boundary detection over the framed payload: a CUT is
+    * a frame whose energy jumps by more than 3000 against its
+    * predecessor (|Δe| on [[frameEnergies]]' exact 1/32-rational values)
+    * — the standard first pass of video segmentation (real detectors
+    * swap energy for histogram/SSIM deltas; the lag-compare shape is
+    * identical). Per media: frame count, cut count, and the first cut
+    * index (−1 when none — kept NULL-free for engine-bridge parity).
+    * One per-media window over the exploded frames.
+    */
+  val sceneChange: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val media = asMedia(tbl(s, d, "documents").where(col("doc_id") < 60))
+    val en = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) => (id, frameEnergies(c, 32)) })
+      .toDF("media_id", "energies")
+      .select(col("media_id"), posexplode(col("energies")).as(Seq("f", "e")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("f"))
+    en.withColumn("cut",
+        (abs(col("e") - lag(col("e"), 1).over(w)) > 3000.0).cast("long"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(coalesce(col("cut"), lit(0L))).as("n_cuts"),
+        coalesce(min(when(col("cut") === 1L, col("f"))), lit(-1))
+          .cast("long").as("first_cut"))
+      .orderBy(col("media_id"))
+  }
+  val sceneChangeSql: String = {
+    def byteAt(off: String) =
+      s"((strpos('0123456789ABCDEF', substr(h, 2*($off)+1, 1)) - 1) * 16 + " +
+        s"strpos('0123456789ABCDEF', substr(h, 2*($off)+2, 1)) - 1 - 128)"
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+       |                  octet_length(encode(text)) AS n
+       |           FROM documents WHERE doc_id < 60),
+       |fr AS (SELECT doc_id, unnest(range(0, n // 32)) AS f, h FROM b),
+       |en AS (SELECT doc_id, f,
+       |              CAST(list_sum(list_transform(range(32*f, 32*f + 32), i ->
+       |                CAST(${byteAt("i")} * ${byteAt("i")} AS BIGINT)))
+       |                AS DOUBLE) / 32 AS e
+       |       FROM fr),
+       |cuts AS (
+       |  SELECT doc_id, f,
+       |         CASE WHEN abs(e - lag(e) OVER (PARTITION BY doc_id ORDER BY f)) > 3000
+       |              THEN 1 ELSE 0 END AS cut
+       |  FROM en)
+       |SELECT doc_id AS media_id, count(*) AS n_frames,
+       |       CAST(sum(cut) AS BIGINT) AS n_cuts,
+       |       CAST(coalesce(min(CASE WHEN cut = 1 THEN f END), -1) AS BIGINT)
+       |         AS first_cut
+       |FROM cuts GROUP BY doc_id ORDER BY media_id""".stripMargin
+  }
+
   // ------------------------------------------------- perceptual-hash dedup
 
   /** mm_phash — perceptual-hash near-duplicate detection over the media
@@ -324,6 +380,7 @@ object Multimodal {
     "mm_frames"     -> mediaFrames,
     "mm_phash"      -> phash,
     "mm_energy"     -> audioEnergy,
+    "mm_scene"      -> sceneChange,
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,5 +389,6 @@ object Multimodal {
     "mm_frames"     -> mediaFramesSql,
     "mm_phash"      -> phashSql,
     "mm_energy"     -> audioEnergySql,
+    "mm_scene"      -> sceneChangeSql,
   )
 }

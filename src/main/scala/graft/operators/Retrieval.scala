@@ -408,6 +408,46 @@ object Retrieval {
       |  FROM scored)
       |WHERE rk = 1 ORDER BY probe""".stripMargin
 
+  // ------------------------------------------------------------- snippets
+
+  /** ix_snippet — hit highlighting: for every document matching the fixed
+    * query, the ±5-token window around its FIRST query-term occurrence —
+    * the result-page text every search UI renders next to the BM25 score.
+    * One positional explode filtered to the query terms (the isin reaches
+    * the scan), a per-doc min aggregation for the first hit, and a join
+    * back to the doc's token array for the slice — snippet assembly never
+    * shuffles anything wider than (doc, position).
+    */
+  val ixSnippet: Q = (s, d) => {
+    import s.implicits._
+    val qterms = Seq("join", "hash", "scan")
+    val docs = tbl(s, d, "documents").where($"doc_id" < 300)
+      .select($"doc_id", split($"text", " ").as("w"))
+    val hits = docs
+      .select($"doc_id", posexplode($"w").as(Seq("p", "tok")))
+      .where($"tok".isin(qterms: _*))
+      .groupBy($"doc_id")
+      .agg(min($"p").as("hit_pos"), expr("min_by(tok, p)").as("term"))
+    docs.join(hits, "doc_id")
+      .select($"doc_id", $"hit_pos".cast("long").as("hit_pos"), $"term",
+        array_join(slice($"w", greatest(lit(1), $"hit_pos" - 4), lit(11)), " ")
+          .as("snippet"))
+      .orderBy($"doc_id")
+  }
+  val ixSnippetSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents WHERE doc_id < 300),
+      |t AS (SELECT doc_id, p, w[p + 1] AS tok FROM (
+      |        SELECT doc_id, w, unnest(range(0, len(w))) AS p FROM d)),
+      |hits AS (
+      |  SELECT doc_id, min(p) AS hit_pos, min_by(tok, p) AS term
+      |  FROM t WHERE tok IN ('join', 'hash', 'scan') GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(h.hit_pos AS BIGINT) AS hit_pos, h.term,
+      |       array_to_string(d.w[greatest(1, h.hit_pos - 4) :
+      |                           greatest(1, h.hit_pos - 4) + 10], ' ') AS snippet
+      |FROM d JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- autocomplete
 
   /** ix_suggest — the prefix-completion index build: top-3 completions by
@@ -455,6 +495,7 @@ object Retrieval {
     "ix_postings" -> ixPostings,
     "ix_spell"    -> ixSpell,
     "ix_suggest"  -> ixSuggest,
+    "ix_snippet"  -> ixSnippet,
     "ix_bm25"     -> ixBm25,
     "ix_hybrid"   -> ixHybrid,
     "ix_phrase"   -> ixPhrase,
@@ -463,6 +504,7 @@ object Retrieval {
     "ix_postings" -> ixPostingsSql,
     "ix_spell"    -> ixSpellSql,
     "ix_suggest"  -> ixSuggestSql,
+    "ix_snippet"  -> ixSnippetSql,
     "ix_bm25"     -> ixBm25Sql,
     "ix_hybrid"   -> ixHybridSql,
     "ix_phrase"   -> ixPhraseSql,

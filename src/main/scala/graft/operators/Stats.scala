@@ -500,6 +500,60 @@ object Stats {
       |       round((sst - ssw) / sst, 6) AS eta2
       |FROM sst""".stripMargin
 
+  // ---------------------------------------------- sample-size / power calc
+
+  /** st_power — the experiment-design companion to st_proptest: given the
+    * two cohorts' OBSERVED purchase rates, the per-arm sample size needed
+    * to detect that difference at α = 0.05 (two-sided) with 80% power,
+    * by the standard normal-approximation formula
+    * n = (z_{α/2} + z_{power})² · (p₁q₁ + p₂q₂) / (p₁ − p₂)². The "how
+    * long must this test run" answer analysts ask right after "is it
+    * significant" — and the honest NULL when the observed delta is 0
+    * (no finite n detects a non-effect). z constants are identical
+    * literals both sides; counts come from the same single scan as
+    * st_proptest; output is one ceil'd BIGINT.
+    */
+  val stPower: Q = (s, d) => {
+    val agg = tbl(s, d, "events")
+      .select((col("user_id") % 2 === 0).as("grp_a"),
+        (col("event_type") === "purchase").as("hit"))
+      .agg(
+        sum(when(col("grp_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("grp_a") && col("hit"), 1L).otherwise(0L)).as("xa"),
+        sum(when(!col("grp_a"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("grp_a") && col("hit"), 1L).otherwise(0L)).as("xb"))
+    val pa = col("xa").cast("double") / col("na")
+    val pb = col("xb").cast("double") / col("nb")
+    val z = lit(1.959964) + lit(0.841621) // z_{0.025} + z_{0.20}
+    agg.select(
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(pa - pb, 6).as("delta"),
+      when(pa === pb, lit(null).cast("long"))
+        .otherwise(ceil(z * z * (pa * (lit(1.0) - pa) + pb * (lit(1.0) - pb)) /
+          ((pa - pb) * (pa - pb))).cast("long")).as("n_per_arm"))
+  }
+  val stPowerSql: String =
+    """WITH agg AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+      |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+      |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase'
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS xb
+      |  FROM events),
+      |p AS (
+      |  SELECT CAST(xa AS DOUBLE) / na AS pa, CAST(xb AS DOUBLE) / nb AS pb
+      |  FROM agg)
+      |SELECT round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+      |       round(pa - pb, 6) AS delta,
+      |       CASE WHEN pa = pb THEN NULL
+      |            ELSE CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621)
+      |                           * (pa * (1.0 - pa) + pb * (1.0 - pb))
+      |                           / ((pa - pb) * (pa - pb))) AS BIGINT)
+      |       END AS n_per_arm
+      |FROM p""".stripMargin
+
   // ------------------------------------------- higher moments (skew/kurt)
 
   /** st_moments — per-event-type skewness and excess kurtosis from ONE
@@ -703,6 +757,7 @@ object Stats {
     "st_levene" -> stLevene,
     "st_proptest" -> stProptest,
     "st_moments" -> stMoments,
+    "st_power"   -> stPower,
   )
 
   val oracles: Map[String, String] = Map(
@@ -716,5 +771,6 @@ object Stats {
     "st_levene" -> stLeveneSql,
     "st_proptest" -> stProptestSql,
     "st_moments" -> stMomentsSql,
+    "st_power"   -> stPowerSql,
   )
 }

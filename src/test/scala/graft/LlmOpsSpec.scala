@@ -228,6 +228,30 @@ class LlmOpsSpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("sceneChange cuts at the energy jump and reports -1 when flat") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scene").toString
+    // doc 1: letters→spaces (e 961 → 9216, |Δ| 8255 > 3000 → cut at frame 1)
+    // doc 2: uniform (no cut)
+    Seq((1L, "a" * 32 + " " * 32, "web"), (2L, "b" * 64, "web"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val out = Multimodal.sceneChange(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 1L)), s"got $out")
+    assert(out(2L) == ((2L, 0L, -1L)), s"got $out")
+  }
+
+  test("ixSnippet slices the ±5-token window around the first query hit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snip").toString
+    val words = (1 to 20).map(i => s"w$i").updated(8, "hash").updated(15, "scan")
+    Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = operators.Retrieval.ixSnippet(spark, dir).collect().head
+    assert(r.getAs[Long]("hit_pos") == 8L && r.getAs[String]("term") == "hash")
+    // 0-based positions 3..13 → tokens w4..w14 with hash at index 8
+    assert(r.getAs[String]("snippet") ==
+      "w4 w5 w6 w7 w8 hash w10 w11 w12 w13 w14", s"got ${r.getAs[String]("snippet")}")
+  }
+
   test("sortedNeighborhood pairs sort-adjacent near-dups that key blocking would split") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snb").toString
     // Docs 1/2 differ INSIDE the first 20 chars (editDistPairs' block key

@@ -95,6 +95,25 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("eta2") - 13.5 / 17.5) < 1e-6)
   }
 
+  test("stPower reproduces the textbook normal-approximation sample size") {
+    val dir = tmp()
+    // even cohort 2/4 purchase, odd 1/4: n = 2.801585²·(.25+.1875)/.0625 → 55
+    val rows = Seq(
+      (2L, "purchase"), (2L, "purchase"), (2L, "click"), (4L, "click"),
+      (1L, "purchase"), (1L, "click"), (3L, "click"), (3L, "click"))
+    rows.toDF("user_id", "event_type").write.parquet(s"$dir/events.parquet")
+    val r = Stats.stPower(spark, dir).collect().head
+    val z = 1.959964 + 0.841621
+    val want = math.ceil(z * z * (0.25 + 0.1875) / 0.0625).toLong
+    assert(r.getAs[Long]("n_per_arm") == want && want == 55L,
+      s"got ${r.getAs[Long]("n_per_arm")} want $want")
+    // zero observed delta → NULL, not infinity
+    val flat = tmp()
+    Seq((2L, "purchase"), (1L, "purchase"), (2L, "click"), (1L, "click"))
+      .toDF("user_id", "event_type").write.parquet(s"$flat/events.parquet")
+    assert(Stats.stPower(spark, flat).collect().head.isNullAt(3))
+  }
+
   test("stMoments: symmetric two-point mass gives skew 0, excess kurtosis -2") {
     val dir = tmp()
     (Seq.fill(4)(("X", 0.0)) ++ Seq.fill(4)(("X", 2.0)))
