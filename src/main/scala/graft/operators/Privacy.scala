@@ -455,7 +455,59 @@ object Privacy {
       |       CAST(num AS DOUBLE) / (2.0 * n * (SELECT nn FROM tot)) <= 0.35 AS ok_t
       |FROM num ORDER BY lang, len_range""".stripMargin
 
+  // ---------------------------------------------- keyed pseudonymization
+
+  /** pii_pseudo — deterministic keyed pseudonymization with a referential-
+    * integrity proof: customer keys map to md5(key‖id) pseudonyms in BOTH
+    * the customer and orders tables, and the per-segment order counts are
+    * computed ENTIRELY in pseudonym space — identical to the raw-key
+    * counts because a keyed hash is consistent across tables (the
+    * property that lets an analytics replica run on pseudonymized data at
+    * all). The gate also emits the injectivity check (distinct pseudonyms
+    * = distinct customers; a collision would silently merge histories).
+    *
+    * Like dpCounts, the REQUIRED `pseudoKey` makes the secret-key
+    * contract explicit — the gate's key is public and disclosed; a
+    * production caller supplies a vault key, or swaps md5 for
+    * HMAC-SHA256 with the identical plan (re-identification resistance
+    * then rests on the key, which is the design point of
+    * pseudonymization as GDPR Art. 4(5) defines it).
+    */
+  def pseudonymize(pseudoKey: String): Q = (s, d) => {
+    def pseudo(c: org.apache.spark.sql.Column) =
+      md5(concat(lit(pseudoKey + ":"), c.cast("string")))
+    val cust = tbl(s, d, "customer")
+      .select(pseudo(col("c_custkey")).as("pid"), col("c_mktsegment"))
+    val ords = tbl(s, d, "orders")
+      .select(pseudo(col("o_custkey")).as("pid"))
+    val inj = cust.agg(count(lit(1)).as("n_customers"),
+      countDistinct(col("pid")).as("n_pseudonyms"))
+    cust.join(ords, "pid")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(inj))
+      .select(col("c_mktsegment"), col("n_orders"),
+        col("n_customers"), col("n_pseudonyms"),
+        (col("n_customers") === col("n_pseudonyms")).as("injective"))
+      .orderBy(col("c_mktsegment"))
+  }
+  val pseudonymizeSql: String =
+    """WITH cust AS (
+      |  SELECT md5('pseudo:' || CAST(c_custkey AS VARCHAR)) AS pid, c_mktsegment
+      |  FROM customer),
+      |ords AS (
+      |  SELECT md5('pseudo:' || CAST(o_custkey AS VARCHAR)) AS pid FROM orders),
+      |inj AS (SELECT count(*) AS n_customers,
+      |               count(DISTINCT pid) AS n_pseudonyms FROM cust)
+      |SELECT c.c_mktsegment, count(*) AS n_orders,
+      |       inj.n_customers, inj.n_pseudonyms,
+      |       inj.n_customers = inj.n_pseudonyms AS injective
+      |FROM cust c JOIN ords o USING (pid), inj
+      |GROUP BY c.c_mktsegment, inj.n_customers, inj.n_pseudonyms
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pii_pseudo"    -> pseudonymize(pseudoKey = "pseudo"), // PUBLIC demo key, disclosed
     "pii_scrub"     -> piiScrub,
     "pii_kanon"     -> kAnon,
     "pii_ldiv"      -> lDiversity,
@@ -465,6 +517,7 @@ object Privacy {
   )
 
   val oracles: Map[String, String] = Map(
+    "pii_pseudo"    -> pseudonymizeSql,
     "pii_scrub"     -> piiScrubSql,
     "pii_kanon"     -> kAnonSql,
     "pii_ldiv"      -> lDiversitySql,

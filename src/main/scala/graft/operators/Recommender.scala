@@ -135,13 +135,56 @@ object Recommender {
        |JOIN marg mc ON mc.item = d.cons, nb
        |ORDER BY lift DESC, ante, cons""".stripMargin
 
+  // ------------------------------------------------ catalog concentration
+
+  /** rc_gini — catalog-concentration diagnostics: the Gini coefficient of
+    * item popularity plus coverage stats. A recommender trained on a
+    * high-Gini interaction log learns the head and starves the tail — so
+    * this number is the first thing to read before trusting offline
+    * metrics, and the standard argument for popularity debiasing.
+    * Gini = (2·Σᵢ i·cᵢ)/(n·Σc) − (n+1)/n over items sorted ascending by
+    * count (i = 1-based rank) — every term an exact BIGINT off one
+    * count aggregation + one vocabulary-bounded rank window; the final
+    * formula is one IEEE sequence, 6 dp. Rank ties break on item id,
+    * which leaves Gini unchanged (equal counts commute in Σi·cᵢ only up
+    * to tie order — their CONTRIBUTION sum is invariant because the i
+    * values exchanged weight equal counts).
+    */
+  val rcGini: Q = (s, d) => {
+    val counts = baskets(s, d).groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("i",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c"), col("item"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n_items"), sum(col("c")).as("total"),
+        sum(col("i") * col("c")).as("swc"), max(col("c")).as("max_c"))
+      .select(col("n_items"), col("total"), col("max_c"),
+        round(lit(2.0) * col("swc").cast("double") /
+          (col("n_items") * col("total")).cast("double") -
+          (col("n_items") + 1L).cast("double") / col("n_items"), 6).as("gini"))
+  }
+  val rcGiniSql: String =
+    s"""WITH $basketsSql,
+       |counts AS (SELECT item, count(*) AS c FROM baskets GROUP BY item),
+       |ranked AS (
+       |  SELECT c, row_number() OVER (ORDER BY c, item) AS i FROM counts),
+       |agg AS (
+       |  SELECT count(*) AS n_items, CAST(sum(c) AS BIGINT) AS total,
+       |         CAST(sum(i * c) AS BIGINT) AS swc, CAST(max(c) AS BIGINT) AS max_c
+       |  FROM ranked)
+       |SELECT n_items, total, max_c,
+       |       round(2.0 * CAST(swc AS DOUBLE) / CAST(n_items * total AS DOUBLE)
+       |             - CAST(n_items + 1 AS DOUBLE) / n_items, 6) AS gini
+       |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "rc_gini"    -> rcGini,
     "rc_cooccur" -> rcCooccur,
     "rc_itemsim" -> rcItemsim,
     "rc_assoc"   -> rcAssoc,
   )
 
   val oracles: Map[String, String] = Map(
+    "rc_gini"    -> rcGiniSql,
     "rc_cooccur" -> rcCooccurSql,
     "rc_itemsim" -> rcItemsimSql,
     "rc_assoc"   -> rcAssocSql,

@@ -163,7 +163,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // dq_freshness crossJoins its ONE-ROW freshest-stream scalar;
       // ts_backtest rides ts_holt's O(days)² closed-form triangle;
       // tx_burstiness crossJoins its ONE-ROW corpus doc count.
-      "dq_freshness", "ts_backtest", "tx_burstiness")
+      "dq_freshness", "ts_backtest", "tx_burstiness",
+      // pii_pseudo crossJoins its ONE-ROW injectivity-check aggregate.
+      "pii_pseudo")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.flatMap { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j

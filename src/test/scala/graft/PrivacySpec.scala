@@ -354,4 +354,18 @@ class PrivacySpec extends AnyFunSuite {
     assert(out("de") == ((0.5, false)))
     assert(out("zh") == ((0.5, false)))
   }
+
+  test("pseudonymize preserves join cardinality, proves injectivity, leaks no raw keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pseudo").toString
+    Seq((1L, "AUTO"), (2L, "BUILD")).toDF("c_custkey", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    val df = graft.operators.Privacy.pseudonymize("k1")(spark, dir)
+    val out = df.collect()
+    val counts = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("AUTO" -> 2L, "BUILD" -> 1L), s"got $counts")
+    assert(out.forall(_.getAs[Boolean]("injective")))
+    assert(df.columns.forall(c => !c.contains("custkey")), "raw key column leaked")
+  }
 }

@@ -41,4 +41,16 @@ class RecommenderSpec extends AnyFunSuite {
       assert(n == 3L && math.abs(c - 1.0) < 1e-6 && math.abs(l - 1.333333) < 1e-5)
     }
   }
+
+  test("rcGini: popularity [1,3] gives the textbook Gini 0.25") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gini").toString
+    // item 10 in baskets 1..3, item 20 in basket 1 only
+    Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L))
+      .toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    val r = graft.operators.Recommender.rcGini(spark, dir).collect().head
+    assert(r.getAs[Long]("n_items") == 2L && r.getAs[Long]("total") == 4L)
+    assert(r.getAs[Long]("max_c") == 3L)
+    // ranks asc: (1,c=1),(2,c=3) → 2·7/(2·4) − 3/2 = 0.25
+    assert(r.getAs[Double]("gini") == 0.25)
+  }
 }
