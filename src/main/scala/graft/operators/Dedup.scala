@@ -858,6 +858,66 @@ object Dedup {
       |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
       |ORDER BY part_a, part_b""".stripMargin
 
+  // --------------------------------------------- idf-weighted Jaccard
+
+  /** dd_wjaccard — idf-WEIGHTED Jaccard near-duplicate scoring: shared
+    * shingles count by their informativeness w = ln(N/df), so two docs
+    * agreeing on rare content score high while agreement on boilerplate
+    * shingles every page carries (headers, licence blurbs) is nearly
+    * free — the standard fix for plain Jaccard's boilerplate blindness
+    * (the same idea as tf-idf vs raw counts, applied to set overlap).
+    *
+    * Shape: distinct (doc, shingle) on the probe domain, a
+    * vocabulary-bounded df aggregation broadcast back as weights, the
+    * shingle equi-join for pair intersections (dd_ngram_jaccard's plan),
+    * and per-doc weight totals joined in for the union term. Weights
+    * quantize to 9 dp and sum as DECIMAL(18,9) — order-free — so the
+    * ratio is one IEEE division, 6 dp, thresheld at 0.3.
+    */
+  val wJaccard: Q = (s, d) => {
+    import s.implicits._
+    val sh = shingles(tbl(s, d, "documents").where($"doc_id" < 200))
+      .distinct()
+    val n = sh.select($"doc_id").distinct().count()
+    val w = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .select($"sh",
+        round(log(lit(n.toDouble) / $"df"), 9).cast("decimal(18,9)").as("w"))
+    val weighted = sh.join(broadcast(w), "sh")
+    val tot = weighted.groupBy($"doc_id").agg(sum($"w").as("tw"))
+    val inter = weighted.select($"sh", $"doc_id".as("da"), $"w")
+      .join(weighted.select($"sh", $"doc_id".as("db")), "sh")
+      .where($"da" < $"db")
+      .groupBy($"da", $"db").agg(sum($"w").as("iw"))
+    inter
+      .join(broadcast(tot.select($"doc_id".as("da"), $"tw".as("ta"))), Seq("da"))
+      .join(broadcast(tot.select($"doc_id".as("db"), $"tw".as("tb"))), Seq("db"))
+      .withColumn("wjacc", round($"iw".cast("double") /
+        ($"ta" + $"tb" - $"iw").cast("double"), 6))
+      .where($"wjacc" >= 0.3)
+      .select($"da", $"db", $"wjacc")
+      .orderBy($"da", $"db")
+  }
+  val wJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(text)-3), i -> substr(text, i, 5))) AS sh
+      |  FROM documents WHERE doc_id < 200 AND len(text) >= 5),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM sh),
+      |w AS (SELECT sh, CAST(round(ln(CAST((SELECT n FROM n) AS DOUBLE) / count(*)), 9)
+      |                      AS DECIMAL(18,9)) AS w
+      |      FROM sh GROUP BY sh),
+      |ws AS (SELECT s.doc_id, s.sh, w.w FROM sh s JOIN w USING (sh)),
+      |tot AS (SELECT doc_id, sum(w) AS tw FROM ws GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w) AS iw
+      |  FROM ws a JOIN ws b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db,
+      |       round(CAST(iw AS DOUBLE) / CAST(ta.tw + tb.tw - iw AS DOUBLE), 6) AS wjacc
+      |FROM inter JOIN tot ta ON ta.doc_id = da JOIN tot tb ON tb.doc_id = db
+      |WHERE round(CAST(iw AS DOUBLE) / CAST(ta.tw + tb.tw - iw AS DOUBLE), 6) >= 0.3
+      |ORDER BY da, db""".stripMargin
+
   // ---------------------------------------- sorted-neighborhood blocking
 
   /** dd_sorted_neighborhood — the third classic blocking scheme next to
@@ -1122,6 +1182,7 @@ object Dedup {
     "dd_editdist"     -> editDistPairs,
     "dd_jaro"         -> jaroPairs,
     "dd_sortnbr"      -> sortedNeighborhood,
+    "dd_wjaccard"     -> wJaccard,
     "dd_linkage"      -> linkage,
     "dd_lsh_eval"     -> lshEval,
     "dd_containment"  -> containment,
@@ -1144,6 +1205,7 @@ object Dedup {
     "dd_editdist"     -> editDistPairsSql,
     "dd_jaro"         -> jaroPairsSql,
     "dd_sortnbr"      -> sortedNeighborhoodSql,
+    "dd_wjaccard"     -> wJaccardSql,
     "dd_linkage"      -> linkageSql,
     "dd_lsh_eval"     -> lshEvalSql,
     "dd_containment"  -> containmentSql,

@@ -390,6 +390,58 @@ object Sampling {
       |       round(CAST(sum(CAST(wv AS DECIMAL(17,4))) AS DOUBLE) / count(*), 6) AS mean_wins
       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------------------- negative sampling
+
+  /** sp_negatives — deterministic negative sampling for pairwise training
+    * (BPR / contrastive recsys, embedding triplet mining): for each user
+    * with purchases, k = 2 hash-picked catalog items the user did NOT
+    * buy. Hash-ranked like every sampler in this file (md5 priority →
+    * reproducible across runs, retries, engines), implemented as a
+    * bounded user × catalog product minus an ANTI-join on the positives,
+    * then a per-user top-k window. The anti-join is the correctness
+    * core — a sampler that can emit a positive as a "negative" poisons
+    * the loss. At catalog scale the cross product gives way to
+    * rejection sampling over hash-picked candidates (same anti-join
+    * verify per round); the probe bounds here keep the gate exact.
+    */
+  val negatives: Q = (s, d) => {
+    val pos = tbl(s, d, "orders").where(col("o_custkey") < 30)
+      .select(col("o_custkey").as("user"), col("o_orderkey"))
+      .join(tbl(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey").as("item")), "o_orderkey")
+      .select(col("user"), col("item")).distinct()
+    val users = pos.select(col("user")).distinct()
+    val catalog = tbl(s, d, "part").where(col("p_partkey") < 500)
+      .select(col("p_partkey").as("item"))
+    val cand = users.crossJoin(catalog)
+      .join(pos, Seq("user", "item"), "left_anti")
+      .withColumn("pri", md5(concat(lit("neg:"), col("user"), lit(":"), col("item"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user")).orderBy(col("pri"), col("item"))
+    cand.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 2)
+      .select(col("user"), col("rk").cast("long").as("rk"), col("item"))
+      .orderBy(col("user"), col("rk"))
+  }
+  val negativesSql: String =
+    """WITH pos AS (
+      |  SELECT DISTINCT o.o_custkey AS user_k, l.l_partkey AS item
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_custkey < 30),
+      |users AS (SELECT DISTINCT user_k FROM pos),
+      |catalog AS (SELECT p_partkey AS item FROM part WHERE p_partkey < 500),
+      |cand AS (
+      |  SELECT u.user_k, c.item,
+      |         md5('neg:' || u.user_k || ':' || c.item) AS pri
+      |  FROM users u CROSS JOIN catalog c
+      |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+      |                    WHERE p.user_k = u.user_k AND p.item = c.item))
+      |SELECT user_k AS user, CAST(rk AS BIGINT) AS rk, item FROM (
+      |  SELECT user_k, item,
+      |         row_number() OVER (PARTITION BY user_k ORDER BY pri, item) AS rk
+      |  FROM cand)
+      |WHERE rk <= 2 ORDER BY user, rk""".stripMargin
+
   // ------------------------------------------------------ Poisson bootstrap
 
   /** Cumulative Poisson(1) CDF at k = 0..4 — identical decimal literals in
@@ -551,6 +603,7 @@ object Sampling {
     "pf_drift"      -> drift,
     "pf_outliers"   -> outliers,
     "pf_winsorize"  -> winsorize,
+    "sp_negatives"  -> negatives,
     "sk_top_tokens" -> topTokens,
   )
 
@@ -567,6 +620,7 @@ object Sampling {
     "pf_drift"      -> driftSql,
     "pf_outliers"   -> outliersSql,
     "pf_winsorize"  -> winsorizeSql,
+    "sp_negatives"  -> negativesSql,
     "sk_top_tokens" -> topTokensSql,
   )
 }

@@ -228,6 +228,47 @@ class LlmOpsSpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("wJaccard zeroes boilerplate overlap that plain Jaccard scores high") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wjac").toString
+    val boiler = "common header text shared by every single document here"
+    Seq(
+      (1L, s"rare alpha payload segment one two three $boiler tailA"),
+      (2L, s"rare alpha payload segment one two three $boiler tailB"),
+      (3L, s"ccc distinctive content $boiler"),
+      (4L, s"ddd divergent material $boiler"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.wJaccard(spark, dir)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 0.3,
+      s"rare-content pair must survive: $pairs")
+    assert(!pairs.contains((3L, 4L)),
+      s"boilerplate-only pair must be weighted to ~0: $pairs")
+    // sanity: plain (unweighted) Jaccard WOULD have scored (3,4) well above 0
+    def shingleSet(t: String) = t.sliding(5).toSet
+    val (s3, s4) = (shingleSet(s"ccc distinctive content $boiler"),
+      shingleSet(s"ddd divergent material $boiler"))
+    val plain = s3.intersect(s4).size.toDouble / s3.union(s4).size
+    assert(plain > 0.4, s"fixture broken: plain jaccard $plain not boilerplate-heavy")
+  }
+
+  test("negatives never collide with positives and are run-to-run deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neg").toString
+    Seq((100L, 1L), (101L, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((100L, 1L), (100L, 2L), (101L, 2L)).toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    (1L to 5L).map(Tuple1(_)).toDF("p_partkey").write.parquet(s"$dir/part.parquet")
+    val one = operators.Sampling.negatives(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(one.map(_._1).forall(_ == 1L) && one.size == 2)
+    assert(one.map(_._3).toSet.intersect(Set(1L, 2L)).isEmpty,
+      s"a positive leaked into the negatives: $one")
+    assert(one.map(_._3).toSet.subsetOf(Set(3L, 4L, 5L)))
+    val two = operators.Sampling.negatives(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(one == two, "hash-deterministic sampler must be stable across runs")
+  }
+
   test("sceneChange cuts at the energy jump and reports -1 when flat") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scene").toString
     // doc 1: letters→spaces (e 961 → 9216, |Δ| 8255 > 3000 → cut at frame 1)

@@ -164,8 +164,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // ts_backtest rides ts_holt's O(days)² closed-form triangle;
       // tx_burstiness crossJoins its ONE-ROW corpus doc count.
       "dq_freshness", "ts_backtest", "tx_burstiness",
-      // pii_pseudo crossJoins its ONE-ROW injectivity-check aggregate.
-      "pii_pseudo")
+      // pii_pseudo crossJoins its ONE-ROW injectivity-check aggregate;
+      // sp_negatives is the DECLARED bounded user × catalog product its
+      // scaladoc discloses (rejection sampling is the scale path).
+      "pii_pseudo", "sp_negatives")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.flatMap { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
