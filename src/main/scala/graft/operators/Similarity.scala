@@ -1163,8 +1163,79 @@ object Similarity {
     (vec, tbl(s, d, "embeddings").select(col("vec_id"), proj.as("pc1")))
   }
 
+  // -------------------------------------------------------- kNN classifier
+
+  /** ml_knn_confusion — k-nearest-neighbor classification over the
+    * embedding space: every 10th vector is held out, its label predicted
+    * by majority vote of its 5 cosine-nearest training vectors, reported
+    * as a confusion matrix — the zero-training baseline every embedding
+    * space owes an eval against (if kNN cannot beat the prior here, the
+    * space carries no label signal and neither will a probe classifier).
+    *
+    * Ties break (votes desc, label asc) for a total prediction; the
+    * probe × train product is the declared ann_bruteforce shape (exact
+    * baseline — the IVF/LSH path serves the same top-k at scale, and
+    * ann_recall_eval measures exactly how faithfully). Cosines ride the
+    * codegen'd CosineSim kernel, 6-dp-rounded before ranking.
+    */
+  val mlKnnConfusion: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings")
+    val test = e.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q"), col("embedding").as("eq"),
+        col("label").as("true_label"))
+    val train = e.where(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("n"), col("embedding").as("en"), col("label"))
+    val wTop = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
+    val top = test.crossJoin(train)
+      .select(col("q"), col("true_label"), col("label"),
+        round(cos("eq", "en"), 6).as("cos"), col("n"))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= 5)
+    val wVote = Window.partitionBy(col("q"))
+      .orderBy(col("v").desc, col("label"))
+    top.groupBy(col("q"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("v"))
+      .withColumn("r", row_number().over(wVote))
+      .where(col("r") === 1)
+      .groupBy(col("true_label").cast("long").as("true_label"),
+        col("label").cast("long").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+  val mlKnnConfusionSql: String =
+    """WITH test AS (
+      |  SELECT vec_id AS q, embedding AS eq, label AS true_label
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |train AS (
+      |  SELECT vec_id AS n, embedding AS en, label
+      |  FROM embeddings WHERE vec_id % 10 <> 0),
+      |scored AS (
+      |  SELECT t.q, t.true_label, r.label, r.n,
+      |         round(list_cosine_similarity(CAST(t.eq AS DOUBLE[]),
+      |                                      CAST(r.en AS DOUBLE[])), 6) AS cos
+      |  FROM test t CROSS JOIN train r),
+      |top AS (
+      |  SELECT q, true_label, label FROM (
+      |    SELECT q, true_label, label,
+      |           row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rk
+      |    FROM scored)
+      |  WHERE rk <= 5),
+      |votes AS (
+      |  SELECT q, true_label, label, count(*) AS v
+      |  FROM top GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT q, true_label, label FROM (
+      |    SELECT q, true_label, label,
+      |           row_number() OVER (PARTITION BY q ORDER BY v DESC, label) AS r
+      |    FROM votes)
+      |  WHERE r = 1)
+      |SELECT CAST(true_label AS BIGINT) AS true_label,
+      |       CAST(label AS BIGINT) AS pred_label, count(*) AS n
+      |FROM pred GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ml_pca_cov"        -> pcaCov,
+    "ml_knn_confusion"  -> mlKnnConfusion,
     "ann_sq8"           -> sq8Q,
     "ann_filtered"      -> annFiltered,
     "ann_bruteforce"    -> annBruteforce,
@@ -1183,6 +1254,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ml_pca_cov"        -> pcaCovSql,
+    "ml_knn_confusion"  -> mlKnnConfusionSql,
     "ann_sq8"           -> sq8Sql,
     "ann_filtered"      -> annFilteredSql,
     "ann_bruteforce"    -> annBruteforceSql,

@@ -602,6 +602,44 @@ object Temporal {
       |SELECT c.event_type, nxt, n, round(CAST(n AS DOUBLE) / t, 6) AS p
       |FROM c JOIN tot USING (event_type) ORDER BY event_type, nxt""".stripMargin
 
+  // ------------------------------------------------- activity heatmap
+
+  /** ev_heatmap — the weekday × hour activity grid with per-cell share:
+    * the load-shape panel behind capacity planning and anomaly baselines
+    * (ev_anomaly's daily z-scores inherit their seasonality from exactly
+    * this grid). ONE map-side-combined aggregation over the stream to
+    * ≤ 168 cells; the total rides a window over those cells, not the
+    * corpus. Hour extraction branches on the ts encoding like
+    * [[eventDay]] (the driver has shipped both nanos-as-long and native
+    * micros).
+    */
+  val evHeatmap: Q = (s, d) => {
+    import s.implicits._
+    val events = tbl(s, d, "events")
+    val ts: org.apache.spark.sql.Column = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
+    }
+    val cells = events
+      .select(weekday(to_date(ts)).cast("long").as("dow"),
+        hour(ts).cast("long").as("hr"))
+      .groupBy($"dow", $"hr").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+      .select($"dow", $"hr", $"n",
+        round($"n".cast("double") / $"total", 6).as("share"))
+      .orderBy($"dow", $"hr")
+  }
+  val evHeatmapSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS dow,
+      |         CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+      |SELECT dow, hr, n, round(CAST(n AS DOUBLE) / total, 6) AS share
+      |FROM cells, tot ORDER BY dow, hr""".stripMargin
+
   // ------------------------------------------------------- cohort LTV
 
   /** ev_ltv — cumulative value per user by cohort age: users cohort by
@@ -1312,6 +1350,7 @@ object Temporal {
     "ev_lifecycle"  -> evLifecycle,
     "ev_paths"      -> evPaths,
     "ev_ltv"        -> evLtv,
+    "ev_heatmap"    -> evHeatmap,
     "dq_freshness"  -> dqFreshness,
     "sn_scd2"       -> snScd2,
     "sn_bitemporal" -> snBitemporal,
@@ -1339,6 +1378,7 @@ object Temporal {
     "ev_lifecycle"  -> evLifecycleSql,
     "ev_paths"      -> evPathsSql,
     "ev_ltv"        -> evLtvSql,
+    "ev_heatmap"    -> evHeatmapSql,
     "dq_freshness"  -> dqFreshnessSql,
     "sn_scd2"       -> snScd2Sql,
     "sn_bitemporal" -> snBitemporalSql,

@@ -163,6 +163,32 @@ class MlExtrasSpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("mlKnnConfusion classifies clustered held-out vectors onto the diagonal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn").toString
+    // two clean clusters along the axes; vec 0 and 10 are held out (%10)
+    Seq(
+      (0L, Seq(1.0f, 0.1f), 0), (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.0f), 0), (3L, Seq(1.0f, 0.05f), 0),
+      (10L, Seq(0.1f, 1.0f), 1), (11L, Seq(0.0f, 1.0f), 1),
+      (12L, Seq(0.0f, 0.9f), 1), (13L, Seq(0.05f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.mlKnnConfusion(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 0L, 1L), (1L, 1L, 1L)), s"got $out")
+  }
+
+  test("evHeatmap grids counts by weekday x hour with exact shares") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-heat").toString
+    def t(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-05-$day%02d $h%02d:00:00")
+    // 2024-05-06 is a Monday (dow 0)
+    Seq(t(6, 10), t(6, 10), t(6, 10), t(7, 12)).map(Tuple1(_))
+      .toDF("ts").write.parquet(s"$dir/events.parquet")
+    val out = Temporal.evHeatmap(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((0L, 10L, 3L, 0.75), (1L, 12L, 1L, 0.25)), s"got $out")
+  }
+
   test("featureHash matches a JVM-side replay of the md5 bucket/sign arithmetic") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fhash").toString
     Seq((1L, "alpha alpha"), (2L, "alpha beta gamma"))

@@ -167,7 +167,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // pii_pseudo crossJoins its ONE-ROW injectivity-check aggregate;
       // sp_negatives is the DECLARED bounded user × catalog product its
       // scaladoc discloses (rejection sampling is the scale path).
-      "pii_pseudo", "sp_negatives")
+      "pii_pseudo", "sp_negatives",
+      // ml_knn_confusion is the declared ann_bruteforce probe × train
+      // product (the exact-baseline shape; IVF serves it at scale).
+      "ml_knn_confusion")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.flatMap { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
