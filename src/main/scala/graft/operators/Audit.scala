@@ -314,14 +314,65 @@ object Audit {
       |             / (n_total * (ln(1.0 + 1.0 / digit) / ln(10.0))), 6) AS chi2_part
       |FROM dg, tot ORDER BY digit""".stripMargin
 
+  // -------------------------------------------- cross-table temporal rule
+
+  /** dq_ordering — the cross-TABLE temporal consistency audit: a line may
+    * not ship before its order was placed. Single-table rules (dq_rules)
+    * miss exactly this class — the inconsistency lives in the JOIN, the
+    * place real pipelines corrupt it (late-arriving dimensions, clock
+    * skew between services, partial backfills). Per order priority:
+    * line count, violations, violation rate, and the ship-lag envelope
+    * (min/mean/max days) — lag moments are exact integer day sums,
+    * ratios one IEEE division each, 6 dp. One fact-side join keyed on
+    * orderkey (co-partitioned), one map-side-combined aggregation.
+    */
+  val ordering: Q = (s, d) => {
+    val j = tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"))
+      .join(tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          to_date(col("l_shipdate")).as("sd")), "o_orderkey")
+      .withColumn("lag", datediff(col("sd"), col("od")).cast("long"))
+    j.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("lag") < 0, 1L).otherwise(0L)).as("n_violations"),
+        min(col("lag")).as("min_lag"),
+        sum(col("lag")).as("sum_lag"),
+        max(col("lag")).as("max_lag"))
+      .select(col("o_orderpriority"), col("n_lines"), col("n_violations"),
+        round(col("n_violations").cast("double") / col("n_lines"), 6)
+          .as("violation_rate"),
+        col("min_lag"),
+        round(col("sum_lag").cast("double") / col("n_lines"), 6).as("mean_lag"),
+        col("max_lag"))
+      .orderBy(col("o_orderpriority"))
+  }
+  val orderingSql: String =
+    """WITH j AS (
+      |  SELECT o.o_orderpriority,
+      |         CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+      |                       CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+      |SELECT o_orderpriority, count(*) AS n_lines,
+      |       CAST(sum(CASE WHEN lag < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |       round(CAST(sum(CASE WHEN lag < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 6) AS violation_rate,
+      |       CAST(min(lag) AS BIGINT) AS min_lag,
+      |       round(CAST(sum(lag) AS DOUBLE) / count(*), 6) AS mean_lag,
+      |       CAST(max(lag) AS BIGINT) AS max_lag
+      |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dq_stats"      -> stats,
+    "dq_ordering"   -> ordering,
     "dq_fk_orphans" -> fkOrphans,
     "dq_rules"      -> rules,
     "dq_corr"       -> corrMatrix,
     "dq_benford"    -> benford)
   val oracles: Map[String, String] = Map(
     "dq_stats"      -> statsSql,
+    "dq_ordering"   -> orderingSql,
     "dq_fk_orphans" -> fkOrphansSql,
     "dq_rules"      -> rulesSql,
     "dq_corr"       -> corrMatrixSql,

@@ -43,4 +43,19 @@ class AuditSpec extends AnyFunSuite {
     edges.filterNot(_._1.endsWith("@lagged")).foreach { case (e, (_, o)) =>
       assert(o == 0L, s"physical edge $e has $o orphans") }
   }
+
+  test("ordering audit fires on a line shipped before its order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ord").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    Seq((1L, "1-URGENT", d("2024-05-10")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, d("2024-05-12")), (1L, d("2024-05-08")))
+      .toDF("l_orderkey", "l_shipdate").write.parquet(s"$dir/lineitem.parquet")
+    val r = graft.operators.Audit.ordering(spark, dir).collect().head
+    assert(r.getAs[Long]("n_lines") == 2L && r.getAs[Long]("n_violations") == 1L)
+    assert(r.getAs[Double]("violation_rate") == 0.5)
+    assert(r.getAs[Long]("min_lag") == -2L && r.getAs[Long]("max_lag") == 2L)
+    assert(r.getAs[Double]("mean_lag") == 0.0)
+  }
 }
