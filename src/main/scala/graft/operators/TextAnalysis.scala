@@ -841,6 +841,58 @@ object TextAnalysis {
     sb.toString
   }
 
+  /** tx_fertility — per-language tokenizer fertility (chars per BPE
+    * token) from the TRAINED merge table: the eval every tokenizer ships
+    * with — a language whose fertility is far above the corpus mean pays
+    * more sequence length per character, trains slower, and truncates
+    * earlier, which is the budget argument for vocab rebalancing.
+    * One encode pass (the bpeEncodeQ replace chain), one doc-keyed join
+    * for lang, one aggregation; exact integer char/token sums, one IEEE
+    * division, 6 dp.
+    */
+  val fertilityQ: Q = (s, d) => {
+    val enc = bpeEncode(tbl(s, d, "documents"), trainedMerges(s, d))
+      .groupBy(col("doc_id")).agg(sum(size(col("bpe_toks"))).cast("long").as("n_bpe"))
+    tbl(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(enc, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        sum(col("n_bpe")).as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("chars"), col("bpe_tokens"),
+        round(col("chars").cast("double") / col("bpe_tokens"), 6).as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+  val fertilitySql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ${bpeCteSql(BpeN)},
+              |e0 AS MATERIALIZED (
+              |  SELECT doc_id,
+              |         regexp_replace(w, '(?s)(.)', chr(1) || '\\1' || chr(2), 'g') AS wrapped
+              |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '${PretokenRe.replace("'", "''")}')) AS w
+              |        FROM documents))""".stripMargin
+    for (t <- 1 to BpeN) {
+      sb ++= s""",
+                |e$t AS MATERIALIZED (
+                |  SELECT doc_id, replace(wrapped, chr(1) || lhs || chr(2) || chr(1) || rhs || chr(2),
+                |                         chr(1) || lhs || rhs || chr(2)) AS wrapped
+                |  FROM e${t - 1} CROSS JOIN b$t)""".stripMargin
+    }
+    sb ++= s"""
+              |, nb AS (
+              |  SELECT doc_id,
+              |         CAST(sum(len(string_split(substr(wrapped, 2, length(wrapped) - 2),
+              |                                   chr(2) || chr(1)))) AS BIGINT) AS n_bpe
+              |  FROM e$BpeN GROUP BY doc_id)
+              |SELECT d.lang, count(*) AS n_docs,
+              |       CAST(sum(d.n_chars) AS BIGINT) AS chars,
+              |       CAST(sum(nb.n_bpe) AS BIGINT) AS bpe_tokens,
+              |       round(CAST(sum(d.n_chars) AS DOUBLE) / sum(nb.n_bpe), 6)
+              |         AS chars_per_token
+              |FROM nb JOIN documents d USING (doc_id)
+              |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    sb.toString
+  }
+
   /** Byte-fallback wrapped form: each char inside the training alphabet
     * wraps as `⟨c⟩`; any OOV char decomposes into its UTF-8 bytes, each
     * a `⟨<0xXX>⟩` symbol — SentencePiece's `byte_fallback`, making the
@@ -1669,6 +1721,7 @@ object TextAnalysis {
     "tx_zipf"        -> zipf,
     "tx_readability" -> readability,
     "tx_burstiness"  -> burstiness,
+    "tx_fertility"   -> fertilityQ,
     "tx_kn_score"    -> knScore,
     "tx_tokens"      -> tokens,
     "tx_quality"     -> quality,
@@ -1701,6 +1754,7 @@ object TextAnalysis {
     "tx_zipf"        -> zipfSql,
     "tx_readability" -> readabilitySql,
     "tx_burstiness"  -> burstinessSql,
+    "tx_fertility"   -> fertilitySql,
     "tx_kn_score"    -> knScoreSql,
     "tx_tokens"      -> tokensSql,
     "tx_quality"     -> qualitySql,
