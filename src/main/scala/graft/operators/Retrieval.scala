@@ -448,6 +448,44 @@ object Retrieval {
       |FROM d JOIN hits h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- facets
+
+  /** ix_facets — faceted result counts for the fixed query: how the
+    * matching doc set distributes over (lang, source), with per-facet
+    * share — the filter sidebar every search UI renders next to the
+    * results, and the slice-coverage read ("are the hits all from one
+    * crawl?") a curation pass wants. Matching docs come from ONE
+    * distinct semi-join of the term-filtered token stream (the isin
+    * reaches the scan); facet counts are one aggregation over it;
+    * the total rides a window over the O(facets) cells.
+    */
+  val ixFacets: Q = (s, d) => {
+    import s.implicits._
+    val qterms = Seq("join", "hash", "scan")
+    val hits = toks(s, d).where($"tok".isin(qterms: _*))
+      .select($"doc_id").distinct()
+    val cells = tbl(s, d, "documents")
+      .join(hits, "doc_id")
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+    cells.withColumn("total",
+        sum($"n").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select($"lang", $"source", $"n",
+        round($"n".cast("double") / $"total", 6).as("share"))
+      .orderBy($"lang", $"source")
+  }
+  val ixFacetsSql: String =
+    """WITH hits AS (
+      |  SELECT DISTINCT doc_id
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok IN ('join', 'hash', 'scan')),
+      |cells AS (
+      |  SELECT d.lang, d.source, count(*) AS n
+      |  FROM documents d JOIN hits USING (doc_id)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+      |SELECT lang, source, n, round(CAST(n AS DOUBLE) / total, 6) AS share
+      |FROM cells, tot ORDER BY lang, source""".stripMargin
+
   // --------------------------------------------------------- autocomplete
 
   /** ix_suggest — the prefix-completion index build: top-3 completions by
@@ -496,6 +534,7 @@ object Retrieval {
     "ix_spell"    -> ixSpell,
     "ix_suggest"  -> ixSuggest,
     "ix_snippet"  -> ixSnippet,
+    "ix_facets"   -> ixFacets,
     "ix_bm25"     -> ixBm25,
     "ix_hybrid"   -> ixHybrid,
     "ix_phrase"   -> ixPhrase,
@@ -505,6 +544,7 @@ object Retrieval {
     "ix_spell"    -> ixSpellSql,
     "ix_suggest"  -> ixSuggestSql,
     "ix_snippet"  -> ixSnippetSql,
+    "ix_facets"   -> ixFacetsSql,
     "ix_bm25"     -> ixBm25Sql,
     "ix_hybrid"   -> ixHybridSql,
     "ix_phrase"   -> ixPhraseSql,
