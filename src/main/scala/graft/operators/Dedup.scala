@@ -822,41 +822,80 @@ object Dedup {
       |WHERE levenshtein(a.text, b.text) <= 6
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** dd_jaro — Jaro-Winkler fuzzy-match pairs over part names, blocked by
-    * brand: the entity-resolution companion to [[editDistPairs]] for SHORT
-    * strings (names, titles, SKUs), where Levenshtein over-penalizes
+  /** dd_jaro — Jaro-Winkler fuzzy-match over part names: the
+    * entity-resolution companion to [[editDistPairs]] for SHORT strings
+    * (names, titles, SKUs), where Levenshtein over-penalizes
     * transpositions and a similarity in [0,1] beats an absolute edit
     * budget. The scorer is the native [[graft.functions.JaroWinklerExpr]]
-    * Catalyst expression — the blocked quadratic inner loop runs inside
-    * whole-stage codegen calling a static kernel, no UDF serialization —
-    * and its semantics are probed equal to DuckDB's builtin
+    * Catalyst expression — codegen'd static kernel, no UDF
+    * serialization — probed equal to DuckDB's builtin
     * `jaro_winkler_similarity`, which is exactly what the oracle runs.
     *
-    * Brand blocking is an equi-join key: the corpus hash-partitions by
-    * block, pairs form only within a partition's block, and block sizes
-    * are bounded by the brand cardinality design (salt a hot block the
-    * sw_salted_join way if one brand dominates). Scores quantize to 6 dp
-    * before the threshold so boundary membership agrees across engines.
+    * Two scale disciplines replace round-9's brand-only blocking (which
+    * was quadratic: brand cardinality is FIXED at 25, so blocks grew
+    * linearly with the corpus and within-block pairs quadratically):
+    *
+    *  1. **Distinct-value factorization.** JW depends only on the two
+    *     STRINGS, so the scorer runs once per distinct (brand, name)
+    *     group pair, never once per row pair — the name table is
+    *     vocabulary-bounded (64 distinct names across 20k parts at
+    *     sf0.1) and grows sub-linearly in any real catalog. Row-pair
+    *     multiplicity is carried EXACTLY as `n_pairs` = cnt_a·cnt_b
+    *     (cnt·(cnt−1)/2 on the identical-name diagonal), so nothing the
+    *     old pair list knew is lost — a consumer needing the exploded
+    *     (part_a, part_b) list joins each side back to its name group,
+    *     an output-bound expansion (geo_radius_join's caveat: a
+    *     fixed-threshold pair LIST is quadratic in duplicate density by
+    *     semantics; the factored form is the scalable contract).
+    *  2. **Compound blocking.** Candidates form only within
+    *     (p_brand × length-div-8 bucket × first token) — an equi-join
+    *     key, so distinct-name blocks stay small even if the name
+    *     vocabulary grows large. Cross-first-token matches are traded
+    *     away, the standard single-pass blocking recall trade; the
+    *     production recall dial is multi-pass blocking (union a second
+    *     pass keyed on the LAST token), not a wider block.
+    *
+    * Scores quantize to 6 dp before the threshold so boundary
+    * membership agrees across engines.
     */
   val jaroPairs: Q = (s, d) => {
     import s.implicits._
-    val p = tbl(s, d, "part").select($"p_partkey", $"p_brand", $"p_name")
-    val l = p.select($"p_brand", $"p_partkey".as("part_a"), $"p_name".as("na"))
-    val r = p.select($"p_brand", $"p_partkey".as("part_b"), $"p_name".as("nb"))
-    l.join(r, "p_brand")
-      .where($"part_a" < $"part_b")
-      .withColumn("jw", round(graft.functions.strsim.jaro_winkler($"na", $"nb"), 6))
+    val names = tbl(s, d, "part")
+      .groupBy($"p_brand", $"p_name")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("blk_len", expr("CAST(length(p_name) div 8 AS BIGINT)"))
+      .withColumn("blk_tok", substring_index($"p_name", " ", 1))
+    val l = names.select($"p_brand", $"blk_len", $"blk_tok",
+      $"p_name".as("name_a"), $"cnt".as("ca"))
+    val r = names.select($"p_brand", $"blk_len", $"blk_tok",
+      $"p_name".as("name_b"), $"cnt".as("cb"))
+    l.join(r, Seq("p_brand", "blk_len", "blk_tok"))
+      .where($"name_a" <= $"name_b")
+      .withColumn("jw", round(graft.functions.strsim.jaro_winkler($"name_a", $"name_b"), 6))
       .where($"jw" >= 0.9)
-      .select($"part_a", $"part_b", $"jw")
-      .orderBy($"part_a", $"part_b")
+      .withColumn("n_pairs",
+        expr("CAST(CASE WHEN name_a = name_b THEN ca * (ca - 1) div 2 ELSE ca * cb END AS BIGINT)"))
+      .where($"n_pairs" > 0)
+      .select($"p_brand", $"name_a", $"name_b", $"jw", $"n_pairs")
+      .orderBy($"p_brand", $"name_a", $"name_b")
   }
   val jaroPairsSql: String =
-    """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
-      |       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
-      |FROM part a JOIN part b
-      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    """WITH names AS (
+      |  SELECT p_brand, p_name, count(*) AS cnt,
+      |         len(p_name) // 8 AS blk_len,
+      |         split_part(p_name, ' ', 1) AS blk_tok
+      |  FROM part GROUP BY p_brand, p_name)
+      |SELECT a.p_brand, a.p_name AS name_a, b.p_name AS name_b,
+      |       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw,
+      |       CAST(CASE WHEN a.p_name = b.p_name THEN a.cnt * (a.cnt - 1) // 2
+      |                 ELSE a.cnt * b.cnt END AS BIGINT) AS n_pairs
+      |FROM names a JOIN names b
+      |  ON a.p_brand = b.p_brand AND a.blk_len = b.blk_len
+      | AND a.blk_tok = b.blk_tok AND a.p_name <= b.p_name
       |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
-      |ORDER BY part_a, part_b""".stripMargin
+      |  AND (CASE WHEN a.p_name = b.p_name THEN a.cnt * (a.cnt - 1) // 2
+      |            ELSE a.cnt * b.cnt END) > 0
+      |ORDER BY a.p_brand, name_a, name_b""".stripMargin
 
   // --------------------------------------------- idf-weighted Jaccard
 

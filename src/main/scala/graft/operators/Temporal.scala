@@ -251,6 +251,65 @@ object Temporal {
       |WHERE c.c_custkey <= 300
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  /** rj_band_conj — the ASYMMETRIC two-conjunct band a user writes when
+    * the tolerance differs by direction (`c_acctbal − s_acctbal <= 150
+    * AND s_acctbal − c_acctbal <= 350`: the supplier may sit up to 350
+    * above but only 150 below). No abs(), no equi key — round 9's rule
+    * only matched the abs() form and this shape fell back to a
+    * broadcast-nested-loop. [[graft.plans.BandJoinBucketRule]] now
+    * normalizes each one-sided conjunct to `x − y ≤ c`, pairs the two
+    * directions over the same expressions, and buckets by the LARGER
+    * bound (the sound symmetric cover); PlanGuardSpec asserts the hash
+    * plan, this gate proves the results against the naive oracle.
+    */
+  val rjBandConj: Q = (s, d) => {
+    import s.implicits._
+    val cust = tbl(s, d, "customer").where($"c_custkey" <= 300)
+      .select($"c_custkey", $"c_acctbal")
+    val supp = tbl(s, d, "supplier")
+      .select($"s_suppkey", $"s_acctbal")
+    cust.join(supp,
+        $"c_acctbal" - $"s_acctbal" <= 150.0 && $"s_acctbal" - $"c_acctbal" <= 350.0)
+      .select($"c_custkey", $"s_suppkey",
+        round($"c_acctbal" - $"s_acctbal", 2).as("bal_diff"))
+      .orderBy($"c_custkey", $"s_suppkey")
+  }
+  val rjBandConjSql: String =
+    """SELECT c.c_custkey, s.s_suppkey,
+      |       round(c.c_acctbal - s.s_acctbal, 2) AS bal_diff
+      |FROM customer c JOIN supplier s
+      |  ON c.c_acctbal - s.s_acctbal <= 150.0
+      | AND s.s_acctbal - c.c_acctbal <= 350.0
+      |WHERE c.c_custkey <= 300
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
+  /** rj_band_between — the same band in BETWEEN syntax
+    * (`c_acctbal BETWEEN s_acctbal − 250 AND s_acctbal + 250`), the form
+    * range-lookup SQL most often arrives in. Catalyst expands BETWEEN to
+    * the `x >= y − w AND x <= y + w` conjunct pair; the rule's
+    * normalizer isolates the literal from either side of the comparison
+    * (y + w, y − w) so the expanded pair still reads as a band.
+    */
+  val rjBandBetween: Q = (s, d) => {
+    import s.implicits._
+    val cust = tbl(s, d, "customer").where($"c_custkey" <= 300)
+      .select($"c_custkey", $"c_acctbal")
+    val supp = tbl(s, d, "supplier")
+      .select($"s_suppkey", $"s_acctbal")
+    cust.join(supp,
+        $"c_acctbal".between($"s_acctbal" - 250.0, $"s_acctbal" + 250.0))
+      .select($"c_custkey", $"s_suppkey",
+        round($"c_acctbal" - $"s_acctbal", 2).as("bal_diff"))
+      .orderBy($"c_custkey", $"s_suppkey")
+  }
+  val rjBandBetweenSql: String =
+    """SELECT c.c_custkey, s.s_suppkey,
+      |       round(c.c_acctbal - s.s_acctbal, 2) AS bal_diff
+      |FROM customer c JOIN supplier s
+      |  ON c.c_acctbal BETWEEN s.s_acctbal - 250.0 AND s.s_acctbal + 250.0
+      |WHERE c.c_custkey <= 300
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   val rjBandSql: String =
     """SELECT c.c_nationkey AS nationkey, c.c_custkey, s.s_suppkey,
       |       round(c.c_acctbal - s.s_acctbal, 2) AS bal_diff
@@ -1340,6 +1399,8 @@ object Temporal {
     "rj_range"      -> rjRange,
     "rj_band"       -> rjBand,
     "rj_band_auto"  -> rjBandAuto,
+    "rj_band_conj"  -> rjBandConj,
+    "rj_band_between" -> rjBandBetween,
     "ev_retention"  -> evRetention,
     "ev_gapfill"    -> evGapfill,
     "ev_anomaly"    -> evAnomaly,
@@ -1366,6 +1427,8 @@ object Temporal {
     "rj_range"      -> rjRangeSql,
     "rj_band"       -> rjBandSql,
     "rj_band_auto"  -> rjBandAutoSql,
+    "rj_band_conj"  -> rjBandConjSql,
+    "rj_band_between" -> rjBandBetweenSql,
     "ev_attrib"     -> evAttribSql,
     "ev_streak"     -> evStreakSql,
     "ev_retention"  -> evRetentionSql,

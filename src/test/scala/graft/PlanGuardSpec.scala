@@ -227,6 +227,72 @@ class PlanGuardSpec extends AnyFunSuite {
       "rule must skip joins that already have an equi key")
   }
 
+  test("BandJoinBucketRule: two-conjunct and BETWEEN bands plan as HASH joins, results equal naive") {
+    val sp = spark
+    import sp.implicits._
+    val lv = (1 to 500).map(i => (i.toLong, (i * 7 % 997).toDouble))
+    val rv = (1 to 300).map(i => (i.toLong, (i * 13 % 997).toDouble))
+    def assertHash(df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.sparkPlan
+      val nlj = plan.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case c: CartesianProductExec => c
+      }
+      assert(nlj.isEmpty, s"rule did not fire — band join planned as nested loop:\n$plan")
+    }
+    // asymmetric two-conjunct: x − y ∈ [−3, 8]
+    val conj = lv.toDF("lid", "x").join(rv.toDF("rid", "y"),
+      $"x" - $"y" <= 8.0 && $"y" - $"x" <= 3.0)
+    assertHash(conj)
+    val gotConj = conj.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val wantConj = (for { (li, xv) <- lv; (ri, yv) <- rv
+      if xv - yv <= 8.0 && yv - xv <= 3.0 } yield (li, ri)).toSet
+    assert(gotConj == wantConj,
+      s"missing=${wantConj.diff(gotConj).take(5)} extra=${gotConj.diff(wantConj).take(5)}")
+    // BETWEEN form: x ∈ [y − 5, y + 5] (Catalyst expands to the conjunct pair)
+    val btw = lv.toDF("lid", "x").join(rv.toDF("rid", "y"),
+      $"x".between($"y" - 5.0, $"y" + 5.0))
+    assertHash(btw)
+    val gotBtw = btw.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val wantBtw = (for { (li, xv) <- lv; (ri, yv) <- rv
+      if math.abs(xv - yv) <= 5.0 } yield (li, ri)).toSet
+    assert(gotBtw == wantBtw,
+      s"missing=${wantBtw.diff(gotBtw).take(5)} extra=${gotBtw.diff(wantBtw).take(5)}")
+  }
+
+  test("BandJoinBucketRule: non-double-representable decimal width keeps exact-boundary pairs") {
+    // The ADVICE r9 boundary: decimal width 0.3 converts to a double ~0.5 ulp
+    // BELOW the exact decimal the residual predicate compares with, so a pair
+    // at exactly |x − y| = 0.3 whose quotients straddle an integer boundary
+    // lands 2 buckets apart and the ×3 expansion misses it. This exact pair
+    // (found by magnitude scan) is dropped by the un-nudged width and kept by
+    // Math.nextUp: y = 0.299999999999999933, x = y + 0.3 — decimal-exact
+    // difference 0.3, double floors (x/0.3, y/0.3) = (2, 0).
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{abs, lit}
+    import org.apache.spark.sql.types.{DecimalType, StructField, StructType}
+    val dt = DecimalType(24, 18)
+    val schema = StructType(Seq(StructField("v", dt)))
+    def df(name: String, vals: Seq[String]) = sp.createDataFrame(
+      sp.sparkContext.parallelize(vals.map(v =>
+        org.apache.spark.sql.Row(new java.math.BigDecimal(v)))), schema)
+      .select($"v".as(name))
+    val l = df("x", Seq("0.599999999999999933", "1.0", "7.3"))
+    val r = df("y", Seq("0.299999999999999933", "1.2", "9.9"))
+    val joined = l.join(r, abs($"x" - $"y") <= lit(new java.math.BigDecimal("0.3")))
+    // the rule must fire (no nested loop) AND keep the boundary pair
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__band_bucket_l"),
+      "decimal-width band must still match the rule")
+    val got = joined.select($"x".cast("string"), $"y".cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(got.exists { case (x, y) =>
+      x.startsWith("0.599999999999999933") && y.startsWith("0.299999999999999933") },
+      s"exact-boundary decimal pair dropped: $got")
+    assert(got.exists { case (x, y) => x.startsWith("1.0") && y.startsWith("1.2") }, s"$got")
+    assert(got.size == 2, s"unexpected extras: $got")
+  }
+
   test("dq_corr computes all 21 moments from a single lineitem scan, no joins") {
     val plan = planOf("dq_corr")
     val scans = plan.collectLeaves()
