@@ -973,10 +973,15 @@ object Dedup {
     * row_number, explode each probe row into (rank+1 … rank+w−1), and
     * hash-join ranks — pairs that straddle a sort-partition boundary
     * form exactly like interior ones, with no partition-edge special
-    * case. The global sort range-partitions the corpus (Spark's sort
-    * machinery, not a single reducer); the verify stage is the bounded
-    * 3-arg levenshtein of [[editDistPairs]]. Survivors canonicalize to
-    * (least, greatest) doc ids since sort order ≠ id order.
+    * case. The `row_number` over an unpartitioned Window moves the
+    * (probe-bounded, doc_id < 1000) input through ONE partition — fine
+    * here, but NOT the corpus-scale rank path: at scale assign ranks by
+    * `sortWithinPartitions` after a range `repartitionByRange` plus a
+    * per-partition offset join (the zipWithIndex decomposition, the same
+    * two-level shape as w6_prefix_sum), which keeps the sort distributed.
+    * The verify stage is the bounded 3-arg levenshtein of
+    * [[editDistPairs]]. Survivors canonicalize to (least, greatest) doc
+    * ids since sort order ≠ id order.
     */
   val sortedNeighborhood: Q = (s, d) => {
     import s.implicits._

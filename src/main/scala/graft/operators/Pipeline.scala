@@ -101,9 +101,17 @@ object Pipeline {
     * materializes an intermediate table.
     *
     * At 100 TB: the gram anti-join is a broadcast bloom in practice, the
-    * mixture gate is a pure per-row hash predicate, and packing's window
-    * partitions by lang — bounded state per partition. Nothing in the
-    * plan is a global sort except the presentation ORDER BY.
+    * mixture gate is a pure per-row hash predicate, and packing is
+    * SHARDED — the window partitions by (lang, doc_id div 2048), so each
+    * 2048-doc shard packs independently and the sort parallelizes with
+    * the cluster instead of serializing each language's whole doc stream
+    * through one partition (the round-9 sf10 finding: the per-lang
+    * window was the largest single-node term at 8.0×/decade). The cost
+    * is bounded waste: the LAST pack of each (lang, shard) may be
+    * under-filled — ≤1 short pack per shard boundary, the same contract
+    * as ly_compaction's per-partition bins — so a pack is globally
+    * identified by (lang, pack_shard, seq_id). Nothing in the plan is a
+    * global sort except the presentation ORDER BY.
     */
   val pretrain: Q = (s, d) => {
     val docs = tbl(s, d, "documents")
@@ -125,12 +133,13 @@ object Pipeline {
     // deterministic domain mixture — Sampling.mixtureThr IS sp_mixture's
     val mixed = clean.where(
       md5(concat(lit("mix:"), col("doc_id"))) < Sampling.mixtureThr)
-    // sequence packing: per-lang integral token cumsum → 512-token seqs
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    // sharded sequence packing: per-(lang, shard) token cumsum → 512-token seqs
+    val w = Window.partitionBy(col("lang"), col("pack_shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     mixed
+      .withColumn("pack_shard", expr("doc_id div 2048"))
       .withColumn("cum_prev", coalesce(sum(col("n_toks")).over(w), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_toks"),
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("pack_shard"),
         expr("cum_prev div 512").as("seq_id"))
       .orderBy(col("doc_id"))
   }
@@ -153,8 +162,8 @@ object Pipeline {
        |  WHERE doc_id % 97 != 0
        |    AND doc_id NOT IN (SELECT doc_id FROM bad)
        |    AND md5('mix:' || doc_id) < ${Sampling.mixtureThrSql})
-       |SELECT doc_id, lang, n_toks,
-       |  CAST(COALESCE(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |SELECT doc_id, lang, n_toks, doc_id // 2048 AS pack_shard,
+       |  CAST(COALESCE(sum(n_toks) OVER (PARTITION BY lang, doc_id // 2048 ORDER BY doc_id
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS seq_id
        |FROM mixed ORDER BY doc_id""".stripMargin
 

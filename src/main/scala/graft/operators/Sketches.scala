@@ -398,8 +398,9 @@ object Sketches {
   private val userDayKeySql = "user_id || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)"
 
   /** sk_kmv_est — per-event-type distinct active-user-day estimate from
-    * the KMV sketch vs the exact count, with the ±40 % (≈4.5σ at k=128)
-    * bound surfaced as `ok`.
+    * the KMV sketch vs the exact count, with a ±50 % bound surfaced as
+    * `ok` (≈5.7σ at k=128 — deliberately loose: the gate asserts the
+    * estimator is sane, sk_kmv_merge asserts the sketch algebra).
     */
   val kmvEst: Q = (s, d) => {
     import s.implicits._

@@ -310,6 +310,90 @@ object Temporal {
       |WHERE c.c_custkey <= 300
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  // ----------------------------- streaming operators, batch-finalized
+
+  /** `ts` as a proper timestamp regardless of the driver's parquet
+    * encoding (see [[eventDay]] — NANOS-as-Long vs native MICROS).
+    */
+  private def eventTs(ev: DataFrame): org.apache.spark.sql.Column =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      // NTZ → TIMESTAMP is instant-preserving here: session TZ pins UTC
+      case _ => col("ts").cast("timestamp")
+    }
+
+  /** str_session — the FINALIZED output of
+    * [[graft.streaming.StatefulOps.sessionWindowCounts]] (Spark's native
+    * `session_window` gap-session aggregation), run in batch mode where
+    * the watermark is a no-op and every session is final. Until round 9
+    * this operator had spec coverage only (StatefulStreamingSpec's
+    * batch-equivalence case); this gate adds the DuckDB oracle: the
+    * gaps-and-islands mirror — break when the gap to the previous event
+    * is ≥ 30 min (session_window's [start, last+gap) half-open windows
+    * merge only on OVERLAP, so a gap of exactly 30 min starts a new
+    * session), session_end = last event + gap. Bounds emit as epoch
+    * micros (never raw `ts` — ns/us encoding varies by round).
+    */
+  val strSession: Q = (s, d) => {
+    import s.implicits._
+    val ev = tbl(s, d, "events")
+    val prepared = ev.select($"user_id", eventTs(ev).as("tstamp"))
+    graft.streaming.StatefulOps
+      .sessionWindowCounts(prepared, "tstamp", "user_id", "30 minutes", "0 seconds")
+      .select($"user_id", unix_micros($"session_start").as("s_us"),
+        unix_micros($"session_end").as("e_us"), $"n")
+      .orderBy($"user_id", $"s_us")
+  }
+  val strSessionSql: String =
+    """WITH s AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |                   OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, ts,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM s)
+      |SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS s_us,
+      |       CAST(max(epoch_us(ts)) + 1800000000 AS BIGINT) AS e_us,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, s_us""".stripMargin
+
+  /** str_interval — the finalized output of
+    * [[graft.streaming.StatefulOps.intervalJoin]] (stream-stream
+    * equi-key join bounded by a time range — the ad-attribution shape:
+    * purchases within 2 h of a signup), run in batch mode where both
+    * state stores are complete. The time-range conjunct is what bounds
+    * streaming state; in batch it is exactly a range-predicated
+    * equi-join, which is what the oracle runs.
+    */
+  val strInterval: Q = (s, d) => {
+    import s.implicits._
+    val ev = tbl(s, d, "events")
+    val ts = eventTs(ev)
+    val l = ev.where($"event_type" === "signup")
+      .select($"user_id".as("l_user"), $"event_id".as("l_id"), ts.as("l_ts"))
+    val r = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("r_user"), $"event_id".as("r_id"), ts.as("r_ts"))
+    graft.streaming.StatefulOps
+      .intervalJoin(l, r, "l_user", "r_user", "l_ts", "r_ts", "0 seconds", "2 hours")
+      .select($"l_user".as("user_id"), $"l_id", $"r_id",
+        (unix_micros($"r_ts") - unix_micros($"l_ts")).as("lag_us"))
+      .orderBy($"l_id", $"r_id")
+  }
+  val strIntervalSql: String =
+    """SELECT a.user_id, a.event_id AS l_id, b.event_id AS r_id,
+      |       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+      |WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+      |ORDER BY l_id, r_id""".stripMargin
+
   val rjBandSql: String =
     """SELECT c.c_nationkey AS nationkey, c.c_custkey, s.s_suppkey,
       |       round(c.c_acctbal - s.s_acctbal, 2) AS bal_diff
@@ -730,7 +814,7 @@ object Temporal {
     cells.join(broadcast(sizes), Seq("cohort"))
       .withColumn("cumval", sum($"val").over(w))
       .select($"cohort", $"off", $"cohort_users", $"n_active",
-        round($"val".cast("double"), 2).as("month_value"),
+        round($"val".cast("double"), 2).as("week_value"),
         round($"cumval".cast("double") / $"cohort_users", 6).as("ltv_per_user"))
       .orderBy($"cohort", $"off")
   }
@@ -753,7 +837,7 @@ object Temporal {
       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumval
       |  FROM cells)
       |SELECT CAST(r.cohort AS DATE) AS cohort, r.off, s.cohort_users, r.n_active,
-      |       round(CAST(r.val AS DOUBLE), 2) AS month_value,
+      |       round(CAST(r.val AS DOUBLE), 2) AS week_value,
       |       round(CAST(r.cumval AS DOUBLE) / s.cohort_users, 6) AS ltv_per_user
       |FROM run r JOIN sizes s USING (cohort)
       |ORDER BY cohort, off""".stripMargin
@@ -1401,6 +1485,8 @@ object Temporal {
     "rj_band_auto"  -> rjBandAuto,
     "rj_band_conj"  -> rjBandConj,
     "rj_band_between" -> rjBandBetween,
+    "str_session"   -> strSession,
+    "str_interval"  -> strInterval,
     "ev_retention"  -> evRetention,
     "ev_gapfill"    -> evGapfill,
     "ev_anomaly"    -> evAnomaly,
@@ -1429,6 +1515,8 @@ object Temporal {
     "rj_band_auto"  -> rjBandAutoSql,
     "rj_band_conj"  -> rjBandConjSql,
     "rj_band_between" -> rjBandBetweenSql,
+    "str_session"   -> strSessionSql,
+    "str_interval"  -> strIntervalSql,
     "ev_attrib"     -> evAttribSql,
     "ev_streak"     -> evStreakSql,
     "ev_retention"  -> evRetentionSql,

@@ -20,6 +20,8 @@ class BenchRegressionSpec extends AnyFunSuite {
     "q1_page",          // pagination
     "w2_running_sum",   // window
     "u1_union",         // set ops
+    "u4_intersect_all", // bag set ops — r9 flagged ~2.2× drift in this class
+    "w6_prefix_sum",    // two-level prefix sum — same r9 drift class
     "e1_first_per_key", // entries fold
     "dd_simhash",       // dedup
     "tx_quality",       // text analysis

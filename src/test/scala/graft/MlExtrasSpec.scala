@@ -116,7 +116,7 @@ class MlExtrasSpec extends AnyFunSuite {
       .toDF("user_id", "ts", "value").write.parquet(s"$dir/events.parquet")
     val out = Temporal.evLtv(spark, dir)
       .select($"cohort".cast("string"), $"off", $"cohort_users",
-        $"n_active", $"month_value", $"ltv_per_user")
+        $"n_active", $"week_value", $"ltv_per_user")
       .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
     assert(out == Seq(
       ("2024-05-06", 0L, 2L, 2L, 40.0, 20.0),
