@@ -169,10 +169,13 @@ object Fixtures {
     * the fold must survive). Mix ≈ 45% Mint, 35% Note, 10% Fact, 8%
     * Transfer, 2% Gene. Used for decode/fold scale benchmarks (PERF.md).
     */
-  def randomLogs(n: Int, seed: Long = 42L): Seq[Log] = {
+  def randomLogs(n: Int, seed: Long = 42L, idOffset: Long = 0L): Seq[Log] = {
     val rnd = new scala.util.Random(seed)
     val minted = scala.collection.mutable.ArrayBuffer[String](Root)
-    var block = 27300000L
+    // idOffset lets chunked callers (EtlScale) generate disjoint label and
+    // block spaces per chunk so insertIfAbsent never dedups across chunks;
+    // ×4 clears a chunk's own block advance (~n·3.6/7 < 4n).
+    var block = 27300000L + idOffset * 4
     (0 until n).map { i =>
       if (i % 7 == 0) block += rnd.nextInt(50) + 1
       val logIndex = i % 7
@@ -183,7 +186,7 @@ object Fixtures {
           (math.pow(rnd.nextDouble(), 3.0) * minted.length).toInt))
       if (roll < 45 || minted.length < 3) {
         val parent = pickEntry()
-        val label = s"n$i"
+        val label = s"n${idOffset + i}"
         val log = mint(parent, label, block, logIndex)
         minted += EvmCodec.namehash(parent, label)
         log

@@ -598,7 +598,88 @@ object Pipeline {
       |FROM cg JOIN eg USING (g)
       |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin
 
+  // ------------------------------------------------------- RAG chunking
+
+  /** pl_chunk — overlapping token-window chunking, the ingestion step of
+    * every retrieval/RAG pipeline (and of long-context eval set
+    * construction): each doc explodes into windows of `size`=64 tokens
+    * at `stride`=48 (16-token overlap so no boundary sentence is ever
+    * split away from all its context). Chunk k covers tokens
+    * [k·stride, k·stride+size); the last chunk may be short, and a doc
+    * shorter than one window still yields chunk 0 — every token lands in
+    * ≥1 chunk.
+    *
+    * Scale shape: one narrow scan + a bounded explode (≤ n_toks/stride
+    * rows per doc, output-proportional like any chunker); no shuffle at
+    * all until the presentation sort. The chunk text re-joins from the
+    * SAME token array the count came from, so chunk boundaries are
+    * byte-exact reproducible — the property a retriever's incremental
+    * re-index depends on.
+    */
+  val chunk: Q = (s, d) => {
+    val size = 64
+    val stride = 48
+    tbl(s, d, "documents").where(col("doc_id") < 2000)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+      .withColumn("k", explode(expr(s"sequence(0L, (n_toks - 1) div $stride)")))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        expr(s"array_join(slice(toks, k * $stride + 1, $size), ' ')").as("chunk_text"),
+        least(lit(size.toLong), col("n_toks") - col("k") * stride).as("n_chunk_toks"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+  val chunkSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n_toks
+      |  FROM documents WHERE doc_id < 2000)
+      |SELECT doc_id, k AS chunk_id,
+      |       array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text,
+      |       CAST(least(64, n_toks - k*48) AS BIGINT) AS n_chunk_toks
+      |FROM d, unnest(range(0, (n_toks - 1)//48 + 1)) AS t(k)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // --------------------------------------------- length-bucket packing
+
+  /** pl_len_buckets — padding-waste accounting for length-bucketed
+    * batching: round every doc's token count up to the next multiple of
+    * 32 (its bucket), and report per-bucket doc counts, real tokens,
+    * padded tokens, and the waste fraction. This is the table that
+    * decides a training run's bucket boundaries: naive single-max-length
+    * batching wastes (max−mean)/max of compute, bucketing reclaims most
+    * of it, and the waste column quantifies what remains per bucket.
+    * One scan, one keyed aggregate over ≤ (max_len/32) buckets.
+    */
+  val lenBuckets: Q = (s, d) => {
+    tbl(s, d, "documents")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("bucket_len", expr("((n_toks + 31) div 32) * 32"))
+      .groupBy(col("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("real_tokens"),
+        sum(col("bucket_len") - col("n_toks")).as("pad_tokens"))
+      .withColumn("waste_frac",
+        round(col("pad_tokens").cast("double") /
+          (col("real_tokens") + col("pad_tokens")).cast("double"), 6))
+      .orderBy(col("bucket_len"))
+  }
+  val lenBucketsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+      |         ((len(string_split(text, ' ')) + 31) // 32) * 32 AS bucket_len
+      |  FROM documents)
+      |SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_toks) AS BIGINT) AS real_tokens,
+      |       CAST(sum(bucket_len - n_toks) AS BIGINT) AS pad_tokens,
+      |       round(CAST(sum(bucket_len - n_toks) AS DOUBLE) /
+      |             CAST(sum(bucket_len) AS DOUBLE), 6) AS waste_frac
+      |FROM d GROUP BY bucket_len ORDER BY bucket_len""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pl_chunk"        -> chunk,
+    "pl_len_buckets"  -> lenBuckets,
     "pl_decontam"     -> decontam,
     "pl_corpus_build" -> corpusBuild,
     "pl_dsir"         -> plDsir,
@@ -612,6 +693,8 @@ object Pipeline {
     "pl_search_index" -> searchIndex)
 
   val oracles: Map[String, String] = Map(
+    "pl_chunk"        -> chunkSql,
+    "pl_len_buckets"  -> lenBucketsSql,
     "pl_decontam"     -> decontamSql,
     "pl_corpus_build" -> corpusBuildSql,
     "pl_dsir"         -> plDsirSql,

@@ -590,7 +590,50 @@ object Sampling {
        |FROM a3 ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------ deterministic epoch shuffle
+
+  /** sp_epoch_shuffle — the deterministic global permutation a training
+    * run needs per epoch: every doc gets a position 1..N, fully
+    * reproducible from (epoch, doc_id) alone (resume a crashed run at
+    * step k and the data order is identical), with no RNG state and no
+    * coordination. The permutation key is md5("ep1:" ‖ doc_id); sorting
+    * by it IS the shuffle (hash keys are uniform, so key order is a
+    * uniform permutation).
+    *
+    * The naive `row_number() OVER (ORDER BY key)` is a single-partition
+    * global sort — the one window shape banned at scale. Re-expressed
+    * with the w6_prefix_sum two-level decomposition applied to HASH
+    * order: the first 2 hex chars of the key are 256 ordered buckets
+    * (hex-string order = full-key order prefix), so rank = (count of
+    * keys in lower buckets) + (rank within own bucket). The within-
+    * bucket window partitions 256 ways, and only the 256-row bucket
+    * count table takes an ordered scan before broadcasting back. The
+    * oracle is the naive global window — proving the decomposition
+    * exact.
+    */
+  val epochShuffle: Q = (s, d) => {
+    val keyed = tbl(s, d, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("ep1:"), col("doc_id"))).as("k"))
+      .withColumn("b", substring(col("k"), 1, 2))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("k"), col("doc_id"))
+    val local = keyed.withColumn("rk_in", row_number().over(wIn).cast("long"))
+    val wB = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val base = keyed.groupBy(col("b")).agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select(col("b"), col("boff"))
+    local.join(broadcast(base), Seq("b"))
+      .select(col("doc_id"), (col("boff") + col("rk_in")).as("pos"))
+      .orderBy(col("pos"))
+  }
+  val epochShuffleSql: String =
+    """SELECT doc_id,
+      |       CAST(row_number() OVER (ORDER BY md5('ep1:' || doc_id), doc_id)
+      |            AS BIGINT) AS pos
+      |FROM documents ORDER BY pos""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sp_epoch_shuffle" -> epochShuffle,
     "sp_domain_mix" -> domainMix,
     "sp_reservoir"  -> reservoirPerGroup,
     "sp_stratified" -> stratifiedSample,
@@ -608,6 +651,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "sp_epoch_shuffle" -> epochShuffleSql,
     "sp_domain_mix" -> domainMixSql,
     "sp_reservoir"  -> reservoirPerGroupSql,
     "sp_stratified" -> stratifiedSampleSql,

@@ -1233,7 +1233,98 @@ object Similarity {
       |       CAST(label AS BIGINT) AS pred_label, count(*) AS n
       |FROM pred GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin
 
+  // -------------------------------------------- hard-negative mining
+
+  /** ann_hard_negatives — contrastive-pair mining for embedding-model
+    * training: for each probe vector, the top-3 most-similar CORPUS
+    * vectors carrying a DIFFERENT label. These near-misses are the
+    * "hard negatives" that make a contrastive batch informative — random
+    * negatives are trivially separable and contribute ~zero gradient
+    * (the SimCLR/DPR observation), while the highest-cosine
+    * other-label neighbors sit right at the decision boundary.
+    *
+    * Same plan skeleton as [[annBruteforce]] (bounded probe set × corpus
+    * scan through the fused CosineSim kernel + per-probe top-k window);
+    * the label inequality is a codegen'd filter BEFORE the window, so
+    * ranks are assigned only among candidates. At 100 TB the probe side
+    * is the training batch and the corpus side routes through the IVF
+    * index (ann_ivf_search's cell pruning) — same contract, pruned scan.
+    */
+  val annHardNegatives: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings")
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q"), col("label").as("ql"), col("embedding").as("eq"))
+    val corpus = e.select(col("vec_id").as("n"), col("label").as("nl"),
+      col("embedding").as("en"))
+    val scored = probes.crossJoin(corpus).where(col("ql") =!= col("nl"))
+      .select(col("q"), col("n"), col("nl").as("neg_label"),
+        round(cos("eq", "en"), 6).as("cos"))
+    val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .orderBy(col("q"), col("rank"))
+  }
+  val annHardNegativesSql: String =
+    """SELECT q, n, neg_label, cos, rank FROM (
+      |  SELECT q, n, neg_label, cos,
+      |         row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank
+      |  FROM (
+      |    SELECT x.vec_id AS q, y.vec_id AS n, y.label AS neg_label,
+      |           round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |                                        CAST(y.embedding AS DOUBLE[])), 6) AS cos
+      |    FROM embeddings x JOIN embeddings y ON x.label != y.label
+      |    WHERE x.vec_id < 5))
+      |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
+
+  // --------------------------------------- embedding decontamination
+
+  /** dc_semantic — EMBEDDING-space decontamination, the third modality
+    * next to dc_overlap's exact n-grams and dc_bloom's sketch: catches
+    * paraphrases and re-encodings of eval items that share no 13-gram.
+    * For every held-out eval vector (vec_id ≡ 0 mod 97, the pl_pretrain
+    * eval-slice convention) the operator surfaces its top-3
+    * most-similar TRAINING vectors with scores — the contamination
+    * review queue. The production drop rule is a threshold over this
+    * queue (a downstream knob: the right cut depends on the embedding
+    * model's same-text cosine floor), so the gate pins the ranking, not
+    * a magic constant.
+    *
+    * Plan: the eval side is eval-set-sized — BROADCAST it; one pass of
+    * |train|·|eval| fused-kernel cosines, then a per-eval top-k window
+    * over an eval-bounded input. At 100 TB the corpus side prunes
+    * through the IVF cells exactly like ann_ivf_search — a
+    * near-duplicate can only live in the eval vector's own cells.
+    */
+  val dcSemantic: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings")
+    val eval = e.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
+    val train = e.where(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id"), col("embedding").as("et"))
+    val scored = train.join(broadcast(eval))
+      .select(col("eval_id"), col("vec_id"), round(cos("et", "ee"), 6).as("cos"))
+    val w = Window.partitionBy(col("eval_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .orderBy(col("eval_id"), col("rank"))
+  }
+  val dcSemanticSql: String =
+    """WITH ev AS (
+      |  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ee
+      |  FROM embeddings WHERE vec_id % 97 = 0),
+      |scored AS (
+      |  SELECT ev.eval_id, t.vec_id,
+      |         round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]), ev.ee), 6) AS cos
+      |  FROM embeddings t, ev WHERE t.vec_id % 97 != 0)
+      |SELECT eval_id, vec_id, cos, rank FROM (
+      |  SELECT eval_id, vec_id, cos,
+      |         row_number() OVER (PARTITION BY eval_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3 ORDER BY eval_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ann_hard_negatives" -> annHardNegatives,
+    "dc_semantic"       -> dcSemantic,
     "ml_pca_cov"        -> pcaCov,
     "ml_knn_confusion"  -> mlKnnConfusion,
     "ann_sq8"           -> sq8Q,
@@ -1253,6 +1344,8 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "ann_hard_negatives" -> annHardNegativesSql,
+    "dc_semantic"       -> dcSemanticSql,
     "ml_pca_cov"        -> pcaCovSql,
     "ml_knn_confusion"  -> mlKnnConfusionSql,
     "ann_sq8"           -> sq8Sql,

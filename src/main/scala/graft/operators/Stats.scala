@@ -746,7 +746,171 @@ object Stats {
       |       round(((sst - ssw) / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
       |FROM sst""".stripMargin
 
+  // ------------------------------------------------ inter-annotator kappa
+
+  /** st_kappa — Cohen's kappa between two binary annotators, the QC
+    * metric every labeling/RLHF pipeline reports before trusting its
+    * raters: observed agreement p_o corrected by the agreement p_e two
+    * INDEPENDENT raters with the same marginals would reach by chance
+    * (κ = (p_o − p_e)/(1 − p_e); 0 = chance, 1 = perfect). The two
+    * annotators here are deterministic document-quality judges —
+    * A: n_chars ≥ 300, B: ≥ 55 whitespace tokens — correlated but not
+    * identical, so κ lands strictly inside (0, 1).
+    *
+    * One map-side-combined scan produces the four exact BIGINT cells
+    * (n, agreements, per-rater positives); the κ arithmetic is a short
+    * identical IEEE sequence on those integers, 6-dp quantized — the
+    * suite's moment-table exactness discipline with a 1-row table.
+    */
+  val stKappa: Q = (s, d) => {
+    val m = tbl(s, d, "documents")
+      .select((col("n_chars") >= 300).cast("long").as("a"),
+        (size(split(col("text"), " ")) >= 55).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"),
+        sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    m.select(col("n"),
+        round(col("agree").cast("double") / col("n"), 6).as("po"),
+        round((col("na") * col("nb") + (col("n") - col("na")) * (col("n") - col("nb")))
+          .cast("double") / (col("n") * col("n")).cast("double"), 6).as("pe"))
+      .withColumn("kappa", round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
+  }
+  val stKappaSql: String =
+    """WITH l AS (
+      |  SELECT CAST(n_chars >= 300 AS BIGINT) AS a,
+      |         CAST(len(string_split(text, ' ')) >= 55 AS BIGINT) AS b
+      |  FROM documents),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |         sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+      |         sum(a) AS na, sum(b) AS nb
+      |  FROM l),
+      |s AS (
+      |  SELECT CAST(n AS BIGINT) AS n,
+      |         round(CAST(agree AS DOUBLE) / n, 6) AS po,
+      |         round(CAST(na*nb + (n-na)*(n-nb) AS DOUBLE) / CAST(n*n AS DOUBLE), 6) AS pe
+      |  FROM m)
+      |SELECT n, po, pe, round((po - pe) / (1.0 - pe), 6) AS kappa FROM s""".stripMargin
+
+  // ------------------------------------------------- Bradley–Terry (RLHF)
+
+  /** rl_bt — Bradley–Terry preference strengths, the aggregation step of
+    * every preference/RLHF data pipeline (and of LLM-judge arena
+    * rankings): pairwise "i beat j" counts fold into per-item strengths
+    * p_i with P(i beats j) = p_i/(p_i+p_j), fitted by 3 rounds of the
+    * Hunter (2004) MM update p_i ← W_i / Σ_j n_ij/(p_i+p_j). Here the
+    * comparisons are daily engagement duels: within each (user, day) the
+    * event type carrying the highest value beats every other type
+    * present that day (deterministic value/event_id tiebreak).
+    *
+    * Scale split: the WINS MATRIX is the corpus-scale part — two keyed
+    * aggregations over the event stream (per-day winner via max_by, then
+    * (winner, loser) counts). The MM fixed-point then runs on a ≤T·(T−1)
+    * row table (T = 5 event types) — collected to the driver like
+    * tx_bpe_train's vocab merges (annotated driver-bounded: the item
+    * vocabulary, never the corpus). Engine parity: each MM term and each
+    * iterate quantizes to 12 dp (decimal-summed, order-free) before the
+    * next division, so both engines walk the same fixed-point path; the
+    * oracle unrolls the 3 iterations as CTEs.
+    */
+  val rlBt: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val ev = tbl(s, d, "events")
+    val day: Column = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        to_date(timestamp_micros(expr("ts div 1000")))
+      case _ => to_date(col("ts"))
+    }
+    val de = ev.select(col("user_id"), day.as("day"), col("event_type"),
+      col("value"), col("event_id"))
+    // scalar-encoded (value, smaller-event_id) tiebreak: value is 2-dp so
+    // value·1e9 is an exact double integer ≫ any event_id (DuckDB's max_by
+    // takes no composite key)
+    val winners = de.groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("event_type"), col("value") * 1e9 - col("event_id")).as("winner"))
+    val wins = winners
+      .join(de.select(col("user_id"), col("day"), col("event_type")).distinct(),
+        Seq("user_id", "day"))
+      .where(col("event_type") =!= col("winner"))
+      .groupBy(col("winner").as("i"), col("event_type").as("j"))
+      .agg(count(lit(1)).as("w"))
+    // driver-bounded: ≤ T·(T−1) rows (T = event-type vocabulary, 5 here)
+    val wmap = wins.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val types = wmap.keysIterator.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    def w(i: String, j: String): Long = wmap.getOrElse((i, j), 0L)
+    val bigW = types.map(i => i -> types.filter(_ != i).map(w(i, _)).sum).toMap
+    def r12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var p = types.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      p = types.map { i =>
+        val denom = types.filter(_ != i).map { j =>
+          r12((w(i, j) + w(j, i)).toDouble / (p(i) + p(j)))
+        }.sum
+        i -> r12(bigW(i).toDouble / denom.toDouble).toDouble
+      }.toMap
+    }
+    val tot = types.map(i => r12(p(i))).sum.toDouble
+    types.map(i => (i, bigW(i),
+        BigDecimal(p(i) / tot).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("event_type", "wins", "bt_score")
+      .orderBy(col("event_type"))
+  }
+  val rlBtSql: String =
+    """WITH de AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value, event_id
+      |  FROM events),
+      |win AS (
+      |  SELECT user_id, day,
+      |         max_by(event_type, value * 1e9 - event_id) AS winner
+      |  FROM de GROUP BY user_id, day),
+      |wins AS (
+      |  SELECT w.winner AS i, t.event_type AS j, count(*) AS w
+      |  FROM win w
+      |  JOIN (SELECT DISTINCT user_id, day, event_type FROM de) t
+      |    USING (user_id, day)
+      |  WHERE t.event_type != w.winner
+      |  GROUP BY 1, 2),
+      |types AS (SELECT DISTINCT event_type AS t FROM de),
+      |n AS (
+      |  SELECT a.t AS i, b.t AS j,
+      |         coalesce(w1.w, 0) + coalesce(w2.w, 0) AS nij,
+      |         coalesce(w1.w, 0) AS wij
+      |  FROM types a JOIN types b ON a.t != b.t
+      |  LEFT JOIN wins w1 ON w1.i = a.t AND w1.j = b.t
+      |  LEFT JOIN wins w2 ON w2.i = b.t AND w2.j = a.t),
+      |wtot AS (SELECT i, sum(wij) AS wi FROM n GROUP BY i),
+      |p0 AS (SELECT t AS i, CAST(1.0 AS DOUBLE) AS p FROM types),
+      |it1 AS (
+      |  SELECT n.i, round(CAST(wt.wi AS DOUBLE) / CAST(sum(
+      |           CAST(round(nij / (pi.p + pj.p), 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS p
+      |  FROM n JOIN p0 pi ON pi.i = n.i JOIN p0 pj ON pj.i = n.j
+      |  JOIN wtot wt ON wt.i = n.i
+      |  GROUP BY n.i, wt.wi),
+      |it2 AS (
+      |  SELECT n.i, round(CAST(wt.wi AS DOUBLE) / CAST(sum(
+      |           CAST(round(nij / (pi.p + pj.p), 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS p
+      |  FROM n JOIN it1 pi ON pi.i = n.i JOIN it1 pj ON pj.i = n.j
+      |  JOIN wtot wt ON wt.i = n.i
+      |  GROUP BY n.i, wt.wi),
+      |it3 AS (
+      |  SELECT n.i, round(CAST(wt.wi AS DOUBLE) / CAST(sum(
+      |           CAST(round(nij / (pi.p + pj.p), 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS p
+      |  FROM n JOIN it2 pi ON pi.i = n.i JOIN it2 pj ON pj.i = n.j
+      |  JOIN wtot wt ON wt.i = n.i
+      |  GROUP BY n.i, wt.wi),
+      |tot AS (SELECT CAST(sum(CAST(round(p, 12) AS DECIMAL(28,12))) AS DOUBLE) AS s
+      |        FROM it3)
+      |SELECT it3.i AS event_type, CAST(wt.wi AS BIGINT) AS wins,
+      |       round(it3.p / tot.s, 6) AS bt_score
+      |FROM it3 JOIN wtot wt ON wt.i = it3.i, tot
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st_kappa"  -> stKappa,
+    "rl_bt"     -> rlBt,
     "st_ttest"  -> stTtest,
     "st_chisq"  -> stChisq,
     "st_linreg" -> stLinreg,
@@ -761,6 +925,8 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_kappa"  -> stKappaSql,
+    "rl_bt"     -> rlBtSql,
     "st_ttest"  -> stTtestSql,
     "st_chisq"  -> stChisqSql,
     "st_linreg" -> stLinregSql,

@@ -148,8 +148,12 @@ object Tail {
                                 trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
                                 blocks: Option[DataFrame] = None,
                                 nBuckets: Int = 256,
-                                maxGens: Int = 16): StreamingQuery = {
-    val raw = spark.readStream.schema(Schemas.rawLogs).json(rawDir)
+                                maxGens: Int = 16,
+                                maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(Schemas.rawLogs)
+    val raw = maxFilesPerTrigger
+      .map(m => reader.option("maxFilesPerTrigger", m))
+      .getOrElse(reader).json(rawDir)
     raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val decoded = Decode.decode(batch, blocks).cache()

@@ -227,6 +227,44 @@ class PlanGuardSpec extends AnyFunSuite {
       "rule must skip joins that already have an equi key")
   }
 
+  test("EntriesFold.fold stays entity-keyed: every shuffle hashes on an entry key, no NL joins, no windows") {
+    // The anchor for the EtlScale end-to-end numbers (PERF.md "Hypermap
+    // pipeline at bulk scale"): the measured plan is pinned here so a
+    // future edit can't silently move the fold off its keyed-shuffle
+    // shape. Broadcast thresholds are disabled so the join strategy (and
+    // thus the exchange set) doesn't depend on fixture-size stats.
+    val sp = spark
+    val decoded = hypermap.Decode.decode(
+      hypermap.Fixtures.toDF(sp, hypermap.Fixtures.randomLogs(2000)))
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = // executedPlan: exchanges exist only after EnsureRequirements
+      try hypermap.EntriesFold.fold(decoded).queryExecution.executedPlan
+      finally {
+        sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        sp.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    val bad = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case c: CartesianProductExec => c
+      case w: WindowExec => w
+    }
+    assert(bad.isEmpty, s"fold must be join/agg only, keyed end-to-end: ${bad.map(_.nodeName)}")
+    val entityKeys = Set("namehash", "parenthash", "childhash", "entry",
+      "tkey", "k_namehash")
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected keyed shuffles with broadcasts disabled")
+    exchanges.foreach { e =>
+      e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          val refs = h.expressions.flatMap(_.references.map(_.name.toLowerCase)).toSet
+          assert(refs.exists(r => entityKeys.exists(k => r.startsWith(k))),
+            s"shuffle not keyed on an entity key: $refs\n$e")
+        case p => fail(s"unexpected non-hash exchange in the fold: $p")
+      }
+    }
+  }
+
   test("BandJoinBucketRule: two-conjunct and BETWEEN bands plan as HASH joins, results equal naive") {
     val sp = spark
     import sp.implicits._
