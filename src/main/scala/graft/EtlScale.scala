@@ -59,6 +59,12 @@ object EtlScale {
     val n = args.headOption.map(_.toInt).getOrElse(3000000)
     val chunks = args.lift(1).map(_.toInt).getOrElse(6)
     val base = args.lift(2).getOrElse("/tmp/graft-etlscale")
+    // The tail phase over a spread backfill corpus deliberately measures
+    // the DEGENERATE shape (each batch re-folds ~full history — see
+    // Tail.startWithEntriesCommitted's cost contract); per-batch walls are
+    // recoverable from the checkpoint commit mtimes even on a kill, so
+    // "skiptail" reruns only the batch path.
+    val skipTail = args.lift(3).contains("skiptail")
     val spark: SparkSession = GraftSession.local(appName = "graft-etl-scale")
     rm(base)
     val rawDir = s"$base/raw"
@@ -86,6 +92,20 @@ object EtlScale {
     val (q1n, q1Sec) = timeIt(QueryService.getEvents(events, Some("Note"), page = 3)._1.count())
     val (q2n, q2Sec) = timeIt(QueryService.getEventsForEntry(events, hub).count())
     val (q3n, q3Sec) = timeIt(QueryService.getEntry(entries, hub).count())
+
+    // print the batch-path numbers BEFORE the tail drive: the tail phase is
+    // deliberately the slow path on spread backfill batches (see PERF.md),
+    // and a killed run must not lose the batch measurements
+    println(
+      s"""{"metric":"etl_scale_batch","n_logs":$n,"raw_mib":${rawBytes / 1048576},""" +
+        s""""gen_sec":${f"$genSec%.1f"},"etl_sec":${f"$etlSec%.1f"},""" +
+        s""""scanned":${report.scanned},"decoded":${report.decoded},""" +
+        s""""fold_sec":${f"$foldSec%.1f"},"n_entries":$nEntries,""" +
+        s""""q1_sec":${f"$q1Sec%.2f"},"q1_rows":$q1n,"q2_sec":${f"$q2Sec%.2f"},""" +
+        s""""q2_rows":$q2n,"q3_sec":${f"$q3Sec%.2f"},"q3_rows":$q3n}""")
+    System.out.flush()
+
+    if (skipTail) { spark.stop(); return }
 
     val (tailRows, tailSec) = timeIt {
       val q = Tail.startWithEntriesCommitted(spark, rawDir,

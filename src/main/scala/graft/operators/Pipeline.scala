@@ -205,8 +205,11 @@ object Pipeline {
     * 512-token sequences from the actual BPE token counts, not the
     * whitespace proxy tx_pack uses. This is what a production packing
     * pass consumes — budgets in model tokens. One replace-chain scan for
-    * the counts + one per-lang window; the oracle re-trains, re-encodes,
-    * and re-packs in SQL.
+    * the counts + one per-(lang, shard) window (sharded like
+    * [[pretrain]]'s packing: the per-lang window serializes a language's
+    * whole stream through one partition at scale; 2048-doc shards pack
+    * independently at the cost of ≤1 under-filled pack per boundary);
+    * the oracle re-trains, re-encodes, and re-packs in SQL.
     */
   val packBpe: Q = (s, d) => {
     val docs = tbl(s, d, "documents")
@@ -214,18 +217,19 @@ object Pipeline {
       .bpeEncode(docs, TextAnalysis.trainedMerges(s, d))
       .groupBy(col("doc_id"))
       .agg(sum(size(col("bpe_toks"))).cast("long").as("n_bpe"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("pack_shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     counts.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("pack_shard", expr("doc_id div 2048"))
       .withColumn("cum_prev", coalesce(sum(col("n_bpe")).over(w), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_bpe"),
+      .select(col("doc_id"), col("lang"), col("n_bpe"), col("pack_shard"),
         expr("cum_prev div 512").as("seq_id"))
       .orderBy(col("doc_id"))
   }
   val packBpeSql: String = {
     val be = TextAnalysis.bpeEncodeSql.stripSuffix(" ORDER BY doc_id")
-    s"""SELECT doc_id, lang, n_bpe,
-       |  CAST(COALESCE(sum(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+    s"""SELECT doc_id, lang, n_bpe, doc_id // 2048 AS pack_shard,
+       |  CAST(COALESCE(sum(n_bpe) OVER (PARTITION BY lang, doc_id // 2048 ORDER BY doc_id
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS seq_id
        |FROM ($be) be JOIN documents USING (doc_id)
        |ORDER BY doc_id""".stripMargin

@@ -193,29 +193,36 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
 
   /** Concat-and-chunk sequence packing — how pretraining turns documents
-    * into fixed-budget training sequences: within each lang stream, docs
-    * are laid end-to-end in doc_id order and assigned to the sequence
-    * their starting token offset falls in. One shuffle (the per-lang
-    * window); integral cumulative sums so the assignment is bit-exact on
-    * any engine. True bin packing (no straddling) is the same plan with
-    * a greedy reset — this is the form production pipelines actually run.
+    * into fixed-budget training sequences: within each (lang, 2048-doc
+    * shard) stream, docs are laid end-to-end in doc_id order and
+    * assigned to the sequence their starting token offset falls in. One
+    * shuffle (the sharded window — a bare per-lang window serializes
+    * each language's whole stream through one partition at scale, the
+    * round-9 sf10 finding on pl_pretrain; shards pack independently at
+    * the cost of ≤1 under-filled pack per boundary, so a pack is keyed
+    * (lang, pack_shard, seq_id)); integral cumulative sums so the
+    * assignment is bit-exact on any engine. True bin packing (no
+    * straddling) is the same plan with a greedy reset — this is the form
+    * production pipelines actually run.
     */
   val pack: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("pack_shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     tbl(s, d, "documents")
       .withColumn("n_tok", ceil(length(col("text")) / 4.0).cast("long"))
+      .withColumn("pack_shard", expr("doc_id div 2048"))
       .withColumn("cum_prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_tok"),
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("pack_shard"),
         expr("cum_prev div 2048").as("seq_id"))
       .orderBy(col("doc_id"))
   }
   val packSql: String =
-    """SELECT doc_id, lang, n_tok, CAST(cum_prev // 2048 AS BIGINT) AS seq_id FROM (
+    """SELECT doc_id, lang, n_tok, pack_shard, CAST(cum_prev // 2048 AS BIGINT) AS seq_id FROM (
       |  SELECT doc_id, lang, CAST(ceil(len(text) / 4.0) AS BIGINT) AS n_tok,
+      |    doc_id // 2048 AS pack_shard,
       |    COALESCE(sum(CAST(ceil(len(text) / 4.0) AS BIGINT)) OVER (
-      |      PARTITION BY lang ORDER BY doc_id
+      |      PARTITION BY lang, doc_id // 2048 ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin

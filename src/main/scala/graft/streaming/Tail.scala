@@ -143,6 +143,14 @@ object Tail {
     * shape); its file hygiene is an offline `ZOrder.compaction` pass
     * over date partitions, not a per-batch concern.
     */
+  /** Cost contract (measured, PERF.md "Hypermap pipeline at bulk scale"):
+    * per-batch work is O(history of TOUCHED keys) + O(touched buckets)
+    * write. That is the tail shape — small triggers touching few keys.
+    * Feeding a bulk BACKFILL through this path degenerates: a spread
+    * 400k-log batch touches nearly every key, so each batch re-folds
+    * ~the whole history. Backfill belongs to the batch path
+    * (`EtlJob.run`), then start the tail from its checkpoint.
+    */
   def startWithEntriesCommitted(spark: SparkSession, rawDir: String, eventsDir: String,
                                 entriesDir: String, checkpointDir: String,
                                 trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
