@@ -1034,20 +1034,32 @@ object Dedup {
     * balances rarely, names never), and the output mixes confident
     * matches with genuinely ambiguous all-field-disagree pairs.
     *
-    * Scale shape: blocking is an equi-join (nationkey) — pairs form only
-    * within co-partitioned blocks, sw_salted_join is the hot-block
-    * fallback; the m/u tables are TWO 1-row aggregates broadcast back
-    * onto the pair stream (scalar-join class); agreement columns are
-    * codegen'd comparisons. One pair-table materialization serves all
-    * three consumers.
+    * Scale shape (r10 re-block — the r9 nationkey-only blocking was the
+    * dd_jaro disease: 25 fixed blocks ⇒ candidate pairs quadratic in
+    * corpus size, measured 41× wall at 10× data): MULTI-PASS compound
+    * blocking, the standard Fellegi–Sunter deployment shape. Pass 1
+    * keys on (nation, last-6-of-name) — the planted typo touches
+    * position 3, never the suffix, so EVERY true pair survives pass 1
+    * and the m-estimation population is complete; pass 2 keys on
+    * (nation, exact balance cents) to retain the name-disagreeing
+    * balance-evidence pairs. Both keys' cardinalities GROW with the
+    * corpus (digits of the key space, cents values), so per-block
+    * populations stay bounded — candidates are the union (distinct) of
+    * two bounded equi-joins. Pairs agreeing on segment alone are the
+    * only class dropped, and their score is provably < 0 (two strong
+    * disagreements against one weak agreement), so the score>0 output
+    * is unchanged in kind. The m/u tables are TWO 1-row aggregates
+    * broadcast back onto the pair stream (scalar-join class); agreement
+    * columns are codegen'd comparisons. One pair-table materialization
+    * serves all three consumers.
     */
   val linkage: Q = (s, d) => {
     import s.implicits._
     val c = tbl(s, d, "customer")
-    val a = c.select($"c_custkey".as("ka"), $"c_nationkey".as("blk"),
+    val a = c.select($"c_custkey".as("ka"), $"c_nationkey".as("nk"),
       $"c_name".as("na"), $"c_acctbal".as("ba"), $"c_mktsegment".as("sa"))
     val b = c.where($"c_custkey" % 10 === 0).select(
-      $"c_custkey".as("kb"), $"c_nationkey".as("blk"),
+      $"c_custkey".as("kb"), $"c_nationkey".as("nk"),
       when($"c_custkey" % 3 === 0,
         concat(substring($"c_name", 1, 2), lit("x"), substring($"c_name", 4, 100)))
         .otherwise($"c_name").as("nb"),
@@ -1055,12 +1067,17 @@ object Dedup {
         .otherwise($"c_acctbal").as("bb"),
       when($"c_custkey" % 7 === 0, lit("AUTOMOBILE"))
         .otherwise($"c_mktsegment").as("sb"))
-    val pairs = a.join(b, "blk")
-      .select($"ka", $"kb",
-        ($"na" === $"nb").cast("long").as("g_name"),
-        ($"ba" === $"bb").cast("long").as("g_bal"),
-        ($"sa" === $"sb").cast("long").as("g_mkt"))
-      .localCheckpoint()
+    def g(df: DataFrame) = df.select($"ka", $"kb",
+      ($"na" === $"nb").cast("long").as("g_name"),
+      ($"ba" === $"bb").cast("long").as("g_bal"),
+      ($"sa" === $"sb").cast("long").as("g_mkt"))
+    val p1 = a.withColumn("bk", concat($"nk", lit(":"), expr("right(na, 6)")))
+      .join(b.withColumn("bk", concat($"nk", lit(":"), expr("right(nb, 6)"))), "bk")
+    val p2 = a.withColumn("bk",
+        concat($"nk", lit(":"), round($"ba" * 100).cast("long")))
+      .join(b.withColumn("bk",
+        concat($"nk", lit(":"), round($"bb" * 100).cast("long"))), "bk")
+    val pairs = g(p1).unionByName(g(p2)).distinct().localCheckpoint()
     def clamp(p: org.apache.spark.sql.Column) =
       least(greatest(p, lit(0.0001)), lit(0.9999))
     val m = pairs.where($"ka" === $"kb").agg(
@@ -1079,9 +1096,9 @@ object Dedup {
       .orderBy($"ka", $"kb")
   }
   val linkageSql: String =
-    """WITH a AS (SELECT c_custkey AS ka, c_nationkey AS blk, c_name AS na,
+    """WITH a AS (SELECT c_custkey AS ka, c_nationkey AS nk, c_name AS na,
       |                  c_acctbal AS ba, c_mktsegment AS sa FROM customer),
-      |b AS (SELECT c_custkey AS kb, c_nationkey AS blk,
+      |b AS (SELECT c_custkey AS kb, c_nationkey AS nk,
       |             CASE WHEN c_custkey % 3 = 0
       |                  THEN substr(c_name, 1, 2) || 'x' || substr(c_name, 4, 100)
       |                  ELSE c_name END AS nb,
@@ -1091,11 +1108,17 @@ object Dedup {
       |                  ELSE c_mktsegment END AS sb
       |      FROM customer WHERE c_custkey % 10 = 0),
       |pairs AS (
-      |  SELECT ka, kb,
+      |  SELECT DISTINCT ka, kb,
       |         CAST(na = nb AS BIGINT) AS g_name,
       |         CAST(ba = bb AS BIGINT) AS g_bal,
       |         CAST(sa = sb AS BIGINT) AS g_mkt
-      |  FROM a JOIN b USING (blk)),
+      |  FROM (
+      |    SELECT a.*, b.* FROM a JOIN b
+      |      ON a.nk = b.nk AND right(a.na, 6) = right(b.nb, 6)
+      |    UNION ALL
+      |    SELECT a.*, b.* FROM a JOIN b
+      |      ON a.nk = b.nk
+      |     AND CAST(round(a.ba * 100) AS BIGINT) = CAST(round(b.bb * 100) AS BIGINT))),
       |m AS (SELECT avg(g_name) AS m_name, avg(g_bal) AS m_bal, avg(g_mkt) AS m_mkt
       |      FROM pairs WHERE ka = kb),
       |u AS (SELECT avg(g_name) AS u_name, avg(g_bal) AS u_bal, avg(g_mkt) AS u_mkt
