@@ -174,8 +174,10 @@ object Fixtures {
     val minted = scala.collection.mutable.ArrayBuffer[String](Root)
     // idOffset lets chunked callers (EtlScale) generate disjoint label and
     // block spaces per chunk so insertIfAbsent never dedups across chunks;
-    // ×4 clears a chunk's own block advance (~n·3.6/7 < 4n).
-    var block = 27300000L + idOffset * 4
+    // ×8 clears a chunk's WORST-CASE block advance ((n/7)·50 ≈ 7.15n) —
+    // ×4 only covered the expected advance (~3.6n), leaving overlap
+    // statistically possible for unlucky seeds (r10 advice).
+    var block = 27300000L + idOffset * 8
     (0 until n).map { i =>
       if (i % 7 == 0) block += rnd.nextInt(50) + 1
       val logIndex = i % 7

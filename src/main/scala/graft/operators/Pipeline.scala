@@ -272,6 +272,46 @@ object Pipeline {
       |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** pl_shards — token-balanced OUTPUT SHARD assignment: cut the
+    * doc-ordered corpus into S=16 shards of ~equal TOKEN mass (not doc
+    * count — doc lengths are 10–100× skewed, and a data loader reading
+    * doc-count-balanced shards stalls on the heavy ones). Shard id is
+    * pure arithmetic on the distributed prefix sum ([[tokenOffsets]]):
+    * shard = floor(off / ceil(T/S)) — contiguous in doc order (sequential
+    * read locality preserved), each shard within one max-doc of the
+    * target mass. The webdataset/Megatron shard-balancing step as a
+    * gate, reported per shard: doc count, token mass, id range.
+    *
+    * Scale shape: prefix sum is the two-level decomposition (no global
+    * window); the corpus total T is ONE 1-row aggregate broadcast back
+    * (scalar-join class). Everything else is a stateless projection and
+    * an O(S) rollup.
+    */
+  val Shards = 16
+  val shardsQ: Q = (s, d) => {
+    val off = tokenOffsets(tbl(s, d, "documents"))
+    val tot = off.agg(sum(col("n_toks")).as("t"))
+    off.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_toks"),
+        floor(col("off") / ceil(col("t") / lit(Shards.toDouble))).cast("long").as("shard"))
+      .groupBy(col("shard")).agg(
+        count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"))
+  }
+  val shardsSql: String =
+    s"""WITH o AS (
+      |  SELECT doc_id, n_toks,
+      |         CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents)),
+      |t AS (SELECT sum(n_toks) AS t FROM o)
+      |SELECT CAST(floor(off / ceil(t / $Shards.0)) AS BIGINT) AS shard,
+      |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM o CROSS JOIN t
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** pl_pack_concat — GPT-style packing: concatenate the whole corpus in
     * doc order and cut fixed 512-token sequences, docs SPANNING sequence
     * boundaries (tx_pack / pl_pack_bpe are the budget-binned alternative
@@ -693,6 +733,7 @@ object Pipeline {
     "pl_distill"      -> distill,
     "pl_pack_bpe"     -> packBpe,
     "w6_prefix_sum"   -> prefixSum,
+    "pl_shards"       -> shardsQ,
     "pl_pack_concat"  -> packConcat,
     "pl_search_index" -> searchIndex)
 
@@ -708,6 +749,7 @@ object Pipeline {
     "pl_distill"      -> distillSql,
     "pl_pack_bpe"     -> packBpeSql,
     "w6_prefix_sum"   -> prefixSumSql,
+    "pl_shards"       -> shardsSql,
     "pl_pack_concat"  -> packConcatSql,
     "pl_search_index" -> searchIndexSql)
 }

@@ -398,9 +398,18 @@ object Sketches {
   private val userDayKeySql = "user_id || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)"
 
   /** sk_kmv_est — per-event-type distinct active-user-day estimate from
-    * the KMV sketch vs the exact count, with a ±50 % bound surfaced as
-    * `ok` (≈5.7σ at k=128 — deliberately loose: the gate asserts the
-    * estimator is sane, sk_kmv_merge asserts the sketch algebra).
+    * the KMV sketch vs the exact count, with a ±40 % bound surfaced as
+    * `ok` (≈4.5σ at k=128: the gate asserts the estimator is sane,
+    * sk_kmv_merge asserts the sketch algebra).
+    *
+    * Bound history (r10 advice asked for the evidence to be recorded):
+    * r10 widened this to ±50 % without recording the observed error that
+    * motivated it, weakening the gate's power. Measured on the current
+    * corpora (DuckDB oracle, all SFs), the worst per-type error is
+    * +17.8 % (purchase @ sf0.01; sf0.001 ≤ 3.6 %, sf0.1 ≤ 15.9 %), so
+    * r11 restores the r9 ±40 % with >2× measured headroom. σ ≈ 1/√(k−2)
+    * ≈ 8.9 % at k=128 — a future corpus draw past 40 % is a ≥4.5σ event
+    * and should be investigated as an estimator bug, not re-widened.
     */
   val kmvEst: Q = (s, d) => {
     import s.implicits._
@@ -420,7 +429,7 @@ object Sketches {
         when($"m" < KmvK, $"m".cast("double"))
           .otherwise(lit((KmvK - 1).toDouble * KmvDomain) / $"uk".cast("double")), 4))
       .select($"event_type", $"exact_n", $"est",
-        (abs($"est" - $"exact_n") <= $"exact_n" * 0.5).as("ok"))
+        (abs($"est" - $"exact_n") <= $"exact_n" * 0.4).as("ok"))
       .orderBy($"event_type")
   }
   val kmvEstSql: String =
@@ -443,7 +452,7 @@ object Sketches {
        |         AS est,
        |       abs(round(CASE WHEN m < $KmvK THEN CAST(m AS DOUBLE)
        |                  ELSE ${(KmvK - 1).toDouble * KmvDomain} / CAST(uk AS DOUBLE) END, 4)
-       |           - exact_n) <= exact_n * 0.5 AS ok
+       |           - exact_n) <= exact_n * 0.4 AS ok
        |FROM ex JOIN sk USING (event_type)
        |ORDER BY event_type""".stripMargin
 

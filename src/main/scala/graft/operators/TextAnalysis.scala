@@ -1311,6 +1311,68 @@ object TextAnalysis {
       |       coalesce(t.n_spans, 0) AS n_spans
       |FROM inp i LEFT JOIN tgt t USING (doc_id) ORDER BY i.doc_id""".stripMargin
 
+  /** tx_cdc — CONTENT-DEFINED chunking: chunk boundaries chosen by a
+    * rolling hash of the last 3 tokens (boundary where
+    * md5-derived h(window) ≡ 0 mod 8 → ~8-token average chunks), not by
+    * fixed offsets. The property fixed-size chunking ([[chunk]]) lacks:
+    * an identical text run chunks IDENTICALLY wherever it appears, so
+    * chunk-hash dedup catches shared content across documents even when
+    * an insertion shifted every byte offset — the rsync/LBFS/storage-
+    * dedup trick, applied to training-corpus chunk dedup.
+    *
+    * Shape: per-doc windows only (lag + a running boundary count,
+    * partitioned by doc_id — parallel at any corpus size; docs are
+    * bounded, the corpus is not), then one (doc, chunk) agg re-using the
+    * spanRemoval ordered-reassembly idiom. The md5-derived boundary hash
+    * is the cmsBucket cross-engine discipline. Emitted chunk_hash is the
+    * dedup key downstream ops group by.
+    */
+  val cdc: Q = (s, d) => {
+    import s.implicits._
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = tbl(s, d, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+    val g = toks
+      .withColumn("win", concat_ws(" ",
+        lag($"tok", 2).over(wDoc), lag($"tok", 1).over(wDoc), $"tok"))
+      .withColumn("b", $"pos" >= 2 &&
+        conv(substring(md5($"win"), 1, 8), 16, 10).cast("long") % 8 === 0)
+    val ch = g.withColumn("chunk", coalesce(
+        sum($"b".cast("long")).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ch.groupBy($"doc_id", $"chunk")
+      .agg(min($"pos").cast("long").as("start_pos"),
+        count(lit(1)).as("n_toks"),
+        substring(md5(array_join(transform(
+          array_sort(collect_list(struct($"pos", $"tok"))),
+          x => x.getField("tok")), " ")), 1, 8).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk")
+  }
+  val cdcSql: String =
+    """WITH tp AS (
+      |  SELECT doc_id, u.pos AS pos, u.tok AS tok
+      |  FROM (SELECT doc_id,
+      |               unnest(list_transform(range(0, len(toks)),
+      |                      i -> {'pos': i, 'tok': toks[i + 1]})) AS u
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+      |g AS (
+      |  SELECT doc_id, pos, tok,
+      |         pos >= 2 AND
+      |         CAST('0x' || substr(md5(
+      |           lag(tok, 2) OVER w || ' ' || lag(tok, 1) OVER w || ' ' || tok), 1, 8)
+      |           AS BIGINT) % 8 = 0 AS b
+      |  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |ch AS (
+      |  SELECT doc_id, pos, tok,
+      |         coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END) OVER (
+      |           PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      |  FROM g)
+      |SELECT doc_id, chunk, CAST(min(pos) AS BIGINT) AS start_pos,
+      |       count(*) AS n_toks,
+      |       substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 8) AS chunk_hash
+      |FROM ch GROUP BY doc_id, chunk ORDER BY doc_id, chunk""".stripMargin
+
   /** tx_chunk — sliding-window chunking with overlap (64-token windows,
     * stride 48 → 16-token overlap): the context-window preparation every
     * retrieval/embedding pipeline runs on long documents. One explode of

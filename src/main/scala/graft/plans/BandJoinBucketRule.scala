@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule: plans band joins — theta joins whose only constraint is
   * that two numeric expressions lie within a constant of each other — as
@@ -41,9 +41,27 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * against — bucketing with that smaller width could strand a pair at
   * exactly |x−y| = w two buckets apart. nextUp exceeds any real value
   * whose nearest double is the converted one, and a slightly-too-wide
-  * bucket only loosens the candidate set, never the result. The rewritten
-  * join HAS an equi key, so the rule's own guard (skip joins that already
-  * have one) makes it idempotent under the optimizer's fixed-point batch.
+  * bucket only loosens the candidate set, never the result.
+  *
+  * OPERAND precision (r11, from r10 advice): nextUp covers the width
+  * literal's conversion, not the operands'. Casting a high-precision
+  * value to double loses up to half an ulp OF THAT VALUE — for
+  * DECIMAL(24,18) near 1e6 that is ~1e-10, ≫ the ~5e-17 nextUp nudge —
+  * so a boundary pair could land 2 buckets apart and silently vanish
+  * from an inner join. Three regimes now handle this (see
+  * [[candidateRadius]] / [[intBucketOf]]):
+  *   - integral × integral: bucket in EXACT 64-bit integer arithmetic
+  *     (floor-division, width ⌈w⌉) — no double anywhere, ±1 candidates;
+  *   - a decimal operand wider than double's 15 exact digits (or a long
+  *     mixed with a fractional side): candidates widen to ±2, sound
+  *     while per-operand cast error ≤ W/4 (checked statically from the
+  *     type's max magnitude 10^(p−s));
+  *   - a decimal type whose worst-case cast error exceeds W/4: the rule
+  *     STANDS DOWN — a nested loop is slow but never wrong.
+  *
+  * The rewritten join HAS an equi key, so the rule's own guard (skip
+  * joins that already have one) makes it idempotent under the
+  * optimizer's fixed-point batch.
   *
   * Scale: the shuffle keys on the bucket — co-partitioned both sides,
   * ×3 row expansion on the (smaller) right side only, candidate count
@@ -185,14 +203,77 @@ object BandJoinBucketRule extends Rule[LogicalPlan] with PredicateHelper {
   private def bucketOf(e: Expression, w: Double): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w, DoubleType)))
 
+  private def isIntegralType(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Exact floor(x / W) in 64-bit integer arithmetic — no double cast, so
+    * the bucket is exact at ANY integral magnitude (a long near 2^63 loses
+    * up to ~512 when cast to double, far more than any nextUp nudge).
+    * IntegralDivide truncates toward zero; subtract 1 for negative
+    * non-multiples to recover floor. Overflow-free: unlike the
+    * `(x − pmod(x,W)) div W` formulation nothing here can leave the long
+    * range (W ≥ 1, and div/remainder of any long by a positive W fit).
+    */
+  private def intBucketOf(e: Expression, w: Long): Expression = {
+    val x = Cast(e, LongType)
+    val wl = Literal(w, LongType)
+    Subtract(
+      IntegralDivide(x, wl),
+      If(And(LessThan(x, Literal(0L)), Not(EqualTo(Remainder(x, wl), Literal(0L)))),
+        Literal(1L), Literal(0L)))
+  }
+
+  /** Cast-to-double soundness at the operand TYPE's worst magnitude
+    * (r10 advice: nextUp covers only the width literal's conversion, not
+    * the operands'). Returns the candidate-bucket radius to use, or None
+    * when no radius is statically sound and the rule must stand down:
+    *   - radius 1: operand values are exactly double-representable
+    *     (≤ 15-digit decimals; int/smaller — wider integrals take the
+    *     exact integer path and never reach this);
+    *   - radius 2: each cast can err by up to ulp/2 ≤ W/4, so a true pair
+    *     lands within 2 buckets (|x'−y'| ≤ W + 2·(W/4) ⇒ floor gap ≤ 2);
+    *   - None: a DECIMAL(p,s) with 10^(p−s)·2^-52 > W/4 — the type alone
+    *     admits values whose cast error swamps the band; fall back to the
+    *     nested loop (slow but sound) rather than silently drop pairs.
+    * A LongType operand mixed with a fractional side gets radius 2: its
+    * relative cast error is 2^-53, so the bound holds whenever |x| ≤
+    * W·2^51 — every realistic numeric band (epoch micros/nanos included
+    * for W ≥ 1); the exact-integer path already covers long-vs-long.
+    */
+  private def candidateRadius(lExpr: Expression, rExpr: Expression,
+                              w: Double): Option[Int] = {
+    val radii = Seq(lExpr, rExpr).map { e =>
+      e.dataType match {
+        case d: DecimalType if d.precision > 15 =>
+          val maxErr = math.pow(10, (d.precision - d.scale).toDouble) * math.pow(2, -52)
+          if (maxErr > w / 4) None else Some(2)
+        case LongType => Some(2)
+        case _ => Some(1)
+      }
+    }
+    if (radii.contains(None)) None else Some(radii.flatten.max)
+  }
+
   private def rewrite(j: Join, lExpr: Expression, rExpr: Expression, w0: Double): LogicalPlan = {
+    val integral = isIntegralType(lExpr) && isIntegralType(rExpr)
     // cover any real width whose nearest-double conversion was w0 (see scaladoc)
     val w = Math.nextUp(w0)
-    val lBucket = Alias(bucketOf(lExpr, w), "__band_bucket_l")()
+    val (lB, rB, radius) =
+      if (integral) {
+        // exact integer bucketing: ceil(w) only widens the bucket (sound),
+        // and no double ever enters — radius 1 is exact at any magnitude
+        val wi = math.ceil(w0).toLong max 1L
+        (intBucketOf(lExpr, wi), intBucketOf(rExpr, wi), 1)
+      } else candidateRadius(lExpr, rExpr, w) match {
+        case Some(rad) => (bucketOf(lExpr, w), bucketOf(rExpr, w), rad)
+        case None => return j // statically unsound to bucket — keep the NLJ
+      }
+    val lBucket = Alias(lB, "__band_bucket_l")()
     val newLeft = Project(j.left.output :+ lBucket, j.left)
-    val rBucket = bucketOf(rExpr, w)
-    val candidates = CreateArray(Seq(
-      Subtract(rBucket, Literal(1L)), rBucket, Add(rBucket, Literal(1L))))
+    val candidates = CreateArray(
+      (-radius to radius).map(i => Add(rB, Literal(i.toLong))))
     val genOut = AttributeReference("__band_bucket_r", LongType, nullable = true)()
     val newRight = Generate(Explode(candidates), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(genOut), child = j.right)

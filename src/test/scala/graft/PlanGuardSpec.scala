@@ -169,8 +169,15 @@ class PlanGuardSpec extends AnyFunSuite {
       // scaladoc discloses (rejection sampling is the scale path).
       "pii_pseudo", "sp_negatives",
       // ml_knn_confusion is the declared ann_bruteforce probe × train
-      // product (the exact-baseline shape; IVF serves it at scale).
-      "ml_knn_confusion")
+      // product with a FIXED 50-probe eval set (vec_id % 10 = 0 AND
+      // vec_id < 500) — O(50·N), one linear corpus scan.
+      "ml_knn_confusion",
+      // ann_hard_negatives and dc_semantic route their corpus scans
+      // through the trained IVF cells (hash equi-join on cell, asserted
+      // separately below); the only remaining product is ivfAssign's
+      // corpus × O(K) broadcast centroid set — the declared
+      // IVF-assignment shape shared by every ann_ivf_* gate.
+      "ann_hard_negatives", "dc_semantic")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.flatMap { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
@@ -179,6 +186,20 @@ class PlanGuardSpec extends AnyFunSuite {
       if (bad.isEmpty) None else Some(s"$q plans ${bad.map(_.nodeName).mkString(",")}")
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("ann_hard_negatives / dc_semantic route the corpus through IVF cells (hash equi-join)") {
+    // The r10 verdict's scale fix: these two must scan only the probed
+    // cells' members — a hash/sort-merge equi-join on `cell` — never the
+    // whole corpus per probe. (Their centroid broadcasts are the declared
+    // ivfAssign shape, allowlisted above; this asserts the routing half.)
+    Seq("ann_hard_negatives", "dc_semantic").foreach { q =>
+      val plan = planOf(q)
+      val hash = plan.collect {
+        case j if j.nodeName.contains("HashJoin") || j.nodeName.contains("SortMergeJoin") => j
+      }
+      assert(hash.nonEmpty, s"$q: expected the cell-routing equi-join:\n$plan")
+    }
   }
 
   test("dd_sortnbr pairs by a rank-offset HASH join; tx_rake segments with per-doc windows") {
@@ -236,13 +257,17 @@ class PlanGuardSpec extends AnyFunSuite {
     val sp = spark
     val decoded = hypermap.Decode.decode(
       hypermap.Fixtures.toDF(sp, hypermap.Fixtures.randomLogs(2000)))
+    // restore the PRE-TEST values, not hard-coded defaults — a session
+    // running with non-default conf must not have it clobbered (r10 advice)
+    val prevThresh = sp.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = sp.conf.get("spark.sql.adaptive.enabled")
     sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     sp.conf.set("spark.sql.adaptive.enabled", "false")
     val plan = // executedPlan: exchanges exist only after EnsureRequirements
       try hypermap.EntriesFold.fold(decoded).queryExecution.executedPlan
       finally {
-        sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        sp.conf.set("spark.sql.adaptive.enabled", "true")
+        sp.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        sp.conf.set("spark.sql.adaptive.enabled", prevAqe)
       }
     val bad = plan.collect {
       case j: BroadcastNestedLoopJoinExec => j
@@ -329,6 +354,95 @@ class PlanGuardSpec extends AnyFunSuite {
       s"exact-boundary decimal pair dropped: $got")
     assert(got.exists { case (x, y) => x.startsWith("1.0") && y.startsWith("1.2") }, s"$got")
     assert(got.size == 2, s"unexpected extras: $got")
+  }
+
+  test("BandJoinBucketRule: DECIMAL(24,18) operands at 1e6 magnitude keep all boundary pairs") {
+    // r10 advice: the operands' OWN cast-to-double error (~1e-10 at 1e6
+    // magnitude for DECIMAL(24,18)) dwarfs the nextUp nudge (~5e-17), so
+    // ±1 candidate buckets could silently drop a pair satisfying the exact
+    // decimal residual predicate. The ±2 expansion must keep every pair.
+    // Grid of 0.1-spaced values near 1e6, width 0.3 — rich in pairs whose
+    // exact difference sits exactly ON the 0.3 boundary.
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{abs, lit}
+    import org.apache.spark.sql.types.{DecimalType, StructField, StructType}
+    val dt = DecimalType(24, 18)
+    val schema = StructType(Seq(StructField("v", dt)))
+    def mk(vals: Seq[java.math.BigDecimal], name: String) = sp.createDataFrame(
+      sp.sparkContext.parallelize(vals.map(org.apache.spark.sql.Row(_))), schema)
+      .select($"v".as(name))
+    // 18-decimal tails on BOTH sides (they cancel in the difference), so
+    // i=j pairs sit EXACTLY on the 0.3 boundary at full type precision.
+    // Values stay just under 1e6 — DECIMAL(24,18) holds 6 integer digits.
+    val lv = (0 until 80).map(i => new java.math.BigDecimal("999990.250000000000000001")
+      .add(new java.math.BigDecimal(i).movePointLeft(1)))
+    val rv = (0 until 80).map(i => new java.math.BigDecimal("999989.950000000000000001")
+      .add(new java.math.BigDecimal(i).movePointLeft(1)))
+    val joined = mk(lv, "x").join(mk(rv, "y"),
+      abs($"x" - $"y") <= lit(new java.math.BigDecimal("0.3")))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__band_bucket_l"),
+      "high-precision decimal band must still match the rule (err < w/4)")
+    val w = new java.math.BigDecimal("0.3")
+    val want = (for { x <- lv; y <- rv
+      if x.subtract(y).abs.compareTo(w) <= 0 } yield (x.stripTrailingZeros, y.stripTrailingZeros)).toSet
+    val got = joined.select($"x".cast("string"), $"y".cast("string"))
+      .as[(String, String)].collect()
+      .map { case (x, y) => (new java.math.BigDecimal(x).stripTrailingZeros,
+        new java.math.BigDecimal(y).stripTrailingZeros) }.toSet
+    assert(got == want,
+      s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
+  }
+
+  test("BandJoinBucketRule: long×long bands bucket exactly at any magnitude (incl. >2^53 and negatives)") {
+    // integral operands must never pass through double: at 2^62 a double
+    // cast moves a long by up to 512 — far wider than a small band. The
+    // exact-integer floor-division path keeps these joins both hash-planned
+    // and exact; negatives exercise the trunc→floor adjustment.
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.abs
+    val base = 4611686018427387904L // 2^62
+    val lv = (0 until 400).map(i => (i.toLong, base + i * 7L)) ++
+      (0 until 50).map(i => (1000L + i, -25L + i))
+    val rv = (0 until 300).map(i => (i.toLong, base + i * 11L)) ++
+      (0 until 50).map(i => (1000L + i, -20L + i))
+    val joined = lv.toDF("lid", "x").join(rv.toDF("rid", "y"),
+      abs($"x" - $"y") <= 10L)
+    val plan = joined.queryExecution.sparkPlan
+    val nlj = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case c: CartesianProductExec => c
+    }
+    assert(nlj.isEmpty, s"integral band planned as nested loop:\n$plan")
+    val got = joined.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val want = (for { (li, xv) <- lv; (ri, yv) <- rv
+      if (xv - yv).abs <= 10L } yield (li, ri)).toSet
+    assert(got == want,
+      s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
+  }
+
+  test("BandJoinBucketRule: stands down when the decimal type's magnitude swamps the width") {
+    // DECIMAL(38,0) admits values near 1e38 whose cast error (~2e22) makes
+    // any double bucketing unsound for a sub-unit band — the rule must
+    // leave the join alone (slow NLJ, but never a dropped pair).
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{abs, lit}
+    import org.apache.spark.sql.types.{DecimalType, StructField, StructType}
+    val schema = StructType(Seq(StructField("v", DecimalType(38, 0))))
+    def mk(vals: Seq[String], name: String) = sp.createDataFrame(
+      sp.sparkContext.parallelize(vals.map(v =>
+        org.apache.spark.sql.Row(new java.math.BigDecimal(v)))), schema)
+      .select($"v".as(name))
+    val joined = mk(Seq("99999999999999999999999999999999999999", "5"), "x")
+      .join(mk(Seq("99999999999999999999999999999999999998", "5"), "y"),
+        abs($"x" - $"y") <= lit(new java.math.BigDecimal("0.5")))
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("__band_bucket_l"),
+      "rule must stand down for statically-unsound decimal bucketing")
+    val got = joined.select($"x".cast("string"), $"y".cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("5", "5")), s"NLJ fallback result wrong: $got")
   }
 
   test("dq_corr computes all 21 moments from a single lineitem scan, no joins") {
