@@ -314,6 +314,68 @@ object Audit {
       |             / (n_total * (ln(1.0 + 1.0 / digit) / ln(10.0))), 6) AS chi2_part
       |FROM dg, tot ORDER BY digit""".stripMargin
 
+  /** dq_psi — Population Stability Index of each event type's `value`
+    * distribution against the pooled corpus distribution: the standard
+    * drift monitor (credit-scoring lineage, now the default ML-serving
+    * histogram check). PSI = Σ_bins (p_slice − p_ref)·ln(p_slice/p_ref);
+    * the conventional read is < 0.1 stable, 0.1–0.25 investigate,
+    * > 0.25 shifted — here it ranks which event types' value profiles
+    * deviate most from the blend, the per-source version of what
+    * pf_drift does per-snapshot.
+    *
+    * Binning is fixed-width floor(value/25) — engine-identical integer
+    * cells, no quantile estimation inside the gate. The (type × bin)
+    * grid is the ev_gapfill-class dimension product (both sides
+    * O(dozens) at any corpus size) so zero-count cells participate via
+    * Laplace-smoothed (+0.5) frequencies; per-type bin count and the
+    * pooled total attach through windows over the grid — no scalar
+    * cross join. One corpus scan feeds all three histograms
+    * (map-side-combined keyed aggs).
+    *
+    * Float parity: counts are exact integers; p's are short IEEE
+    * formulas; the ln-sum is ~14 terms rounded to 6 dp (the tx_entropy
+    * probabilistic-exactness caveat applies to ln's last ulp).
+    */
+  val psi: Q = (s, d) => {
+    val wT = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val ev = tbl(s, d, "events")
+      .select(col("event_type"), floor(col("value") / lit(25.0)).cast("long").as("bin"))
+    val tb = ev.groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
+    val gb = ev.groupBy(col("bin")).agg(count(lit(1)).as("g"))
+    val nt = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val cells = nt.crossJoin(broadcast(gb))
+      .join(tb, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("nb", count(lit(1)).over(wT).cast("double"))
+      .withColumn("n_tot", sum(col("g")).over(wT).cast("double"))
+    val pa = (col("c").cast("double") + lit(0.5)) /
+      (col("n").cast("double") + lit(0.5) * col("nb"))
+    val pb = (col("g").cast("double") + lit(0.5)) /
+      (col("n_tot") + lit(0.5) * col("nb"))
+    cells.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        round(sum((pa - pb) * log(pa / pb)), 6).as("psi"))
+      .orderBy(col("event_type"))
+  }
+  val psiSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin FROM events),
+      |tb AS (SELECT event_type, bin, count(*) AS c FROM ev GROUP BY 1, 2),
+      |gb AS (SELECT bin, count(*) AS g FROM ev GROUP BY 1),
+      |nt AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
+      |cells AS (
+      |  SELECT grid.event_type, grid.n, grid.bin, grid.g, coalesce(tb.c, 0) AS c,
+      |         CAST(count(*) OVER (PARTITION BY grid.event_type) AS DOUBLE) AS nb,
+      |         CAST(sum(grid.g) OVER (PARTITION BY grid.event_type) AS DOUBLE) AS n_tot
+      |  FROM (SELECT nt.event_type, nt.n, gb.bin, gb.g FROM nt CROSS JOIN gb) grid
+      |  LEFT JOIN tb ON tb.event_type = grid.event_type AND tb.bin = grid.bin)
+      |SELECT event_type, max(n) AS n,
+      |       round(sum(((CAST(c AS DOUBLE) + 0.5) / (CAST(n AS DOUBLE) + 0.5 * nb)
+      |                   - (CAST(g AS DOUBLE) + 0.5) / (n_tot + 0.5 * nb))
+      |                 * ln(((CAST(c AS DOUBLE) + 0.5) / (CAST(n AS DOUBLE) + 0.5 * nb))
+      |                      / ((CAST(g AS DOUBLE) + 0.5) / (n_tot + 0.5 * nb)))), 6) AS psi
+      |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // -------------------------------------------- cross-table temporal rule
 
   /** dq_ordering — the cross-TABLE temporal consistency audit: a line may
@@ -369,12 +431,14 @@ object Audit {
     "dq_fk_orphans" -> fkOrphans,
     "dq_rules"      -> rules,
     "dq_corr"       -> corrMatrix,
-    "dq_benford"    -> benford)
+    "dq_benford"    -> benford,
+    "dq_psi"        -> psi)
   val oracles: Map[String, String] = Map(
     "dq_stats"      -> statsSql,
     "dq_ordering"   -> orderingSql,
     "dq_fk_orphans" -> fkOrphansSql,
     "dq_rules"      -> rulesSql,
     "dq_corr"       -> corrMatrixSql,
-    "dq_benford"    -> benfordSql)
+    "dq_benford"    -> benfordSql,
+    "dq_psi"        -> psiSql)
 }

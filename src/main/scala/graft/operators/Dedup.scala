@@ -462,7 +462,8 @@ object Dedup {
     val b = g.select(col("gram"), col("doc_id").as("b"), col("start").as("pb"))
     val m = a.join(b, Seq("gram")).where(col("a") < col("b"))
       .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diff"))
-    val w = Window.partitionBy(col("a"), col("b"), col("diff")).orderBy(col("pa"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"), col("b"), col("diff")).orderBy(col("pa"))
     val runs = m.withColumn("island", col("pa") - row_number().over(w))
       .groupBy(col("a"), col("b"), col("diff"), col("island"))
       .agg((count(lit(1)) + lit(DupK - 1)).as("run_toks"))

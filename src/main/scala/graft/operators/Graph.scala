@@ -629,6 +629,84 @@ object Graph {
        |FROM lp4 ORDER BY doc_id""".stripMargin
   }
 
+  /** gr_modularity — Newman modularity decomposition of the LPA
+    * partition: per community, Q_c = m_c/m − (D_c/2m)² (internal-edge
+    * share minus the share a degree-preserving random rewiring would
+    * give it); Σ Q_c is THE number that says whether gr_labelprop's
+    * communities are real structure or noise (Q ≈ 0), closing the loop
+    * on the dedup-cluster second opinion — a partition isn't evidence
+    * until its modularity says it beats chance.
+    *
+    * Shape: the partition comes from the same 4-round deterministic LPA
+    * (plan-builds-the-loop class, like gr_labelprop itself); modularity
+    * is then TWO keyed joins of the symmetric edge list against the
+    * O(nodes) label table (internal-edge count needs both endpoints'
+    * labels) plus one degree aggregation — every join keyed on node id,
+    * co-partitioned at scale. 2m attaches via an unpartitioned window
+    * over the O(communities) rollup (a11/w6 bounded-table precedent).
+    * All counts are exact integers; the two divisions are IEEE, 6 dp.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = cleanEdges(edges, "modularity")
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+      .distinct()
+    val lx = labels.select(col("node").as("x"), col("label").as("cx"))
+    val ly = labels.select(col("node").as("y"), col("label").as("cy"))
+    val dmass = und.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .join(lx, "x").groupBy(col("cx").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val inner = und.join(lx, "x").join(ly, "y").where(col("cx") === col("cy"))
+      .groupBy(col("cx").as("community")).agg(count(lit(1)).as("dir_in"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    dmass.join(inner, Seq("community"), "left").na.fill(0L, Seq("dir_in"))
+      .withColumn("m2", sum(col("deg_sum")).over(wAll).cast("double"))
+      .select(col("community"), col("n_nodes"),
+        (col("dir_in") / 2).cast("long").as("in_edges"), col("deg_sum"),
+        round(col("dir_in").cast("double") / col("m2") -
+          (col("deg_sum").cast("double") / col("m2")) *
+            (col("deg_sum").cast("double") / col("m2")), 6).as("q_part"))
+      .orderBy(col("community"))
+  }
+
+  val grModularity: Q = (s, d) =>
+    modularity(lshPairGraph(s, d), labelPropagation(lshPairGraph(s, d)))
+  val grModularitySql: String = {
+    val iterCtes = (1 to 4).map { k =>
+      s"""cnt$k AS (
+         |  SELECT u.x, l.label, count(*) AS cnt
+         |  FROM und u JOIN lp${k - 1} l ON u.y = l.node GROUP BY u.x, l.label),
+         |lp$k AS (
+         |  SELECT x AS node,
+         |         CAST(max_by(label, cnt * 4294967296 - label) AS BIGINT) AS label
+         |  FROM cnt$k GROUP BY x)""".stripMargin
+    }.mkString(",\n")
+    s"""$ccReachCte,
+       |lp0 AS (SELECT x AS node, x AS label FROM (SELECT DISTINCT x FROM und)),
+       |$iterCtes,
+       |dm AS (
+       |  SELECT l.label AS community, count(*) AS n_nodes, sum(d.deg) AS deg_sum
+       |  FROM (SELECT x, count(*) AS deg FROM und GROUP BY x) d
+       |  JOIN lp4 l ON l.node = d.x GROUP BY 1),
+       |inn AS (
+       |  SELECT lx.label AS community, count(*) AS dir_in
+       |  FROM und u
+       |  JOIN lp4 lx ON lx.node = u.x
+       |  JOIN lp4 ly ON ly.node = u.y
+       |  WHERE lx.label = ly.label GROUP BY 1),
+       |f AS (
+       |  SELECT dm.community, dm.n_nodes, coalesce(inn.dir_in, 0) AS dir_in,
+       |         dm.deg_sum,
+       |         CAST(sum(dm.deg_sum) OVER () AS DOUBLE) AS m2
+       |  FROM dm LEFT JOIN inn ON inn.community = dm.community)
+       |SELECT community, n_nodes, CAST(dir_in // 2 AS BIGINT) AS in_edges,
+       |       CAST(deg_sum AS BIGINT) AS deg_sum,
+       |       round(CAST(dir_in AS DOUBLE) / m2
+       |             - (CAST(deg_sum AS DOUBLE) / m2) * (CAST(deg_sum AS DOUBLE) / m2), 6)
+       |         AS q_part
+       |FROM f ORDER BY community""".stripMargin
+  }
+
   // ------------------------------------------------------------------ k-core
 
   /** Fixed-round k-core peeling: repeatedly drop nodes of degree < k and
@@ -1342,6 +1420,7 @@ object Graph {
     "gr_pagerank"    -> grPageRank,
     "gr_triangles"   -> grTriangles,
     "gr_labelprop"   -> grLabelProp,
+    "gr_modularity"  -> grModularity,
     "gr_kcore"       -> grKCore,
     "gr_adamic"      -> grAdamic,
     "gr_degdist"     -> grDegDist,
@@ -1360,6 +1439,7 @@ object Graph {
     "gr_pagerank"    -> grPageRankSql,
     "gr_triangles"   -> grTrianglesSql,
     "gr_labelprop"   -> grLabelPropSql,
+    "gr_modularity"  -> grModularitySql,
     "gr_kcore"       -> grKCoreSql,
     "gr_adamic"      -> grAdamicSql,
     "gr_degdist"     -> grDegDistSql,

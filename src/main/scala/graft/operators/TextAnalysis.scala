@@ -1631,6 +1631,110 @@ object TextAnalysis {
       |         AS r2
       |FROM m""".stripMargin
 
+  /** tx_heaps — Heaps'-law fit of vocabulary growth: V(n) = K·n^β, the
+    * companion corpus-health gate to [[zipf]] (the two laws are duals —
+    * Zipf's slope predicts Heaps' β). β ≈ 0.4–0.6 for natural language;
+    * β near 1 flags a corpus of near-random strings (vocab grows as fast
+    * as the text — an OCR-noise/garbage signature), β near 0 a template
+    * corpus recycling a tiny vocabulary. Fit: OLS of ln(cum vocab) on
+    * ln(cum tokens) at GEOMETRIC checkpoints — corpus prefixes ending at
+    * doc_id < 2^k − 1 — in ingestion (doc_id) order.
+    *
+    * Scale shape: one token explode feeds two keyed aggregations (token
+    * first-occurrence = min(doc_id) per token — vocab-bounded; token
+    * count per checkpoint cell); cells are O(log corpus), so the
+    * cumulative window orders a LOG-sized table and the regression input
+    * is ~30 points at ANY corpus size — this is how "cumulative distinct
+    * count" (inherently sequential at doc grain) becomes scale-free:
+    * V(prefix k) = count of tokens whose FIRST doc falls in cells ≤ k,
+    * no running distinct state anywhere. Checkpoint cells come from
+    * length(bin(doc_id+1)) — exact integer bit-length, immune to the
+    * floor(log2(2^k)) float-boundary hazard. OLS moments follow the
+    * [[zipf]] discipline: ln quantized 9 dp, DECIMAL(18,9) sums, closed
+    * form 6 dp.
+    */
+  val heaps: Q = (s, d) => {
+    import s.implicits._
+    val toks = tbl(s, d, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .where(length($"tok") > 0)
+    def cellOf(c: org.apache.spark.sql.Column) =
+      (length(bin(c + lit(1L))) - lit(1)).cast("long")
+    val tokCells = toks.groupBy(cellOf($"doc_id").as("cell"))
+      .agg(count(lit(1)).as("tn"))
+    val vocCells = toks.groupBy($"tok").agg(min($"doc_id").as("fd"))
+      .groupBy(cellOf($"fd").as("cell")).agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy($"cell")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = tokCells.join(vocCells, Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("tn", "nv"))
+      .withColumn("ct", sum($"tn").over(w))
+      .withColumn("cv", sum($"nv").over(w))
+      .where($"ct" > 0 && $"cv" > 0)
+      .select(round(log($"ct".cast("double")), 9).as("x"),
+        round(log($"cv".cast("double")), 9).as("y"))
+    val q = pts.select(
+      $"x".cast("decimal(18,9)").as("x"), $"y".cast("decimal(18,9)").as("y"),
+      round($"x" * $"x", 9).cast("decimal(18,9)").as("xx"),
+      round($"x" * $"y", 9).cast("decimal(18,9)").as("xy"),
+      round($"y" * $"y", 9).cast("decimal(18,9)").as("yy"))
+    def sd(c: String) = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val covN = nD * sd("sxy") - sd("sx") * sd("sy")
+    val varXN = nD * sd("sxx") - sd("sx") * sd("sx")
+    val varYN = nD * sd("syy") - sd("sy") * sd("sy")
+    q.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"xx").as("sxx"), sum($"xy").as("sxy"), sum($"yy").as("syy"))
+      .select(col("n"),
+        round(covN / varXN, 6).as("beta"),
+        round((sd("sy") - covN / varXN * sd("sx")) / nD, 6).as("logk"),
+        round(covN * covN / (varXN * varYN), 6).as("r2"))
+  }
+  val heapsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE len(tok) > 0),
+      |tc AS (SELECT len(bin(doc_id + 1)) - 1 AS cell, count(*) AS tn
+      |       FROM toks GROUP BY 1),
+      |vc AS (SELECT len(bin(fd + 1)) - 1 AS cell, count(*) AS nv
+      |       FROM (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok)
+      |       GROUP BY 1),
+      |cum AS (
+      |  SELECT sum(tn) OVER (ORDER BY cell) AS ct,
+      |         sum(nv) OVER (ORDER BY cell) AS cv
+      |  FROM (SELECT coalesce(tc.cell, vc.cell) AS cell,
+      |               coalesce(tn, 0) AS tn, coalesce(nv, 0) AS nv
+      |        FROM tc FULL OUTER JOIN vc ON tc.cell = vc.cell)),
+      |pts AS (
+      |  SELECT round(ln(CAST(ct AS DOUBLE)), 9) AS x,
+      |         round(ln(CAST(cv AS DOUBLE)), 9) AS y
+      |  FROM cum WHERE ct > 0 AND cv > 0),
+      |q AS (
+      |  SELECT CAST(x AS DECIMAL(18,9)) AS x, CAST(y AS DECIMAL(18,9)) AS y,
+      |         CAST(round(x * x, 9) AS DECIMAL(18,9)) AS xx,
+      |         CAST(round(x * y, 9) AS DECIMAL(18,9)) AS xy,
+      |         CAST(round(y * y, 9) AS DECIMAL(18,9)) AS yy
+      |  FROM pts),
+      |m AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(xx) AS sxx, sum(xy) AS sxy, sum(yy) AS syy
+      |  FROM q)
+      |SELECT n,
+      |       round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |             / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
+      |         AS beta,
+      |       round((CAST(sy AS DOUBLE)
+      |              - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |                / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      |                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS logk,
+      |       round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |             * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |             / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      |              * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+      |         AS r2
+      |FROM m""".stripMargin
+
   /** tx_rake — RAKE keyword extraction (Rose et al. 2010), the
     * non-iterative complement to [[textrank]]: candidate phrases are
     * maximal stopword-free token runs; each word scores deg/freq where
@@ -1801,6 +1905,7 @@ object TextAnalysis {
     "tx_repetition"  -> repetition,
     "tx_pack"        -> pack,
     "tx_entropy"     -> entropy,
+    "tx_heaps"       -> heaps,
     "tx_tfidf"       -> tfidf,
     "tx_lm_score"    -> lmScore,
     "tx_pp_bucket"   -> ppBucket,
@@ -1834,6 +1939,7 @@ object TextAnalysis {
     "tx_repetition"  -> repetitionSql,
     "tx_pack"        -> packSql,
     "tx_entropy"     -> entropySql,
+    "tx_heaps"       -> heapsSql,
     "tx_tfidf"       -> tfidfSql,
     "tx_lm_score"    -> lmScoreSql,
     "tx_pp_bucket"   -> ppBucketSql,

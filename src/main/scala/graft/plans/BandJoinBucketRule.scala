@@ -52,10 +52,12 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, IntegerTyp
   * [[candidateRadius]] / [[intBucketOf]]):
   *   - integral × integral: bucket in EXACT 64-bit integer arithmetic
   *     (floor-division, width ⌈w⌉) — no double anywhere, ±1 candidates;
-  *   - a decimal operand wider than double's 15 exact digits (or a long
-  *     mixed with a fractional side): candidates widen to ±2, sound
-  *     while per-operand cast error ≤ W/4 (checked statically from the
-  *     type's max magnitude 10^(p−s));
+  *   - any FRACTIONAL decimal operand (scale > 0, any precision), a
+  *     scale-0 decimal wider than 15 digits, or a long mixed with a
+  *     fractional side: candidates widen to ±2, sound while per-operand
+  *     cast error ≤ W/4 (checked statically from the type's max
+  *     magnitude 10^(p−s); for long, an accepted |x| ≤ W·2^51 gamble —
+  *     see [[candidateRadius]]);
   *   - a decimal type whose worst-case cast error exceeds W/4: the rule
   *     STANDS DOWN — a nested loop is slow but never wrong.
   *
@@ -229,24 +231,38 @@ object BandJoinBucketRule extends Rule[LogicalPlan] with PredicateHelper {
     * (r10 advice: nextUp covers only the width literal's conversion, not
     * the operands'). Returns the candidate-bucket radius to use, or None
     * when no radius is statically sound and the rule must stand down:
-    *   - radius 1: operand values are exactly double-representable
-    *     (≤ 15-digit decimals; int/smaller — wider integrals take the
-    *     exact integer path and never reach this);
+    *   - radius 1: operand values are exactly double-representable —
+    *     int/smaller, float/double (already doubles, the cast is the
+    *     identity), and SCALE-0 decimals within 15 digits (integers
+    *     ≤ 10^15 < 2^53 are exact). Fractional decimals are NOT exact at
+    *     any precision — DECIMAL(15,2) near 1e13 casts with absolute
+    *     error up to ~10^13·2^-53 ≈ 1.1e-3, far above the nextUp nudge —
+    *     so every DecimalType with scale > 0 takes the maxErr check
+    *     (r11 advice).
     *   - radius 2: each cast can err by up to ulp/2 ≤ W/4, so a true pair
     *     lands within 2 buckets (|x'−y'| ≤ W + 2·(W/4) ⇒ floor gap ≤ 2);
     *   - None: a DECIMAL(p,s) with 10^(p−s)·2^-52 > W/4 — the type alone
     *     admits values whose cast error swamps the band; fall back to the
     *     nested loop (slow but sound) rather than silently drop pairs.
+    *     (At such magnitudes Spark's own ANSI decimal arithmetic in the
+    *     residual predicate may overflow anyway — standing down matches
+    *     what the un-rewritten query would do.)
     * A LongType operand mixed with a fractional side gets radius 2: its
     * relative cast error is 2^-53, so the bound holds whenever |x| ≤
-    * W·2^51 — every realistic numeric band (epoch micros/nanos included
-    * for W ≥ 1); the exact-integer path already covers long-vs-long.
+    * W·2^51 — epoch MICROS (~1.7e15) are covered for any W ≥ 1, but
+    * epoch NANOS (~1.7e18) need W ≥ ~760. This magnitude assumption is
+    * an ACCEPTED STATIC GAMBLE (documented, r11 advice): the type holds
+    * values up to 2^63 whose cast error (~1024) would need W ≥ 4096 to
+    * bound statically, and standing down below that width would kill
+    * every realistic epoch-scale band join. long-vs-long never gets
+    * here — the exact-integer path covers it at any magnitude.
     */
   private def candidateRadius(lExpr: Expression, rExpr: Expression,
                               w: Double): Option[Int] = {
     val radii = Seq(lExpr, rExpr).map { e =>
       e.dataType match {
-        case d: DecimalType if d.precision > 15 =>
+        case d: DecimalType if d.scale == 0 && d.precision <= 15 => Some(1)
+        case d: DecimalType =>
           val maxErr = math.pow(10, (d.precision - d.scale).toDouble) * math.pow(2, -52)
           if (maxErr > w / 4) None else Some(2)
         case LongType => Some(2)

@@ -313,4 +313,47 @@ class MlExtrasSpec extends AnyFunSuite {
     assert(id == 1L && nb == 3L)
     assert(math.abs(score - expected) < 1e-6, s"got $score want $expected")
   }
+
+  test("mlMmd recovers the exact centroid-shift MMD2 on orthogonal labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmd").toString
+    // label 0 at (1,0), label 1 at (0,1): mu_0 - mu_rest = (1,-1) → MMD2 = 2
+    Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+        (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.mlMmd(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 2L, 2.0), (1L, 2L, 2.0)), s"got $out")
+  }
+
+  test("heaps fits beta = 1 exactly on an all-unique-token corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-heaps").toString
+    // every token globally unique → cum vocab == cum tokens at every
+    // checkpoint → ln-ln points on y = x: beta 1, logk 0, r2 1. Docs span
+    // three checkpoint cells (doc 0 | docs 1-2 | docs 3-6).
+    val docs = (0L to 6L).map(i =>
+      (i, (0 until (2 + (i % 3).toInt)).map(j => s"t${i}_$j").mkString(" ")))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.heaps(spark, dir).collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(math.abs(r.getAs[Double]("beta") - 1.0) < 1e-4, s"beta ${r.getAs[Double]("beta")}")
+    assert(math.abs(r.getAs[Double]("logk")) < 1e-4)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-6)
+  }
+
+  test("dq_psi matches the hand-computed smoothed PSI on a two-bin split") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-psi").toString
+    // type A entirely in bin 0, type B entirely in bin 1 → symmetric PSI
+    Seq((1L, "A", 10.0), (2L, "A", 10.0), (3L, "B", 30.0), (4L, "B", 30.0))
+      .toDF("event_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = operators.Audit.psi(spark, dir)
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, p) => k -> ((n, p)) }.toMap
+    // pa = (2.5/3, 0.5/3) vs pb = (0.5, 0.5), smoothing +0.5 with B=2 bins
+    val expected = BigDecimal((2.5 / 3 - 0.5) * math.log(2.5 / 3 / 0.5) +
+      (0.5 / 3 - 0.5) * math.log(0.5 / 3 / 0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map("A" -> ((2L, expected)), "B" -> ((2L, expected))), s"got $out want $expected")
+  }
 }

@@ -20,6 +20,17 @@ class PlanGuardSpec extends AnyFunSuite {
   private def planOf(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
 
+  /** executedPlan with AQE off (Exchange placement happens in executedPlan
+    * preparation; AQE off keeps the tree inspectable without executing).
+    * Restores the PRIOR conf value, not a hardcoded "true" (r11 backlog).
+    */
+  private def planWithoutAqe(name: String): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("s1_scan_filter pushes its predicates into the parquet scan") {
     val scan = planOf("s1_scan_filter").collectLeaves().map(_.toString).mkString
     assert(scan.contains("PushedFilters:") && scan.contains("EqualTo(event_type,click)"),
@@ -177,7 +188,18 @@ class PlanGuardSpec extends AnyFunSuite {
       // separately below); the only remaining product is ivfAssign's
       // corpus × O(K) broadcast centroid set — the declared
       // IVF-assignment shape shared by every ann_ivf_* gate.
-      "ann_hard_negatives", "dc_semantic")
+      "ann_hard_negatives", "dc_semantic",
+      // ann_ivf_maintain runs ONE ivfAssign pass — the same declared
+      // corpus × O(K) broadcast-centroid product every other ann_ivf_*
+      // gate rides; its share totals are an unpartitioned window over
+      // the O(K) cell table, not a join.
+      "ann_ivf_maintain",
+      // dq_psi crossJoins the O(types) histogram against the O(bins)
+      // grid — the ev_gapfill dimension-densification class (smoothed
+      // PSI needs the zero-count cells). gr_modularity is the
+      // cc_clusters plan-builds-the-loop exclusion: building its plan
+      // executes the 4-round LPA driver loop.
+      "dq_psi", "gr_modularity")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.flatMap { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
@@ -424,8 +446,17 @@ class PlanGuardSpec extends AnyFunSuite {
 
   test("BandJoinBucketRule: stands down when the decimal type's magnitude swamps the width") {
     // DECIMAL(38,0) admits values near 1e38 whose cast error (~2e22) makes
-    // any double bucketing unsound for a sub-unit band — the rule must
-    // leave the join alone (slow NLJ, but never a dropped pair).
+    // any double bucketing unsound for a narrow band — the rule must
+    // leave the join alone (slow NLJ, but never a dropped pair). The
+    // stand-down decision is TYPE-based; the fixture keeps the residual
+    // predicate itself exactly evaluable by (a) staying away from the
+    // type's 1e38 ceiling, where Spark's ANSI decimal comparison
+    // overflows (NUMERIC_VALUE_OUT_OF_RANGE) with or without the rule,
+    // and (b) using an INTEGER width — a fractional width against a
+    // scale-0 decimal forces Spark's lossy-precision promotion, which
+    // rounds 0.5 up to 1 inside the comparison and silently widens the
+    // band the naive plan itself evaluates. Both hazards belong to
+    // Spark's decimal arithmetic, not to this rule.
     val sp = spark
     import sp.implicits._
     import org.apache.spark.sql.functions.{abs, lit}
@@ -435,9 +466,9 @@ class PlanGuardSpec extends AnyFunSuite {
       sp.sparkContext.parallelize(vals.map(v =>
         org.apache.spark.sql.Row(new java.math.BigDecimal(v)))), schema)
       .select($"v".as(name))
-    val joined = mk(Seq("99999999999999999999999999999999999999", "5"), "x")
-      .join(mk(Seq("99999999999999999999999999999999999998", "5"), "y"),
-        abs($"x" - $"y") <= lit(new java.math.BigDecimal("0.5")))
+    val joined = mk(Seq("12345678901234567890123456789", "5"), "x")
+      .join(mk(Seq("12345678901234567890123456787", "5"), "y"),
+        abs($"x" - $"y") <= lit(1))
     assert(!joined.queryExecution.optimizedPlan.toString.contains("__band_bucket_l"),
       "rule must stand down for statically-unsound decimal bucketing")
     val got = joined.select($"x".cast("string"), $"y".cast("string"))
@@ -469,11 +500,7 @@ class PlanGuardSpec extends AnyFunSuite {
   }
 
   test("sp_bootstrap folds 32 replicates through one keyed shuffle of B-sized partials") {
-    val plan = {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try SparkEntry.queries("sp_bootstrap")(spark, sf).queryExecution.executedPlan
-      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    }
+    val plan = planWithoutAqe("sp_bootstrap")
     val hashed = plan.collect { case s: ShuffleExchangeExec => s }
       .filter(_.outputPartitioning
         .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
@@ -499,12 +526,7 @@ class PlanGuardSpec extends AnyFunSuite {
     // Exchange placement happens in executedPlan preparation (sparkPlan
     // predates EnsureRequirements); AQE off so the tree is inspectable
     // without executing.
-    val plan = {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try SparkEntry.queries("pl_corpus_clean")(spark, sf)
-        .queryExecution.executedPlan
-      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    }
+    val plan = planWithoutAqe("pl_corpus_clean")
     val hashed = plan.collect { case s: ShuffleExchangeExec => s }
       .filter(_.outputPartitioning
         .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
@@ -536,11 +558,7 @@ class PlanGuardSpec extends AnyFunSuite {
   test("tpch_q10 shuffles keys+measures only — customer attrs join after the agg") {
     // the plan inversion PERF.md claims: no shuffle may carry c_name /
     // n_name; those broadcast onto the aggregated ~|customers| rows
-    val plan = {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try SparkEntry.queries("tpch_q10")(spark, sf).queryExecution.executedPlan
-      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    }
+    val plan = planWithoutAqe("tpch_q10")
     val shufCols = plan.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
     shufCols.foreach(cols =>
       assert(!cols.contains("c_name") && !cols.contains("n_name"),

@@ -258,6 +258,21 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(cc.values.toSet.size == 1, "sanity: CC does fuse them")
   }
 
+  test("modularity scores two bridged triangles at the textbook 6/14 - (7/14)^2 each") {
+    // Triangles {1,2,3} and {4,5,6} + bridge 3-4: m = 7 edges, each
+    // community has 3 internal edges (dir 6), degree mass 7, so
+    // Q_c = 6/14 - (7/14)^2 = 0.178571 — and total Q > 0 says the
+    // partition beats a degree-preserving random rewiring.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "label")
+    val out = Graph.modularity(edges, labels)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((10L, 3L, 3L, 7L, 0.178571), (20L, 3L, 3L, 7L, 0.178571)),
+      s"got $out")
+  }
+
   test("bitemporal versions keep both beliefs; as-known-at hides post-cutoff corrections") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bitemp").toString
     def d(s: String) = java.sql.Date.valueOf(s)
