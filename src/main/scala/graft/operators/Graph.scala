@@ -629,6 +629,41 @@ object Graph {
        |FROM lp4 ORDER BY doc_id""".stripMargin
   }
 
+  /** cc_size_hist — dedup-cluster size histogram over the CC labeling of
+    * the LSH pair graph: per cluster size, how many clusters, how many
+    * documents they cover, and how many would be REMOVED by keep-one
+    * canonicalization ((size−1)·clusters). This is the dedup impact
+    * report a pipeline reads before committing a dedup pass — the
+    * cluster-size tail tells you whether duplication is a few giant
+    * template families (size spikes) or diffuse near-pairs, and the
+    * n_dup_docs column is the corpus shrinkage the pass will buy.
+    * Unpaired documents never enter the pair graph (no candidate ⇒ no
+    * cluster), so every histogram row has size ≥ 2 — the histogram is
+    * over CANDIDATE clusters, matching dd_canonical's population.
+    *
+    * Shape: two keyed aggregations over the memoized O(paired docs)
+    * label table; nothing touches the corpus again. The CC loop behind
+    * the labels is the cc_clusters plan-builds-the-loop class.
+    */
+  val ccSizeHist: Q = (s, d) => {
+    import s.implicits._
+    lshLabels(s, d).groupBy($"cluster").agg(count(lit(1)).as("size"))
+      .groupBy($"size").agg(count(lit(1)).as("n_clusters"))
+      .select($"size", $"n_clusters",
+        ($"size" * $"n_clusters").as("n_docs"),
+        (($"size" - 1) * $"n_clusters").as("n_dup_docs"))
+      .orderBy($"size")
+  }
+  val ccSizeHistSql: String =
+    s"""$ccReachCte,
+       |cl AS (SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+       |       FROM reach GROUP BY n),
+       |sz AS (SELECT cluster, count(*) AS size FROM cl GROUP BY cluster)
+       |SELECT size, count(*) AS n_clusters,
+       |       size * count(*) AS n_docs,
+       |       (size - 1) * count(*) AS n_dup_docs
+       |FROM sz GROUP BY size ORDER BY size""".stripMargin
+
   /** gr_modularity — Newman modularity decomposition of the LPA
     * partition: per community, Q_c = m_c/m − (D_c/2m)² (internal-edge
     * share minus the share a degree-preserving random rewiring would
@@ -1421,6 +1456,7 @@ object Graph {
     "gr_triangles"   -> grTriangles,
     "gr_labelprop"   -> grLabelProp,
     "gr_modularity"  -> grModularity,
+    "cc_size_hist"   -> ccSizeHist,
     "gr_kcore"       -> grKCore,
     "gr_adamic"      -> grAdamic,
     "gr_degdist"     -> grDegDist,
@@ -1440,6 +1476,7 @@ object Graph {
     "gr_triangles"   -> grTrianglesSql,
     "gr_labelprop"   -> grLabelPropSql,
     "gr_modularity"  -> grModularitySql,
+    "cc_size_hist"   -> ccSizeHistSql,
     "gr_kcore"       -> grKCoreSql,
     "gr_adamic"      -> grAdamicSql,
     "gr_degdist"     -> grDegDistSql,

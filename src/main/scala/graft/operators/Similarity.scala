@@ -1304,6 +1304,72 @@ object Similarity {
       |       round(sum(dc * dc) / 1e12, 6) AS mmd2
       |FROM diffs GROUP BY label ORDER BY label""".stripMargin
 
+  /** ml_silhouette — per-label simplified silhouette of the embedding
+    * space (the centroid form: a = d²(v, own centroid), b = min d² to
+    * any OTHER label's centroid, s = (b−a)/max(a,b), averaged per
+    * label). THE cluster-quality number between ml_aniso (within-label
+    * collapse) and ml_mmd (between-label shift): silhouette near 0 says
+    * labels overlap in space — a probe classifier will struggle no
+    * matter how healthy each label looks alone.
+    *
+    * Scale shape: exact silhouette is O(n²); the centroid form needs
+    * only the O(labels·Dim) centroid table — component sums from ONE
+    * explode pass, then the per-component centroid rows joined back by
+    * a BROADCAST HASH equi-join on the component index (each corpus
+    * component row meets O(labels) centroid rows — the ivfAssign-class
+    * bounded expansion, but expressed as a hash join, never a nested
+    * loop). Two keyed aggregations later the corpus is n·labels rows,
+    * then per-label means.
+    *
+    * Determinism: components quantize to exact longs; centroids are the
+    * rational s/n; d² sums 64 doubles and rounds to 6 dp BEFORE the
+    * min/compare (the entropy-class float-parity argument), so a/b pick
+    * identical values in both engines.
+    */
+  val mlSilhouette: Q = (s, d) => {
+    val comp = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"),
+        floor(col("x") * lit(1e6)).cast("long").as("xq"))
+    val cent = comp.groupBy(col("label").as("clabel"), col("i"))
+      .agg(sum(col("xq")).as("cs"), count(lit(1)).as("cn"))
+    val dev = col("xq").cast("double") - col("cs").cast("double") / col("cn")
+    val d2 = comp.join(broadcast(cent), Seq("i"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(round(sum(dev * dev) / lit(1e12), 6).as("d2"))
+    val sil = d2.groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("clabel") === col("label"), col("d2"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("d2"))).as("b"))
+    sil.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0))), 6).as("silhouette"))
+      .select(col("label").cast("long").as("label"), col("n"), col("silhouette"))
+      .orderBy(col("label"))
+  }
+  val mlSilhouetteSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |comp AS (SELECT vec_id, label, i,
+      |                CAST(floor(emb[i + 1] * 1e6) AS BIGINT) AS xq
+      |         FROM e CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)),
+      |cent AS (SELECT label AS clabel, i, sum(xq) AS cs, count(*) AS cn
+      |         FROM comp GROUP BY 1, 2),
+      |d2 AS (SELECT c.vec_id, c.label, t.clabel,
+      |              round(sum((CAST(c.xq AS DOUBLE) - CAST(t.cs AS DOUBLE) / t.cn)
+      |                      * (CAST(c.xq AS DOUBLE) - CAST(t.cs AS DOUBLE) / t.cn)) / 1e12, 6)
+      |                AS d2
+      |       FROM comp c JOIN cent t USING (i) GROUP BY 1, 2, 3),
+      |sil AS (SELECT vec_id, label,
+      |               min(CASE WHEN clabel = label THEN d2 END) AS a,
+      |               min(CASE WHEN clabel <> label THEN d2 END) AS b
+      |        FROM d2 GROUP BY 1, 2)
+      |SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+      |       round(avg(CASE WHEN greatest(a, b) > 0
+      |                      THEN (b - a) / greatest(a, b) ELSE 0 END), 6) AS silhouette
+      |FROM sil GROUP BY label ORDER BY label""".stripMargin
+
   // --------------------------------------------------- index maintenance
 
   /** ann_ivf_maintain — persisted-index maintenance audit: assign the
@@ -1592,6 +1658,7 @@ object Similarity {
     "ml_knn_confusion"  -> mlKnnConfusion,
     "ml_aniso"          -> mlAniso,
     "ml_mmd"            -> mlMmd,
+    "ml_silhouette"     -> mlSilhouette,
     "ann_ivf_maintain"  -> ivfMaintain,
     "ann_sq8"           -> sq8Q,
     "ann_filtered"      -> annFiltered,
@@ -1616,6 +1683,7 @@ object Similarity {
     "ml_knn_confusion"  -> mlKnnConfusionSql,
     "ml_aniso"          -> mlAnisoSql,
     "ml_mmd"            -> mlMmdSql,
+    "ml_silhouette"     -> mlSilhouetteSql,
     "ann_ivf_maintain"  -> ivfMaintainSql,
     "ann_sq8"           -> sq8Sql,
     "ann_filtered"      -> annFilteredSql,

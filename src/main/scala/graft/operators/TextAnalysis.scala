@@ -1735,6 +1735,56 @@ object TextAnalysis {
       |         AS r2
       |FROM m""".stripMargin
 
+  /** tx_novelty — per-document n-gram novelty: the fraction of a doc's
+    * distinct word 3-grams whose FIRST corpus occurrence (in doc_id
+    * ingestion order) is this document. Novelty near 0 marks a document
+    * assembled from already-seen phrasing — recombined boilerplate,
+    * template spin, or memorized repeats that per-doc quality scores and
+    * whole-doc dedup both miss (the doc is "new" while its content is
+    * not); pretraining curricula use exactly this to down-weight
+    * late-crawl recombinations.
+    *
+    * Scale shape: the same first-occurrence trick as [[heaps]] — one
+    * gram explode, distinct per doc, then min(doc_id) attached by a
+    * gram-PARTITIONED window (one gram-keyed shuffle; the groupBy+join
+    * formulation costs an extra shuffle of the big gram table for the
+    * same answer); no unpartitioned window, no pairwise doc work,
+    * everything keyed on gram or doc. Ratios are one IEEE division of
+    * exact counts, 6 dp.
+    */
+  val novelty: Q = (s, d) => {
+    import s.implicits._
+    val grams = tbl(s, d, "documents")
+      .where(size(split($"text", " ")) >= 3)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(split(text, ' ')) - 3),
+          |  i -> array_join(slice(split(text, ' '), i + 1, 3), ' '))""".stripMargin))
+        .as("gram"))
+      .distinct()
+    grams
+      .withColumn("fd", min($"doc_id").over(Window.partitionBy($"gram")))
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when($"fd" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        round($"n_novel".cast("double") / $"n_grams", 6).as("novelty"))
+      .orderBy($"doc_id")
+  }
+  val noveltySql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(0, len(toks) - 2),
+      |                  i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS gram
+      |    FROM d WHERE len(toks) >= 3)),
+      |wf AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY gram) AS fd FROM grams)
+      |SELECT doc_id, count(*) AS n_grams,
+      |       CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       round(CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 6) AS novelty
+      |FROM wf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** tx_rake — RAKE keyword extraction (Rose et al. 2010), the
     * non-iterative complement to [[textrank]]: candidate phrases are
     * maximal stopword-free token runs; each word scores deg/freq where
@@ -1836,7 +1886,7 @@ object TextAnalysis {
     val n = wdeg.count()
     var pr = wdeg.select($"x".as("node"), round(lit(1.0 / math.max(n, 1L)), 9).as("pr"))
       .localCheckpoint()
-    for (_ <- 1 to 5) {
+    for (k <- 1 to 5) {
       val contrib = pr.join(edges, pr("node") === edges("x"))
         .groupBy($"y").agg(sum($"pr" * $"frac").as("s"))
       val next = wdeg
@@ -1844,8 +1894,13 @@ object TextAnalysis {
         .select($"x".as("node"),
           round(lit(0.15 / math.max(n, 1L)) +
             lit(0.85) * coalesce($"s", lit(0.0)), 9).as("pr"))
-        .localCheckpoint()
-      pr = next
+      // Checkpoint every SECOND round, not every round: each eager
+      // localCheckpoint is a whole job (~0.3 s scheduling floor per
+      // round, PERF.md IterBench), and two rounds of lineage is a
+      // trivially small plan — the per-round round(…, 9) barrier keeps
+      // the arithmetic identical either way. Halves the job count of
+      // the scheduling-floor-bound wall.
+      pr = if (k % 2 == 0 || k == 5) next.localCheckpoint() else next
     }
     pr.withColumn("rk", row_number().over(
         Window.orderBy($"pr".desc, $"node")))
@@ -1906,6 +1961,7 @@ object TextAnalysis {
     "tx_pack"        -> pack,
     "tx_entropy"     -> entropy,
     "tx_heaps"       -> heaps,
+    "tx_novelty"     -> novelty,
     "tx_tfidf"       -> tfidf,
     "tx_lm_score"    -> lmScore,
     "tx_pp_bucket"   -> ppBucket,
@@ -1940,6 +1996,7 @@ object TextAnalysis {
     "tx_pack"        -> packSql,
     "tx_entropy"     -> entropySql,
     "tx_heaps"       -> heapsSql,
+    "tx_novelty"     -> noveltySql,
     "tx_tfidf"       -> tfidfSql,
     "tx_lm_score"    -> lmScoreSql,
     "tx_pp_bucket"   -> ppBucketSql,

@@ -341,6 +341,31 @@ class MlExtrasSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-6)
   }
 
+  test("mlSilhouette scores perfectly separated labels at 1.0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sil").toString
+    // each vector sits ON its own centroid (a = 0) at d2 = 2 from the
+    // other centroid (b = 2) → s = (2 - 0)/2 = 1 for every vector
+    Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+        (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.mlSilhouette(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 2L, 1.0), (1L, 2L, 1.0)), s"got $out")
+  }
+
+  test("novelty credits first occurrences only, in doc_id order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nov").toString
+    // doc 1 introduces both of its 3-grams; doc 2 reuses "a b c" and
+    // introduces "b c x" → novelty 0.5; doc 3 is all reuse → 0.0
+    Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "a b c d"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.novelty(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)),
+      s"got $out")
+  }
+
   test("dq_psi matches the hand-computed smoothed PSI on a two-bin split") {
     val dir = java.nio.file.Files.createTempDirectory("graft-psi").toString
     // type A entirely in bin 0, type B entirely in bin 1 → symmetric PSI

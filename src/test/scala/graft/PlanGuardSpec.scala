@@ -198,8 +198,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // grid — the ev_gapfill dimension-densification class (smoothed
       // PSI needs the zero-count cells). gr_modularity is the
       // cc_clusters plan-builds-the-loop exclusion: building its plan
-      // executes the 4-round LPA driver loop.
-      "dq_psi", "gr_modularity")
+      // executes the 4-round LPA driver loop; cc_size_hist rides the
+      // memoized CC labels the same way.
+      "dq_psi", "gr_modularity", "cc_size_hist")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.flatMap { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
