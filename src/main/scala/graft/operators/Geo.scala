@@ -204,15 +204,194 @@ object Geo {
        |  FROM cand)
        |WHERE rk <= 3 ORDER BY c_custkey, rk""".stripMargin
 
+  // ----------------------------------------------------------------- DBSCAN
+
+  /** DBSCAN parameters for the customer point set: eps is the
+    * neighborhood radius in PLANAR units over the hash-derived
+    * (lon, lat) plane — DBSCAN is metric-agnostic and the gate's point
+    * is the grid-pruned neighbor machinery, so the plane's Euclidean
+    * metric (exact in both engines: only *,−,+ on identical doubles)
+    * replaces the sphere's haversine; minPts counts the point itself
+    * (Ester et al. 1996's |N_eps(p)| ≥ minPts convention).
+    */
+  val DbEps = 8.0
+  val DbMinPts = 5
+
+  /** (k, x, y) customer points on the hash plane with their eps-grid cell. */
+  private def dbPoints(s: SparkSession, d: String): DataFrame =
+    coords(tbl(s, d, "customer"), "c_custkey")
+      .select(col("c_custkey").as("k"), col("lon").as("x"), col("lat").as("y"))
+      .withColumn("cx", floor(col("x") / DbEps).cast("long"))
+      .withColumn("cy", floor(col("y") / DbEps).cast("long"))
+
+  /** eps-neighbor pairs (k, bk) INCLUDING the self pair, via the 3×3
+    * grid-cell equi-join: with cell side = eps, every neighbor within
+    * eps of p lies in p's cell or one of its 8 adjacent cells, so the
+    * replicate-build-side-9×/probe-own-cell join is an exact cover (the
+    * geo_radius_join band argument in two dimensions). Memoized per
+    * (session, sfDir): the label and cluster gates both consume it, and
+    * a production job materializes the neighbor graph once.
+    *
+    * Scale: the build side broadcasts at dim scale; at 100 TB both
+    * sides bucket by (cx, cy) — a co-partitioned equi-join, never a
+    * cross product. d2 is rounded to 6 dp before the predicate (house
+    * float-parity discipline, though *,− on identical doubles is
+    * already bit-exact in both engines).
+    */
+  private val dbPairCache = new graft.SessionCache[String]
+  private def dbPairs(s: SparkSession, d: String): DataFrame =
+    dbPairCache.getOrCompute(s, d) {
+      val pts = dbPoints(s, d)
+      val build = pts
+        .select(col("k").as("bk"), col("x").as("bx"), col("y").as("by"),
+          col("cx").as("c0x"), col("cy").as("c0y"))
+        .withColumn("cx", explode(expr(
+          "transform(sequence(-1, 1), i -> c0x + CAST(i AS BIGINT))")))
+        .withColumn("cy", explode(expr(
+          "transform(sequence(-1, 1), i -> c0y + CAST(i AS BIGINT))")))
+        .drop("c0x", "c0y")
+      pts.join(broadcast(build), Seq("cx", "cy"))
+        .withColumn("d2", round((col("x") - col("bx")) * (col("x") - col("bx")) +
+          (col("y") - col("by")) * (col("y") - col("by")), 6))
+        .where(col("d2") <= lit(DbEps * DbEps))
+        .select(col("k"), col("bk"))
+        .localCheckpoint()
+    }
+
+  /** Shared oracle CTE: `pairs(k, bk)` = the UNPRUNED eps-neighbor join
+    * (matching it proves the 3×3 grid cover exact) and `ne(k, n_eps)`.
+    */
+  private val dbCteSql: String =
+    s"""c AS (${coordsSql("customer", "c_custkey")}),
+       |p AS (SELECT c_custkey AS k, lon AS x, lat AS y FROM c),
+       |pairs AS (
+       |  SELECT a.k, b.k AS bk
+       |  FROM p a, p b
+       |  WHERE round((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), 6)
+       |          <= ${DbEps * DbEps}),
+       |ne AS (SELECT k, count(*) AS n_eps FROM pairs GROUP BY k)""".stripMargin
+
+  /** geo_dbscan — DBSCAN point roles (core / border / noise) over the
+    * customer hash plane: the density-based clustering class (Ester et
+    * al. 1996) the partition-based family (ann_kmeans_train) cannot
+    * express — clusters of arbitrary shape plus an explicit noise set,
+    * the standard embedding-space outlier screen before dedup or
+    * stratified sampling. Core: ≥ minPts neighbors within eps (self
+    * included); border: non-core with a core neighbor; noise: the rest.
+    *
+    * Two keyed aggregations over the grid-pruned pair list ([[dbPairs]]):
+    * neighbor counts, then a has-core-neighbor flag via an O(points)
+    * core-flag table joined back on the neighbor key. The oracle runs
+    * the same labeling off the unpruned cross join.
+    */
+  val geoDbscan: Q = (s, d) => {
+    val pairs = dbPairs(s, d)
+    val ne = pairs.groupBy(col("k")).agg(count(lit(1)).as("n_eps"))
+    val coreFlags = ne.select(col("k").as("bk"),
+      (col("n_eps") >= DbMinPts).as("bcore"))
+    val hcn = pairs.join(broadcast(coreFlags), Seq("bk"))
+      .groupBy(col("k"))
+      .agg(max(when(col("bcore") && col("bk") =!= col("k"), 1L)
+        .otherwise(0L)).as("hcn"))
+    ne.join(hcn, Seq("k"))
+      .select(col("k").as("c_custkey"), col("n_eps"),
+        when(col("n_eps") >= DbMinPts, "core")
+          .when(col("hcn") === 1L, "border")
+          .otherwise("noise").as("role"))
+      .orderBy(col("c_custkey"))
+  }
+  val geoDbscanSql: String =
+    s"""WITH $dbCteSql,
+       |cf AS (SELECT k AS bk, n_eps >= $DbMinPts AS bcore FROM ne),
+       |hc AS (SELECT k, max(CASE WHEN bcore AND bk <> k THEN 1 ELSE 0 END) AS hcn
+       |       FROM pairs JOIN cf USING (bk) GROUP BY k)
+       |SELECT ne.k AS c_custkey, ne.n_eps,
+       |       CASE WHEN ne.n_eps >= $DbMinPts THEN 'core'
+       |            WHEN hc.hcn = 1 THEN 'border' ELSE 'noise' END AS role
+       |FROM ne JOIN hc ON ne.k = hc.k
+       |ORDER BY c_custkey""".stripMargin
+
+  /** geo_dbscan_cc — the full DBSCAN clustering: connected components
+    * over the core–core neighbor graph (cluster id = min core key, via
+    * Graph.connectedComponents' min-label iteration), isolated cores as
+    * singleton clusters, and each border point adopting the MINIMUM
+    * cluster id among its core neighbors. That border rule is the
+    * deterministic refinement of the paper's order-dependent "first
+    * discoverer wins" (disclosed divergence — classic DBSCAN's border
+    * assignment depends on scan order, which a distributed engine and a
+    * SQL oracle cannot and should not reproduce); core assignments are
+    * order-independent in the paper and identical here. Noise is
+    * excluded, matching the reference semantics of cluster output.
+    *
+    * Scale: core–core edges are a filter of the memoized pair list; CC
+    * is the O(log n)-round min-label loop shared with cc_clusters; the
+    * border attach is one join keyed on the core neighbor. The oracle
+    * recomputes reachability with a recursive CTE off the unpruned join.
+    */
+  val geoDbscanCc: Q = (s, d) => {
+    val pairs = dbPairs(s, d)
+    val ne = pairs.groupBy(col("k")).agg(count(lit(1)).as("n_eps"))
+    val core = ne.where(col("n_eps") >= DbMinPts).select(col("k"))
+    val coreEdges = pairs.where(col("k") < col("bk"))
+      .join(core, Seq("k"), "left_semi")
+      .join(core.withColumnRenamed("k", "bk"), Seq("bk"), "left_semi")
+      .select(col("k").as("a"), col("bk").as("b"))
+    val ccLab = Graph.connectedComponents(coreEdges)
+      .select(col("node").as("k"), col("cluster"))
+    // isolated cores: no core-core edge → singleton cluster = self
+    val coreLab = core.join(ccLab, Seq("k"), "left")
+      .select(col("k"), coalesce(col("cluster"), col("k")).as("cluster"))
+    val borderLab = pairs.where(col("k") =!= col("bk"))
+      .join(coreLab.select(col("k").as("bk"), col("cluster")), Seq("bk"))
+      .join(core, Seq("k"), "left_anti")
+      .groupBy(col("k")).agg(min(col("cluster")).as("cluster"))
+    coreLab.select(col("k"), col("cluster"), lit("core").as("role"))
+      .unionByName(borderLab.select(col("k"), col("cluster"), lit("border").as("role")))
+      .select(col("k").as("c_custkey"), col("cluster").cast("long").as("cluster"),
+        col("role"))
+      .orderBy(col("c_custkey"))
+  }
+  val geoDbscanCcSql: String =
+    s"""WITH RECURSIVE $dbCteSql,
+       |core AS (SELECT k FROM ne WHERE n_eps >= $DbMinPts),
+       |ce AS (SELECT p.k AS x, p.bk AS y FROM pairs p
+       |       SEMI JOIN core a ON p.k = a.k
+       |       SEMI JOIN core b ON p.bk = b.k
+       |       WHERE p.k <> p.bk),
+       |reach(n, r) AS (
+       |  SELECT x, x FROM ce
+       |  UNION
+       |  SELECT ce.y, reach.r FROM ce JOIN reach ON ce.x = reach.n),
+       |cc AS (SELECT n AS k, min(r) AS cluster FROM reach GROUP BY n),
+       |corelab AS (
+       |  SELECT core.k, coalesce(cc.cluster, core.k) AS cluster
+       |  FROM core LEFT JOIN cc ON core.k = cc.k),
+       |borderlab AS (
+       |  SELECT p.k, min(cl.cluster) AS cluster
+       |  FROM pairs p
+       |  JOIN corelab cl ON p.bk = cl.k
+       |  ANTI JOIN core ON p.k = core.k
+       |  WHERE p.k <> p.bk
+       |  GROUP BY p.k)
+       |SELECT k AS c_custkey, CAST(cluster AS BIGINT) AS cluster, role FROM (
+       |  SELECT k, cluster, 'core' AS role FROM corelab
+       |  UNION ALL
+       |  SELECT k, cluster, 'border' AS role FROM borderlab)
+       |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "geo_cell_stats"  -> geoCellStats,
     "geo_radius_join" -> geoRadiusJoin,
     "geo_knn"         -> geoKnn,
+    "geo_dbscan"      -> geoDbscan,
+    "geo_dbscan_cc"   -> geoDbscanCc,
   )
 
   val oracles: Map[String, String] = Map(
     "geo_cell_stats"  -> geoCellStatsSql,
     "geo_radius_join" -> geoRadiusJoinSql,
     "geo_knn"         -> geoKnnSql,
+    "geo_dbscan"      -> geoDbscanSql,
+    "geo_dbscan_cc"   -> geoDbscanCcSql,
   )
 }

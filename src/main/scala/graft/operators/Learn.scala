@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{t => tbl}
@@ -318,12 +318,119 @@ object Learn {
       |       CAST(sum(CASE WHEN bucket = 42 THEN c ELSE 0 END) AS BIGINT) AS b42
       |FROM vec GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ histogram split finding
+
+  /** ml_stump — histogram-based best-split search for a decision stump:
+    * the core primitive of every scalable gradient-boosting / random-
+    * forest trainer (LightGBM's histogram algorithm, XGBoost's approx
+    * mode). Label y = (l_returnflag = 'R'); for each of three numeric
+    * lineitem features the values collapse into fixed-width bins, and
+    * the best boundary split per feature is chosen by Gini gain computed
+    * entirely from cumulative bin counts — the "aggregate a histogram,
+    * scan its prefix sums" shape that makes tree training feasible on
+    * 100 TB when exact per-value splits are not.
+    *
+    * Scale: one corpus scan → map-side-combined (feat, bin) histogram of
+    * O(features × bins) rows; the prefix-sum windows and the per-feature
+    * argmax run over that tiny table, never the data. Gain arithmetic is
+    * integer counts until the final few double ops (identical expression
+    * trees both engines, round-6, CLOSE-tolerant); the per-feature
+    * winner ties-break on bin asc.
+    */
+  val stump: Q = (s, d) => {
+    val li = tbl(s, d, "lineitem").select(
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+      (col("l_quantity").cast("double") / 5.0).as("qv"),
+      (col("l_extendedprice").cast("double") / 10000.0).as("pv"),
+      (col("l_discount").cast("double") * 100.0).as("dv"))
+    val bins = li.select(col("y"), expr(
+      """stack(3,
+        |  'disc',  CAST(floor(dv) AS BIGINT),
+        |  'price', CAST(floor(pv) AS BIGINT),
+        |  'qty',   CAST(floor(qv) AS BIGINT)) AS (feat, bin)""".stripMargin))
+    val hist = bins.groupBy(col("feat"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    val wCum = Window.partitionBy(col("feat")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("feat"))
+    def gini(nn: Column, pp: Column): Column =
+      lit(1.0) - (pp.cast("double") / nn) * (pp.cast("double") / nn) -
+        ((nn - pp).cast("double") / nn) * ((nn - pp).cast("double") / nn)
+    val cum = hist.select(col("feat"), col("bin"),
+      sum(col("n")).over(wCum).as("nl"), sum(col("np")).over(wCum).as("pl"),
+      sum(col("n")).over(wTot).as("nt"), sum(col("np")).over(wTot).as("pt"))
+      .where(col("nl") < col("nt"))
+    val scored = cum.select(col("feat"), col("bin"), col("nl"), col("pl"),
+      round(gini(col("nt"), col("pt")) -
+        (col("nl").cast("double") / col("nt")) * gini(col("nl"), col("pl")) -
+        ((col("nt") - col("nl")).cast("double") / col("nt")) *
+          gini(col("nt") - col("nl"), col("pt") - col("pl")), 6).as("gain"))
+    val wRank = Window.partitionBy(col("feat"))
+      .orderBy(col("gain").desc, col("bin"))
+    scored.withColumn("rk", row_number().over(wRank)).where(col("rk") === 1)
+      .select(col("feat"),
+        when(col("feat") === "qty", (col("bin") + 1L) * 5.0)
+          .when(col("feat") === "price", (col("bin") + 1L) * 10000.0)
+          .otherwise((col("bin") + 1L) * 0.01).as("split_value"),
+        col("nl").as("n_left"), col("pl").as("pos_left"), col("gain"))
+      .orderBy(col("feat"))
+  }
+  val stumpSql: String =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+      |         CAST(l_quantity AS DOUBLE) / 5.0 AS qv,
+      |         CAST(l_extendedprice AS DOUBLE) / 10000.0 AS pv,
+      |         CAST(l_discount AS DOUBLE) * 100.0 AS dv
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT 'qty' AS feat, CAST(floor(qv) AS BIGINT) AS bin, y FROM li
+      |  UNION ALL
+      |  SELECT 'price', CAST(floor(pv) AS BIGINT), y FROM li
+      |  UNION ALL
+      |  SELECT 'disc', CAST(floor(dv) AS BIGINT), y FROM li),
+      |hist AS (
+      |  SELECT feat, bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS np
+      |  FROM b GROUP BY feat, bin),
+      |cum AS (
+      |  SELECT feat, bin,
+      |         sum(n) OVER (PARTITION BY feat ORDER BY bin
+      |                      ROWS UNBOUNDED PRECEDING) AS nl,
+      |         sum(np) OVER (PARTITION BY feat ORDER BY bin
+      |                       ROWS UNBOUNDED PRECEDING) AS pl,
+      |         sum(n) OVER (PARTITION BY feat) AS nt,
+      |         sum(np) OVER (PARTITION BY feat) AS pt
+      |  FROM hist),
+      |scored AS (
+      |  SELECT feat, bin, nl, pl,
+      |         round(
+      |           (1.0 - (CAST(pt AS DOUBLE)/nt)*(CAST(pt AS DOUBLE)/nt)
+      |                - (CAST(nt-pt AS DOUBLE)/nt)*(CAST(nt-pt AS DOUBLE)/nt))
+      |           - (CAST(nl AS DOUBLE)/nt) *
+      |             (1.0 - (CAST(pl AS DOUBLE)/nl)*(CAST(pl AS DOUBLE)/nl)
+      |                  - (CAST(nl-pl AS DOUBLE)/nl)*(CAST(nl-pl AS DOUBLE)/nl))
+      |           - (CAST(nt-nl AS DOUBLE)/nt) *
+      |             (1.0 - (CAST(pt-pl AS DOUBLE)/(nt-nl))*(CAST(pt-pl AS DOUBLE)/(nt-nl))
+      |                  - (CAST((nt-nl)-(pt-pl) AS DOUBLE)/(nt-nl))
+      |                    *(CAST((nt-nl)-(pt-pl) AS DOUBLE)/(nt-nl))), 6) AS gain
+      |  FROM cum WHERE nl < nt)
+      |SELECT feat,
+      |       CAST(CASE WHEN feat = 'qty' THEN CAST(bin + 1 AS DOUBLE) * 5.0
+      |                 WHEN feat = 'price' THEN CAST(bin + 1 AS DOUBLE) * 10000.0
+      |                 ELSE CAST(bin + 1 AS DOUBLE) * 0.01 END AS DOUBLE)
+      |         AS split_value,
+      |       CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left, gain
+      |FROM (SELECT *, row_number() OVER (PARTITION BY feat
+      |                                   ORDER BY gain DESC, bin) AS rk
+      |      FROM scored)
+      |WHERE rk = 1 ORDER BY feat""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ml_nb_score"     -> nbScore,
     "fe_hashed"       -> featureHash,
     "ml_nb_confusion" -> nbConfusion,
     "fe_target_encode" -> targetEncode,
     "fe_scale"        -> scaleStats,
+    "ml_stump"        -> stump,
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,5 +439,6 @@ object Learn {
     "ml_nb_confusion" -> nbConfusionSql,
     "fe_target_encode" -> targetEncodeSql,
     "fe_scale"        -> scaleStatsSql,
+    "ml_stump"        -> stumpSql,
   )
 }

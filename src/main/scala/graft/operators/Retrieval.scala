@@ -214,6 +214,118 @@ object Retrieval {
        |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
        |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin
 
+  /** ix_trgm — trigram-index SUBSTRING search (the pg_trgm / Google
+    * code-search technique, Cox 2012): find documents containing the raw
+    * byte pattern "uery lin" — a string that CROSSES token boundaries,
+    * the query class the tokenized index family (ix_phrase, ix_postings)
+    * structurally cannot answer and the reason code/URL corpora index
+    * trigrams. A doc can contain the pattern only if it contains EVERY
+    * one of the pattern's character trigrams, so candidates come from an
+    * inverted trigram posting list and only candidates are verified
+    * against the raw text.
+    *
+    * Scale shape: the posting build is one explode + literal-IN filter
+    * (no shuffle until the matching slice — at 100 TB the posting table
+    * is the persisted index, built once per snapshot like ix_postings);
+    * the AND-of-trigrams is one doc-keyed count==k aggregation; the
+    * verify step rescans only candidate docs via a doc-keyed join.
+    * Exactness: positions and counts are pure integer string ops —
+    * instr/strpos share 1-based/0-absent semantics, and the occurrence
+    * count is the (len − len(replace))/|P| identity in both engines
+    * (non-overlapping occurrences, the replace semantics both share).
+    */
+  val ixTrgm: Q = (s, d) => {
+    import s.implicits._
+    val P = "uery lin"
+    val tris = P.sliding(3).toSeq.distinct
+    val cand = tbl(s, d, "documents")
+      .where(length($"text") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tg"))
+      .where($"tg".isin(tris: _*))
+      .distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("ntg"))
+      .where($"ntg" === tris.size)
+    cand.join(tbl(s, d, "documents"), "doc_id")
+      .select($"doc_id", instr($"text", P).cast("long").as("first_pos"),
+        ((length($"text") - length(expr(s"replace(text, '$P', '')"))) / P.length)
+          .cast("long").as("n_hits"))
+      .where($"first_pos" > 0)
+      .orderBy($"doc_id")
+  }
+  val ixTrgmSql: String = {
+    val P = "uery lin"
+    val tris = P.sliding(3).toSeq.distinct
+    val inList = tris.map(t => s"'$t'").mkString(", ")
+    s"""WITH post AS (
+       |  SELECT DISTINCT doc_id, tg FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(text) - 1),
+       |                  i -> substr(text, i, 3))) AS tg
+       |    FROM documents WHERE len(text) >= 3)
+       |  WHERE tg IN ($inList)),
+       |cand AS (SELECT doc_id FROM post GROUP BY doc_id
+       |         HAVING count(*) = ${tris.size})
+       |SELECT d.doc_id, CAST(strpos(d.text, '$P') AS BIGINT) AS first_pos,
+       |       CAST((len(d.text) - len(replace(d.text, '$P', ''))) // ${P.length} AS BIGINT)
+       |         AS n_hits
+       |FROM cand c JOIN documents d USING (doc_id)
+       |WHERE strpos(d.text, '$P') > 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** ix_regex — regex search over the trigram index (Cox 2012, the
+    * Google Code Search algorithm): a regex's literal fragments imply a
+    * NECESSARY trigram condition — here `quer[a-z]* lin[a-z]*` forces
+    * every match to contain "que", "uer" (from the `quer` literal) and
+    * " li", "lin" (the literal space + `lin`) — so candidates come from
+    * the same AND-of-trigrams posting scan as [[ixTrgm]] and only
+    * candidates pay the regex automaton. This is how a 100 TB corpus
+    * answers regex queries without a full scan: the posting index prunes,
+    * the engine verifies.
+    *
+    * Exactness: the pattern stays inside the regex subset where Java's
+    * engine (Spark) and RE2 (DuckDB) agree exactly — literal runs,
+    * greedy `[a-z]*`, leftmost non-overlapping match enumeration.
+    */
+  val ixRegex: Q = (s, d) => {
+    import s.implicits._
+    val pat = "quer[a-z]* lin[a-z]*"
+    val tris = Seq("que", "uer", " li", "lin")
+    val cand = tbl(s, d, "documents")
+      .where(length($"text") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tg"))
+      .where($"tg".isin(tris: _*))
+      .distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("ntg"))
+      .where($"ntg" === tris.size)
+    cand.join(tbl(s, d, "documents"), "doc_id")
+      .select($"doc_id",
+        expr(s"CAST(regexp_count(text, '$pat') AS BIGINT)").as("n_matches"),
+        regexp_extract($"text", pat, 0).as("first_match"))
+      .where($"n_matches" > 0)
+      .orderBy($"doc_id")
+  }
+  val ixRegexSql: String = {
+    val pat = "quer[a-z]* lin[a-z]*"
+    val inList = Seq("que", "uer", " li", "lin").map(t => s"'$t'").mkString(", ")
+    s"""WITH post AS (
+       |  SELECT DISTINCT doc_id, tg FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(text) - 1),
+       |                  i -> substr(text, i, 3))) AS tg
+       |    FROM documents WHERE len(text) >= 3)
+       |  WHERE tg IN ($inList)),
+       |cand AS (SELECT doc_id FROM post GROUP BY doc_id HAVING count(*) = 4)
+       |SELECT d.doc_id,
+       |       CAST(len(regexp_extract_all(d.text, '$pat')) AS BIGINT) AS n_matches,
+       |       regexp_extract(d.text, '$pat') AS first_match
+       |FROM cand c JOIN documents d USING (doc_id)
+       |WHERE len(regexp_extract_all(d.text, '$pat')) > 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- phrase query
 
   /** ix_phrase — positional-index phrase search: find documents containing
@@ -538,6 +650,8 @@ object Retrieval {
     "ix_bm25"     -> ixBm25,
     "ix_hybrid"   -> ixHybrid,
     "ix_phrase"   -> ixPhrase,
+    "ix_trgm"     -> ixTrgm,
+    "ix_regex"    -> ixRegex,
     "ix_mlt"      -> ixMlt)
   val oracles: Map[String, String] = Map(
     "ix_postings" -> ixPostingsSql,
@@ -548,5 +662,7 @@ object Retrieval {
     "ix_bm25"     -> ixBm25Sql,
     "ix_hybrid"   -> ixHybridSql,
     "ix_phrase"   -> ixPhraseSql,
+    "ix_trgm"     -> ixTrgmSql,
+    "ix_regex"    -> ixRegexSql,
     "ix_mlt"      -> ixMltSql)
 }

@@ -200,7 +200,12 @@ class PlanGuardSpec extends AnyFunSuite {
       // cc_clusters plan-builds-the-loop exclusion: building its plan
       // executes the 4-round LPA driver loop; cc_size_hist rides the
       // memoized CC labels the same way.
-      "dq_psi", "gr_modularity", "cc_size_hist")
+      "dq_psi", "gr_modularity", "cc_size_hist",
+      // geo_dbscan_cc is the cc_clusters plan-builds-the-loop exclusion:
+      // its core-core CC runs Graph.connectedComponents' driver loop at
+      // plan-build time (every in-loop join is a keyed equi-join; the
+      // sibling geo_dbscan gate keeps the grid join under the sweep).
+      "geo_dbscan_cc")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).toSeq.sorted.flatMap { q =>
       val bad = planOf(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
