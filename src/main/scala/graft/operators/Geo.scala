@@ -320,8 +320,8 @@ object Geo {
     * discoverer wins" (disclosed divergence — classic DBSCAN's border
     * assignment depends on scan order, which a distributed engine and a
     * SQL oracle cannot and should not reproduce); core assignments are
-    * order-independent in the paper and identical here. Noise is
-    * excluded, matching the reference semantics of cluster output.
+    * order-independent in the paper and identical here. Noise points are
+    * emitted with a NULL cluster so the output is a complete labeling.
     *
     * Scale: core–core edges are a filter of the memoized pair list; CC
     * is the O(log n)-round min-label loop shared with cc_clusters; the
@@ -345,8 +345,15 @@ object Geo {
       .join(coreLab.select(col("k").as("bk"), col("cluster")), Seq("bk"))
       .join(core, Seq("k"), "left_anti")
       .groupBy(col("k")).agg(min(col("cluster")).as("cluster"))
-    coreLab.select(col("k"), col("cluster"), lit("core").as("role"))
+    val labeled = coreLab.select(col("k"), col("cluster"), lit("core").as("role"))
       .unionByName(borderLab.select(col("k"), col("cluster"), lit("border").as("role")))
+    // noise rides along with a NULL cluster (ml_aniso's NULL discipline):
+    // the output is a COMPLETE labeling of the point set, so downstream
+    // keep/drop filters join once instead of anti-joining the remainder.
+    val noise = dbPoints(s, d).select(col("k"))
+      .join(labeled.select(col("k")), Seq("k"), "left_anti")
+      .select(col("k"), lit(null).cast("long").as("cluster"), lit("noise").as("role"))
+    labeled.unionByName(noise)
       .select(col("k").as("c_custkey"), col("cluster").cast("long").as("cluster"),
         col("role"))
       .orderBy(col("c_custkey"))
@@ -372,12 +379,82 @@ object Geo {
        |  JOIN corelab cl ON p.bk = cl.k
        |  ANTI JOIN core ON p.k = core.k
        |  WHERE p.k <> p.bk
-       |  GROUP BY p.k)
-       |SELECT k AS c_custkey, CAST(cluster AS BIGINT) AS cluster, role FROM (
+       |  GROUP BY p.k),
+       |lab AS (
        |  SELECT k, cluster, 'core' AS role FROM corelab
        |  UNION ALL
-       |  SELECT k, cluster, 'border' AS role FROM borderlab)
+       |  SELECT k, cluster, 'border' AS role FROM borderlab),
+       |noise AS (
+       |  SELECT p.k, CAST(NULL AS BIGINT) AS cluster, 'noise' AS role
+       |  FROM p ANTI JOIN lab ON p.k = lab.k)
+       |SELECT k AS c_custkey, CAST(cluster AS BIGINT) AS cluster, role FROM (
+       |  SELECT * FROM lab UNION ALL SELECT * FROM noise)
        |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------ point in polygon
+
+  /** The gate polygon: a NON-CONVEX chevron on the hash plane (so the
+    * test exercises the even–odd rule, not just a convex hull check).
+    * Closed implicitly (last → first). No edge is horizontal, so the
+    * ray-cast division is always defined.
+    */
+  private val pipVerts: Seq[(Double, Double)] =
+    Seq((-60.0, -30.0), (0.0, 40.0), (60.0, -30.0), (0.0, 0.0))
+
+  /** geo_pip — point-in-polygon containment (ray casting / even–odd
+    * rule) for every customer point against the literal chevron: the
+    * spatial predicate behind geofencing and region-tagging. A bounding-
+    * box range filter runs first — at 100 TB that is the predicate that
+    * pushes into the parquet scan (or prunes Z-ordered files, the
+    * ly_zorder layout) so the exact crossing test touches only bbox
+    * survivors. The crossing count itself is a branch-free sum of per-
+    * edge conditions unrolled from the SAME vertex list in both engines
+    * — pure scan-side arithmetic, no join, no shuffle before the final
+    * sort.
+    *
+    * Exactness: each edge test is comparisons + one guarded division on
+    * identical doubles — identical IEEE op trees both engines; vertices
+    * chosen with no horizontal edge so the divisor is never zero.
+    */
+  val geoPip: Q = (s, d) => {
+    val n = pipVerts.size
+    val xs = pipVerts.map(_._1); val ys = pipVerts.map(_._2)
+    def crossings(px: Column, py: Column): Column =
+      (0 until n).map { i =>
+        val (x1, y1) = (xs(i), ys(i))
+        val (x2, y2) = (xs((i + 1) % n), ys((i + 1) % n))
+        when((lit(y1) > py) =!= (lit(y2) > py),
+          when(px < lit(x1) + (py - lit(y1)) * lit(x2 - x1) / lit(y2 - y1), 1L)
+            .otherwise(0L)).otherwise(0L)
+      }.reduce(_ + _)
+    coords(tbl(s, d, "customer"), "c_custkey")
+      .where(col("lon").between(xs.min, xs.max) && col("lat").between(ys.min, ys.max))
+      .withColumn("crossings", crossings(col("lon"), col("lat")))
+      .where(col("crossings") % 2 === 1)
+      .select(col("c_custkey"), col("crossings"),
+        round(col("lon"), 6).as("lon"), round(col("lat"), 6).as("lat"))
+      .orderBy(col("c_custkey"))
+  }
+  val geoPipSql: String = {
+    val n = pipVerts.size
+    val xs = pipVerts.map(_._1); val ys = pipVerts.map(_._2)
+    val terms = (0 until n).map { i =>
+      val (x1, y1) = (xs(i), ys(i))
+      val (x2, y2) = (xs((i + 1) % n), ys((i + 1) % n))
+      s"""CASE WHEN ($y1 > lat) <> ($y2 > lat)
+         |            THEN CASE WHEN lon < $x1 + (lat - $y1) * ${x2 - x1} / ${y2 - y1}
+         |                      THEN 1 ELSE 0 END ELSE 0 END""".stripMargin
+    }.mkString("\n         + ")
+    s"""WITH c AS (${coordsSql("customer", "c_custkey")}),
+       |x AS (
+       |  SELECT c_custkey, lon, lat,
+       |         CAST($terms AS BIGINT) AS crossings
+       |  FROM c
+       |  WHERE lon BETWEEN ${xs.min} AND ${xs.max}
+       |    AND lat BETWEEN ${ys.min} AND ${ys.max})
+       |SELECT c_custkey, crossings, round(lon, 6) AS lon, round(lat, 6) AS lat
+       |FROM x WHERE crossings % 2 = 1 ORDER BY c_custkey""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map(
     "geo_cell_stats"  -> geoCellStats,
@@ -385,6 +462,7 @@ object Geo {
     "geo_knn"         -> geoKnn,
     "geo_dbscan"      -> geoDbscan,
     "geo_dbscan_cc"   -> geoDbscanCc,
+    "geo_pip"         -> geoPip,
   )
 
   val oracles: Map[String, String] = Map(
@@ -393,5 +471,6 @@ object Geo {
     "geo_knn"         -> geoKnnSql,
     "geo_dbscan"      -> geoDbscanSql,
     "geo_dbscan_cc"   -> geoDbscanCcSql,
+    "geo_pip"         -> geoPipSql,
   )
 }

@@ -1447,7 +1447,132 @@ object Graph {
        |ORDER BY kind, id""".stripMargin
   }
 
+  // ------------------------------------------------- betweenness (Brandes)
+
+  /** Depth bound for the betweenness passes: ≥ the probe graph's
+    * component diameter (LSH candidate components are small and dense),
+    * and the oracle unrolls exactly this many levels.
+    */
+  val BcLevels = 6
+
+  /** gr_betweenness — Brandes betweenness-centrality dependencies
+    * (Brandes 2001) from a deterministic 5-source sample of the LSH pair
+    * graph: the bridge-detector centrality — which documents sit ON the
+    * shortest paths between others — that degree/closeness/PageRank all
+    * miss. Source-sampled exactly as production does at scale (Riondato
+    * & Kornaropoulos: BC from k sampled sources; the per-source plan is
+    * identical, only k grows), with hops bounded by [[BcLevels]].
+    *
+    * Forward pass: level-synchronous multi-source BFS keyed by (src,
+    * node) carrying σ = #shortest paths — per level ONE hash join onto
+    * the undirected edge list, an anti-join against the visited set, and
+    * a keyed σ-sum (σ is an exact BIGINT). Backward pass: dependency
+    * accumulation δ(v) = Σ_{w∈succ} σv/σw·(1+δw) walked from the deepest
+    * level back — per level one join of the level frame × edges × the
+    * deeper frame. All frames are O(visited balls), driver-bounded here,
+    * sharded by src at scale — the plan-builds-the-loop class
+    * (PlanGuardSpec exclusion, cc_clusters reason).
+    *
+    * Exactness: σ are integers; each δ term is quantized to 12 dp and
+    * summed as DECIMAL(30,12) (order-free), the per-level δ re-rounded
+    * to 9 dp, and per-node totals across sources summed as DECIMAL(28,9)
+    * — no float fold ever depends on order in either engine.
+    */
+  val grBetweenness: Q = (s, d) => {
+    val e = cleanEdges(lshPairGraph(s, d), "grBetweenness")
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+      .distinct().persist()
+    val srcs = und.select(col("x")).distinct()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("x"))))
+      .where(col("rk") <= 5).select(col("x").as("src"))
+    val seed = srcs.select(col("src"), col("src").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    // forward: levels(r) = (src, node, sigma) at depth exactly r
+    val levels = scala.collection.mutable.ArrayBuffer(seed)
+    var visited = seed.select(col("src"), col("node")).localCheckpoint()
+    for (_ <- 1 to BcLevels) {
+      val exp = levels.last.join(und, levels.last("node") === und("x"))
+        .select(col("src"), col("y").as("node"), col("sigma"))
+      val nxt = exp.join(visited, Seq("src", "node"), "left_anti")
+        .groupBy(col("src"), col("node")).agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint()
+      levels += nxt
+      visited = visited.union(nxt.select(col("src"), col("node"))).localCheckpoint()
+    }
+    // backward: delta(level r) from delta(level r+1)
+    var deeper = levels(BcLevels).withColumn("delta", lit(0.0))
+    val acc = scala.collection.mutable.ArrayBuffer(deeper)
+    for (r <- (BcLevels - 1) to 1 by -1) {
+      val f = levels(r)
+      val contrib = f.join(und, f("node") === und("x"))
+        .select(col("src"), col("node"), col("sigma"), col("y"))
+        .join(deeper.select(col("src"), col("node").as("y"),
+          col("sigma").as("wsig"), col("delta").as("wdelta")), Seq("src", "y"))
+      val sd = contrib
+        .withColumn("term", round(col("sigma").cast("double") / col("wsig") *
+          (lit(1.0) + col("wdelta")), 12).cast("decimal(30,12)"))
+        .groupBy(col("src"), col("node")).agg(sum(col("term")).as("sd"))
+      deeper = f.join(sd, Seq("src", "node"), "left")
+        .select(col("src"), col("node"), col("sigma"),
+          round(coalesce(col("sd"), lit(java.math.BigDecimal.ZERO)).cast("double"), 9)
+            .as("delta"))
+        .localCheckpoint()
+      acc += deeper
+    }
+    acc.map(_.select(col("node"), col("delta"))).reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(round(sum(col("delta").cast("decimal(28,9)")).cast("double"), 6).as("bc"))
+      .select(col("node").as("doc_id"), col("bc"))
+      .orderBy(col("doc_id"))
+  }
+  val grBetweennessSql: String = {
+    val fwd = (1 to BcLevels).map { r =>
+      s"""f$r AS MATERIALIZED (
+         |  SELECT f.src, u.y AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM f${r - 1} f JOIN und u ON f.node = u.x
+         |  ANTI JOIN v${r - 1} v ON v.src = f.src AND v.node = u.y
+         |  GROUP BY f.src, u.y),
+         |v$r AS (SELECT src, node FROM v${r - 1}
+         |        UNION SELECT src, node FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((BcLevels - 1) to 1 by -1).map { r =>
+      s"""b$r AS MATERIALIZED (
+         |  SELECT f.src, f.node, f.sigma,
+         |         round(CAST(coalesce(s.sd, 0) AS DOUBLE), 9) AS delta
+         |  FROM f$r f LEFT JOIN (
+         |    SELECT f2.src, f2.node,
+         |           sum(CAST(round(CAST(f2.sigma AS DOUBLE) / b.sigma
+         |                          * (1.0 + b.delta), 12) AS DECIMAL(30,12))) AS sd
+         |    FROM f$r f2 JOIN und u ON f2.node = u.x
+         |    JOIN b${r + 1} b ON b.src = f2.src AND b.node = u.y
+         |    GROUP BY f2.src, f2.node) s
+         |  ON s.src = f.src AND s.node = f.node)""".stripMargin
+    }.mkString(",\n")
+    val levelsUnion = ((BcLevels - 1) to 1 by -1)
+      .map(r => s"SELECT node, delta FROM b$r")
+      .mkString("\n  UNION ALL\n  ") + s"\n  UNION ALL\n  SELECT node, delta FROM b$BcLevels"
+    s"""$ccReachCte,
+       |srcs AS (
+       |  SELECT x AS src FROM (
+       |    SELECT x, row_number() OVER (ORDER BY x) AS rk
+       |    FROM (SELECT DISTINCT x FROM und))
+       |  WHERE rk <= 5),
+       |f0 AS (SELECT src, src AS node, CAST(1 AS BIGINT) AS sigma FROM srcs),
+       |v0 AS (SELECT src, node FROM f0),
+       |$fwd,
+       |b$BcLevels AS (SELECT src, node, sigma, CAST(0.0 AS DOUBLE) AS delta
+       |               FROM f$BcLevels),
+       |$bwd
+       |SELECT node AS doc_id,
+       |       round(CAST(sum(CAST(delta AS DECIMAL(28,9))) AS DOUBLE), 6) AS bc
+       |FROM ($levelsUnion)
+       |GROUP BY node ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "gr_betweenness" -> grBetweenness,
     "cc_clusters"    -> ccClusters,
     "cc_star"        -> ccStarClusters,
     "cc_incremental" -> ccIncremental,
@@ -1482,6 +1607,7 @@ object Graph {
     "gr_degdist"     -> grDegDistSql,
     "gr_bfs"         -> grBfsSql,
     "gr_sssp"        -> grSsspSql,
+    "gr_betweenness" -> grBetweennessSql,
     "gr_ppr"         -> grPprSql,
     "gr_jaccard"     -> grJaccardSql,
     "gr_hits"        -> grHitsSql,

@@ -908,7 +908,102 @@ object Stats {
       |FROM it3 JOIN wtot wt ON wt.i = it3.i, tot
       |ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- Benjamini–Hochberg FDR
+
+  /** st_bh — per-nation goodness-of-fit screen with Benjamini–Hochberg
+    * false-discovery-rate correction (BH 1995): the multiple-testing
+    * control every fleet-wide monitoring job needs — run one test per
+    * nation (here: does a nation's l_returnflag mix match the global
+    * mix?) and you must correct the m p-values or ~5% of nations "fail"
+    * by chance every run. Per-nation χ² against global category
+    * proportions has df = |categories| − 1 = 2 (A/N/R), and the df=2
+    * chi-square survival function is CLOSED FORM — p = exp(−χ²/2) — so
+    * the whole pipeline stays exactly expressible in both engines with
+    * no incomplete-gamma approximation. BH: rank p ascending, raw_i =
+    * p_i·m/i, adjusted p_i = min(raw_j : j ≥ i) ∧ 1 — the suffix min via
+    * one window frame (current → unbounded following) over the O(m)
+    * table.
+    *
+    * Scale: one lineitem scan collapses to the (nation, flag) count
+    * grid (map-side combined, supplier dim broadcast); everything after
+    * runs on O(nations × flags) rows. The grid is densified
+    * ev_gapfill-style so zero cells still contribute (0−E)²/E, and the
+    * grand total attaches as the declared ONE-ROW scalar crossJoin.
+    */
+  val stBh: Q = (s, d) => {
+    val sup = tbl(s, d, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey").as("nk"))
+    val seen = tbl(s, d, "lineitem").select(col("l_suppkey"), col("l_returnflag").as("rf"))
+      .join(broadcast(sup), Seq("l_suppkey"))
+      .groupBy(col("nk"), col("rf")).agg(count(lit(1)).as("o"))
+    val cells = seen.select(col("nk")).distinct()
+      .crossJoin(seen.select(col("rf")).distinct())
+      .join(seen, Seq("nk", "rf"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val gT = cells.groupBy(col("nk")).agg(sum(col("o")).as("ng"))
+    val cT = cells.groupBy(col("rf")).agg(sum(col("o")).as("oc"))
+    val tot = cells.agg(sum(col("o")).as("nn"))
+    val chi = cells.join(broadcast(gT), Seq("nk"))
+      .join(broadcast(cT), Seq("rf"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", (col("ng") * col("oc")).cast("double") / col("nn"))
+      .withColumn("contrib",
+        round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 9))
+      .groupBy(col("nk")).agg(round(sum(col("contrib")), 6).as("chi2"))
+      .withColumn("p", round(exp(-col("chi2") / 2.0), 9))
+    val wRank = Window.orderBy(col("p"), col("nk"))
+    val wSuffix = Window.orderBy(col("rk"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    chi
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("raw", col("p") * col("m") / col("rk"))
+      .withColumn("p_adj", round(least(min(col("raw")).over(wSuffix), lit(1.0)), 6))
+      .select(col("nk").cast("long").as("nationkey"), col("chi2"),
+        round(col("p"), 6).as("p"), col("rk").cast("long").as("rk"), col("p_adj"),
+        (col("p_adj") <= 0.05).as("reject"))
+      .orderBy(col("nationkey"))
+  }
+  val stBhSql: String =
+    """WITH seen AS (
+      |  SELECT s.s_nationkey AS nk, l.l_returnflag AS rf, count(*) AS o
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT g.nk, g.rf, coalesce(seen.o, 0) AS o
+      |  FROM (SELECT n.nk, f.rf
+      |        FROM (SELECT DISTINCT nk FROM seen) n,
+      |             (SELECT DISTINCT rf FROM seen) f) g
+      |  LEFT JOIN seen ON seen.nk = g.nk AND seen.rf = g.rf),
+      |gt AS (SELECT nk, sum(o) AS ng FROM cells GROUP BY 1),
+      |ct AS (SELECT rf, sum(o) AS oc FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+      |chi AS (
+      |  SELECT cells.nk, round(sum(round(
+      |           (cells.o - CAST(gt.ng * ct.oc AS DOUBLE) / tot.nn)
+      |           * (cells.o - CAST(gt.ng * ct.oc AS DOUBLE) / tot.nn)
+      |           / (CAST(gt.ng * ct.oc AS DOUBLE) / tot.nn), 9)), 6) AS chi2
+      |  FROM cells JOIN gt USING (nk) JOIN ct USING (rf), tot
+      |  GROUP BY cells.nk),
+      |pv AS (SELECT nk, chi2, round(exp(-chi2 / 2.0), 9) AS p FROM chi),
+      |rkd AS (
+      |  SELECT nk, chi2, p,
+      |         count(*) OVER () AS m,
+      |         row_number() OVER (ORDER BY p, nk) AS rk
+      |  FROM pv),
+      |adj AS (
+      |  SELECT nk, chi2, p, rk,
+      |         round(least(min(p * m / rk) OVER (ORDER BY rk
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0), 6)
+      |           AS p_adj
+      |  FROM rkd)
+      |SELECT CAST(nk AS BIGINT) AS nationkey, chi2, round(p, 6) AS p,
+      |       CAST(rk AS BIGINT) AS rk, p_adj, p_adj <= 0.05 AS reject
+      |FROM adj ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st_bh"     -> stBh,
     "st_kappa"  -> stKappa,
     "rl_bt"     -> rlBt,
     "st_ttest"  -> stTtest,
@@ -925,6 +1020,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_bh"     -> stBhSql,
     "st_kappa"  -> stKappaSql,
     "rl_bt"     -> rlBtSql,
     "st_ttest"  -> stTtestSql,

@@ -201,6 +201,13 @@ class PlanGuardSpec extends AnyFunSuite {
       // executes the 4-round LPA driver loop; cc_size_hist rides the
       // memoized CC labels the same way.
       "dq_psi", "gr_modularity", "cc_size_hist",
+      // st_bh crossJoins its ONE-ROW grand total (scalar-join class) and
+      // densifies the nation × returnflag grid (ev_gapfill class).
+      "st_bh",
+      // gr_betweenness is the cc_clusters plan-builds-the-loop exclusion:
+      // both Brandes passes run driver loops of keyed equi-joins over
+      // checkpointed level frames.
+      "gr_betweenness",
       // geo_dbscan_cc is the cc_clusters plan-builds-the-loop exclusion:
       // its core-core CC runs Graph.connectedComponents' driver loop at
       // plan-build time (every in-loop join is a keyed equi-join; the
