@@ -336,7 +336,13 @@ object Geo {
       .join(core, Seq("k"), "left_semi")
       .join(core.withColumnRenamed("k", "bk"), Seq("bk"), "left_semi")
       .select(col("k").as("a"), col("bk").as("b"))
-    val ccLab = Graph.connectedComponents(coreEdges)
+    // star-CC, not plain min-label: at high density the core graph is one
+    // near-percolated component spanning the whole plane, whose hop
+    // diameter (~plane-width/eps cells) blows past min-label's O(diameter)
+    // round budget — large/small-star contracts in O(log n) rounds
+    // regardless of diameter (measured: min-label DNF at sf0.1's ~45-hop
+    // giant component; star converges).
+    val ccLab = Graph.connectedComponentsStar(coreEdges)
       .select(col("node").as("k"), col("cluster"))
     // isolated cores: no core-core edge → singleton cluster = self
     val coreLab = core.join(ccLab, Seq("k"), "left")

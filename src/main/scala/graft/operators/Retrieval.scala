@@ -238,11 +238,17 @@ object Retrieval {
     import s.implicits._
     val P = "uery lin"
     val tris = P.sliding(3).toSeq.distinct
+    // the IN-filter runs INSIDE the generator lambda, before explode: the
+    // posting scan emits only the query's trigrams (a handful per doc),
+    // not the ~|text| full trigram stream — the explode output and the
+    // downstream distinct shuffle shrink by ~100× (measured 2.2 s → sub-s
+    // at sf0.1). At 100 TB the full posting table is a prebuilt index;
+    // this is the query-time slice of it.
+    val inList = tris.map(t => s"'$t'").mkString(", ")
     val cand = tbl(s, d, "documents")
       .where(length($"text") >= 3)
       .select($"doc_id", explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tg"))
-      .where($"tg".isin(tris: _*))
+        s"filter(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)), t -> t IN ($inList))")).as("tg"))
       .distinct()
       .groupBy($"doc_id").agg(count(lit(1)).as("ntg"))
       .where($"ntg" === tris.size)
@@ -292,11 +298,12 @@ object Retrieval {
     import s.implicits._
     val pat = "quer[a-z]* lin[a-z]*"
     val tris = Seq("que", "uer", " li", "lin")
+    // pre-explode IN-filter — see ixTrgm's posting-slice note.
+    val inList = tris.map(t => s"'$t'").mkString(", ")
     val cand = tbl(s, d, "documents")
       .where(length($"text") >= 3)
       .select($"doc_id", explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tg"))
-      .where($"tg".isin(tris: _*))
+        s"filter(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)), t -> t IN ($inList))")).as("tg"))
       .distinct()
       .groupBy($"doc_id").agg(count(lit(1)).as("ntg"))
       .where($"ntg" === tris.size)

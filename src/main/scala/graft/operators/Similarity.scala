@@ -1651,7 +1651,83 @@ object Similarity {
       |  FROM scored)
       |WHERE rank <= 3 ORDER BY eval_id, rank""".stripMargin
 
+  // --------------------------------------------------- k-means‖ seeding
+
+  /** ml_kmeanspp — one oversampling round of k-means‖ (Bahmani et al.
+    * 2012), the distributed replacement for sequential k-means++
+    * seeding: against the current seed set every point computes its
+    * squared distance D² to the nearest seed, and is sampled with
+    * probability min(1, ℓ·D²/φ) where φ = ΣD² — so far-from-coverage
+    * points are picked and the expected draw is ℓ. Production runs
+    * O(log φ) such rounds then reclusters the oversampled set; each
+    * round is exactly this plan, so the gate proves the building block.
+    *
+    * Exactness: components quantize to ℤ (floor(x·1e6), the lloyd
+    * discipline), so D² is an EXACT BIGINT min and φ an exact
+    * DECIMAL(38,0) sum — no float enters until the single probability
+    * ratio. The coin is the suite's integer-exact md5-hex uniform keyed
+    * "kpp:vec_id", bit-identical in both engines.
+    *
+    * Scale: the distance stage is the declared corpus × O(K) seed
+    * broadcast (ivfAssign shape) expressed as a component-index hash
+    * join; φ attaches as the ONE-ROW scalar crossJoin; the coin and
+    * filter are scan-side. Nothing shuffles on anything wider than
+    * vec_id.
+    */
+  val KppStride = 100L
+  val KppL = 10
+  val mlKmeanspp: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings")
+    val comps = e.select(col("vec_id"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        floor(col("x") * lit(1e6)).cast("long").as("xq"))
+    val seeds = comps.where(col("vec_id") % KppStride === 0)
+      .select(col("vec_id").as("cid"), col("i"), col("xq").as("cq"))
+    val d2 = comps.join(broadcast(seeds), Seq("i"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2c"))
+      .groupBy(col("vec_id")).agg(min(col("d2c")).as("d2q"))
+    val phi = d2.agg(sum(col("d2q").cast("decimal(38,0)")).as("phi"))
+    val uTerms = (1 to 6).map(i =>
+      s"(instr('0123456789abcdef', substr(__h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}L")
+      .mkString(" + ")
+    d2.crossJoin(broadcast(phi))
+      .withColumn("prob", round(
+        col("d2q").cast("double") * lit(KppL) / col("phi").cast("double"), 9))
+      .withColumn("__h", md5(concat(lit("kpp:"), col("vec_id"))))
+      .withColumn("__u", (expr(uTerms) + 0.5) / 16777216.0)
+      .where(col("__u") < col("prob"))
+      .select(col("vec_id"), col("d2q"), col("prob"))
+      .orderBy(col("vec_id"))
+  }
+  val mlKmeansppSql: String = {
+    val uTerms = (1 to 6).map(i =>
+      s"(instr('0123456789abcdef', substr(md5('kpp:' || CAST(vec_id AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |dims AS (SELECT unnest(range(0, $Dim)) AS i),
+       |comp AS (SELECT vec_id, i, CAST(floor(emb[i+1]*1e6) AS BIGINT) AS xq
+       |         FROM e CROSS JOIN dims),
+       |seeds AS (SELECT vec_id AS cid, i, xq AS cq FROM comp
+       |          WHERE vec_id % $KppStride = 0),
+       |d2 AS (
+       |  SELECT vec_id, CAST(min(d2c) AS BIGINT) AS d2q FROM (
+       |    SELECT c.vec_id, s.cid, sum((c.xq - s.cq) * (c.xq - s.cq)) AS d2c
+       |    FROM comp c JOIN seeds s USING (i) GROUP BY c.vec_id, s.cid)
+       |  GROUP BY vec_id),
+       |phi AS (SELECT CAST(sum(CAST(d2q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS phi
+       |        FROM d2)
+       |SELECT vec_id, d2q,
+       |       round(CAST(d2q AS DOUBLE) * $KppL / CAST(phi AS DOUBLE), 9) AS prob
+       |FROM d2, phi
+       |WHERE (($uTerms) + 0.5) / 16777216.0
+       |        < round(CAST(d2q AS DOUBLE) * $KppL / CAST(phi AS DOUBLE), 9)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml_kmeanspp"       -> mlKmeanspp,
     "ann_hard_negatives" -> annHardNegatives,
     "dc_semantic"       -> dcSemantic,
     "ml_pca_cov"        -> pcaCov,
@@ -1677,6 +1753,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_kmeanspp"       -> mlKmeansppSql,
     "ann_hard_negatives" -> annHardNegativesSql,
     "dc_semantic"       -> dcSemanticSql,
     "ml_pca_cov"        -> pcaCovSql,

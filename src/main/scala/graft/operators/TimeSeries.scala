@@ -408,7 +408,113 @@ object TimeSeries {
        |             / CAST(nd * nd AS DOUBLE), 6) AS power
        |FROM sums, nd ORDER BY p""".stripMargin
 
+  // ----------------------------------------------------------- AR(2) fit
+
+  /** ts_ar2 — Yule–Walker AR(2) fit of the daily series plus its
+    * in-sample one-step error: the minimal autoregressive forecaster
+    * (and the standard "is yesterday+day-before enough" baseline every
+    * forecasting bake-off starts from). φ₁ = r₁(1−r₂)/(1−r₁²),
+    * φ₂ = (r₂−r₁²)/(1−r₁²) from the lag-1/lag-2 autocorrelations,
+    * intercept c = μ(1−φ₁−φ₂); the lag correlations reuse ts_acf's
+    * exact-BIGINT moment estimator (a disclosed estimator choice — the
+    * overlapping-pair Pearson r, not the /n biased autocovariance).
+    *
+    * Everything runs on the O(days) daily aggregate: one ordered window
+    * pass for both lags, exact integer moments, the 2-lag moment table
+    * pivoted to one parameter row, and the prediction sweep re-joins the
+    * parameters as the declared ONE-ROW scalar crossJoin. Per-day
+    * squared errors are quantized to 6 dp and summed as DECIMAL(28,6)
+    * (order-free) before the single final sqrt.
+    */
+  val tsAr2: Q = (s, d) => {
+    val w = Window.orderBy(col("day"))
+    val lagged = dailyIdx(s, d)
+      .withColumn("y1", lag(col("n"), 1).over(w))
+      .withColumn("y2", lag(col("n"), 2).over(w))
+      .localCheckpoint()
+    val mom = lagged
+      .select(expr("stack(2, 1, n, y1, 2, n, y2) AS (lag, x, y)"))
+      .where(col("y").isNotNull)
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lag"),
+        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(((col("m") * col("sxx") - col("sx") * col("sx")) *
+            (col("m") * col("syy") - col("sy") * col("sy"))).cast("double")), 6)
+          .as("r"))
+    val mu = dailyIdx(s, d).agg(
+      (sum(col("n")).cast("double") / count(lit(1))).as("mu"))
+    val params = mom
+      .agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+        max(when(col("lag") === 2, col("r"))).as("r2"))
+      .crossJoin(mu)
+      .select(col("r1"), col("r2"), col("mu"),
+        round((col("r1") * (lit(1.0) - col("r2"))) /
+          (lit(1.0) - col("r1") * col("r1")), 9).as("phi1"),
+        round((col("r2") - col("r1") * col("r1")) /
+          (lit(1.0) - col("r1") * col("r1")), 9).as("phi2"))
+      .select(col("r1"), col("r2"), col("phi1"), col("phi2"),
+        round(col("mu") * (lit(1.0) - col("phi1") - col("phi2")), 9).as("c"))
+    lagged.where(col("y2").isNotNull)
+      .crossJoin(broadcast(params))
+      .withColumn("e2", round(
+        (col("n") - (col("c") + col("phi1") * col("y1") + col("phi2") * col("y2"))) *
+          (col("n") - (col("c") + col("phi1") * col("y1") + col("phi2") * col("y2"))), 6)
+        .cast("decimal(28,6)"))
+      .groupBy(col("r1"), col("r2"), col("phi1"), col("phi2"), col("c"))
+      .agg(count(lit(1)).as("m"),
+        round(sqrt(sum(col("e2")).cast("double") / count(lit(1))), 6).as("rmse"))
+      .select(col("phi1"), col("phi2"), col("c"), col("m"), col("rmse"))
+  }
+  val tsAr2Sql: String =
+    s"""WITH $dailyIdxSql,
+       |lagged AS (
+       |  SELECT day, n,
+       |         lag(n, 1) OVER (ORDER BY day) AS y1,
+       |         lag(n, 2) OVER (ORDER BY day) AS y2
+       |  FROM idx),
+       |mom AS (
+       |  SELECT lag, count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+       |         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+       |  FROM (SELECT 1 AS lag, n AS x, y1 AS y FROM lagged WHERE y1 IS NOT NULL
+       |        UNION ALL
+       |        SELECT 2 AS lag, n AS x, y2 AS y FROM lagged WHERE y2 IS NOT NULL)
+       |  GROUP BY lag),
+       |acf AS (
+       |  SELECT lag,
+       |         round(CAST(m*sxy - sx*sy AS DOUBLE)
+       |               / sqrt(CAST((m*sxx - sx*sx) * (m*syy - sy*sy) AS DOUBLE)), 6)
+       |           AS r
+       |  FROM mom),
+       |mu AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu FROM idx),
+       |p0 AS (
+       |  SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+       |         max(CASE WHEN lag = 2 THEN r END) AS r2
+       |  FROM acf),
+       |p1 AS (
+       |  SELECT r1, r2, mu,
+       |         round((r1 * (1.0 - r2)) / (1.0 - r1 * r1), 9) AS phi1,
+       |         round((r2 - r1 * r1) / (1.0 - r1 * r1), 9) AS phi2
+       |  FROM p0, mu),
+       |params AS (
+       |  SELECT r1, r2, phi1, phi2,
+       |         round(mu * (1.0 - phi1 - phi2), 9) AS c
+       |  FROM p1)
+       |SELECT phi1, phi2, c, count(*) AS m,
+       |       round(sqrt(CAST(sum(CAST(round(
+       |               (n - (c + phi1*y1 + phi2*y2)) * (n - (c + phi1*y1 + phi2*y2)),
+       |               6) AS DECIMAL(28,6))) AS DOUBLE) / count(*)), 6) AS rmse
+       |FROM lagged, params
+       |WHERE y2 IS NOT NULL
+       |GROUP BY phi1, phi2, c
+       |ORDER BY phi1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ts_ar2"       -> tsAr2,
     "ts_ewma"      -> tsEwma,
     "ts_holt"      -> tsHolt,
     "ts_backtest"  -> tsBacktest,
@@ -419,6 +525,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_ar2"       -> tsAr2Sql,
     "ts_ewma"      -> tsEwmaSql,
     "ts_holt"      -> tsHoltSql,
     "ts_backtest"  -> tsBacktestSql,

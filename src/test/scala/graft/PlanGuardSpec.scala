@@ -204,6 +204,12 @@ class PlanGuardSpec extends AnyFunSuite {
       // st_bh crossJoins its ONE-ROW grand total (scalar-join class) and
       // densifies the nation × returnflag grid (ev_gapfill class).
       "st_bh",
+      // ml_kmeanspp crossJoins its ONE-ROW φ = ΣD² total (scalar-join
+      // class); the seed distances are a component-index hash equi-join.
+      "ml_kmeanspp",
+      // ts_ar2 crossJoins its ONE-ROW parameter row (r1/r2/φ/c) and the
+      // ONE-ROW series mean onto the O(days) table — scalar-join class.
+      "ts_ar2",
       // gr_betweenness is the cc_clusters plan-builds-the-loop exclusion:
       // both Brandes passes run driver loops of keyed equi-joins over
       // checkpointed level frames.
