@@ -1478,34 +1478,36 @@ object Graph {
     * to 9 dp, and per-node totals across sources summed as DECIMAL(28,9)
     * — no float fold ever depends on order in either engine.
     */
-  val grBetweenness: Q = (s, d) => {
-    val e = cleanEdges(lshPairGraph(s, d), "grBetweenness")
+  /** The reusable Brandes kernel: edges (a, b) + a `src` source column →
+    * (node, bc) where bc is the summed dependency δ over the given
+    * sources (v = src rows excluded per Brandes). Levels bounds both
+    * passes; see [[grBetweenness]] for the discipline notes.
+    */
+  def brandes(edges: DataFrame, sources: DataFrame,
+              levels: Int = BcLevels): DataFrame = {
+    val e = cleanEdges(edges, "brandes")
     val und = e.select(col("a").as("x"), col("b").as("y"))
       .union(e.select(col("b").as("x"), col("a").as("y")))
       .distinct().persist()
-    val srcs = und.select(col("x")).distinct()
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("x"))))
-      .where(col("rk") <= 5).select(col("x").as("src"))
-    val seed = srcs.select(col("src"), col("src").as("node"), lit(1L).as("sigma"))
+    val seed = sources.select(col("src"), col("src").as("node"), lit(1L).as("sigma"))
       .localCheckpoint()
-    // forward: levels(r) = (src, node, sigma) at depth exactly r
-    val levels = scala.collection.mutable.ArrayBuffer(seed)
+    // forward: lvls(r) = (src, node, sigma) at depth exactly r
+    val lvls = scala.collection.mutable.ArrayBuffer(seed)
     var visited = seed.select(col("src"), col("node")).localCheckpoint()
-    for (_ <- 1 to BcLevels) {
-      val exp = levels.last.join(und, levels.last("node") === und("x"))
+    for (_ <- 1 to levels) {
+      val exp = lvls.last.join(und, lvls.last("node") === und("x"))
         .select(col("src"), col("y").as("node"), col("sigma"))
       val nxt = exp.join(visited, Seq("src", "node"), "left_anti")
         .groupBy(col("src"), col("node")).agg(sum(col("sigma")).as("sigma"))
         .localCheckpoint()
-      levels += nxt
+      lvls += nxt
       visited = visited.union(nxt.select(col("src"), col("node"))).localCheckpoint()
     }
     // backward: delta(level r) from delta(level r+1)
-    var deeper = levels(BcLevels).withColumn("delta", lit(0.0))
+    var deeper = lvls(levels).withColumn("delta", lit(0.0))
     val acc = scala.collection.mutable.ArrayBuffer(deeper)
-    for (r <- (BcLevels - 1) to 1 by -1) {
-      val f = levels(r)
+    for (r <- (levels - 1) to 1 by -1) {
+      val f = lvls(r)
       val contrib = f.join(und, f("node") === und("x"))
         .select(col("src"), col("node"), col("sigma"), col("y"))
         .join(deeper.select(col("src"), col("node").as("y"),
@@ -1524,6 +1526,18 @@ object Graph {
     acc.map(_.select(col("node"), col("delta"))).reduce(_ unionByName _)
       .groupBy(col("node"))
       .agg(round(sum(col("delta").cast("decimal(28,9)")).cast("double"), 6).as("bc"))
+  }
+
+  val grBetweenness: Q = (s, d) => {
+    val edges = lshPairGraph(s, d)
+    val ce = cleanEdges(edges, "grBetweenness")
+    val nodes = ce.select(col("a").as("x"))
+      .union(ce.select(col("b").as("x"))).distinct()
+    val srcs = nodes
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("x"))))
+      .where(col("rk") <= 5).select(col("x").as("src"))
+    brandes(edges, srcs)
       .select(col("node").as("doc_id"), col("bc"))
       .orderBy(col("doc_id"))
   }

@@ -337,17 +337,13 @@ object Learn {
     * trees both engines, round-6, CLOSE-tolerant); the per-feature
     * winner ties-break on bin asc.
     */
-  val stump: Q = (s, d) => {
-    val li = tbl(s, d, "lineitem").select(
-      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
-      (col("l_quantity").cast("double") / 5.0).as("qv"),
-      (col("l_extendedprice").cast("double") / 10000.0).as("pv"),
-      (col("l_discount").cast("double") * 100.0).as("dv"))
-    val bins = li.select(col("y"), expr(
-      """stack(3,
-        |  'disc',  CAST(floor(dv) AS BIGINT),
-        |  'price', CAST(floor(pv) AS BIGINT),
-        |  'qty',   CAST(floor(qv) AS BIGINT)) AS (feat, bin)""".stripMargin))
+  /** The reusable split kernel: (feat, bin, y) rows → the best boundary
+    * split per feature as (feat, bin, nl, pl, gain) — Gini gain from the
+    * cumulative/total prefix-sum windows over the bin histogram, winner
+    * tie-broken on bin asc. Factored so a fixture spec can drive it with
+    * hand-computed histograms.
+    */
+  def stumpSplits(bins: DataFrame): DataFrame = {
     val hist = bins.groupBy(col("feat"), col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
     val wCum = Window.partitionBy(col("feat")).orderBy(col("bin"))
@@ -368,6 +364,21 @@ object Learn {
     val wRank = Window.partitionBy(col("feat"))
       .orderBy(col("gain").desc, col("bin"))
     scored.withColumn("rk", row_number().over(wRank)).where(col("rk") === 1)
+      .drop("rk")
+  }
+
+  val stump: Q = (s, d) => {
+    val li = tbl(s, d, "lineitem").select(
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+      (col("l_quantity").cast("double") / 5.0).as("qv"),
+      (col("l_extendedprice").cast("double") / 10000.0).as("pv"),
+      (col("l_discount").cast("double") * 100.0).as("dv"))
+    val bins = li.select(col("y"), expr(
+      """stack(3,
+        |  'disc',  CAST(floor(dv) AS BIGINT),
+        |  'price', CAST(floor(pv) AS BIGINT),
+        |  'qty',   CAST(floor(qv) AS BIGINT)) AS (feat, bin)""".stripMargin))
+    stumpSplits(bins)
       .select(col("feat"),
         when(col("feat") === "qty", (col("bin") + 1L) * 5.0)
           .when(col("feat") === "price", (col("bin") + 1L) * 10000.0)

@@ -381,4 +381,32 @@ class MlExtrasSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out == Map("A" -> ((2L, expected)), "B" -> ((2L, expected))), s"got $out want $expected")
   }
+
+  test("brandes: path-graph dependencies match the closed form") {
+    // path 1-2-3-4-5, source 1: δ(2)=3, δ(3)=2, δ(4)=1, δ(5)=0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val srcs = Seq(1L).toDF("src")
+    val bc = operators.Graph.brandes(edges, srcs)
+      .as[(Long, Double)].collect().toMap
+    assert(bc == Map(2L -> 3.0, 3L -> 2.0, 4L -> 1.0, 5L -> 0.0), s"got $bc")
+  }
+
+  test("brandes: diamond splits dependency across the two shortest paths") {
+    // 1-2, 1-3, 2-4, 3-4, source 1: σ(4)=2 → δ(2)=δ(3)=1/2·(1+0)=0.5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val srcs = Seq(1L).toDF("src")
+    val bc = operators.Graph.brandes(edges, srcs)
+      .as[(Long, Double)].collect().toMap
+    assert(bc == Map(2L -> 0.5, 3L -> 0.5, 4L -> 0.0), s"got $bc")
+  }
+
+  test("stumpSplits picks the perfectly separating boundary with gain = parent Gini") {
+    // bin 0: 5 rows all positive; bin 1: 5 rows all negative →
+    // split after bin 0, gain = 1 − 2·0.5² − 0 = 0.5
+    val bins = (Seq.fill(5)(("f", 0L, 1L)) ++ Seq.fill(5)(("f", 1L, 0L)))
+      .toDF("feat", "bin", "y")
+    val best = Learn.stumpSplits(bins)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(best.toSeq == Seq(("f", 0L, 5L, 5L, 0.5)), s"got ${best.toSeq}")
+  }
 }
