@@ -456,8 +456,15 @@ object Dedup {
     * through a shared anchor.
     */
   val MinRun = 8
-  val substrPairs: Q = (s, d) => {
-    val g = dupGramsWithStart(tbl(s, d, "documents").select(col("doc_id"), col("text")))
+
+  /** The anchor-diff kernel over an arbitrary (doc_id, text) frame —
+    * factored so a spec can drive it on a PLANTED corpus and assert the
+    * Lee et al. maximal-run semantics directly (run length = island
+    * size + k − 1), which the gate's live-corpus oracle replays but
+    * cannot pin to known spans.
+    */
+  def substrPairsOf(docs: DataFrame, minRun: Int = MinRun): DataFrame = {
+    val g = dupGramsWithStart(docs)
     val a = g.select(col("gram"), col("doc_id").as("a"), col("start").as("pa"))
     val b = g.select(col("gram"), col("doc_id").as("b"), col("start").as("pb"))
     val m = a.join(b, Seq("gram")).where(col("a") < col("b"))
@@ -469,10 +476,13 @@ object Dedup {
       .agg((count(lit(1)) + lit(DupK - 1)).as("run_toks"))
     runs.groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(max(col("run_toks")).as("max_run"),
-        sum(when(col("run_toks") >= MinRun, 1L).otherwise(0L)).as("n_runs"))
-      .where(col("max_run") >= MinRun)
+        sum(when(col("run_toks") >= minRun, 1L).otherwise(0L)).as("n_runs"))
+      .where(col("max_run") >= minRun)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  val substrPairs: Q = (s, d) =>
+    substrPairsOf(tbl(s, d, "documents").select(col("doc_id"), col("text")))
   val substrPairsSql: String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |gs AS (

@@ -1475,7 +1475,66 @@ object Temporal {
       |SELECT model, touch_type, round(CAST(micro AS DOUBLE) / 1e6, 6) AS credit
       |FROM melted ORDER BY model, touch_type""".stripMargin
 
+  // --------------------------------------------------- interval overlap join
+
+  /** rj_interval — interval × interval OVERLAP join (the IEJoin /
+    * temporal-overlap class: `a.start ≤ b.end AND b.start ≤ a.end`),
+    * which the point-probe family (rj_range: point ∈ band; rj_band:
+    * |x−y| ≤ w) cannot express — two sets of validity windows, find
+    * every concurrent pair. Both sides are order "processing windows":
+    * closed day intervals [orderdate, orderdate + 1 + orderkey%7] for
+    * two disjoint customer slices.
+    *
+    * Scale shape: a naive overlap join plans nested-loop; bucketizing
+    * time into width-W cells (W = 8 d ≥ the max interval length, so each
+    * interval spans ≤ 2 cells) turns it into a hash EQUI-join on the
+    * cell id. Dedup without a distinct: an overlapping pair's overlap
+    * START max(ls, rs) lies in both intervals, and floor is monotone, so
+    * `cell = greatest(floor(ls/W), floor(rs/W))` holds in EXACTLY one
+    * joined cell per overlapping pair — the standard one-match guard.
+    * Both sides shuffle by cell (co-partitioned, big×big safe); the
+    * oracle is the UNPRUNED inequality join, proving the grid cover
+    * exact. Long intervals at 100 TB: split into ≤W segments first (the
+    * replication factor is len/W, disclosed).
+    */
+  val rjInterval: Q = (s, d) => {
+    import s.implicits._
+    val W = 8
+    def side(mod: Long) = tbl(s, d, "orders")
+      .where($"o_custkey" % 20 === mod)
+      .select($"o_orderkey",
+        datediff($"o_orderdate", to_date(lit("1992-01-01"))).cast("long").as("ls"))
+      .withColumn("le", $"ls" + 1L + $"o_orderkey" % 7)
+    val l = side(0L)
+      .withColumn("cell", explode(expr(s"sequence(ls div $W, le div $W)")))
+      .select($"o_orderkey".as("l_orderkey"), $"ls", $"le", $"cell")
+    val r = side(10L)
+      .withColumn("cell", explode(expr(s"sequence(ls div $W, le div $W)")))
+      .select($"o_orderkey".as("r_orderkey"), $"ls".as("rs"), $"le".as("re"), $"cell")
+    l.join(r, Seq("cell"))
+      .where($"ls" <= $"re" && $"rs" <= $"le" &&
+        expr(s"cell = greatest(ls, rs) div $W"))
+      .select($"l_orderkey", $"r_orderkey",
+        (least($"le", $"re") - greatest($"ls", $"rs") + 1L).as("overlap_days"))
+      .orderBy($"l_orderkey", $"r_orderkey")
+  }
+  val rjIntervalSql: String =
+    """WITH iv AS (
+      |  SELECT o_orderkey,
+      |         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS ls,
+      |         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+      |           + 1 + o_orderkey % 7 AS le,
+      |         o_custkey % 20 AS m
+      |  FROM orders WHERE o_custkey % 20 IN (0, 10))
+      |SELECT l.o_orderkey AS l_orderkey, r.o_orderkey AS r_orderkey,
+      |       least(l.le, r.re2) - greatest(l.ls, r.rs2) + 1 AS overlap_days
+      |FROM (SELECT o_orderkey, ls, le FROM iv WHERE m = 0) l
+      |JOIN (SELECT o_orderkey, ls AS rs2, le AS re2 FROM iv WHERE m = 10) r
+      |  ON l.ls <= r.re2 AND r.rs2 <= l.le
+      |ORDER BY l_orderkey, r_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "rj_interval"   -> rjInterval,
     "ev_attrib"     -> evAttrib,
     "ev_streak"     -> evStreak,
     "w3_sessionize" -> w3Sessionize,
@@ -1511,6 +1570,7 @@ object Temporal {
     "w3_sessionize" -> w3SessionizeSql,
     "aj_asof"       -> ajAsofSql,
     "rj_range"      -> rjRangeSql,
+    "rj_interval"   -> rjIntervalSql,
     "rj_band"       -> rjBandSql,
     "rj_band_auto"  -> rjBandAutoSql,
     "rj_band_conj"  -> rjBandConjSql,

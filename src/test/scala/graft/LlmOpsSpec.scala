@@ -646,4 +646,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(dRes < dRaw,
       f"residual PQ should reconstruct better: residual $dRes%.4f vs raw $dRaw%.4f")
   }
+
+  test("substrPairs reports Lee et al. MAXIMAL shared-run lengths on a planted corpus") {
+    // Planted spans (k = DupK = 5, minRun = 8). Shared vocab blocks A–D
+    // appear ONLY in doc 0 and the one partner doc; fillers are unique
+    // per doc, so every shared k-gram lies inside its planted span and
+    // each (pair, span) is one anchor-diff island of exactly
+    // len − k + 1 anchors → reported run = len. Asserted semantics:
+    //   (0,1): one 12-token span  → max_run 12, n_runs 1 (maximality:
+    //          12, not any of its 8 sub-runs of length ≥ 8)
+    //   (0,2): disjoint 9- and 8-token spans → max_run 9, n_runs 2
+    //   (0,3): 7-token span (≥ k, < minRun)  → pair absent entirely
+    //   (1,2)/(1,3)/(2,3): no shared block   → absent
+    def blk(p: String, n: Int) = (0 until n).map(p + _).mkString(" ")
+    def fill(doc: Int, i: Int) = s"u${doc}_$i"
+    val A = blk("a", 12); val B = blk("b", 9); val C = blk("c", 8); val D = blk("d", 7)
+    val docsP = Seq(
+      0L -> s"${fill(0, 0)} $A ${fill(0, 1)} $B ${fill(0, 2)} $C ${fill(0, 3)} $D ${fill(0, 4)}",
+      1L -> s"${fill(1, 0)} ${fill(1, 1)} $A ${fill(1, 2)}",
+      2L -> s"$C ${fill(2, 0)} ${fill(2, 1)} $B ${fill(2, 2)}",
+      3L -> s"${fill(3, 0)} $D ${fill(3, 1)} ${fill(3, 2)}",
+      4L -> s"${(0 until 20).map(fill(4, _)).mkString(" ")}"
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrPairsOf(docsP)
+      .select($"doc_a", $"doc_b", $"max_run", $"n_runs")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(out === List((0L, 1L, 12L, 1L), (0L, 2L, 9L, 2L)),
+      s"planted maximal runs mismatch: $out")
+  }
 }
