@@ -425,7 +425,107 @@ object Audit {
       |       CAST(max(lag) AS BIGINT) AS max_lag
       |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------- schema drift
+
+  /** dq_schema_drift — COLUMN-LEVEL drift audit between two ingest
+    * slices of the event stream (early-month vs late-month here; in
+    * production, yesterday's snapshot vs today's): per column, row
+    * count, null rate, exact NDV, and a quantized mean metric (value
+    * for numerics, string length for text), plus the two flags a
+    * schema-drift monitor alerts on — mean shift > 10% and NDV ratio
+    * outside [0.8, 1.25]. This is the whole-schema companion to
+    * [[psi]] (one column's distribution) and [[stats]] (one slice's
+    * catalog): the check that catches a upstream producer silently
+    * changing a column's semantics (new enum value, unit change, null
+    * flood) between snapshots.
+    *
+    * Scale shape: the table unpivots via `stack` into a (slice,
+    * column, value) stream — a 4× width-for-rows trade that keeps ONE
+    * scan for all columns — and collapses in ONE keyed aggregation on
+    * (slice, column); output is O(columns). Exact NDV at gate scale
+    * (partial-aggregated distinct); at 100 TB swap in the HLL sketch
+    * (sk_hll_est pins its error envelope). The a/b comparison joins two
+    * O(columns) frames — broadcast.
+    *
+    * Cross-engine determinism: NDV counts distinct STRING casts
+    * (double→string is injective on observed values in both engines, so
+    * the counts agree even where the renderings differ); means quantize
+    * to floor(metric·1e6) integers before summing (order-free); flags
+    * compare exact-integer-derived IEEE ratios.
+    */
+  val schemaDrift: Q = (s, d) => {
+    val ev = tbl(s, d, "events").select(
+      when(dayofmonth(col("ts")) <= 15, lit("a")).otherwise(lit("b")).as("slice"),
+      expr("""stack(4,
+             |  'event_type', event_type, CAST(floor(length(event_type) * 1e6) AS BIGINT),
+             |  'props', props, CAST(floor(length(props) * 1e6) AS BIGINT),
+             |  'user_id', CAST(user_id AS STRING), user_id * CAST(1000000 AS BIGINT),
+             |  'value', CAST(value AS STRING), CAST(floor(value * 1e6) AS BIGINT))
+             |AS (column_name, val_str, metric_q)""".stripMargin))
+    val per = ev.groupBy(col("slice"), col("column_name")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("val_str").isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col("val_str")).as("ndv"),
+      sum(col("metric_q").cast("decimal(38,0)")).as("smq"))
+    def slice(tag: String) = per.where(col("slice") === tag).select(
+      col("column_name"),
+      col("n").as(s"n_$tag"),
+      round(col("n_null").cast("double") / col("n"), 6).as(s"null_rate_$tag"),
+      col("ndv").as(s"ndv_$tag"),
+      round(col("smq").cast("double") / 1e6 / (col("n") - col("n_null")), 6)
+        .as(s"mean_$tag"))
+    slice("a").join(broadcast(slice("b")), Seq("column_name"))
+      // a slice whose column is ALL NULL has no mean: both-null = stably
+      // absent (0), one-null = the null flood itself (1) — never a NULL flag
+      .withColumn("mean_drift",
+        when(col("mean_a").isNull && col("mean_b").isNull, 0)
+          .when(col("mean_a").isNull || col("mean_b").isNull, 1)
+          .otherwise((abs(col("mean_b") - col("mean_a")) > abs(col("mean_a")) * 0.1)
+            .cast("int")))
+      .withColumn("ndv_drift",
+        (col("ndv_b").cast("double") < col("ndv_a") * 0.8 ||
+          col("ndv_b").cast("double") > col("ndv_a") * 1.25).cast("int"))
+      .orderBy(col("column_name"))
+  }
+  val schemaDriftSql: String =
+    """WITH ev AS (
+      |  SELECT CASE WHEN day(ts) <= 15 THEN 'a' ELSE 'b' END AS slice,
+      |         unnest(['event_type', 'props', 'user_id', 'value']) AS column_name,
+      |         unnest([event_type, props, CAST(user_id AS VARCHAR),
+      |                 CAST(value AS VARCHAR)]) AS val_str,
+      |         unnest([CAST(floor(len(event_type) * 1e6) AS BIGINT),
+      |                 CAST(floor(len(props) * 1e6) AS BIGINT),
+      |                 user_id * CAST(1000000 AS BIGINT),
+      |                 CAST(floor(value * 1e6) AS BIGINT)]) AS metric_q
+      |  FROM events),
+      |per AS (
+      |  SELECT slice, column_name, count(*) AS n,
+      |         CAST(sum(CASE WHEN val_str IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |         CAST(count(DISTINCT val_str) AS BIGINT) AS ndv,
+      |         sum(CAST(metric_q AS DECIMAL(38,0))) AS smq
+      |  FROM ev GROUP BY slice, column_name)
+      |SELECT a.column_name,
+      |       a.n AS n_a, round(CAST(a.n_null AS DOUBLE) / a.n, 6) AS null_rate_a,
+      |       a.ndv AS ndv_a,
+      |       round(CAST(a.smq AS DOUBLE) / 1e6 / (a.n - a.n_null), 6) AS mean_a,
+      |       b.n AS n_b, round(CAST(b.n_null AS DOUBLE) / b.n, 6) AS null_rate_b,
+      |       b.ndv AS ndv_b,
+      |       round(CAST(b.smq AS DOUBLE) / 1e6 / (b.n - b.n_null), 6) AS mean_b,
+      |       CASE
+      |         WHEN a.smq IS NULL AND b.smq IS NULL THEN 0
+      |         WHEN a.smq IS NULL OR b.smq IS NULL THEN 1
+      |         ELSE CAST(abs(round(CAST(b.smq AS DOUBLE) / 1e6 / (b.n - b.n_null), 6)
+      |                  - round(CAST(a.smq AS DOUBLE) / 1e6 / (a.n - a.n_null), 6))
+      |              > abs(round(CAST(a.smq AS DOUBLE) / 1e6 / (a.n - a.n_null), 6)) * 0.1
+      |              AS INT) END AS mean_drift,
+      |       CAST((CAST(b.ndv AS DOUBLE) < a.ndv * 0.8
+      |             OR CAST(b.ndv AS DOUBLE) > a.ndv * 1.25) AS INT) AS ndv_drift
+      |FROM (SELECT * FROM per WHERE slice = 'a') a
+      |JOIN (SELECT * FROM per WHERE slice = 'b') b USING (column_name)
+      |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dq_schema_drift" -> schemaDrift,
     "dq_stats"      -> stats,
     "dq_ordering"   -> ordering,
     "dq_fk_orphans" -> fkOrphans,
@@ -434,6 +534,7 @@ object Audit {
     "dq_benford"    -> benford,
     "dq_psi"        -> psi)
   val oracles: Map[String, String] = Map(
+    "dq_schema_drift" -> schemaDriftSql,
     "dq_stats"      -> statsSql,
     "dq_ordering"   -> orderingSql,
     "dq_fk_orphans" -> fkOrphansSql,

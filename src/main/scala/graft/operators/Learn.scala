@@ -435,7 +435,179 @@ object Learn {
       |      FROM scored)
       |WHERE rk = 1 ORDER BY feat""".stripMargin
 
+  // ---------------------------------------------- quantile normalization
+
+  /** fe_quantile_norm — cross-source QUANTILE NORMALIZATION of the
+    * document length distribution (the microarray-era Bolstad et al.
+    * 2003 transform, reached for whenever per-source score scales can't
+    * be compared directly): each source's values are cut into B = 16
+    * equal-frequency rank buckets, and bucket b's normalized value is
+    * the MEAN ACROSS SOURCES of the per-source bucket-b means — so every
+    * source maps onto one shared reference distribution. Pipelines use
+    * exactly this to calibrate quality/length scores across crawls
+    * before a global threshold or mixture weighting.
+    *
+    * THE SCALE SHAPE — no per-source sort of the corpus: an
+    * equal-frequency cut needs ranks, and `ntile() OVER (PARTITION BY
+    * source ORDER BY v)` drags each source onto ONE partition. Instead
+    * the corpus collapses to a VALUE HISTOGRAM per source (one keyed
+    * map-side-combined agg, output O(sources × |distinct v|)); ranks
+    * come from a cumulative window over that histogram (tiny, the
+    * w6_prefix_sum discipline); each histogram row's rank-span
+    * [lo, hi] explodes across the ≤ span·B/n + 2 buckets it touches,
+    * with exact per-bucket overlap counts from the closed-form bucket
+    * boundaries lo_b = (b·n + B − 1) div B + 1. Bucket means are exact
+    * integer ratios; rank bucket of rank r is ((r−1)·B) div n — floor
+    * division on non-negatives, identical in both engines.
+    *
+    * Cross-engine determinism: per-source bucket means quantize to
+    * floor(sum·1e6 / cnt) BEFORE the cross-source average (exact
+    * integer division of exact sums), so the final mean is one IEEE
+    * division of an exact integer sum — no float-accumulation order
+    * anywhere. Assumes every source has ≥ B rows (so every bucket is
+    * non-empty and intermediate buckets sit fully inside a span) — a
+    * source smaller than the bucket count has no meaningful quantiles
+    * to normalize.
+    */
+  val QnormB = 16
+  val quantileNorm: Q = (s, d) => {
+    val hist = tbl(s, d, "documents")
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("v"))
+    val spans = hist
+      .withColumn("hi", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .withColumn("lo", col("hi") - col("cnt") + 1L)
+    val perBucket = spans
+      .withColumn("b", explode(expr(
+        s"sequence((lo - 1) * $QnormB div n, (hi - 1) * $QnormB div n)")))
+      .withColumn("lo_b", expr(s"(b * n + ${QnormB - 1}) div $QnormB + 1"))
+      .withColumn("hi_b", expr(s"((b + 1) * n + ${QnormB - 1}) div $QnormB"))
+      .withColumn("ov", least(col("hi"), col("hi_b")) - greatest(col("lo"), col("lo_b")) + 1L)
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("ov")).as("bucket_cnt"),
+        sum(col("v") * col("ov")).as("bucket_sum"))
+      .withColumn("mq", expr("bucket_sum * 1000000 div bucket_cnt"))
+    val target = perBucket.groupBy(col("b"))
+      .agg(sum(col("mq")).as("smq"), count(lit(1)).as("ns"))
+      .select(col("b"), round(col("smq").cast("double") / col("ns") / 1e6, 6).as("norm_mean"))
+    perBucket
+      .join(broadcast(target), Seq("b"))
+      .select(col("source"), col("b").as("bucket"), col("bucket_cnt"),
+        round(col("mq").cast("double") / 1e6, 6).as("raw_mean"), col("norm_mean"))
+      .orderBy(col("source"), col("bucket"))
+  }
+  val quantileNormSql: String =
+    s"""WITH hist AS (
+      |  SELECT source, n_chars AS v, count(*) AS cnt
+      |  FROM documents GROUP BY source, n_chars),
+      |spans AS (
+      |  SELECT source, v, cnt,
+      |         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS hi,
+      |         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n,
+      |         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v) - cnt + 1 AS BIGINT) AS lo
+      |  FROM hist),
+      |pb AS (
+      |  SELECT source, b,
+      |         CAST(sum(least(hi, ((b + 1) * n + ${QnormB - 1}) // $QnormB)
+      |               - greatest(lo, (b * n + ${QnormB - 1}) // $QnormB + 1) + 1) AS BIGINT)
+      |           AS bucket_cnt,
+      |         CAST(sum(v * (least(hi, ((b + 1) * n + ${QnormB - 1}) // $QnormB)
+      |               - greatest(lo, (b * n + ${QnormB - 1}) // $QnormB + 1) + 1)) AS BIGINT)
+      |           AS bucket_sum
+      |  FROM (SELECT source, v, lo, hi, n,
+      |               unnest(range((lo - 1) * $QnormB // n,
+      |                            (hi - 1) * $QnormB // n + 1)) AS b
+      |        FROM spans)
+      |  GROUP BY source, b),
+      |pm AS (SELECT source, b, bucket_cnt, bucket_sum * 1000000 // bucket_cnt AS mq FROM pb),
+      |tgt AS (SELECT b, round(CAST(sum(mq) AS DOUBLE) / count(*) / 1e6, 6) AS norm_mean
+      |        FROM pm GROUP BY b)
+      |SELECT source, CAST(pm.b AS BIGINT) AS bucket, bucket_cnt,
+      |       round(CAST(mq AS DOUBLE) / 1e6, 6) AS raw_mean, norm_mean
+      |FROM pm JOIN tgt ON pm.b = tgt.b
+      |ORDER BY source, bucket""".stripMargin
+
+  // ----------------------------------------------------------- GMM EM step
+
+  /** ml_gmm_em — one EM round of a 2-component Gaussian mixture over the
+    * document-length column: the soft-clustering primitive (vs k-means'
+    * hard assignments in ann_kmeans_train / ml_kmeanspp) that length/
+    * quality bimodality detection and mixture-of-domains modeling run
+    * on. Fixed, documented init (μ = 150/450, shared σ = 120, equal
+    * weights) makes the round deterministic; with a SHARED σ the E-step
+    * log-odds collapse to the LINEAR form z = (300 − x)/48 — the
+    * quadratic terms cancel — so the responsibility is one logistic per
+    * row, no exp of large quadratics. Emits per component the M-step
+    * weight, mean, and variance, the full state a driver loop would
+    * iterate (the tx_bpe_train fixed-round discipline).
+    *
+    * Scale shape: ONE corpus scan collapsed by a single global
+    * aggregation of 4 sums — map-side-combined, nothing shuffles but
+    * partials. Cross-engine: responsibilities quantize to floor(r·1e9)
+    * BEFORE summing (the clfScore discipline — order-free integer
+    * sums in DECIMAL(38,0); the only engine-libm call is one exp whose
+    * argument is an exact rational, then a 9-dp floor), and the three
+    * output stats are short IEEE formulas on those exact sums, 6 dp.
+    */
+  val gmmEm: Q = (s, d) => {
+    val r9 = tbl(s, d, "documents")
+      .select(col("n_chars").cast("long").as("x"),
+        floor(lit(1e9) / (lit(1.0) + exp((col("n_chars") - lit(300.0)) / lit(48.0))))
+          .cast("long").as("rq"))
+    val sums = r9.agg(
+      count(lit(1)).as("n"),
+      sum(col("rq").cast("decimal(38,0)")).as("sr"),
+      sum((col("rq") * col("x")).cast("decimal(38,0)")).as("srx"),
+      sum((col("rq") * col("x") * col("x")).cast("decimal(38,0)")).as("srxx"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+    // component 2's sums are complements: Σ(1e9−rq) = n·1e9 − Σrq, etc.
+    sums.select(expr(
+        """stack(2,
+          |  1, CAST(sr AS DOUBLE), CAST(srx AS DOUBLE), CAST(srxx AS DOUBLE),
+          |  2, CAST(n AS DOUBLE) * 1e9 - CAST(sr AS DOUBLE),
+          |     CAST(sx AS DOUBLE) * 1e9 - CAST(srx AS DOUBLE),
+          |     CAST(sxx AS DOUBLE) * 1e9 - CAST(srxx AS DOUBLE))
+          |AS (component, w, wx, wxx)""".stripMargin),
+        col("n"))
+      .select(col("component").cast("int").as("component"),
+        round(col("w") / col("n") / 1e9, 6).as("weight"),
+        round(col("wx") / col("w"), 6).as("mean"),
+        round(col("wxx") / col("w") - (col("wx") / col("w")) * (col("wx") / col("w")), 6)
+          .as("variance"))
+      .orderBy(col("component"))
+  }
+  val gmmEmSql: String =
+    """WITH r AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS x,
+      |         CAST(floor(1e9 / (1.0 + exp((n_chars - 300.0) / 48.0))) AS BIGINT) AS rq
+      |  FROM documents),
+      |sums AS (
+      |  SELECT count(*) AS n,
+      |         sum(CAST(rq AS DECIMAL(38,0))) AS sr,
+      |         sum(CAST(rq * x AS DECIMAL(38,0))) AS srx,
+      |         sum(CAST(rq * x * x AS DECIMAL(38,0))) AS srxx,
+      |         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+      |         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+      |  FROM r),
+      |comp AS (
+      |  SELECT 1 AS component, CAST(sr AS DOUBLE) AS w,
+      |         CAST(srx AS DOUBLE) AS wx, CAST(srxx AS DOUBLE) AS wxx, n FROM sums
+      |  UNION ALL
+      |  SELECT 2, CAST(n AS DOUBLE) * 1e9 - CAST(sr AS DOUBLE),
+      |         CAST(sx AS DOUBLE) * 1e9 - CAST(srx AS DOUBLE),
+      |         CAST(sxx AS DOUBLE) * 1e9 - CAST(srxx AS DOUBLE), n FROM sums)
+      |SELECT CAST(component AS INT) AS component,
+      |       round(w / n / 1e9, 6) AS weight,
+      |       round(wx / w, 6) AS mean,
+      |       round(wxx / w - (wx / w) * (wx / w), 6) AS variance
+      |FROM comp ORDER BY component""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ml_gmm_em"       -> gmmEm,
+    "fe_quantile_norm" -> quantileNorm,
     "ml_nb_score"     -> nbScore,
     "fe_hashed"       -> featureHash,
     "ml_nb_confusion" -> nbConfusion,
@@ -445,6 +617,8 @@ object Learn {
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_gmm_em"       -> gmmEmSql,
+    "fe_quantile_norm" -> quantileNormSql,
     "ml_nb_score"     -> nbScoreSql,
     "fe_hashed"       -> featureHashSql,
     "ml_nb_confusion" -> nbConfusionSql,

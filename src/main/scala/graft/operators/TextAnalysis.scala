@@ -1943,7 +1943,73 @@ object TextAnalysis {
        |WHERE rk <= 20 ORDER BY rk""".stripMargin
   }
 
+  // ------------------------------------------------------------ tx_rouge
+
+  /** tx_rouge — ROUGE-2 precision/recall/F1 between paired documents
+    * (Lin 2004): the reference-overlap eval every summarization /
+    * distillation pipeline runs on generated-vs-reference text, and the
+    * clipped-count n-gram overlap behind contamination scoring. Docs
+    * pair by id (candidate 2k vs reference 2k+1 — the "model output
+    * stored next to its reference" layout); overlap is the CLIPPED
+    * bigram count Σ_g min(c_cand(g), c_ref(g)), so a candidate cannot
+    * farm credit by repeating one reference bigram. With P = ov/tc and
+    * R = ov/tr, F1 = 2PR/(P+R) simplifies to 2·ov/(tc+tr) — an
+    * integer-exact ratio, no intermediate float error to drift
+    * cross-engine.
+    *
+    * Scale shape: one bigram explode keyed on (pair, gram) — the
+    * per-pair clip is a keyed aggregation, never a doc×doc or gram×gram
+    * product; pair totals are a second keyed agg of the SAME exploded
+    * stream (no re-scan: both roll up from the (pair, gram, role)
+    * counts). Pairs missing a side (or whose side has < 2 tokens) drop
+    * via the tc > 0 AND tr > 0 guard identically on both engines.
+    */
+  val rouge: Q = (s, d) => {
+    import s.implicits._
+    val grams = tbl(s, d, "documents")
+      .where(size(split($"text", " ")) >= 2)
+      .select(expr("doc_id div 2").as("pair"),
+        ($"doc_id" % 2).cast("int").as("role"),
+        explode(expr(
+          """transform(sequence(0, size(split(text, ' ')) - 2),
+            |  i -> array_join(slice(split(text, ' '), i + 1, 2), ' '))""".stripMargin))
+          .as("gram"))
+    val byGram = grams.groupBy($"pair", $"gram").agg(
+      sum(when($"role" === 0, 1L).otherwise(0L)).as("c_cand"),
+      sum(when($"role" === 1, 1L).otherwise(0L)).as("c_ref"))
+    byGram.groupBy($"pair").agg(
+        sum(least($"c_cand", $"c_ref")).as("overlap"),
+        sum($"c_cand").as("tc"),
+        sum($"c_ref").as("tr"))
+      .where($"tc" > 0 && $"tr" > 0)
+      .select($"pair", $"overlap", $"tc", $"tr",
+        round($"overlap".cast("double") / $"tc", 6).as("rouge_p"),
+        round($"overlap".cast("double") / $"tr", 6).as("rouge_r"),
+        round(lit(2.0) * $"overlap" / ($"tc" + $"tr"), 6).as("rouge_f"))
+      .orderBy($"pair")
+  }
+  val rougeSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |grams AS (
+      |  SELECT CAST(doc_id // 2 AS BIGINT) AS pair, CAST(doc_id % 2 AS INT) AS role,
+      |         unnest(list_transform(range(0, len(toks) - 1),
+      |                i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS gram
+      |  FROM d WHERE len(toks) >= 2),
+      |bg AS (SELECT pair, gram,
+      |              sum(CASE WHEN role = 0 THEN 1 ELSE 0 END) AS c_cand,
+      |              sum(CASE WHEN role = 1 THEN 1 ELSE 0 END) AS c_ref
+      |       FROM grams GROUP BY pair, gram),
+      |pt AS (SELECT pair, CAST(sum(least(c_cand, c_ref)) AS BIGINT) AS overlap,
+      |              CAST(sum(c_cand) AS BIGINT) AS tc, CAST(sum(c_ref) AS BIGINT) AS tr
+      |       FROM bg GROUP BY pair)
+      |SELECT pair, overlap, tc, tr,
+      |       round(CAST(overlap AS DOUBLE) / tc, 6) AS rouge_p,
+      |       round(CAST(overlap AS DOUBLE) / tr, 6) AS rouge_r,
+      |       round(2.0 * overlap / (tc + tr), 6) AS rouge_f
+      |FROM pt WHERE tc > 0 AND tr > 0 ORDER BY pair""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tx_rouge"       -> rouge,
     "tx_textrank"    -> textrank,
     "tx_rake"        -> rake,
     "tx_zipf"        -> zipf,
@@ -1979,6 +2045,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "tx_rouge"       -> rougeSql,
     "tx_textrank"    -> textrankSql,
     "tx_rake"        -> rakeSql,
     "tx_zipf"        -> zipfSql,

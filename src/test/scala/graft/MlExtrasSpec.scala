@@ -409,4 +409,75 @@ class MlExtrasSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Double)].collect()
     assert(best.toSeq == Seq(("f", 0L, 5L, 5L, 0.5)), s"got ${best.toSeq}")
   }
+
+  test("rouge reproduces hand-computed clipped bigram P/R/F on a planted pair") {
+    // cand (doc 0): bigrams ab,ba,ab,bc → ab:2 ba:1 bc:1 (tc=4)
+    // ref  (doc 1): bigrams ab,bc,cd          (tr=3)
+    // clipped overlap = min(2,1)+min(1,0)+min(1,1) = 2 →
+    // P=0.5, R=2/3, F=2·2/(4+3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rouge").toString
+    Seq((0L, "a b a b c"), (1L, "a b c d"), (2L, "solo"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.rouge(spark, dir)
+      .select($"pair", $"overlap", $"tc", $"tr", $"rouge_p", $"rouge_r", $"rouge_f")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toList
+    // pair 1 (doc 2 alone, < 2 tokens on one side) must be absent entirely
+    assert(out == List((0L, 2L, 4L, 3L, 0.5, 0.666667, 0.571429)), s"got $out")
+  }
+
+  test("quantileNorm maps two shifted uniform sources onto their rank-wise average") {
+    // 16 values per source (B=16 → every bucket exactly one row):
+    // src a = 1..16, src b = 101..116 → bucket k holds (k+1, k+101),
+    // so norm_mean(k) = k + 51 exactly, raw means are the values.
+    val dir = java.nio.file.Files.createTempDirectory("graft-qnorm").toString
+    ((1L to 16L).map(("a", _)) ++ (101L to 116L).map(("b", _)))
+      .toDF("source", "n_chars").write.parquet(s"$dir/documents.parquet")
+    val out = Learn.quantileNorm(spark, dir)
+      .select($"source", $"bucket", $"bucket_cnt", $"raw_mean", $"norm_mean")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out.length == 32 && out.forall(_._3 == 1L), s"got ${out.toList}")
+    out.foreach { case (src, b, _, raw, norm) =>
+      val expRaw = if (src == "a") b + 1.0 else b + 101.0
+      assert(raw == expRaw && norm == b + 51.0, s"bucket $b $src: got ($raw, $norm)")
+    }
+  }
+
+  test("gmmEm separates two planted length modes in one E/M round") {
+    // 10 docs at length 100, 10 at 500; shared-σ init puts the logistic
+    // midpoint at 300, so the round must land component means near the
+    // modes with ~equal weights.
+    val dir = java.nio.file.Files.createTempDirectory("graft-gmm").toString
+    (0L until 20L).map(i => (i, if (i < 10) 100L else 500L))
+      .toDF("doc_id", "n_chars").write.parquet(s"$dir/documents.parquet")
+    val out = Learn.gmmEm(spark, dir)
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    val Array((_, w1, m1, _), (_, w2, m2, _)) = out
+    assert(math.abs(w1 + w2 - 1.0) < 1e-6, s"weights must sum to 1: $w1 + $w2")
+    assert(w1 > 0.45 && w1 < 0.55, s"balanced modes → near-equal weight, got $w1")
+    assert(m1 > 100 && m1 < 130, s"component 1 near the low mode, got $m1")
+    assert(m2 > 470 && m2 < 500, s"component 2 near the high mode, got $m2")
+  }
+
+  test("schemaDrift flags a late-month null flood and value shift, spares stable columns") {
+    // slice a (day 1-15): props set, value ~10; slice b (day 16+):
+    // props all null (null-rate drift visible in the report) and value
+    // ×10 (mean_drift must fire); event_type/user_id stay stable.
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val rows = (0 until 40).map { i =>
+      val day = if (i < 20) 1 + i % 10 else 16 + i % 10
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-06-$day%02d 09:00:00"),
+        (i % 4).toLong, "click",
+        if (i < 20) 10.0 + i % 3 else 100.0 + i % 3,
+        if (i < 20) s"p$i" else null)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = operators.Audit.schemaDrift(spark, dir)
+      .select($"column_name", $"null_rate_b", $"mean_drift", $"ndv_drift")
+      .as[(String, Double, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out("value")._3 == 1, s"value mean x10 must flag: ${out("value")}")
+    assert(out("props")._2 == 1.0, s"props null flood: ${out("props")}")
+    assert(out("event_type")._3 == 0 && out("event_type")._4 == 0,
+      s"stable column must not flag: ${out("event_type")}")
+  }
 }
