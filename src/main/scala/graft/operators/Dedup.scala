@@ -656,14 +656,26 @@ object Dedup {
     * DuckDB list indexing, so the gram construction is
     * verbatim-identical in both engines.
     */
-  def docNGrams(df: DataFrame, n: Int): DataFrame = {
-    val parts = (0 until n).map(j => s"element_at(toks, i+$j)").mkString(", ")
-    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+  def docNGrams(df: DataFrame, n: Int): DataFrame =
+    wordGramsZip(df, "doc_id", n).distinct()
+
+  /** (id, gram) word n-gram occurrences (duplicates kept) for any
+    * (id, text) frame — n shifted slices zipped, the dupGramsWithStart
+    * technique. NOT `transform(sequence, λ)`: higher-order functions are
+    * CodegenFallback (interpreted) and re-evaluate non-foldable
+    * subexpressions per element; the zip form measured 1.5–4× faster
+    * across the gram-building gates (r12). Shared by Dedup, Pipeline,
+    * and TextAnalysis so every gram build pays the codegen'd path.
+    */
+  def wordGramsZip(df: DataFrame, idCol: String, n: Int,
+                   out: String = "gram"): DataFrame = {
+    val slices = (0 until n).map(i =>
+      slice(col("toks"), lit(i + 1), size(col("toks")) - (n - 1)))
+    val gramCols = (0 until n).map(i => col(s"z.$i"))
+    df.select(col(idCol), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= n)
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> concat_ws(' ', $parts))")).as("gram"))
-      .distinct()
+      .select(col(idCol), explode(arrays_zip(slices: _*)).as("z"))
+      .select(col(idCol), concat_ws(" ", gramCols: _*).as(out))
   }
 
   /** DuckDB counterpart of docNGrams: the unnest expression + length

@@ -318,6 +318,69 @@ object Pipeline {
       |FROM o CROSS JOIN t
       |GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** pl_curriculum — sequence-length-warmup CURRICULUM assignment: order
+    * the corpus by token length (short → long, the standard
+    * length-warmup curriculum) and cut it into P = 4 phases of ~equal
+    * TOKEN mass, so each training phase consumes the same budget while
+    * sequence length ramps. Reported per phase: doc count, token mass,
+    * and the length band [min, max] it covers — the schedule a trainer
+    * reads off.
+    *
+    * THE SCALE SHAPE — a prefix sum over a COMPUTED ordering, without
+    * globally sorting the corpus: ranks in (n_toks, doc_id) order come
+    * from the two-level decomposition keyed on the composite bucket
+    * (n_toks, doc_id div 64) — the within-bucket cumulative runs in a
+    * PARTITIONED window, and only the O(|distinct lengths| · chunks)
+    * bucket-total table takes an ordered scan (the [[tokenOffsets]]
+    * discipline, generalized from the physical doc order to a computed
+    * sort key; the chunk split keeps a popular length value from
+    * dragging its whole equivalence class into one partition). Phase id
+    * is then pure arithmetic on the offset; the corpus total attaches
+    * via the jk literal-key broadcast equi-join ([[shardsQ]]'s
+    * PlanGuard-clean scalar form). The oracle is the naive global
+    * ORDER BY (n_toks, doc_id) window, proving the decomposition exact.
+    */
+  val CurriculumPhases = 4
+  val curriculum: Q = (s, d) => {
+    val tok = tbl(s, d, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("chunk", expr("doc_id div 64"))
+    val wIn = Window.partitionBy(col("n_toks"), col("chunk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = tok.withColumn("cum_in", coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
+    val wB = Window.orderBy(col("n_toks"), col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = tok.groupBy(col("n_toks"), col("chunk"))
+      .agg(sum(col("n_toks")).as("bt"))
+      .withColumn("boff", coalesce(sum(col("bt")).over(wB), lit(0L)))
+      .select(col("n_toks"), col("chunk"), col("boff"))
+    val off = local.join(broadcast(base), Seq("n_toks", "chunk"))
+      .select(col("doc_id"), col("n_toks"), (col("cum_in") + col("boff")).as("off"))
+    val tot = off.agg(sum(col("n_toks")).as("t"))
+      .withColumn("jk", coalesce(col("t") * lit(0L), lit(0L)))
+    off.withColumn("jk", coalesce(col("n_toks") * lit(0L), lit(0L)))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("doc_id"), col("n_toks"),
+        floor(col("off") / ceil(col("t") / lit(CurriculumPhases.toDouble)))
+          .cast("long").as("phase"))
+      .groupBy(col("phase")).agg(
+        count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("n_toks")).as("min_len"), max(col("n_toks")).as("max_len"))
+      .orderBy(col("phase"))
+  }
+  val curriculumSql: String =
+    s"""WITH o AS (
+      |  SELECT doc_id, n_toks,
+      |         CAST(coalesce(sum(n_toks) OVER (ORDER BY n_toks, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents)),
+      |t AS (SELECT sum(n_toks) AS t FROM o)
+      |SELECT CAST(floor(off / ceil(t / $CurriculumPhases.0)) AS BIGINT) AS phase,
+      |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |       CAST(min(n_toks) AS BIGINT) AS min_len, CAST(max(n_toks) AS BIGINT) AS max_len
+      |FROM o CROSS JOIN t
+      |GROUP BY 1 ORDER BY phase""".stripMargin
+
   /** pl_pack_concat — GPT-style packing: concatenate the whole corpus in
     * doc order and cut fixed 512-token sequences, docs SPANNING sequence
     * boundaries (tx_pack / pl_pack_bpe are the budget-binned alternative
@@ -430,12 +493,8 @@ object Pipeline {
       .select($"doc_id",
         when($"doc_id" % 7 === 3, concat($"text", lit(" "), substring($"etext", 1, 120)))
           .otherwise($"text").as("text"))
-    def grams(df: DataFrame, idCol: String) = df
-      .select(col(idCol), split(col("text"), " ").as("w"))
-      .where(size(col("w")) >= 13)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(w) - 12), i -> concat_ws(' ', slice(w, i, 13)))"))
-        .as("g"))
+    def grams(df: DataFrame, idCol: String) =
+      Dedup.wordGramsZip(df, idCol, 13, out = "g")
     val contaminated = grams(planted, "doc_id")
       .join(broadcast(grams(evalDocs.select($"eval_id", $"etext".as("text")), "eval_id")
         .select($"g").distinct()), Seq("g"))
@@ -605,12 +664,8 @@ object Pipeline {
         when(col("doc_id") % 7 === 3,
           concat(col("text"), lit(" "), substring(col("etext"), 1, 120)))
           .otherwise(col("text")).as("text"))
-    def grams(df: DataFrame, idCol: String) = df
-      .select(col(idCol), split(col("text"), " ").as("w"))
-      .where(size(col("w")) >= 13)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(w) - 12), i -> concat_ws(' ', slice(w, i, 13)))"))
-        .as("g"))
+    def grams(df: DataFrame, idCol: String) =
+      Dedup.wordGramsZip(df, idCol, 13, out = "g")
     val eg = grams(evalDocs.select(col("eval_id"), col("etext").as("text")), "eval_id")
       .distinct()
     grams(planted, "doc_id").distinct()
@@ -740,6 +795,7 @@ object Pipeline {
     "pl_pack_bpe"     -> packBpe,
     "w6_prefix_sum"   -> prefixSum,
     "pl_shards"       -> shardsQ,
+    "pl_curriculum"   -> curriculum,
     "pl_pack_concat"  -> packConcat,
     "pl_search_index" -> searchIndex)
 
@@ -756,6 +812,7 @@ object Pipeline {
     "pl_pack_bpe"     -> packBpeSql,
     "w6_prefix_sum"   -> prefixSumSql,
     "pl_shards"       -> shardsSql,
+    "pl_curriculum"   -> curriculumSql,
     "pl_pack_concat"  -> packConcatSql,
     "pl_search_index" -> searchIndexSql)
 }
