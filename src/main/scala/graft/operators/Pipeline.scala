@@ -582,34 +582,42 @@ object Pipeline {
     * (integer-exact in both engines), both distributions are add-one-
     * smoothed bucket counts — all BIGINT aggregates — and the per-doc
     * score is one keyed sum of identical ln terms, quantized to 6 dp.
-    * Scale shape: one token explode (narrow), two O(buckets) count
-    * tables broadcast back onto the token stream, one keyed sum per doc
-    * — scan-speed plus a doc-keyed exchange, no pairwise anything.
+    * Scale shape: ONE token-explode pass — the md5 bucket decode (the
+    * expensive per-token term) runs exactly once, collapsing immediately
+    * into the per-doc bucket HISTOGRAM (map-side-combined on
+    * (doc_id, b); ~|buckets a doc touches| rows per doc, a ~10× row cut
+    * at typical doc lengths). Everything else derives from that
+    * artifact: both smoothed count tables from a second keyed rollup of
+    * the histogram (never the corpus), totals from the O(buckets) table,
+    * and the per-doc score a cnt-weighted sum over histogram rows. The
+    * first formulation re-derived tgt/raw/tots as three independent
+    * aggregations of the token stream and re-scanned it for the score —
+    * 4× the decode work, partially hidden locally by idle cores (solo
+    * 3-pass median 2.40 → 1.76 s at sf0.1); at cluster scale pass count
+    * IS cost.
     */
   val plDsir: Q = (s, d) => {
     import s.implicits._
     val bucketExpr = "(" + (1 to 6).map(i =>
       s"(instr('0123456789abcdef', substr(md5(tok), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}L")
       .mkString(" + ") + ") % 512"
-    val toks = tbl(s, d, "documents")
+    val hist = tbl(s, d, "documents")
       .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
       .where(length($"tok") > 0)
       .withColumn("b", expr(bucketExpr))
-    val tgt = toks.where($"lang" === "en")
-      .groupBy($"b").agg(count(lit(1)).as("ct"))
-    val raw = toks.groupBy($"b").agg(count(lit(1)).as("cr"))
-    val tots = toks.agg(
-      sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt"),
-      count(lit(1)).as("tr"))
-    val llr = raw.join(tgt, Seq("b"), "left")
-      .crossJoin(broadcast(tots))
+      .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
+    val both = hist.groupBy($"b").agg(
+      sum($"c").as("cr"),
+      sum(when($"lang" === "en", $"c").otherwise(0L)).as("ct"))
+    val tots = both.agg(sum($"ct").as("tt"), sum($"cr").as("tr"))
+    val llr = both.crossJoin(broadcast(tots))
       .select($"b",
-        (log((coalesce($"ct", lit(0L)) + 1L).cast("double") / ($"tt" + 512L)) -
+        (log(($"ct" + 1L).cast("double") / ($"tt" + 512L)) -
           log(($"cr" + 1L).cast("double") / ($"tr" + 512L))).as("llr"))
-    toks.join(broadcast(llr), Seq("b"))
+    hist.join(broadcast(llr), Seq("b"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_toks"),
-        round(sum($"llr") / count(lit(1)), 6).as("dsir_logw"))
+      .agg(sum($"c").as("n_toks"),
+        round(sum($"llr" * $"c") / sum($"c"), 6).as("dsir_logw"))
       .orderBy($"doc_id")
   }
   val plDsirSql: String = {
