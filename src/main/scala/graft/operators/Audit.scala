@@ -454,8 +454,16 @@ object Audit {
     * compare exact-integer-derived IEEE ratios.
     */
   val schemaDrift: Q = (s, d) => {
-    val ev = tbl(s, d, "events").select(
-      when(dayofmonth(col("ts")) <= 15, lit("a")).otherwise(lit("b")).as("slice"),
+    val evRaw = tbl(s, d, "events")
+    // ts arrives as TIMESTAMP(MICROS) from the driver's tables but as
+    // epoch-nanos LONG from legacy/GenScale parquet — branch like
+    // Temporal.eventTs so the audit runs against either encoding
+    val tsCol = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
+    }
+    val ev = evRaw.select(
+      when(dayofmonth(tsCol) <= 15, lit("a")).otherwise(lit("b")).as("slice"),
       expr("""stack(4,
              |  'event_type', event_type, CAST(floor(length(event_type) * 1e6) AS BIGINT),
              |  'props', props, CAST(floor(length(props) * 1e6) AS BIGINT),
