@@ -1497,24 +1497,32 @@ object Temporal {
     * exact. Long intervals at 100 TB: split into ≤W segments first (the
     * replication factor is len/W, disclosed).
     */
+  /** The interval-overlap kernel over arbitrary (key, lo, hi) frames —
+    * factored so a planted spec can assert the grid cover against the
+    * naive inequality join directly. W must be ≥ the longest interval on
+    * either side for the ≤ 2-cells-per-interval bound; correctness holds
+    * for ANY W ≥ 1 (longer intervals just replicate into more cells).
+    */
+  def intervalOverlapJoin(l: DataFrame, r: DataFrame, w: Long): DataFrame = {
+    val lc = l.select(col("key").as("l_key"), col("lo").as("ls"), col("hi").as("le"))
+      .withColumn("cell", explode(expr(s"sequence(ls div $w, le div $w)")))
+    val rc = r.select(col("key").as("r_key"), col("lo").as("rs"), col("hi").as("re"))
+      .withColumn("cell", explode(expr(s"sequence(rs div $w, re div $w)")))
+    lc.join(rc, Seq("cell"))
+      .where(col("ls") <= col("re") && col("rs") <= col("le") &&
+        expr(s"cell = greatest(ls, rs) div $w"))
+      .select(col("l_key"), col("r_key"), col("ls"), col("le"), col("rs"), col("re"))
+  }
+
   val rjInterval: Q = (s, d) => {
     import s.implicits._
-    val W = 8
     def side(mod: Long) = tbl(s, d, "orders")
       .where($"o_custkey" % 20 === mod)
-      .select($"o_orderkey",
-        datediff($"o_orderdate", to_date(lit("1992-01-01"))).cast("long").as("ls"))
-      .withColumn("le", $"ls" + 1L + $"o_orderkey" % 7)
-    val l = side(0L)
-      .withColumn("cell", explode(expr(s"sequence(ls div $W, le div $W)")))
-      .select($"o_orderkey".as("l_orderkey"), $"ls", $"le", $"cell")
-    val r = side(10L)
-      .withColumn("cell", explode(expr(s"sequence(ls div $W, le div $W)")))
-      .select($"o_orderkey".as("r_orderkey"), $"ls".as("rs"), $"le".as("re"), $"cell")
-    l.join(r, Seq("cell"))
-      .where($"ls" <= $"re" && $"rs" <= $"le" &&
-        expr(s"cell = greatest(ls, rs) div $W"))
-      .select($"l_orderkey", $"r_orderkey",
+      .select($"o_orderkey".as("key"),
+        datediff($"o_orderdate", to_date(lit("1992-01-01"))).cast("long").as("lo"))
+      .withColumn("hi", $"lo" + 1L + $"key" % 7)
+    intervalOverlapJoin(side(0L), side(10L), w = 8L)
+      .select($"l_key".as("l_orderkey"), $"r_key".as("r_orderkey"),
         (least($"le", $"re") - greatest($"ls", $"rs") + 1L).as("overlap_days"))
       .orderBy($"l_orderkey", $"r_orderkey")
   }
@@ -1533,8 +1541,73 @@ object Temporal {
       |  ON l.ls <= r.re2 AND r.rs2 <= l.le
       |ORDER BY l_orderkey, r_orderkey""".stripMargin
 
+  // ---------------------------------------------------- interval concurrency
+
+  /** ev_concurrency — PEAK CONCURRENT INTERVALS per 30-day bucket over
+    * the order processing windows ([[rjInterval]]'s interval model, all
+    * customers): the sweep-line "how many were open at once" metric
+    * behind capacity planning, session-concurrency dashboards, and
+    * licence-peak audits. Reported per bucket: peak concurrency, the
+    * first day the peak is hit, and interval starts in the bucket.
+    *
+    * Scale shape: the classic sweep needs a GLOBAL time-ordered scan of
+    * 2N boundary events; the Spark-first form collapses boundaries FIRST
+    * into the per-day delta histogram (+1 at lo, −1 at hi+1 — ONE keyed
+    * map-side-combined aggregation of the corpus), then runs the running
+    * sum over the O(days) histogram — a bounded-dimension window (the
+    * ts_ewma class; two-level decomposable like w6_prefix_sum if the
+    * time domain ever outgrows a partition). Concurrency values are
+    * exact BIGINTs; no floats anywhere.
+    */
+  val evConcurrency: Q = (s, d) => {
+    import s.implicits._
+    val iv = tbl(s, d, "orders")
+      .select($"o_orderkey".as("key"),
+        datediff($"o_orderdate", to_date(lit("1992-01-01"))).cast("long").as("lo"))
+      .withColumn("hi", $"lo" + 1L + $"key" % 7)
+    val deltas = iv.select($"lo".as("day"), lit(1L).as("delta"), lit(1L).as("is_start"))
+      .unionByName(iv.select(($"hi" + 1L).as("day"), lit(-1L).as("delta"), lit(0L).as("is_start")))
+      .groupBy($"day").agg(sum($"delta").as("delta"), sum($"is_start").as("n_starts"))
+    val conc = deltas.withColumn("c",
+      sum($"delta").over(org.apache.spark.sql.expressions.Window.orderBy($"day")))
+    conc.withColumn("bucket", expr("day div 30"))
+      .withColumn("pk", max($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"bucket")))
+      .groupBy($"bucket").agg(
+        max($"c").as("peak"),
+        min(when($"c" === $"pk", $"day")).as("peak_day"),
+        sum($"n_starts").as("n_starts"))
+      .orderBy($"bucket")
+  }
+  val evConcurrencySql: String =
+    """WITH iv AS (
+      |  SELECT o_orderkey AS key,
+      |         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS lo,
+      |         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+      |           + 1 + o_orderkey % 7 AS hi
+      |  FROM orders),
+      |deltas AS (
+      |  SELECT day, CAST(sum(delta) AS BIGINT) AS delta,
+      |         CAST(sum(is_start) AS BIGINT) AS n_starts
+      |  FROM (SELECT lo AS day, 1 AS delta, 1 AS is_start FROM iv
+      |        UNION ALL SELECT hi + 1, -1, 0 FROM iv)
+      |  GROUP BY day),
+      |conc AS (
+      |  SELECT day, n_starts,
+      |         CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS c
+      |  FROM deltas),
+      |mx AS (
+      |  SELECT day // 30 AS bucket, day, n_starts, c,
+      |         max(c) OVER (PARTITION BY day // 30) AS pk
+      |  FROM conc)
+      |SELECT bucket, max(c) AS peak,
+      |       min(CASE WHEN c = pk THEN day END) AS peak_day,
+      |       CAST(sum(n_starts) AS BIGINT) AS n_starts
+      |FROM mx GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "rj_interval"   -> rjInterval,
+    "rj_interval"    -> rjInterval,
+    "ev_concurrency" -> evConcurrency,
     "ev_attrib"     -> evAttrib,
     "ev_streak"     -> evStreak,
     "w3_sessionize" -> w3Sessionize,
@@ -1571,6 +1644,7 @@ object Temporal {
     "aj_asof"       -> ajAsofSql,
     "rj_range"      -> rjRangeSql,
     "rj_interval"   -> rjIntervalSql,
+    "ev_concurrency" -> evConcurrencySql,
     "rj_band"       -> rjBandSql,
     "rj_band_auto"  -> rjBandAutoSql,
     "rj_band_conj"  -> rjBandConjSql,

@@ -63,6 +63,46 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(!binned.contains(3)) // empty range stays empty
   }
 
+  test("intervalOverlapJoin equals the naive overlap join at every W, incl. W < max length") {
+    // intervals engineered to exercise every case: containment, exact
+    // boundary touch (hi == lo'), disjoint, multi-cell spans
+    val l = Seq((1L, 0L, 10L), (2L, 20L, 22L), (3L, 40L, 40L)).toDF("key", "lo", "hi")
+    val r = Seq((10L, 5L, 6L), (11L, 10L, 19L), (12L, 22L, 39L), (13L, 41L, 50L))
+      .toDF("key", "lo", "hi")
+    val naive = l.join(
+        r.select($"key".as("rk"), $"lo".as("rlo"), $"hi".as("rhi")),
+        $"lo" <= $"rhi" && $"rlo" <= $"hi")
+      .select($"key", $"rk").as[(Long, Long)].collect().toSet
+    assert(naive == Set((1L, 10L), (1L, 11L), (2L, 12L)), s"fixture sanity: $naive")
+    for (w <- Seq(1L, 3L, 8L, 100L)) {
+      val got = Temporal.intervalOverlapJoin(l, r, w)
+        .select($"l_key", $"r_key").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"W=$w produced duplicate pairs")
+      assert(got.toSet == naive, s"W=$w: got ${got.toSet}")
+    }
+  }
+
+  test("evConcurrency peaks where planted intervals stack") {
+    // day:        0 1 2 3 4 5 ...          30 31 32
+    // o1 [0,4], o2 [1,2], o3 [2,5] → concurrency 1,2,3,2,2,1; peak 3 at day 2
+    // bucket 1: o4 [30,31], o5 [31,32] → peak 2 at day 31
+    val dir = java.nio.file.Files.createTempDirectory("graft-conc").toString
+    // evConcurrency derives [lo, lo+1+key%7] from o_orderdate; pick keys
+    // with key%7 pinning the lengths: len = 1+key%7
+    // o1: lo 0 len 4 → key%7=3 (key 3); o2: lo 1 len 1 → key%7=0 (key 7)
+    // o3: lo 2 len 3 → key%7=2 (key 9); o4: lo 30 len 1 → key 14
+    // o5: lo 31 len 1 → key 21
+    Seq((3L, "1992-01-01"), (7L, "1992-01-02"), (9L, "1992-01-03"),
+        (14L, "1992-01-31"), (21L, "1992-02-01"))
+      .toDF("o_orderkey", "ds")
+      .select($"o_orderkey", to_date($"ds").as("o_orderdate"))
+      .write.parquet(s"$dir/orders.parquet")
+    val out = Temporal.evConcurrency(spark, dir)
+      .select($"bucket", $"peak", $"peak_day")
+      .as[(Long, Long, Long)].collect().toList
+    assert(out == List((0L, 3L, 2L), (1L, 2L, 31L)), s"got $out")
+  }
+
   test("connectedComponents labels chains, cliques and handles convergence") {
     // chain 1-2-3-4 (diameter 3), clique 10-11-12, pair 20-21
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
