@@ -101,4 +101,33 @@ class PropertySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") || back.where(col("eventType") === "Mint").count() == 2)
   }
+
+  test("rouge: identical candidate/reference pairs score P = R = F = 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rouge-prop").toString
+    // pairs (2k, 2k+1) share the text verbatim; texts differ across pairs
+    val docs = (0L until 20L).map(i =>
+      (i, (0 to 5 + (i / 2).toInt).map(j => s"w${i / 2}_$j").mkString(" ")))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = operators.TextAnalysis.rouge(spark, dir)
+      .select($"rouge_p", $"rouge_r", $"rouge_f")
+      .as[(Double, Double, Double)].collect()
+    assert(out.length == 10)
+    assert(out.forall(_ == ((1.0, 1.0, 1.0))), s"got ${out.toList}")
+  }
+
+  test("quantileNorm: identically distributed sources are fixed points (norm = raw)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-qn-prop").toString
+    // three sources with the SAME multiset of 32 values (skewed, with ties)
+    val vals = (1L to 32L).map(v => v * v % 97)
+    val docs = for { s <- Seq("a", "b", "c"); v <- vals } yield (s, v)
+    docs.toDF("source", "n_chars").write.parquet(s"$dir/documents.parquet")
+    val out = operators.Learn.quantileNorm(spark, dir)
+      .select($"raw_mean", $"norm_mean").as[(Double, Double)].collect()
+    assert(out.length == 3 * operators.Learn.QnormB)
+    out.foreach { case (raw, norm) =>
+      assert(raw == norm, s"identical sources must be fixed points: $raw vs $norm")
+    }
+  }
 }
