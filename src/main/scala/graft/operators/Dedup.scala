@@ -1032,10 +1032,25 @@ object Dedup {
     import s.implicits._
     val sh = shingles(tbl(s, d, "documents").where($"doc_id" < 200))
       .distinct()
-    val n = sh.select($"doc_id").distinct().count()
+    // corpus size N attaches via the jk literal-key broadcast equi-join
+    // (pl_shards' PlanGuard-clean scalar form) — the first formulation
+    // ran a DRIVER-SIDE count() at plan-build time, paying one extra
+    // shingle build per invocation and making the op eagerly side-effect
+    // its own plan construction. SUBTLETY: the jk expression must hang
+    // off a NULLABLE attribute (here sum() and length(sh)) — x·0 over a
+    // NON-nullable x (count, countDistinct) constant-folds to literal 0
+    // on both sides, the equi-condition folds to true, and the join
+    // silently degenerates to the BroadcastNestedLoopJoin this form
+    // exists to avoid (caught by PlanGuard when first written with
+    // countDistinct).
+    val n1 = sh.select($"doc_id").distinct()
+      .agg(sum(lit(1L)).as("n"))
+      .withColumn("jk", coalesce($"n" * lit(0L), lit(0L)))
     val w = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .withColumn("jk", coalesce(length($"sh") * lit(0L), lit(0L)))
+      .join(broadcast(n1), Seq("jk"))
       .select($"sh",
-        round(log(lit(n.toDouble) / $"df"), 9).cast("decimal(18,9)").as("w"))
+        round(log($"n".cast("double") / $"df"), 9).cast("decimal(18,9)").as("w"))
     val weighted = sh.join(broadcast(w), "sh")
     val tot = weighted.groupBy($"doc_id").agg(sum($"w").as("tw"))
     val inter = weighted.select($"sh", $"doc_id".as("da"), $"w")
