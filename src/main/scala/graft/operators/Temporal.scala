@@ -1541,6 +1541,75 @@ object Temporal {
       |  ON l.ls <= r.re2 AND r.rs2 <= l.le
       |ORDER BY l_orderkey, r_orderkey""".stripMargin
 
+  // ------------------------------------------------- Allen interval algebra
+
+  /** rj_allen — Allen's interval-algebra classification (Allen 1983) of
+    * every overlapping pair from the [[rjInterval]] population: the
+    * relation vocabulary (equals / contains / during / starts /
+    * started_by / finishes / finished_by / meets-at-the-boundary /
+    * plain overlap) that temporal reasoning, timeline validation, and
+    * bitemporal audits are written in. Emitted as per-relation counts
+    * plus min/max overlap lengths — the profile a data-quality reviewer
+    * reads (e.g. "why do 30% of processing windows strictly contain
+    * another customer's?").
+    *
+    * Scale shape: rides [[intervalOverlapJoin]]'s cell-grid equi-join
+    * unchanged (no new shuffle); the classification is a pure CASE
+    * ladder on the four endpoints (first-match-wins, so the categories
+    * partition the pairs exactly — same ladder text in both engines);
+    * the rollup is O(relations).
+    */
+  val rjAllen: Q = (s, d) => {
+    import s.implicits._
+    def side(mod: Long) = tbl(s, d, "orders")
+      .where($"o_custkey" % 20 === mod)
+      .select($"o_orderkey".as("key"),
+        datediff($"o_orderdate", to_date(lit("1992-01-01"))).cast("long").as("lo"))
+      .withColumn("hi", $"lo" + 1L + $"key" % 7)
+    intervalOverlapJoin(side(0L), side(10L), w = 8L)
+      .withColumn("relation", expr(
+        """CASE
+          |  WHEN ls = rs AND le = re THEN 'equals'
+          |  WHEN ls = rs THEN CASE WHEN le < re THEN 'starts' ELSE 'started_by' END
+          |  WHEN le = re THEN CASE WHEN ls > rs THEN 'finishes' ELSE 'finished_by' END
+          |  WHEN ls < rs AND le > re THEN 'contains'
+          |  WHEN ls > rs AND le < re THEN 'during'
+          |  WHEN ls = re OR rs = le THEN 'meets'
+          |  ELSE 'overlaps' END""".stripMargin))
+      .groupBy($"relation").agg(
+        count(lit(1)).as("n_pairs"),
+        min(least($"le", $"re") - greatest($"ls", $"rs") + 1L).as("min_overlap"),
+        max(least($"le", $"re") - greatest($"ls", $"rs") + 1L).as("max_overlap"))
+      .orderBy($"relation")
+  }
+  val rjAllenSql: String =
+    """WITH iv AS (
+      |  SELECT o_orderkey,
+      |         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS ls,
+      |         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+      |           + 1 + o_orderkey % 7 AS le,
+      |         o_custkey % 20 AS m
+      |  FROM orders WHERE o_custkey % 20 IN (0, 10)),
+      |pairs AS (
+      |  SELECT l.ls, l.le, r.rs2 AS rs, r.re2 AS re
+      |  FROM (SELECT ls, le FROM iv WHERE m = 0) l
+      |  JOIN (SELECT ls AS rs2, le AS re2 FROM iv WHERE m = 10) r
+      |    ON l.ls <= r.re2 AND r.rs2 <= l.le),
+      |cls AS (
+      |  SELECT CASE
+      |           WHEN ls = rs AND le = re THEN 'equals'
+      |           WHEN ls = rs THEN CASE WHEN le < re THEN 'starts' ELSE 'started_by' END
+      |           WHEN le = re THEN CASE WHEN ls > rs THEN 'finishes' ELSE 'finished_by' END
+      |           WHEN ls < rs AND le > re THEN 'contains'
+      |           WHEN ls > rs AND le < re THEN 'during'
+      |           WHEN ls = re OR rs = le THEN 'meets'
+      |           ELSE 'overlaps' END AS relation,
+      |         least(le, re) - greatest(ls, rs) + 1 AS ov
+      |  FROM pairs)
+      |SELECT relation, count(*) AS n_pairs,
+      |       min(ov) AS min_overlap, max(ov) AS max_overlap
+      |FROM cls GROUP BY relation ORDER BY relation""".stripMargin
+
   // ---------------------------------------------------- interval concurrency
 
   /** ev_concurrency — PEAK CONCURRENT INTERVALS per 30-day bucket over
@@ -1607,6 +1676,7 @@ object Temporal {
 
   val queries: Map[String, Q] = Map(
     "rj_interval"    -> rjInterval,
+    "rj_allen"       -> rjAllen,
     "ev_concurrency" -> evConcurrency,
     "ev_attrib"     -> evAttrib,
     "ev_streak"     -> evStreak,
@@ -1644,6 +1714,7 @@ object Temporal {
     "aj_asof"       -> ajAsofSql,
     "rj_range"      -> rjRangeSql,
     "rj_interval"   -> rjIntervalSql,
+    "rj_allen"      -> rjAllenSql,
     "ev_concurrency" -> evConcurrencySql,
     "rj_band"       -> rjBandSql,
     "rj_band_auto"  -> rjBandAutoSql,
