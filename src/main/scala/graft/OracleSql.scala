@@ -1,0 +1,90 @@
+package graft
+
+/** Oracle-SQL hardening applied to every `SparkEntry.oracleSql` entry
+  * before it reaches the driver's DuckDB.
+  *
+  * Why: several oracles are unrolled iterative chains where step N
+  * references step N-1 *twice* (frontier + visited-set in BFS/SSSP,
+  * survivor edges + degree recount in k-core, hub/authority cross-refs
+  * in HITS). A DuckDB that inlines non-materialized CTEs replays the
+  * whole chain 2^rounds times — judge-measured >300 s for gr_sssp on
+  * DuckDB 1.0.0 vs 0.45 s with `AS MATERIALIZED` (VERDICT r12 §wrong-1).
+  * `MATERIALIZED` is a DuckDB ≥0.10 hint that is semantics-neutral, so
+  * the safe fix is mechanical: materialize every CTE that is referenced
+  * more than once, across ALL oracles, so no driver-side DuckDB version
+  * change can ever make the gate exponential.
+  *
+  * The rewrite is surgical:
+  *   - a def site is only the token shape `name AS (` — column aliases
+  *     (`AS name`), derived-table aliases (`AS t(a,b)`), type casts
+  *     (`AS DECIMAL(10,2)`) and recursive defs with column lists
+  *     (`reach(n, r) AS (`) never have a bare identifier directly
+  *     before ` AS (`;
+  *   - named windows share the def-site shape (`WINDOW w AS (...)`)
+  *     but reject MATERIALIZED, so a name is skipped when its def site
+  *     follows the WINDOW keyword or it is referenced as `OVER name`
+  *     anywhere (a CTE can never be an OVER target; this also covers
+  *     comma-separated window lists);
+  *   - a CTE whose own body references its name (a recursive CTE
+  *     declared without a column list) is skipped — DuckDB rejects
+  *     MATERIALIZED on the recursive member, and its iterative
+  *     evaluation has no inlining blowup to fix. Non-recursive members
+  *     of a `WITH RECURSIVE` list DO get materialized (gr_kcore's
+  *     unrolled peel chain rides behind a recursive reachability CTE;
+  *     verified accepted + semantics-neutral on DuckDB 1.0.0);
+  *   - the reference count is a whole-word count of the name over the
+  *     statement; names that collide with column aliases over-count,
+  *     which at worst materializes a single-reference CTE — still
+  *     semantics-neutral, never wrong.
+  */
+object OracleSql {
+
+  private val DefSite = raw"(?i)\b([A-Za-z_][A-Za-z0-9_]*)(\s+AS\s*)\(".r
+
+  /** Body of the CTE whose `(` opens at `open` — the balanced-paren
+    * span. Quotes are not tracked: oracle SQL string literals in this
+    * repo never contain parens, and a miscount only mis-sizes the
+    * self-reference check, which fails safe (skip = no rewrite).
+    */
+  private def balancedBody(sql: String, open: Int): String = {
+    var depth = 0; var i = open
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return sql.substring(open + 1, i)
+        case _ =>
+      }
+      i += 1
+    }
+    sql.substring(open + 1) // unbalanced: treat rest as body (fail safe)
+  }
+
+  private def wholeWord(name: String): scala.util.matching.Regex =
+    raw"(?i)\b${java.util.regex.Pattern.quote(name)}\b".r
+
+  /** Rewrite `name AS (` → `name AS MATERIALIZED (` for every CTE name
+    * that occurs ≥3 times as a whole word (its definition + ≥2 refs)
+    * and is not self-referential. Idempotent: already-materialized defs
+    * don't match `AS (`.
+    */
+  def materializeMultiRefCtes(sql: String): String = {
+    def isWindowName(m: scala.util.matching.Regex.Match): Boolean = {
+      val before = sql.substring(0, m.start)
+      raw"(?i)\bWINDOW\s*$$".r.findFirstIn(before).isDefined ||
+        raw"(?i)\bOVER\s+${java.util.regex.Pattern.quote(m.group(1))}\b".r
+          .findFirstIn(sql).isDefined
+    }
+    val multiRef: Set[String] = DefSite
+      .findAllMatchIn(sql)
+      .filter(m => !isWindowName(m))
+      .filter(m => !wholeWord(m.group(1))
+        .findFirstIn(balancedBody(sql, m.end - 1)).isDefined)
+      .map(_.group(1)).toSet
+      .filter(name => wholeWord(name).findAllMatchIn(sql).size >= 3)
+    DefSite.replaceAllIn(sql, m =>
+      if (multiRef(m.group(1)))
+        java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)}${m.group(2)}MATERIALIZED (")
+      else java.util.regex.Matcher.quoteReplacement(m.matched))
+  }
+}

@@ -11,13 +11,25 @@ object Verify {
     val selected = // extra args = iterate on a subset; driver passes none
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Queries are independent and results are tiny at sf0.01 — the old
+    // sequential loop spent ~8.5 min mostly on per-query job latency with
+    // local[32] idle (VERDICT r12 §wrong-1). Spark sessions are thread-safe
+    // for concurrent actions, so run the dump on a fixed pool; memoized
+    // artifacts stay single-build via SessionCache.computeIfAbsent.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("GRAFT_VERIFY_THREADS", "8").toInt)
+    val futures = selected.toSeq.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    futures.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
