@@ -7,12 +7,14 @@ import graft.Tables.{t => tbl}
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by per-partition batch operators.
   *
-  * The Spark-side plumbing (schema, partition sizing, batched iteration,
-  * explode shapes) is real and tested; the actual media decode is a STUB —
-  * the container ships no image/audio codecs — implemented as a
-  * deterministic fake (byte histogram) with the exact signature a real
-  * decoder (e.g. JNI/FFI to libjpeg / ffmpeg, or `mapInPandas`+PIL on the
-  * PySpark surface) would plug into.
+  * IMAGE decode is REAL: the JDK ships `javax.imageio` codecs for
+  * PNG/JPEG/BMP/GIF, so [[decodeImage]] does actual pixel decode (and the
+  * mm_decode / mm_phash_img gates verify it end-to-end — see the image
+  * section's exactness argument). AUDIO/VIDEO decode remains a STUB — the
+  * container ships no PCM/ffmpeg codecs — implemented as a deterministic
+  * fake (byte histogram / byte-PCM energy) with the exact signature a real
+  * decoder (JNI/FFI to ffmpeg, or `mapInPandas`+librosa on the PySpark
+  * surface) would plug into.
   *
   * Scale notes: media rows are large and skew-prone — repartition by a
   * size-aware key before decode so one executor doesn't eat all the 4K
@@ -374,6 +376,200 @@ object Multimodal {
       |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 10
       |ORDER BY a, b""".stripMargin
 
+  // --------------------------------------------------- REAL image decode
+
+  /** Synthetic-image dimensions: 24×16 so the 8×8 hash grid gets exact
+    * 3×2-pixel blocks (no fractional block edges → pure integer block
+    * sums on both engines).
+    */
+  val ImgW = 24
+  val ImgH = 16
+
+  // ImageIO's default stream cache writes temp files per decode — pure
+  // overhead for in-memory byte arrays on executors.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Channel values of the synthetic test image for `docId` at (x, y):
+    * cheap distinct linear congruences mod 256. This formula exists on
+    * BOTH engines — Spark uses it only to PAINT the PNG; the features
+    * come from decoded pixels, while DuckDB computes features from the
+    * formula directly. PNG is lossless, so the gates agree iff the real
+    * encode→decode roundtrip is pixel-exact.
+    */
+  def synthRgb(docId: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((7 * docId + 3 * x + 5 * y) % 256).toInt,
+    ((11 * docId + 13 * x + y) % 256).toInt,
+    ((3 * docId + x + 7 * y) % 256).toInt)
+
+  /** Paint + PNG-encode the synthetic image for `docId` (real
+    * `javax.imageio` encoder, runs on executors).
+    */
+  def synthPng(docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < ImgW) {
+        val (r, g, b) = synthRgb(docId, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: `javax.imageio` (PNG/JPEG/BMP/GIF ship with the
+    * JDK). Returns None for undecodable bytes — the quarantine path, so
+    * a corrupt blob degrades to a dropped row, never a task failure.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Media view of synthetic PNGs (doc_id < n) plus a few deliberately
+    * UNDECODABLE payloads (raw text bytes) — downstream decode gates
+    * must pass the PNGs through and quarantine the rest.
+    */
+  def synthImageMedia(s: SparkSession, d: String, n: Int): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val ids = tbl(s, d, "documents").where(col("doc_id") < n)
+      .select(col("doc_id")).as[Long]
+    val pngs = ids.mapPartitions(_.map(id => (id, synthPng(id))))
+      .toDF("media_id", "content")
+    val corrupt = tbl(s, d, "documents").where(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000L).as("media_id"),
+        encode(col("text"), "UTF-8").as("content"))
+    pngs.unionByName(corrupt)
+  }
+
+  /** mm_decode — REAL decode → per-channel stats, through the batched
+    * per-partition path (the Scala analogue of `mapInPandas`): PNG bytes
+    * in, one small feature row out; undecodable payloads drop (the 5
+    * planted corrupt rows prove the quarantine branch under the oracle —
+    * they appear in the input and not the output).
+    *
+    * Exactness: decoded 8-bit channels are integers; sums/mins/maxes are
+    * integer arithmetic. The oracle never sees a PNG — it replays
+    * [[synthRgb]] directly — so equality holds iff ImageIO's
+    * encode→decode roundtrip reproduced every pixel.
+    */
+  val imageDecode: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val feats = synthImageMedia(s, d, 40)
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeImage(bytes).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (rs, gs, bs) = (0L, 0L, 0L)
+          var (rmin, rmax) = (255, 0)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val r = (p >> 16) & 0xff
+              rs += r; gs += (p >> 8) & 0xff; bs += p & 0xff
+              if (r < rmin) rmin = r
+              if (r > rmax) rmax = r
+              x += 1
+            }
+            y += 1
+          }
+          (id, w.toLong, h.toLong, rs, gs, bs, rmin.toLong, rmax.toLong)
+        }
+      })
+      .toDF("media_id", "width", "height", "r_sum", "g_sum", "b_sum",
+        "r_min", "r_max")
+    feats.orderBy(col("media_id"))
+  }
+  val imageDecodeSql: String =
+    s"""WITH px AS (
+       |  SELECT doc_id, (7*doc_id + 3*x + 5*y) % 256 AS r,
+       |         (11*doc_id + 13*x + y) % 256 AS g,
+       |         (3*doc_id + x + 7*y) % 256 AS b
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id < 40),
+       |       (SELECT unnest(range(0, $ImgW)) AS x),
+       |       (SELECT unnest(range(0, $ImgH)) AS y))
+       |SELECT doc_id AS media_id,
+       |       CAST($ImgW AS BIGINT) AS width, CAST($ImgH AS BIGINT) AS height,
+       |       CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+       |       CAST(sum(b) AS BIGINT) AS b_sum,
+       |       CAST(min(r) AS BIGINT) AS r_min, CAST(max(r) AS BIGINT) AS r_max
+       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  /** mm_phash_img — TRUE perceptual average-hash over REAL decoded
+    * pixels: decode PNG → integer luma (77r+150g+29b, the Rec.601
+    * weights scaled ×256, division deferred so everything stays exact) →
+    * 8×8 block-sum downscale (exact 3×2 blocks) → bit i set iff
+    * block_i·64 > Σblocks (integer compare, no float mean) → packed into
+    * two 32-bit words. This is mm_phash with the stub "sampled bytes"
+    * luma plane replaced by a real decoded image; banding/Hamming
+    * candidate generation at corpus scale is identical to mm_phash's and
+    * not re-tested here.
+    */
+  val imagePhash: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    synthImageMedia(s, d, 40)
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeImage(bytes).map { img =>
+          val blocks = new Array[Long](64)
+          var y = 0
+          while (y < ImgH) {
+            var x = 0
+            while (x < ImgW) {
+              val p = img.getRGB(x, y)
+              val luma = 77L * ((p >> 16) & 0xff) + 150L * ((p >> 8) & 0xff) +
+                29L * (p & 0xff)
+              blocks((y / 2) * 8 + (x / 3)) += luma
+              x += 1
+            }
+            y += 1
+          }
+          val total = blocks.sum
+          var (hi, lo) = (0L, 0L)
+          var i = 0
+          while (i < 64) {
+            if (blocks(i) * 64 > total) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          (id, hi, lo)
+        }
+      })
+      .toDF("media_id", "hash_hi", "hash_lo")
+      .orderBy(col("media_id"))
+  }
+  val imagePhashSql: String =
+    s"""WITH lum AS (
+       |  SELECT doc_id, (y // 2) * 8 + (x // 3) AS i,
+       |         77*((7*doc_id + 3*x + 5*y) % 256)
+       |         + 150*((11*doc_id + 13*x + y) % 256)
+       |         + 29*((3*doc_id + x + 7*y) % 256) AS luma
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id < 40),
+       |       (SELECT unnest(range(0, $ImgW)) AS x),
+       |       (SELECT unnest(range(0, $ImgH)) AS y)),
+       |bl AS (SELECT doc_id, i, CAST(sum(luma) AS BIGINT) AS bs
+       |       FROM lum GROUP BY doc_id, i),
+       |tot AS (SELECT doc_id, i, bs, sum(bs) OVER (PARTITION BY doc_id) AS ts
+       |        FROM bl)
+       |SELECT doc_id AS media_id,
+       |  CAST(sum(CASE WHEN i >= 32 AND bs*64 > ts
+       |                THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INT)
+       |                ELSE 0 END) AS BIGINT) AS hash_hi,
+       |  CAST(sum(CASE WHEN i < 32 AND bs*64 > ts
+       |                THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+       |                ELSE 0 END) AS BIGINT) AS hash_lo
+       |FROM tot GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_media_meta" -> mediaMeta,
     "mm_features"   -> mediaFeatures,
@@ -381,6 +577,8 @@ object Multimodal {
     "mm_phash"      -> phash,
     "mm_energy"     -> audioEnergy,
     "mm_scene"      -> sceneChange,
+    "mm_decode"     -> imageDecode,
+    "mm_phash_img"  -> imagePhash,
   )
 
   val oracles: Map[String, String] = Map(
@@ -390,5 +588,7 @@ object Multimodal {
     "mm_phash"      -> phashSql,
     "mm_energy"     -> audioEnergySql,
     "mm_scene"      -> sceneChangeSql,
+    "mm_decode"     -> imageDecodeSql,
+    "mm_phash_img"  -> imagePhashSql,
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real `javax.imageio` decode paths beyond what the mm_decode /
+  * mm_phash_img oracle gates hash-check (those prove PNG encode→decode is
+  * pixel-exact end-to-end against arithmetic ground truth): the other
+  * JDK-shipped codecs decode through the same entry point, and corrupt
+  * bytes take the quarantine branch instead of failing the task.
+  */
+class ImageCodecSpec extends AnyFunSuite {
+
+  private def rgbOf(img: java.awt.image.BufferedImage, x: Int, y: Int) = {
+    val p = img.getRGB(x, y)
+    (((p >> 16) & 0xff), ((p >> 8) & 0xff), (p & 0xff))
+  }
+
+  test("PNG roundtrip is pixel-exact against the paint formula") {
+    val img = Multimodal.decodeImage(Multimodal.synthPng(7L)).get
+    assert(img.getWidth == Multimodal.ImgW && img.getHeight == Multimodal.ImgH)
+    for (y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW)
+      assert(rgbOf(img, x, y) == Multimodal.synthRgb(7L, x, y),
+        s"pixel ($x,$y) diverged after PNG roundtrip")
+  }
+
+  private def encode(fmt: String, docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      Multimodal.ImgW, Multimodal.ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW) {
+      val (r, g, b) = Multimodal.synthRgb(docId, x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("BMP roundtrip is pixel-exact (second lossless codec)") {
+    val img = Multimodal.decodeImage(encode("bmp", 11L)).get
+    assert(img.getWidth == Multimodal.ImgW && img.getHeight == Multimodal.ImgH)
+    for (y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW)
+      assert(rgbOf(img, x, y) == Multimodal.synthRgb(11L, x, y))
+  }
+
+  test("JPEG decodes with correct dimensions and bounded lossy error") {
+    val img = Multimodal.decodeImage(encode("jpg", 3L)).get
+    assert(img.getWidth == Multimodal.ImgW && img.getHeight == Multimodal.ImgH)
+    // lossy: assert every channel is within a generous DCT error band
+    for (y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW) {
+      val (r, g, b) = rgbOf(img, x, y)
+      val (er, eg, eb) = Multimodal.synthRgb(3L, x, y)
+      assert(math.abs(r - er).max(math.abs(g - eg)).max(math.abs(b - eb)) <= 128,
+        s"JPEG error out of band at ($x,$y)")
+    }
+  }
+
+  test("GIF decodes with correct dimensions (palette-quantized)") {
+    val img = Multimodal.decodeImage(encode("gif", 5L)).get
+    assert(img.getWidth == Multimodal.ImgW && img.getHeight == Multimodal.ImgH)
+  }
+
+  test("corrupt bytes quarantine to None, never throw") {
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    // a PNG header with a truncated body must not escape as an exception
+    val truncated = Multimodal.synthPng(1L).take(20)
+    assert(Multimodal.decodeImage(truncated).isEmpty)
+  }
+}
