@@ -151,19 +151,75 @@ object HypermapQueries {
        |ORDER BY blockNumber""".stripMargin
   }
 
+  /** str_replay_equiv — ST3 exactly-once under the DRIVER'S oracle (was
+    * spec-only until round 13): the golden+adversarial fixture replayed
+    * through [[graft.streaming.Tail.startWithEntries]] in four landed
+    * micro-batches, with (a) batch 2 REDELIVERING three of batch 1's
+    * rows (at-least-once delivery — the event_id anti-join sink must
+    * dedupe), (b) a full query RESTART on the same checkpoint between
+    * batches 2 and 3 (ST2 offset resume — the new query must not replay
+    * b1/b2), and (c) batch 4 being 100% duplicates (must be a no-op).
+    * The streamed entries table then projects to the SAME hand-derived
+    * VALUES oracle as hm_entries_fold — equality proves the incremental
+    * fold + idempotent sinks converge to the batch semantics end-to-end.
+    *
+    * Memoized per session: the replay is a side-effecting fixture build
+    * (temp dirs + two streaming queries, ~5 s); verify's parallel dump
+    * and bench both reuse the one materialized result.
+    */
+  private val replayCache = new graft.SessionCache[Unit]
+  val entriesReplay: Q = (s, _) => {
+    import s.implicits._
+    val streamed = replayCache.getOrCompute(s, ()) {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-replay")
+      val rawDir = base.resolve("raw").toString
+      new java.io.File(rawDir).mkdirs()
+      val (ev, en, ck) = (base.resolve("ev").toString,
+        base.resolve("en").toString, base.resolve("ck").toString)
+      val all = Fixtures.goldenLogs ++ Fixtures.adversarialLogs
+      val land: Seq[(Int, Seq[Fixtures.Log])] = Seq(
+        1 -> all.take(7),
+        2 -> all.slice(4, 12), // redelivers rows 4-6
+        3 -> all.drop(12),
+        4 -> all.take(7))      // pure redelivery: must be a no-op
+      def run(batches: Seq[(Int, Seq[Fixtures.Log])]): Unit = {
+        val q = graft.streaming.Tail.startWithEntries(s, rawDir + "/*/",
+          ev, en, ck, trigger = Trigger.ProcessingTime("1 second"))
+        batches.foreach { case (i, logs) =>
+          Fixtures.toDF(s, logs).coalesce(1).write.json(s"$rawDir/b$i")
+          q.processAllAvailable()
+        }
+        q.stop()
+      }
+      run(land.take(2))
+      run(land.drop(2)) // restart on the same checkpoint (ST2)
+      s.read.parquet(en).persist()
+    }
+    streamed
+      .select($"namehash", $"label", $"parentHash", $"creationBlock",
+        $"lastUpdateBlock", size($"children").cast("long").as("n_children"),
+        size($"notes").cast("long").as("n_notes"),
+        size($"facts").cast("long").as("n_facts"),
+        $"owner")
+      .orderBy($"namehash")
+  }
+
   val queries: Map[String, Q] = Map(
-    "hm_all_types"     -> allTypes,
-    "hm_decode_counts" -> decodeCounts,
-    "hm_entries_fold"  -> entriesFold,
-    "hm_event_page"    -> eventPage,
-    "hm_entry_events"  -> entryEvents,
+    "hm_all_types"      -> allTypes,
+    "hm_decode_counts"  -> decodeCounts,
+    "hm_entries_fold"   -> entriesFold,
+    "hm_event_page"     -> eventPage,
+    "hm_entry_events"   -> entryEvents,
+    "str_replay_equiv"  -> entriesReplay,
   )
 
   val oracles: Map[String, String] = Map(
-    "hm_all_types"     -> allTypesSql,
-    "hm_decode_counts" -> decodeCountsSql,
-    "hm_entries_fold"  -> entriesFoldSql,
-    "hm_event_page"    -> eventPageSql,
-    "hm_entry_events"  -> entryEventsSql,
+    "hm_all_types"      -> allTypesSql,
+    "hm_decode_counts"  -> decodeCountsSql,
+    "hm_entries_fold"   -> entriesFoldSql,
+    "hm_event_page"     -> eventPageSql,
+    "hm_entry_events"   -> entryEventsSql,
+    "str_replay_equiv"  -> entriesFoldSql, // same hand-derived expected table
   )
 }
