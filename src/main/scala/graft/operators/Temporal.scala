@@ -144,10 +144,15 @@ object Temporal {
                       ranges: DataFrame, loCol: String, hiCol: String,
                       binSize: Double): DataFrame = {
     require(binSize > 0, "binSize must be positive")
+    // power-of-two grid: the bin division is then EXACT in doubles, so a
+    // range's bin span can never round short and strand a fact at the hi
+    // edge (same argument as BandJoinBucketRule.pow2ceil; binSize is a
+    // performance knob, so widening it ≤2× only coarsens the grid)
+    val bin = graft.plans.BandJoinBucketRule.pow2ceil(binSize)
     val expanded = ranges.withColumn("__bin",
-      explode(sequence(floor(col(loCol) / binSize).cast("long"),
-        floor((col(hiCol) - lit(1e-9)) / binSize).cast("long"))))
-    facts.withColumn("__bin", floor(col(factCol) / binSize).cast("long"))
+      explode(sequence(floor(col(loCol) / bin).cast("long"),
+        floor((col(hiCol) - lit(1e-9)) / bin).cast("long"))))
+    facts.withColumn("__bin", floor(col(factCol) / bin).cast("long"))
       .join(expanded, Seq("__bin"))
       .where(col(factCol) >= col(loCol) && col(factCol) < col(hiCol))
       .drop("__bin")
@@ -197,11 +202,16 @@ object Temporal {
                rightCol: String, width: Double,
                keys: Seq[String] = Nil): DataFrame = {
     require(width > 0, "width must be positive")
-    val l = left.withColumn("__bucket", floor(col(leftCol) / width).cast("long"))
+    // bucket on the next power of two ≥ width: the division is then EXACT
+    // in doubles, making the ±1 candidate radius rigorous at any operand
+    // magnitude (see BandJoinBucketRule.pow2ceil; the residual predicate
+    // below still uses the true width, so results are identical)
+    val w2 = graft.plans.BandJoinBucketRule.pow2ceil(width)
+    val l = left.withColumn("__bucket", floor(col(leftCol) / w2).cast("long"))
     val r = right
       .withColumn("__bucket", explode(expr(
-        s"sequence(CAST(floor($rightCol / $width) AS LONG) - 1, " +
-          s"CAST(floor($rightCol / $width) AS LONG) + 1)")))
+        s"sequence(CAST(floor($rightCol / $w2) AS LONG) - 1, " +
+          s"CAST(floor($rightCol / $w2) AS LONG) + 1)")))
     l.join(r, keys :+ "__bucket")
       .where(abs(col(leftCol) - col(rightCol)) <= width)
       .drop("__bucket")

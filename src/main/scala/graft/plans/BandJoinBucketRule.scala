@@ -35,31 +35,38 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, IntegerTyp
   * |x − y| ≤ W ⇒ |x/W − y/W| ≤ 1 ⇒ the floors differ by at most one, so
   * the pair shares a bucket in the ×3 expansion; the ORIGINAL predicate is
   * kept verbatim, so no false pair survives. The bucket width is
-  * `Math.nextUp(max bound)`: a non-double-representable width literal
-  * (e.g. decimal 0.3) converts to the NEAREST double, which can sit up to
-  * half an ulp BELOW the exact decimal the residual predicate compares
-  * against — bucketing with that smaller width could strand a pair at
-  * exactly |x−y| = w two buckets apart. nextUp exceeds any real value
-  * whose nearest double is the converted one, and a slightly-too-wide
-  * bucket only loosens the candidate set, never the result.
+  * `pow2ceil(Math.nextUp(max bound))` — two adjustments, each only ever
+  * WIDENING the bucket (loosening candidates, never the result):
+  *   - nextUp: a non-double-representable width literal (e.g. decimal
+  *     0.3) converts to the NEAREST double, which can sit up to half an
+  *     ulp BELOW the exact decimal the residual predicate compares
+  *     against — bucketing with that smaller width could strand a pair
+  *     at exactly |x−y| = w two buckets apart; nextUp exceeds any real
+  *     value whose nearest double is the converted one;
+  *   - pow2ceil (r13): rounding the width up to a power of two makes the
+  *     bucket DIVISION exact in IEEE arithmetic, which is what makes
+  *     radius 1 rigorous at any operand magnitude — see
+  *     [[candidateRadius]] for the full argument.
   *
-  * OPERAND precision (r11, from r10 advice): nextUp covers the width
-  * literal's conversion, not the operands'. Casting a high-precision
-  * value to double loses up to half an ulp OF THAT VALUE — for
-  * DECIMAL(24,18) near 1e6 that is ~1e-10, ≫ the ~5e-17 nextUp nudge —
-  * so a boundary pair could land 2 buckets apart and silently vanish
-  * from an inner join. Three regimes now handle this (see
-  * [[candidateRadius]] / [[intBucketOf]]):
+  * OPERAND precision (r11 from r10 advice; closed statically in r13):
+  * nextUp covers the width literal's conversion, not the operands'.
+  * Casting a high-precision value to double loses up to half an ulp OF
+  * THAT VALUE — for DECIMAL(24,18) near 1e6 that is ~1e-10, ≫ the
+  * ~5e-17 nextUp nudge — so a boundary pair could land buckets apart
+  * and silently vanish from an inner join. Three regimes handle this
+  * (see [[candidateRadius]] / [[intBucketOf]]):
   *   - integral × integral: bucket in EXACT 64-bit integer arithmetic
   *     (floor-division, width ⌈w⌉) — no double anywhere, ±1 candidates;
-  *   - any FRACTIONAL decimal operand (scale > 0, any precision), a
-  *     scale-0 decimal wider than 15 digits, or a long mixed with a
-  *     fractional side: candidates widen to ±2, sound while per-operand
-  *     cast error ≤ W/4 (checked statically from the type's max
-  *     magnitude 10^(p−s); for long, an accepted |x| ≤ W·2^51 gamble —
-  *     see [[candidateRadius]]);
-  *   - a decimal type whose worst-case cast error exceeds W/4: the rule
-  *     STANDS DOWN — a nested loop is slow but never wrong.
+  *   - exactly-representable fractional operands (double/float, small
+  *     scale-0 decimals; type coercion guarantees both sides share one
+  *     type — see [[candidateRadius]] point 1): radius ±1, rigorous at
+  *     ANY magnitude because the power-of-two bucket division is exact
+  *     (r13 — this retires r12's "long mixed with fractional" gamble,
+  *     whose premise coercion makes unreachable, AND the quotient-
+  *     rounding hazard the r12 analysis missed);
+  *   - other decimals: ±2 when the type's worst-case cast error fits
+  *     W/4, else the rule STANDS DOWN — a nested loop is slow but
+  *     never wrong.
   *
   * The rewritten join HAS an equi key, so the rule's own guard (skip
   * joins that already have one) makes it idempotent under the
@@ -227,55 +234,82 @@ object BandJoinBucketRule extends Rule[LogicalPlan] with PredicateHelper {
         Literal(1L), Literal(0L)))
   }
 
-  /** Cast-to-double soundness at the operand TYPE's worst magnitude
-    * (r10 advice: nextUp covers only the width literal's conversion, not
-    * the operands'). Returns the candidate-bucket radius to use, or None
-    * when no radius is statically sound and the rule must stand down:
-    *   - radius 1: operand values are exactly double-representable —
-    *     int/smaller, float/double (already doubles, the cast is the
-    *     identity), and SCALE-0 decimals within 15 digits (integers
-    *     ≤ 10^15 < 2^53 are exact). Fractional decimals are NOT exact at
-    *     any precision — DECIMAL(15,2) near 1e13 casts with absolute
-    *     error up to ~10^13·2^-53 ≈ 1.1e-3, far above the nextUp nudge —
-    *     so every DecimalType with scale > 0 takes the maxErr check
-    *     (r11 advice).
-    *   - radius 2: each cast can err by up to ulp/2 ≤ W/4, so a true pair
-    *     lands within 2 buckets (|x'−y'| ≤ W + 2·(W/4) ⇒ floor gap ≤ 2);
-    *   - None: a DECIMAL(p,s) with 10^(p−s)·2^-52 > W/4 — the type alone
-    *     admits values whose cast error swamps the band; fall back to the
-    *     nested loop (slow but sound) rather than silently drop pairs.
-    *     (At such magnitudes Spark's own ANSI decimal arithmetic in the
-    *     residual predicate may overflow anyway — standing down matches
-    *     what the un-rewritten query would do.)
-    * A LongType operand mixed with a fractional side gets radius 2: its
-    * relative cast error is 2^-53, so the bound holds whenever |x| ≤
-    * W·2^51 — epoch MICROS (~1.7e15) are covered for any W ≥ 1, but
-    * epoch NANOS (~1.7e18) need W ≥ ~760. This magnitude assumption is
-    * an ACCEPTED STATIC GAMBLE (documented, r11 advice): the type holds
-    * values up to 2^63 whose cast error (~1024) would need W ≥ 4096 to
-    * bound statically, and standing down below that width would kill
-    * every realistic epoch-scale band join. long-vs-long never gets
-    * here — the exact-integer path covers it at any magnitude.
+  /** Static soundness screen for the double-bucketing path. Returns the
+    * candidate radius, or None when no radius is statically sound and
+    * the rule must stand down. With the power-of-two bucket width
+    * ([[pow2ceil]]) the division inside `floor(x/W₂)` is EXACT, so the
+    * whole analysis reduces to operand CAST error — statically bounded
+    * for every type that can appear here:
+    *
+    * 1. MIXED TYPES CANNOT REACH THIS RULE (r13 — retires the r12
+    *    "long mixed with a fractional side" accepted gamble as
+    *    unreachable rather than risky): every matched conjunct is a
+    *    resolved comparison, and Catalyst's type coercion forces both
+    *    sides of a comparison (and both operands of the Subtract/Add
+    *    forms) to ONE common type before the rule ever sees the join —
+    *    a "long vs double" band arrives here as double vs double with
+    *    the cast INSIDE lExpr, and the residual predicate evaluates on
+    *    the SAME casted values the bucketing sees, so that cast can
+    *    never separate a pair the predicate accepts. long vs long takes
+    *    the exact-integer path and never gets here.
+    *
+    * 2. Radius 1 for exactly-representable operand types (double/float/
+    *    int and smaller, scale-0 decimals within 15 digits): the cast
+    *    is the identity and the division is exact, so a true pair's
+    *    bucket quotients differ by ≤ W/W₂ ≤ 1 EXACTLY and their floors
+    *    by ≤ 1 — rigorous at ANY magnitude, including the epoch-nanos
+    *    regime r12 flagged. (With a rounding division this was only
+    *    ε-sound: quotient half-ulps grow with magnitude and ⌊a⌋,⌊b⌋
+    *    with |a−b| = 1+ε can sit two apart. Exactness removes the ε.)
+    *
+    * 3. Radius 2 for other decimals, screened (r11, unchanged): each
+    *    side's decimal→double cast errs ≤ maxErr = 10^(p−s)·2^-52,
+    *    required ≤ W/4 ≤ W₂/4 — quotient gap ≤ 1 + 2·(W/4)/W₂ ≤ 1.5,
+    *    floor gap ≤ 2. Beyond the screen the type alone admits values
+    *    whose cast error swamps the band — fall back to the nested loop
+    *    (slow but never wrong; at such magnitudes Spark's own ANSI
+    *    decimal arithmetic in the residual may overflow anyway).
+    *    Fractional decimals are never exactly double-representable —
+    *    DECIMAL(15,2) near 1e13 casts with absolute error ~1.1e-3 —
+    *    which is why the screen keys on the type's integral magnitude
+    *    10^(p−s), not on scale.
     */
   private def candidateRadius(lExpr: Expression, rExpr: Expression,
                               w: Double): Option[Int] = {
     val radii = Seq(lExpr, rExpr).map { e =>
       e.dataType match {
+        // scale-0 decimals within 15 digits are exactly representable
+        // (≤ 10^15 < 2^53): no cast error
         case d: DecimalType if d.scale == 0 && d.precision <= 15 => Some(1)
         case d: DecimalType =>
           val maxErr = math.pow(10, (d.precision - d.scale).toDouble) * math.pow(2, -52)
           if (maxErr > w / 4) None else Some(2)
-        case LongType => Some(2)
         case _ => Some(1)
       }
     }
     if (radii.contains(None)) None else Some(radii.flatten.max)
   }
 
+  /** Smallest power of two ≥ x (x > 0). Dividing an IEEE binary64 by a
+    * power of two is EXACT whenever the result is normal (only the
+    * exponent changes), so bucketing with a power-of-two width carries
+    * ZERO division rounding — the keystone of this rule's soundness
+    * argument (see [[candidateRadius]]). Subnormal quotients (operand
+    * < width·2^-1022) can round, but only across the 0/−1 bucket
+    * boundary, where any qualifying partner is within radius 1 anyway.
+    */
+  def pow2ceil(x: Double): Double = {
+    val p = math.pow(2, Math.getExponent(x).toDouble)
+    if (p >= x) p else p * 2
+  }
+
   private def rewrite(j: Join, lExpr: Expression, rExpr: Expression, w0: Double): LogicalPlan = {
     val integral = isIntegralType(lExpr) && isIntegralType(rExpr)
-    // cover any real width whose nearest-double conversion was w0 (see scaladoc)
-    val w = Math.nextUp(w0)
+    // cover any real width whose nearest-double conversion was w0 (see
+    // scaladoc), then round UP to a power of two so the bucket division
+    // is exact — at most 2× the band, so bucket population stays
+    // band-density-bounded while every magnitude hazard disappears
+    val w = pow2ceil(Math.nextUp(w0))
     val (lB, rB, radius) =
       if (integral) {
         // exact integer bucketing: ceil(w) only widens the bucket (sound),

@@ -463,6 +463,61 @@ class PlanGuardSpec extends AnyFunSuite {
       s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
   }
 
+  test("BandJoinBucketRule: epoch-nanos-magnitude doubles with a narrow band stay hash-planned and exact") {
+    // r12's VERDICT flagged epoch-nanos magnitude with narrow widths as
+    // a documented wrong-results hazard. The r13 power-of-two bucket
+    // width makes the bucket division exact at ANY magnitude, so this
+    // must hash-plan with the ordinary ±1 radius AND return exactly the
+    // naive double-arithmetic result. Ground truth is computed with the
+    // SAME doubles (at 1.7e18 they are quantized to 256), not assumed.
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.abs
+    val base = 1.7e18
+    val lv = (0 until 300).map(i => (i.toLong, base + i * 193.0))
+    val rv = (0 until 300).map(i => (i.toLong, base + i * 311.0))
+    val joined = lv.toDF("lid", "x").join(rv.toDF("rid", "y"),
+      abs($"x" - $"y") <= 100.0)
+    val plan = joined.queryExecution.sparkPlan
+    val nlj = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case c: CartesianProductExec => c
+    }
+    assert(nlj.isEmpty, s"nanos-magnitude band should hash-plan, not NLJ:\n$plan")
+    val got = joined.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val want = (for { (li, xv) <- lv; (ri, yv) <- rv
+      if math.abs(xv - yv) <= 100.0 } yield (li, ri)).toSet
+    assert(want.nonEmpty, "fixture produced no qualifying pairs")
+    assert(got == want,
+      s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
+  }
+
+  test("BandJoinBucketRule: exact-boundary pairs survive at nanos magnitude with a sub-quantum band") {
+    // W=10 is far below the 256-unit double quantum at 1.7e18: only
+    // exact ties qualify, and every tie must survive the bucketing
+    // (a rounding division could strand ties at a bucket edge).
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.abs
+    val base = 1.7e18
+    val lv = (0 until 80).map(i => (i.toLong, base + i * 512.0))
+    val rv = (0 until 80).map(i => (i.toLong, base + i * 1024.0))
+    val joined = lv.toDF("lid", "x").join(rv.toDF("rid", "y"),
+      abs($"x" - $"y") <= 10.0)
+    val plan = joined.queryExecution.sparkPlan
+    val nlj = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case c: CartesianProductExec => c
+    }
+    assert(nlj.isEmpty, s"sub-quantum band should hash-plan, not NLJ:\n$plan")
+    val got = joined.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val want = (for { (li, xv) <- lv; (ri, yv) <- rv
+      if math.abs(xv - yv) <= 10.0 } yield (li, ri)).toSet
+    assert(want.nonEmpty, "fixture produced no qualifying ties")
+    assert(got == want,
+      s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
+  }
+
   test("BandJoinBucketRule: stands down when the decimal type's magnitude swamps the width") {
     // DECIMAL(38,0) admits values near 1e38 whose cast error (~2e22) makes
     // any double bucketing unsound for a narrow band — the rule must
