@@ -18,7 +18,39 @@ object ScaleProbe {
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("corpus"))
       corpusProbe(args.lift(1).map(_.toInt).getOrElse(10))
+    else if (args.headOption.contains("substr"))
+      substrProbe(args.lift(1).getOrElse("/tmp/graft-sf1"),
+        args.lift(2).map(_.toLong))
     else eventsProbe(args.headOption.map(_.toLong).getOrElse(10_000_000L))
+
+  /** Scaling probe for dd_substr_pairs (r12 VERDICT: the suite's
+    * fastest-growing gate — Σ df² candidate mass): times
+    * `Dedup.substrPairsOf` over `dir`'s documents table, uncapped or at
+    * the given df cap. `runMain graft.ScaleProbe substr /tmp/graft-sf1
+    * 64` — PERF.md records the sf0.1/sf1/sf10 ratios for both modes.
+    */
+  def substrProbe(dir: String, dfCap: Option[Long]): Unit = {
+    val spark = GraftSession.local(appName = "graft-substr-probe")
+    // dir suffixed ":boiler" appends a shared 40-token paragraph to
+    // EVERY doc — the real-web regime (common headers/footers) where
+    // the uncapped gram join's Σ df² output explodes to n_docs² per
+    // boilerplate gram and the df cap is the difference between a
+    // bounded run and a blowup.
+    val (path, boiler) =
+      if (dir.endsWith(":boiler")) (dir.stripSuffix(":boiler"), true) else (dir, false)
+    val base = Tables.documents(spark, path).select(col("doc_id"), col("text"))
+    val docs =
+      if (!boiler) base
+      else base.withColumn("text", concat(col("text"), lit(" " +
+        (0 until 40).map(i => s"bp$i").mkString(" "))))
+    // warm the input (probe the operator, not the parquet cold read)
+    docs.persist().count()
+    val t0 = System.nanoTime()
+    val n = graft.operators.Dedup.substrPairsOf(docs, dfCap = dfCap).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"probe":"substr","dir":"$dir","cap":${dfCap.getOrElse(-1L)},"pairs":$n,"sec":$sec%.2f}""")
+    spark.stop()
+  }
 
   /** Scaling probe for the LLM-pipeline headliners (pl_corpus_clean,
     * pl_pretrain, the LSH candidate path): replicate the sf0.1 documents

@@ -250,9 +250,15 @@ object Audit {
       .select(expr(s"stack(${cols.size}, $ndvStack) AS (column_name, val)"))
       .groupBy(col("column_name"))
       .agg(countDistinct(col("val")).as("n_distinct"))
-    base.join(broadcast(ndv), Seq("column_name"))
+    // LEFT join + coalesce (r12 advice): on an empty (or fully filtered)
+    // table the NDV groupBy yields 0 rows while pass A still emits the 7
+    // stacked report rows — the oracle's global-aggregate form keeps all
+    // 7 rows with ndv 0, so an inner join would break parity on empty
+    // input.
+    base.join(broadcast(ndv), Seq("column_name"), "left")
       .select(col("column_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("min_v"), col("max_v"))
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_v"), col("max_v"))
       .orderBy(col("column_name"))
   }
   val statsSql: String = {

@@ -113,9 +113,9 @@ object Similarity {
     * the histogram gate and the multi-probe search oracle.
     */
   private val lshBucketSql: String =
-    """SELECT vec_id,
+    s"""SELECT vec_id,
       |    CAST(list_sum(list_transform(range(0, 8), p ->
-      |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+      |      CASE WHEN list_sum(list_transform(range(0, $Dim), i ->
       |             CAST(embedding[i+1] AS DOUBLE) *
       |             CASE WHEN substr(md5(p || ':' || i), 2, 1) IN ('1','3','5','7','9','b','d','f')
       |                  THEN 1.0 ELSE -1.0 END)) > 0

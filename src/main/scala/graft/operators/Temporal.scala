@@ -1644,8 +1644,19 @@ object Temporal {
       .select($"o_orderkey".as("key"),
         datediff($"o_orderdate", to_date(lit("1992-01-01"))).cast("long").as("lo"))
       .withColumn("hi", $"lo" + 1L + $"key" % 7)
+    // zero-delta anchor at every bucket's first day (r12 advice): the
+    // carried running sum is then OBSERVED at each bucket start, so a
+    // peak reached before the bucket's first boundary event is reported,
+    // and boundary-free buckets appear (peak = carried concurrency)
+    // instead of being absent. O(buckets) rows — bounded by the time
+    // domain, like ev_gapfill's calendar.
+    val anchors = iv
+      .agg(min($"lo").as("mn"), max($"hi" + 1L).as("mx"))
+      .select(explode(sequence(expr("mn div 30"), expr("mx div 30"))).as("bucket"))
+      .select(($"bucket" * 30).as("day"), lit(0L).as("delta"), lit(0L).as("is_start"))
     val deltas = iv.select($"lo".as("day"), lit(1L).as("delta"), lit(1L).as("is_start"))
       .unionByName(iv.select(($"hi" + 1L).as("day"), lit(-1L).as("delta"), lit(0L).as("is_start")))
+      .unionByName(anchors)
       .groupBy($"day").agg(sum($"delta").as("delta"), sum($"is_start").as("n_starts"))
     val conc = deltas.withColumn("c",
       sum($"delta").over(org.apache.spark.sql.expressions.Window.orderBy($"day")))
@@ -1665,11 +1676,16 @@ object Temporal {
       |         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
       |           + 1 + o_orderkey % 7 AS hi
       |  FROM orders),
+      |anchors AS (
+      |  SELECT 30 * unnest(range(CAST(min(lo) // 30 AS BIGINT),
+      |                           CAST(max(hi + 1) // 30 AS BIGINT) + 1)) AS day
+      |  FROM iv),
       |deltas AS (
       |  SELECT day, CAST(sum(delta) AS BIGINT) AS delta,
       |         CAST(sum(is_start) AS BIGINT) AS n_starts
       |  FROM (SELECT lo AS day, 1 AS delta, 1 AS is_start FROM iv
-      |        UNION ALL SELECT hi + 1, -1, 0 FROM iv)
+      |        UNION ALL SELECT hi + 1, -1, 0 FROM iv
+      |        UNION ALL SELECT day, 0, 0 FROM anchors)
       |  GROUP BY day),
       |conc AS (
       |  SELECT day, n_starts,

@@ -674,4 +674,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out === List((0L, 1L, 12L, 1L), (0L, 2L, 9L, 2L)),
       s"planted maximal runs mismatch: $out")
   }
+
+  test("substrPairs dfCap: rare-anchored pairs keep EXACT runs; boilerplate-only pairs drop") {
+    // The 100 TB throttle (r12 VERDICT: fastest-growing gate). Corpus:
+    //   - span A (12 toks) shared ONLY by docs 0 and 1 → df 2 anchors,
+    //     survives any cap ≥ 2 with the exact max_run 12;
+    //   - span BP (10 toks) shared by docs 10..19 (df 10 anchors) AND
+    //     also by docs 0 and 1 — under cap 4 the BP-only pairs (10,11),
+    //     (10,12), … must drop, while (0,1) is still reported (it has
+    //     rare anchors via A) and its runs stay EXACT: BP still counts
+    //     toward ITS islands (n_runs = 2: A and BP), because phase 2
+    //     rebuilds islands from ALL anchors of discovered pairs.
+    def blk(p: String, n: Int) = (0 until n).map(p + _).mkString(" ")
+    def fill(doc: Int, i: Int) = s"f${doc}_$i"
+    val A = blk("a", 12); val BP = blk("bp", 10)
+    val docsP = (
+      Seq(
+        0L -> s"${fill(0, 0)} $A ${fill(0, 1)} $BP ${fill(0, 2)}",
+        1L -> s"${fill(1, 0)} $BP ${fill(1, 1)} $A ${fill(1, 2)}") ++
+      (10 until 20).map(i =>
+        i.toLong -> s"${fill(i, 0)} $BP ${fill(i, 1)} ${fill(i, 2)}")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.substrPairsOf(docsP, dfCap = Some(4L))
+      .select($"doc_a", $"doc_b", $"max_run", $"n_runs")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(capped === List((0L, 1L, 12L, 2L)),
+      s"capped result should be exactly the rare-anchored pair with exact runs: $capped")
+    // uncapped: same pair PLUS all 66 boilerplate pairs among {0,1,10..19}
+    val uncapped = Dedup.substrPairsOf(docsP)
+      .select($"doc_a", $"doc_b", $"max_run", $"n_runs")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(uncapped.size == 66 && uncapped.contains((0L, 1L, 12L, 2L)),
+      s"uncapped should report every BP pair too: n=${uncapped.size}")
+    // the capped run numbers must agree with the uncapped ones pairwise
+    assert(uncapped.filter(r => r._1 == 0L && r._2 == 1L) == capped,
+      "cap must not change a reported pair's run statistics")
+  }
 }
