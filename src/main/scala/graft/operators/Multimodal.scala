@@ -10,11 +10,12 @@ import graft.Tables.{t => tbl}
   * IMAGE decode is REAL: the JDK ships `javax.imageio` codecs for
   * PNG/JPEG/BMP/GIF, so [[decodeImage]] does actual pixel decode (and the
   * mm_decode / mm_phash_img gates verify it end-to-end — see the image
-  * section's exactness argument). AUDIO/VIDEO decode remains a STUB — the
-  * container ships no PCM/ffmpeg codecs — implemented as a deterministic
-  * fake (byte histogram / byte-PCM energy) with the exact signature a real
-  * decoder (JNI/FFI to ffmpeg, or `mapInPandas`+librosa on the PySpark
-  * surface) would plug into.
+  * section's exactness argument). WAV/PCM audio decode is REAL too
+  * (`javax.sound.sampled`, gate mm_wav). COMPRESSED audio and VIDEO decode
+  * remain STUBS — those codecs (mp3/aac/ffmpeg) do not ship with the JDK —
+  * implemented as deterministic fakes (byte histogram / byte-PCM energy)
+  * with the exact signature a real decoder (JNI/FFI to ffmpeg, or
+  * `mapInPandas`+librosa on the PySpark surface) would plug into.
   *
   * Scale notes: media rows are large and skew-prone — repartition by a
   * size-aware key before decode so one executor doesn't eat all the 4K
@@ -570,6 +571,106 @@ object Multimodal {
        |                ELSE 0 END) AS BIGINT) AS hash_lo
        |FROM tot GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // ----------------------------------------------------- REAL audio decode
+
+  /** Synthetic-audio shape: 16-bit signed PCM mono, 8 kHz, 256 samples. */
+  val WavN = 256
+
+  /** Sample i of the synthetic test clip for `docId`: a full-range
+    * integer LCG-ish formula both engines can compute exactly.
+    */
+  def synthSample(docId: Long, i: Int): Int =
+    (((31 * docId + 257 * i) % 65536) - 32768).toInt
+
+  /** Paint + WAV-encode the synthetic clip (real `javax.sound.sampled`
+    * encoder — the JDK ships the WAV/PCM codec; compressed audio would
+    * need external codecs and stays stubbed).
+    */
+  def synthWav(docId: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](WavN * 2)
+    var i = 0
+    while (i < WavN) {
+      val s = synthSample(docId, i)
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, WavN.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: WAV container → signed 16-bit samples. None for
+    * undecodable bytes (quarantine, like [[decodeImage]]).
+    */
+  def decodeWav(bytes: Array[Byte]): Option[Array[Int]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      else {
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (fmt.isBigEndian) (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)
+            else (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)
+          i += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
+  /** mm_wav — REAL WAV decode → per-clip sample stats through the batched
+    * partition path; 5 planted corrupt payloads must quarantine. PCM is
+    * lossless integers, so the oracle replays [[synthSample]] exactly —
+    * agreement iff the real encode→decode roundtrip is sample-exact.
+    * Stats are integer sums (sum of squares ≤ 256·2³⁰ — BIGINT-exact).
+    */
+  val wavDecode: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val ids = tbl(s, d, "documents").where(col("doc_id") < 40)
+      .select(col("doc_id")).as[Long]
+    val wavs = ids.mapPartitions(_.map(id => (id, synthWav(id))))
+      .toDF("media_id", "content")
+    val corrupt = tbl(s, d, "documents").where(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000L).as("media_id"),
+        encode(col("text"), "UTF-8").as("content"))
+    wavs.unionByName(corrupt)
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWav(bytes).map { samples =>
+          var (sm, sq) = (0L, 0L)
+          var (mn, mx) = (Int.MaxValue, Int.MinValue)
+          samples.foreach { v =>
+            sm += v; sq += v.toLong * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
+          (id, samples.length.toLong, sm, sq, mn.toLong, mx.toLong)
+        }
+      })
+      .toDF("media_id", "n_samples", "s_sum", "s_sq", "s_min", "s_max")
+      .orderBy(col("media_id"))
+  }
+  val wavDecodeSql: String =
+    s"""WITH sm AS (
+       |  SELECT doc_id, ((31*doc_id + 257*i) % 65536) - 32768 AS v
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id < 40),
+       |       (SELECT unnest(range(0, $WavN)) AS i))
+       |SELECT doc_id AS media_id, CAST($WavN AS BIGINT) AS n_samples,
+       |       CAST(sum(v) AS BIGINT) AS s_sum, CAST(sum(v*v) AS BIGINT) AS s_sq,
+       |       CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max
+       |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_media_meta" -> mediaMeta,
     "mm_features"   -> mediaFeatures,
@@ -579,6 +680,7 @@ object Multimodal {
     "mm_scene"      -> sceneChange,
     "mm_decode"     -> imageDecode,
     "mm_phash_img"  -> imagePhash,
+    "mm_wav"        -> wavDecode,
   )
 
   val oracles: Map[String, String] = Map(
@@ -590,5 +692,6 @@ object Multimodal {
     "mm_scene"      -> sceneChangeSql,
     "mm_decode"     -> imageDecodeSql,
     "mm_phash_img"  -> imagePhashSql,
+    "mm_wav"        -> wavDecodeSql,
   )
 }

@@ -67,4 +67,18 @@ class ImageCodecSpec extends AnyFunSuite {
     val truncated = Multimodal.synthPng(1L).take(20)
     assert(Multimodal.decodeImage(truncated).isEmpty)
   }
+
+  test("WAV roundtrip is sample-exact against the paint formula") {
+    val samples = Multimodal.decodeWav(Multimodal.synthWav(13L)).get
+    assert(samples.length == Multimodal.WavN)
+    for (i <- 0 until Multimodal.WavN)
+      assert(samples(i) == Multimodal.synthSample(13L, i),
+        s"sample $i diverged after WAV roundtrip")
+  }
+
+  test("corrupt WAV bytes quarantine to None, never throw") {
+    assert(Multimodal.decodeWav("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.synthWav(2L).take(30)).isEmpty)
+  }
 }
