@@ -27,7 +27,7 @@ object SparkEntry {
       operators.Retrieval.queries ++ operators.Audit.queries ++
       operators.TimeSeries.queries ++ operators.Stats.queries ++
       operators.Recommender.queries ++ operators.Geo.queries ++
-      operators.Learn.queries
+      operators.Learn.queries ++ operators.Web.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -50,5 +50,5 @@ object SparkEntry {
       operators.Retrieval.oracles ++ operators.Audit.oracles ++
       operators.TimeSeries.oracles ++ operators.Stats.oracles ++
       operators.Recommender.oracles ++ operators.Geo.oracles ++
-      operators.Learn.oracles
+      operators.Learn.oracles ++ operators.Web.oracles
 }
