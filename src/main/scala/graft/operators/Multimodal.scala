@@ -11,11 +11,14 @@ import graft.Tables.{t => tbl}
   * PNG/JPEG/BMP/GIF, so [[decodeImage]] does actual pixel decode (and the
   * mm_decode / mm_phash_img gates verify it end-to-end — see the image
   * section's exactness argument). WAV/PCM audio decode is REAL too
-  * (`javax.sound.sampled`, gate mm_wav). COMPRESSED audio and VIDEO decode
-  * remain STUBS — those codecs (mp3/aac/ffmpeg) do not ship with the JDK —
-  * implemented as deterministic fakes (byte histogram / byte-PCM energy)
-  * with the exact signature a real decoder (JNI/FFI to ffmpeg, or
-  * `mapInPandas`+librosa on the PySpark surface) would plug into.
+  * (`javax.sound.sampled`, gate mm_wav), and multi-frame container decode
+  * is REAL via animated GIF (`writeToSequence`/per-frame reads, gate
+  * mm_gif_frames — the video-frame-extraction contract on a genuine
+  * multi-frame codec). COMPRESSED audio/video (mp3/aac/h264) remain
+  * STUBS — those codecs do not ship with the JDK — implemented as
+  * deterministic fakes (byte histogram / byte-PCM energy) with the exact
+  * signature a real decoder (JNI/FFI to ffmpeg, or `mapInPandas`+librosa
+  * on the PySpark surface) would plug into.
   *
   * Scale notes: media rows are large and skew-prone — repartition by a
   * size-aware key before decode so one executor doesn't eat all the 4K
@@ -671,6 +674,123 @@ object Multimodal {
        |       CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max
        |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------- REAL multi-frame decode (GIF)
+
+  /** Synthetic-clip shape: 4 frames of 16×12, pixels drawn from a fixed
+    * 16-color palette (≤256 colors ⇒ the JDK GIF writer encodes
+    * losslessly — verified pixel-exact in ImageCodecSpec).
+    */
+  val GifW = 16
+  val GifH = 12
+  val GifF = 4
+
+  /** Palette color k (0..15) and the frame-pixel formula — shared with
+    * the DuckDB oracle, which replays both in integer arithmetic.
+    */
+  def gifPalette(k: Int): Int =
+    ((k * 17) << 16) | (((15 - k) * 17) << 8) | ((k * 7 % 16) * 17)
+  def gifIndex(docId: Long, f: Int, x: Int, y: Int): Int =
+    ((docId * 3 + f * 5 + x + 2 * y) % 16).toInt
+
+  /** Paint + encode an ANIMATED GIF (real multi-frame container via the
+    * JDK's `writeToSequence` — the stand-in for video frame extraction:
+    * same container-in → per-frame-out contract, real codec).
+    */
+  def synthGif(docId: Long): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      var f = 0
+      while (f < GifF) {
+        val img = new java.awt.image.BufferedImage(
+          GifW, GifH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < GifH) {
+          var x = 0
+          while (x < GifW) {
+            img.setRGB(x, y, gifPalette(gifIndex(docId, f, x, y)))
+            x += 1
+          }
+          y += 1
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      w.endWriteSequence()
+    } finally { ios.close(); w.dispose() }
+    bos.toByteArray
+  }
+
+  /** REAL frame extraction: decode every frame of a GIF container.
+    * None for undecodable bytes (quarantine).
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
+    try {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!it.hasNext) return None
+      val r = it.next()
+      try {
+        r.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        val n = r.getNumImages(true)
+        if (n <= 0) None else Some((0 until n).map(r.read))
+      } finally r.dispose()
+    } catch { case _: Exception => None }
+
+  /** mm_gif_frames — REAL multi-frame decode through the batched
+    * partition path: container bytes in, one row per DECODED frame out
+    * (frame index, pixel count, integer RGB sum), 5 planted corrupt
+    * payloads quarantined. The oracle replays the palette formula —
+    * agreement iff the real encode→decode roundtrip reproduced every
+    * frame's every pixel.
+    */
+  val gifFrames: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val ids = tbl(s, d, "documents").where(col("doc_id") < 40)
+      .select(col("doc_id")).as[Long]
+    val gifs = ids.mapPartitions(_.map(id => (id, synthGif(id))))
+      .toDF("media_id", "content")
+    val corrupt = tbl(s, d, "documents").where(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000L).as("media_id"),
+        encode(col("text"), "UTF-8").as("content"))
+    gifs.unionByName(corrupt)
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeGifFrames(bytes).toSeq.flatMap(_.zipWithIndex.map { case (img, f) =>
+          var rgb = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              rgb += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          (id, f.toLong, (img.getWidth * img.getHeight).toLong, rgb)
+        })
+      })
+      .toDF("media_id", "frame_idx", "n_px", "rgb_sum")
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+  val gifFramesSql: String =
+    s"""WITH px AS (
+       |  SELECT doc_id, f,
+       |         (doc_id*3 + f*5 + x + 2*y) % 16 AS k
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id < 40),
+       |       (SELECT unnest(range(0, $GifF)) AS f),
+       |       (SELECT unnest(range(0, $GifW)) AS x),
+       |       (SELECT unnest(range(0, $GifH)) AS y))
+       |SELECT doc_id AS media_id, f AS frame_idx,
+       |       CAST(${GifW * GifH} AS BIGINT) AS n_px,
+       |       CAST(sum(k*17 + (15-k)*17 + (k*7 % 16)*17) AS BIGINT) AS rgb_sum
+       |FROM px GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_media_meta" -> mediaMeta,
     "mm_features"   -> mediaFeatures,
@@ -681,6 +801,7 @@ object Multimodal {
     "mm_decode"     -> imageDecode,
     "mm_phash_img"  -> imagePhash,
     "mm_wav"        -> wavDecode,
+    "mm_gif_frames" -> gifFrames,
   )
 
   val oracles: Map[String, String] = Map(
@@ -693,5 +814,6 @@ object Multimodal {
     "mm_decode"     -> imageDecodeSql,
     "mm_phash_img"  -> imagePhashSql,
     "mm_wav"        -> wavDecodeSql,
+    "mm_gif_frames" -> gifFramesSql,
   )
 }

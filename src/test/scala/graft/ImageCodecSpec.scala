@@ -81,4 +81,20 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty)
     assert(Multimodal.decodeWav(Multimodal.synthWav(2L).take(30)).isEmpty)
   }
+
+  test("animated-GIF roundtrip is frame- and pixel-exact (≤256-color palette)") {
+    val frames = Multimodal.decodeGifFrames(Multimodal.synthGif(9L)).get
+    assert(frames.size == Multimodal.GifF)
+    for (f <- 0 until Multimodal.GifF; y <- 0 until Multimodal.GifH;
+         x <- 0 until Multimodal.GifW)
+      assert((frames(f).getRGB(x, y) & 0xffffff) ==
+        Multimodal.gifPalette(Multimodal.gifIndex(9L, f, x, y)),
+        s"frame $f pixel ($x,$y) diverged after GIF roundtrip")
+  }
+
+  test("corrupt GIF bytes quarantine to None, never throw") {
+    assert(Multimodal.decodeGifFrames("not a gif".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeGifFrames(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeGifFrames(Multimodal.synthGif(1L).take(25)).isEmpty)
+  }
 }
