@@ -81,8 +81,11 @@ object OracleSql {
         .findFirstIn(balancedBody(sql, m.end - 1)).isDefined)
       .map(_.group(1)).toSet
       .filter(name => wholeWord(name).findAllMatchIn(sql).size >= 3)
+    // re-apply the window guard PER SITE: a WINDOW-clause def whose name
+    // collides with a multi-ref CTE must not be rewritten (MATERIALIZED
+    // is invalid there even though the NAME qualified via its CTE sites)
     DefSite.replaceAllIn(sql, m =>
-      if (multiRef(m.group(1)))
+      if (multiRef(m.group(1)) && !isWindowName(m))
         java.util.regex.Matcher.quoteReplacement(
           s"${m.group(1)}${m.group(2)}MATERIALIZED (")
       else java.util.regex.Matcher.quoteReplacement(m.matched))

@@ -28,8 +28,11 @@ object Verify {
           }
       })
     }
-    futures.foreach(_.get())
-    pool.shutdown()
+    // finally-shutdown: the pool's threads are non-daemon, so an
+    // exception escaping the waits would otherwise leave the JVM alive
+    // and wedge the driver's verify step until an external timeout
+    try futures.foreach(_.get())
+    finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -186,15 +186,20 @@ object HypermapQueries {
       def run(batches: Seq[(Int, Seq[Fixtures.Log])]): Unit = {
         val q = graft.streaming.Tail.startWithEntries(s, rawDir + "/*/",
           ev, en, ck, trigger = Trigger.ProcessingTime("1 second"))
-        batches.foreach { case (i, logs) =>
+        // finally-stop: a failed landing/batch must not leak a live
+        // query bound to the shared checkpoint (a same-session retry
+        // would otherwise start a SECOND query on the same dirs)
+        try batches.foreach { case (i, logs) =>
           Fixtures.toDF(s, logs).coalesce(1).write.json(s"$rawDir/b$i")
           q.processAllAvailable()
-        }
-        q.stop()
+        } finally q.stop()
       }
       run(land.take(2))
       run(land.drop(2)) // restart on the same checkpoint (ST2)
-      s.read.parquet(en).persist()
+      val result = s.read.parquet(en).localCheckpoint(true)
+      // the fixture dirs are consumed once the checkpoint materializes
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      result
     }
     streamed
       .select($"namehash", $"label", $"parentHash", $"creationBlock",

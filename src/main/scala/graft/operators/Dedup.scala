@@ -479,49 +479,53 @@ object Dedup {
     */
   def substrPairsOf(docs: DataFrame, minRun: Int = MinRun,
                     dfCap: Option[Long] = None): DataFrame = {
-    // (anchors to join, candidate-pair restriction to apply to the join)
-    val (g, candOpt) = dfCap match {
-      case None => (dupGramsWithStart(docs), None)
+    // m = the pair-anchor rows (a, b, pa, diff) the island build consumes
+    val m = dfCap match {
+      case None =>
+        val g = dupGramsWithStart(docs)
+        val a = g.select(col("gram"), col("doc_id").as("a"), col("start").as("pa"))
+        val b = g.select(col("gram"), col("doc_id").as("b"), col("start").as("pb"))
+        a.join(b, Seq("gram")).where(col("a") < col("b"))
+          .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diff"))
       case Some(cap) =>
         // the gram table feeds counts, phase 1, and phase 2 — persist it
         // once instead of re-exploding the corpus per consumer (measured
         // the difference between ~5 corpus explodes and 1)
         val g0 = dupGramsWithStart(docs).persist()
-        // phase 1: pairs sharing a rare anchor — rarity from the
-        // OCCURRENCE-count table (the same map-side-combined artifact
-        // dupNgramStats/spanRemoval build), not a per-gram
-        // countDistinct(doc_id), which measured 14× slower at sf10 for
-        // no recall difference the contract cares about (occurrences ≥
-        // docs, so the cap is merely stricter)
-        val rare = g0.groupBy(col("gram")).agg(count(lit(1)).as("n"))
-          .where(col("n") >= 2 && col("n") <= cap).select(col("gram"))
-        val occ = g0.join(rare, Seq("gram"), "left_semi")
-        val cand = occ.select(col("gram"), col("doc_id").as("a"))
-          .join(occ.select(col("gram"), col("doc_id").as("b")), Seq("gram"))
-          .where(col("a") < col("b"))
-          .select(col("a"), col("b")).distinct()
-        // phase 2 prep: ALL anchors (runs stay exact), but only for docs
-        // that appear in some candidate pair
-        val docsIn = cand.select(col("a").as("doc_id"))
-          .union(cand.select(col("b").as("doc_id"))).distinct()
-        (g0.join(docsIn, Seq("doc_id"), "left_semi"), Some(cand))
-    }
-    val a = g.select(col("gram"), col("doc_id").as("a"), col("start").as("pa"))
-    val b = g.select(col("gram"), col("doc_id").as("b"), col("start").as("pb"))
-    val m = candOpt match {
-      case None =>
-        a.join(b, Seq("gram")).where(col("a") < col("b"))
-          .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diff"))
-      case Some(cand) =>
-        // route phase 2 THROUGH the discovered pairs: tag each left
-        // anchor with its partners, then fetch only the partner's
-        // occurrences of that gram — anchor volume is Σ_pairs(shared
-        // anchors), never df² (a boilerplate gram among candidate docs
-        // would otherwise re-explode quadratically); runs stay exact
-        // because every shared anchor of a discovered pair is here
-        a.join(cand, Seq("a"))
-          .join(b, Seq("gram", "b"))
-          .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diff"))
+        try {
+          // phase 1: pairs sharing a rare anchor — rarity from the
+          // OCCURRENCE-count table (the same map-side-combined artifact
+          // dupNgramStats/spanRemoval build), not a per-gram
+          // countDistinct(doc_id), which measured 14× slower at sf10 for
+          // no recall difference the contract cares about (occurrences ≥
+          // docs, so the cap is merely stricter)
+          val rare = g0.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+            .where(col("n") >= 2 && col("n") <= cap).select(col("gram"))
+          val occ = g0.join(rare, Seq("gram"), "left_semi")
+          val cand = occ.select(col("gram"), col("doc_id").as("a"))
+            .join(occ.select(col("gram"), col("doc_id").as("b")), Seq("gram"))
+            .where(col("a") < col("b"))
+            .select(col("a"), col("b")).distinct()
+          // phase 2: ALL anchors of candidate docs (runs stay exact),
+          // routed THROUGH the discovered pairs: tag each left anchor
+          // with its partners, then fetch only the partner's occurrences
+          // of that gram — anchor volume is Σ_pairs(shared anchors),
+          // never df² (a boilerplate gram among candidate docs would
+          // otherwise re-explode quadratically)
+          val docsIn = cand.select(col("a").as("doc_id"))
+            .union(cand.select(col("b").as("doc_id"))).distinct()
+          val g = g0.join(docsIn, Seq("doc_id"), "left_semi")
+          val a = g.select(col("gram"), col("doc_id").as("a"), col("start").as("pa"))
+          val b = g.select(col("gram"), col("doc_id").as("b"), col("start").as("pb"))
+          // eager localCheckpoint: materializes the pair-anchor rows
+          // (bounded by Σ_pairs shared anchors) so the corpus-scale g0
+          // cache can be RELEASED here instead of pinning executor
+          // storage for the session lifetime
+          a.join(cand, Seq("a"))
+            .join(b, Seq("gram", "b"))
+            .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diff"))
+            .localCheckpoint(true)
+        } finally g0.unpersist()
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a"), col("b"), col("diff")).orderBy(col("pa"))

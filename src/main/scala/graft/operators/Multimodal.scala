@@ -434,22 +434,28 @@ object Multimodal {
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }
 
-  /** Media view of synthetic PNGs (doc_id < n) plus a few deliberately
-    * UNDECODABLE payloads (raw text bytes) — downstream decode gates
-    * must pass the PNGs through and quarantine the rest.
+  /** Media view of synthetic payloads (doc_id < n, painted by `synth`)
+    * plus 5 deliberately UNDECODABLE payloads (raw text bytes, ids
+    * offset by 1 000 000) — THE planted-corruption contract every decode
+    * gate shares: downstream must pass the synthetic media through and
+    * quarantine the rest.
     */
-  def synthImageMedia(s: SparkSession, d: String, n: Int): DataFrame = {
+  def synthMedia(s: SparkSession, d: String, n: Int)
+                (synth: Long => Array[Byte]): DataFrame = {
     val spark = s
     import spark.implicits._
     val ids = tbl(s, d, "documents").where(col("doc_id") < n)
       .select(col("doc_id")).as[Long]
-    val pngs = ids.mapPartitions(_.map(id => (id, synthPng(id))))
+    val media = ids.mapPartitions(_.map(id => (id, synth(id))))
       .toDF("media_id", "content")
     val corrupt = tbl(s, d, "documents").where(col("doc_id") < 5)
       .select((col("doc_id") + 1000000L).as("media_id"),
         encode(col("text"), "UTF-8").as("content"))
-    pngs.unionByName(corrupt)
+    media.unionByName(corrupt)
   }
+
+  def synthImageMedia(s: SparkSession, d: String, n: Int): DataFrame =
+    synthMedia(s, d, n)(synthPng)
 
   /** mm_decode — REAL decode → per-channel stats, through the batched
     * per-partition path (the Scala analogue of `mapInPandas`): PNG bytes
@@ -615,7 +621,11 @@ object Multimodal {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = ais.getFormat
-      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      // encoding must be checked too: an unsigned-PCM or float WAV would
+      // otherwise be silently reassembled as signed two's-complement
+      // (every sample off by 32768) instead of quarantined
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
       else {
         val raw = ais.readAllBytes()
         val n = raw.length / 2
@@ -640,14 +650,7 @@ object Multimodal {
   val wavDecode: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    val ids = tbl(s, d, "documents").where(col("doc_id") < 40)
-      .select(col("doc_id")).as[Long]
-    val wavs = ids.mapPartitions(_.map(id => (id, synthWav(id))))
-      .toDF("media_id", "content")
-    val corrupt = tbl(s, d, "documents").where(col("doc_id") < 5)
-      .select((col("doc_id") + 1000000L).as("media_id"),
-        encode(col("text"), "UTF-8").as("content"))
-    wavs.unionByName(corrupt)
+    synthMedia(s, d, 40)(synthWav)
       .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         decodeWav(bytes).map { samples =>
@@ -750,14 +753,7 @@ object Multimodal {
   val gifFrames: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    val ids = tbl(s, d, "documents").where(col("doc_id") < 40)
-      .select(col("doc_id")).as[Long]
-    val gifs = ids.mapPartitions(_.map(id => (id, synthGif(id))))
-      .toDF("media_id", "content")
-    val corrupt = tbl(s, d, "documents").where(col("doc_id") < 5)
-      .select((col("doc_id") + 1000000L).as("media_id"),
-        encode(col("text"), "UTF-8").as("content"))
-    gifs.unionByName(corrupt)
+    synthMedia(s, d, 40)(synthGif)
       .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         decodeGifFrames(bytes).toSeq.flatMap(_.zipWithIndex.map { case (img, f) =>
