@@ -21,7 +21,32 @@ object ScaleProbe {
     else if (args.headOption.contains("substr"))
       substrProbe(args.lift(1).getOrElse("/tmp/graft-sf1"),
         args.lift(2).map(_.toLong))
+    else if (args.headOption.contains("media"))
+      mediaProbe(args.lift(1).map(_.toLong).getOrElse(100_000L))
     else eventsProbe(args.headOption.map(_.toLong).getOrElse(10_000_000L))
+
+  /** Throughput probe for the REAL media decode path: encode + decode +
+    * hash `n` synthetic PNGs through the exact mm_decode/mm_phash_img
+    * partition kernel (`runMain graft.ScaleProbe media 100000`). The
+    * work is per-row CPU with no shuffle — the number PERF.md cites for
+    * "decode is CPU-bound, scales with cores": images/sec here ×
+    * executor cores at 100 TB, bounded by payload I/O not Spark.
+    */
+  def mediaProbe(n: Long): Unit = {
+    val spark = GraftSession.local(appName = "graft-media-probe")
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val ok = spark.range(n).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.operators.Multimodal.synthPng(id)
+        graft.operators.Multimodal.decodeImage(bytes)
+          .map(img => img.getWidth * img.getHeight).getOrElse(0)
+      })
+      .filter(_ > 0).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"probe":"media","n":$n,"decoded":$ok,"sec":$sec%.2f,"imgs_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
 
   /** Scaling probe for dd_substr_pairs (r12 VERDICT: the suite's
     * fastest-growing gate — Σ df² candidate mass): times
