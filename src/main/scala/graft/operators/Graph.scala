@@ -305,7 +305,7 @@ object Graph {
     * as HypermapQueries.decodedCache.
     */
   private val labelCache = new graft.SessionCache[String]
-  private def lshLabels(s: SparkSession, d: String): DataFrame =
+  private[operators] def lshLabels(s: SparkSession, d: String): DataFrame =
     labelCache.getOrCompute(s, d)(connectedComponents(lshPairGraph(s, d)))
 
   /** The LSH candidate-pair graph, materialized once per (session,

@@ -652,51 +652,7 @@ object Retrieval {
       |  FROM pref)
       |WHERE rk <= 3 ORDER BY prefix, rk""".stripMargin
 
-  /** rag_chunk — sliding-window document chunking with overlap (size 32
-    * tokens, stride 24): the retrieval-prep pass that turns long docs
-    * into embedding/index units while overlap preserves cross-boundary
-    * context (the standard RAG chunker). Chunk starts are
-    * k·(size−overlap) for k = 0 .. ceil((len−size)/stride); a doc at or
-    * under `size` tokens yields exactly one chunk. Everything is one
-    * projection (split → sequence explode → slice → array_join): no
-    * shuffle at all until a consumer keys on something — at 100 TB this
-    * runs inside the scan stage, and chunk ids (doc_id, chunk_idx) are
-    * the natural downstream partition key.
-    */
-  val ChunkSize = 32
-  val ChunkStride = 24
-  val ragChunk: Q = (s, d) => {
-    val docs = tbl(s, d, "documents").where(col("doc_id") < 100)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    docs
-      .withColumn("n", size(col("toks")).cast("long"))
-      .withColumn("chunk_idx", explode(expr(
-        s"sequence(0L, greatest(0L, (n - $ChunkSize + $ChunkStride - 1) div $ChunkStride))")))
-      .select(col("doc_id"), col("chunk_idx"),
-        expr(s"array_join(slice(toks, CAST(chunk_idx * $ChunkStride AS INT) + 1, $ChunkSize), ' ')")
-          .as("chunk"),
-        least(lit(ChunkSize.toLong),
-          col("n") - col("chunk_idx") * ChunkStride).as("n_toks"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
-  }
-  val ragChunkSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks,
-       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-       |  FROM documents WHERE doc_id < 100),
-       |ch AS (
-       |  SELECT doc_id, toks, n,
-       |         unnest(range(0, greatest(0,
-       |           (n - $ChunkSize + $ChunkStride - 1) // $ChunkStride) + 1)) AS chunk_idx
-       |  FROM d)
-       |SELECT doc_id, chunk_idx,
-       |       array_to_string(toks[CAST(chunk_idx * $ChunkStride AS INT) + 1 :
-       |                            CAST(chunk_idx * $ChunkStride AS INT) + $ChunkSize], ' ') AS chunk,
-       |       least($ChunkSize, n - chunk_idx * $ChunkStride) AS n_toks
-       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
-
   val queries: Map[String, Q] = Map(
-    "rag_chunk"   -> ragChunk,
     "ix_postings" -> ixPostings,
     "ix_spell"    -> ixSpell,
     "ix_suggest"  -> ixSuggest,
@@ -709,7 +665,6 @@ object Retrieval {
     "ix_regex"    -> ixRegex,
     "ix_mlt"      -> ixMlt)
   val oracles: Map[String, String] = Map(
-    "rag_chunk"   -> ragChunkSql,
     "ix_postings" -> ixPostingsSql,
     "ix_spell"    -> ixSpellSql,
     "ix_suggest"  -> ixSuggestSql,
