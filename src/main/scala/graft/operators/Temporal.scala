@@ -27,7 +27,19 @@ object Temporal {
     * One shuffle (window partitioned by `partCol`); the classic
     * lag→break→running-sum composition, fully codegen'd.
     */
+  /** Fail fast when an input already carries a working/output column a
+    * generic operator is about to overwrite — withColumn would silently
+    * replace it and corrupt downstream logic (e.g. re-sessionizing a
+    * frame that still has session_id).
+    */
+  private def requireFreshCols(df: DataFrame, names: Seq[String], op: String): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op would overwrite existing column(s) ${clash.mkString(", ")}; rename them first")
+  }
+
   def sessionize(df: DataFrame, partCol: String, ordCol: String, gap: Long): DataFrame = {
+    requireFreshCols(df, Seq("__brk", "session_id"), "sessionize")
     val w = Window.partitionBy(col(partCol)).orderBy(col(ordCol))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__brk",
@@ -83,12 +95,19 @@ object Temporal {
     */
   def asofJoin(probe: DataFrame, build: DataFrame,
                partCols: Seq[String], ordCol: String): DataFrame = {
+    requireFreshCols(probe, Seq("__asof", "__tag"), "asofJoin")
+    requireFreshCols(build, Seq("__asof", "__tag"), "asofJoin")
     val asofSrc = ordCol +: build.columns.filterNot(c =>
       partCols.contains(c) || c == ordCol).toSeq
     val probeExtra = probe.columns.filterNot(c =>
       partCols.contains(c) || c == ordCol).toSeq
     val common = partCols :+ ordCol
-    val packed = struct(asofSrc.map(c => build.col(c).as(c)): _*)
+    // a NULL ordCol build row is not "≤" any probe (merge_asof/ASOF
+    // semantics): null the whole packed struct so the running last()
+    // skips it — NULLS FIRST ordering would otherwise make it the match
+    // of record for every probe with no real predecessor
+    val packed = when(build.col(ordCol).isNotNull,
+      struct(asofSrc.map(c => build.col(c).as(c)): _*))
     val bSide = build.select(
       common.map(build.col) ++
         probeExtra.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) :+
@@ -144,14 +163,21 @@ object Temporal {
                       ranges: DataFrame, loCol: String, hiCol: String,
                       binSize: Double): DataFrame = {
     require(binSize > 0, "binSize must be positive")
+    requireFreshCols(facts, Seq("__bin"), "binnedRangeJoin")
+    requireFreshCols(ranges, Seq("__bin"), "binnedRangeJoin")
     // power-of-two grid: the bin division is then EXACT in doubles, so a
     // range's bin span can never round short and strand a fact at the hi
     // edge (same argument as BandJoinBucketRule.pow2ceil; binSize is a
-    // performance knob, so widening it ≤2× only coarsens the grid)
+    // performance knob, so widening it ≤2× only coarsens the grid).
+    // The hi end expands to floor(hi/bin) VERBATIM — no exclusive-bound
+    // epsilon: when hi sits exactly on a bin boundary the one extra
+    // candidate bin is emptied by the residual `fact < hi`, whereas an
+    // epsilon subtraction could round the span SHORT and silently drop
+    // facts within ε below hi.
     val bin = graft.plans.BandJoinBucketRule.pow2ceil(binSize)
     val expanded = ranges.withColumn("__bin",
       explode(sequence(floor(col(loCol) / bin).cast("long"),
-        floor((col(hiCol) - lit(1e-9)) / bin).cast("long"))))
+        floor(col(hiCol) / bin).cast("long"))))
     facts.withColumn("__bin", floor(col(factCol) / bin).cast("long"))
       .join(expanded, Seq("__bin"))
       .where(col(factCol) >= col(loCol) && col(factCol) < col(hiCol))
@@ -202,16 +228,19 @@ object Temporal {
                rightCol: String, width: Double,
                keys: Seq[String] = Nil): DataFrame = {
     require(width > 0, "width must be positive")
+    requireFreshCols(left, Seq("__bucket"), "bandJoin")
+    requireFreshCols(right, Seq("__bucket"), "bandJoin")
     // bucket on the next power of two ≥ width: the division is then EXACT
     // in doubles, making the ±1 candidate radius rigorous at any operand
     // magnitude (see BandJoinBucketRule.pow2ceil; the residual predicate
     // below still uses the true width, so results are identical)
     val w2 = graft.plans.BandJoinBucketRule.pow2ceil(width)
     val l = left.withColumn("__bucket", floor(col(leftCol) / w2).cast("long"))
+    // Column API, not an interpolated expr string: a rightCol needing
+    // quoting (space, dot, reserved word) must not break the parse
+    val rBucket = floor(col(rightCol) / w2).cast("long")
     val r = right
-      .withColumn("__bucket", explode(expr(
-        s"sequence(CAST(floor($rightCol / $w2) AS LONG) - 1, " +
-          s"CAST(floor($rightCol / $w2) AS LONG) + 1)")))
+      .withColumn("__bucket", explode(sequence(rBucket - 1L, rBucket + 1L)))
     l.join(r, keys :+ "__bucket")
       .where(abs(col(leftCol) - col(rightCol)) <= width)
       .drop("__bucket")
@@ -426,11 +455,7 @@ object Temporal {
     * DuckDB's naive `CAST(ts AS DATE)` either way.
     */
   private def eventDay(ev: DataFrame): org.apache.spark.sql.Column =
-    ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        to_date(timestamp_micros(expr("ts div 1000")))
-      case _ => to_date(col("ts"))
-    }
+    to_date(eventTs(ev))
 
   // ---------------------------------------------------------- cohort retention
 
@@ -769,11 +794,7 @@ object Temporal {
   val evHeatmap: Q = (s, d) => {
     import s.implicits._
     val events = tbl(s, d, "events")
-    val ts: org.apache.spark.sql.Column = events.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts div 1000"))
-      case _ => col("ts")
-    }
+    val ts = eventTs(events)
     val cells = events
       .select(weekday(to_date(ts)).cast("long").as("dow"),
         hour(ts).cast("long").as("hr"))
@@ -940,7 +961,12 @@ object Temporal {
     * each belief interval half-open, null tx_to = current knowledge —
     * so construction is a union plus a single keyed window at any scale.
     */
-  val snBitemporal: Q = (s, d) => {
+  /** The bitemporal version table WITHOUT the gate's presentation sort —
+    * sn_asknown filters and re-windows this frame, and inheriting a
+    * terminal global orderBy would pay a full range-partition sort whose
+    * ordering the next shuffle discards.
+    */
+  private def bitemporalVersions(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val o = tbl(s, d, "orders").where($"o_orderkey" < 2000)
       .select($"o_orderkey", to_date($"o_orderdate").as("valid_day"),
@@ -961,7 +987,11 @@ object Temporal {
         when($"tx_to" === lit("9999-12-31").cast("date"), 1L).otherwise(0L))
       .select($"o_orderkey", $"valid_day", $"tx_from", $"tx_to",
         $"price".cast("double").as("price"), $"is_current")
-      .orderBy($"o_orderkey", $"tx_from")
+  }
+
+  val snBitemporal: Q = (s, d) => {
+    import s.implicits._
+    bitemporalVersions(s, d).orderBy($"o_orderkey", $"tx_from")
   }
   val snBitemporalSql: String =
     """WITH o AS (
@@ -995,7 +1025,7 @@ object Temporal {
   val snAsknown: Q = (s, d) => {
     import s.implicits._
     val cutoff = lit("1998-07-01").cast("date")
-    val bi = snBitemporal(s, d)
+    val bi = bitemporalVersions(s, d)
     val w = Window.partitionBy($"o_orderkey", $"valid_day").orderBy($"tx_from".desc)
     bi.where($"tx_from" <= cutoff)
       .withColumn("rk", row_number().over(w))
@@ -1416,11 +1446,7 @@ object Temporal {
   def attribution(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
-    val ets = events.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts div 1000"))
-      case _ => $"ts"
-    }
+    val ets = eventTs(events)
     val conv = events.where($"event_type" === "purchase")
       .select($"user_id", ets.as("cts"), $"event_id".as("conv_id"))
     val touch = events.where($"event_type".isin("view", "click"))
@@ -1524,13 +1550,22 @@ object Temporal {
       .select(col("l_key"), col("r_key"), col("ls"), col("le"), col("rs"), col("re"))
   }
 
-  val rjInterval: Q = (s, d) => {
+  /** The order-processing interval population (o_custkey%20 slice) both
+    * rj_interval and rj_allen classify — ONE definition so the two gates
+    * can never drift apart on epoch/width/slice.
+    */
+  private def orderIntervalSide(s: SparkSession, d: String, mod: Long): DataFrame = {
     import s.implicits._
-    def side(mod: Long) = tbl(s, d, "orders")
+    tbl(s, d, "orders")
       .where($"o_custkey" % 20 === mod)
       .select($"o_orderkey".as("key"),
         datediff($"o_orderdate", to_date(lit("1992-01-01"))).cast("long").as("lo"))
       .withColumn("hi", $"lo" + 1L + $"key" % 7)
+  }
+
+  val rjInterval: Q = (s, d) => {
+    import s.implicits._
+    def side(mod: Long) = orderIntervalSide(s, d, mod)
     intervalOverlapJoin(side(0L), side(10L), w = 8L)
       .select($"l_key".as("l_orderkey"), $"r_key".as("r_orderkey"),
         (least($"le", $"re") - greatest($"ls", $"rs") + 1L).as("overlap_days"))
@@ -1571,11 +1606,7 @@ object Temporal {
     */
   val rjAllen: Q = (s, d) => {
     import s.implicits._
-    def side(mod: Long) = tbl(s, d, "orders")
-      .where($"o_custkey" % 20 === mod)
-      .select($"o_orderkey".as("key"),
-        datediff($"o_orderdate", to_date(lit("1992-01-01"))).cast("long").as("lo"))
-      .withColumn("hi", $"lo" + 1L + $"key" % 7)
+    def side(mod: Long) = orderIntervalSide(s, d, mod)
     intervalOverlapJoin(side(0L), side(10L), w = 8L)
       .withColumn("relation", expr(
         """CASE

@@ -50,6 +50,42 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(r.getLong(0) == 5L && r.isNullAt(1))
   }
 
+  test("asofJoin ignores build rows with a NULL order key (merge_asof semantics)") {
+    // NULLS FIRST ordering would otherwise make the null-ord row the
+    // running match for every probe with no real predecessor.
+    val probe = Seq((1L, 10L)).toDF("k", "t")
+    val build = Seq((1L, Option.empty[Long], 5.0)).toDF("k", "t", "v")
+    val r = Temporal.asofJoin(probe, build, Seq("k"), "t")
+      .select($"asof_t", $"asof_v").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      s"null-ord build row must not match: $r")
+  }
+
+  test("binnedRangeJoin keeps facts within epsilon below an exclusive hi bound") {
+    // Regression for the old `hi - 1e-9` span arithmetic: a range whose
+    // hi sits just past a bin boundary had its span rounded SHORT,
+    // stranding facts in the last bin. The span now runs to floor(hi/bin)
+    // verbatim; an exactly-on-boundary hi only adds one empty candidate
+    // bin that the residual `v < hi` filter drains.
+    val facts = Seq(64.0000000003).toDF("v")
+    val ranges = Seq((0, 0.0, 64.0000000005)).toDF("rid", "lo", "hi")
+    val out = Temporal.binnedRangeJoin(facts, "v", ranges, "lo", "hi", 64.0)
+      .select($"rid").as[Int].collect().toSeq
+    assert(out == Seq(0), s"fact within [lo, hi) was stranded: $out")
+    // and an exact-boundary hi stays exclusive
+    val exactFacts = Seq(64.0).toDF("v")
+    val exactRanges = Seq((0, 0.0, 64.0)).toDF("rid", "lo", "hi")
+    val exact = Temporal.binnedRangeJoin(exactFacts, "v", exactRanges, "lo", "hi", 64.0)
+    assert(exact.count() == 0, "v == hi must not match a half-open range")
+  }
+
+  test("generic operators fail fast on working-column collisions") {
+    val df = Seq((1L, 2L)).toDF("k", "session_id")
+    val e = intercept[IllegalArgumentException](
+      Temporal.sessionize(df, "k", "session_id", 1L))
+    assert(e.getMessage.contains("session_id"))
+  }
+
   test("binnedRangeJoin equals the naive inequality join") {
     val facts = spark.range(0, 1000).select(($"id" * 7 % 501).cast("double").as("v"))
     val ranges = spark.createDataFrame(Seq(
