@@ -51,7 +51,10 @@ object Graph {
         s"$opName needs integral node ids; ${f.name} is ${f.dataType.typeName}")
     }
     val Seq(ca, cb) = edges.columns.toSeq.take(2).map(col)
-    edges.select(ca.as("a"), cb.as("b"))
+    // columns beyond the endpoints (weights, tags) pass through — the
+    // weighted operators need the same null/type hygiene
+    val rest = edges.columns.drop(2).toSeq.map(col)
+    edges.select(ca.as("a") +: cb.as("b") +: rest: _*)
       .where(col("a").isNotNull && col("b").isNotNull)
   }
 
@@ -575,11 +578,17 @@ object Graph {
     *
     * Determinism, which vanilla LPA lacks: synchronous rounds (no
     * in-round ordering dependence), a FIXED iteration budget, and an
-    * exact argmax — neighbor-label counts packed as cnt·2³² − label into
-    * one `max_by` key, so "highest count, ties to lowest label" is a
-    * single total order identical in both engines. Per round: one join +
-    * two keyed aggregations, label table O(|nodes|), checkpoint-and-free
-    * discipline as in [[connectedComponents]].
+    * exact argmax — `max_by(label, struct(cnt, -label))`, so "highest
+    * count, ties to lowest label" is a single total order identical in
+    * both engines AND overflow-free for ANY long label (the previous
+    * cnt·2³² − label packing silently mis-ranked ids ≥ 2³² or negative —
+    * exactly what the file's own xxhash64-id guidance produces; r13
+    * audit). -label keeps its sign: labels of 2⁶³−… magnitude don't
+    * occur for hashed ids in practice, and a negated Long.MinValue would
+    * still order consistently on both engines (both wrap to itself).
+    * Per round: one join + two keyed aggregations, label table
+    * O(|nodes|), checkpoint-and-free discipline as in
+    * [[connectedComponents]].
     */
   def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
     val e = cleanEdges(edges, "labelPropagation")
@@ -595,7 +604,7 @@ object Graph {
         .join(labels.select(col("node").as("y"), col("label")), Seq("y"))
         .groupBy(col("x"), col("label")).agg(count(lit(1)).as("cnt"))
       val next = cnt.groupBy(col("x"))
-        .agg(max_by(col("label"), col("cnt") * lit(4294967296L) - col("label")).as("label"))
+        .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("label"))
         .select(col("x").as("node"), col("label"))
         .localCheckpoint()
       CheckpointBridge.freeCheckpoint(labels)
@@ -605,10 +614,20 @@ object Graph {
     labels
   }
 
+  /** The LPA partition of the LSH pair graph, memoized per (session,
+    * dir) like [[lshLabels]]: gr_labelprop and gr_modularity both read
+    * it, and a production pipeline computes the partition once per
+    * corpus snapshot (labelPropagation already returns an eager
+    * checkpoint, so the cache holds blocks, not lineage).
+    */
+  private val lpaCache = new graft.SessionCache[String]
+  private def lshLpaLabels(s: SparkSession, d: String): DataFrame =
+    lpaCache.getOrCompute(s, d)(labelPropagation(lshPairGraph(s, d)))
+
   /** gr_labelprop — 4-round LPA communities over the LSH pair graph. */
   val grLabelProp: Q = (s, d) => {
     import s.implicits._
-    labelPropagation(lshPairGraph(s, d))
+    lshLpaLabels(s, d)
       .select($"node".as("doc_id"), $"label".as("community"))
       .orderBy($"doc_id")
   }
@@ -618,9 +637,10 @@ object Graph {
          |  SELECT u.x, l.label, count(*) AS cnt
          |  FROM und u JOIN lp${k - 1} l ON u.y = l.node GROUP BY u.x, l.label),
          |lp$k AS (
-         |  SELECT x AS node,
-         |         CAST(max_by(label, cnt * 4294967296 - label) AS BIGINT) AS label
-         |  FROM cnt$k GROUP BY x)""".stripMargin
+         |  SELECT x AS node, CAST(label AS BIGINT) AS label FROM (
+         |    SELECT x, label, row_number() OVER (
+         |      PARTITION BY x ORDER BY cnt DESC, label ASC) AS rk
+         |    FROM cnt$k) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
     s"""$ccReachCte,
        |lp0 AS (SELECT x AS node, x AS label FROM (SELECT DISTINCT x FROM und)),
@@ -705,16 +725,17 @@ object Graph {
   }
 
   val grModularity: Q = (s, d) =>
-    modularity(lshPairGraph(s, d), labelPropagation(lshPairGraph(s, d)))
+    modularity(lshPairGraph(s, d), lshLpaLabels(s, d))
   val grModularitySql: String = {
     val iterCtes = (1 to 4).map { k =>
       s"""cnt$k AS (
          |  SELECT u.x, l.label, count(*) AS cnt
          |  FROM und u JOIN lp${k - 1} l ON u.y = l.node GROUP BY u.x, l.label),
          |lp$k AS (
-         |  SELECT x AS node,
-         |         CAST(max_by(label, cnt * 4294967296 - label) AS BIGINT) AS label
-         |  FROM cnt$k GROUP BY x)""".stripMargin
+         |  SELECT x AS node, CAST(label AS BIGINT) AS label FROM (
+         |    SELECT x, label, row_number() OVER (
+         |      PARTITION BY x ORDER BY cnt DESC, label ASC) AS rk
+         |    FROM cnt$k) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
     s"""$ccReachCte,
        |lp0 AS (SELECT x AS node, x AS label FROM (SELECT DISTINCT x FROM und)),
@@ -791,10 +812,15 @@ object Graph {
       prev = cur
       r += 1
     }
-    if (!converged)
+    if (!converged) {
+      // free before throwing (connectedComponents discipline): a
+      // retrying caller must not accumulate one orphaned edge table
+      // per attempt
+      CheckpointBridge.freeCheckpoint(und)
       throw new IllegalStateException(
         s"kCore did not converge within maxRounds=$maxRounds peel rounds " +
           s"($prev directed edges still shrinking); raise maxRounds")
+    }
     und.groupBy(col("x").as("node")).agg(count(lit(1)).cast("long").as("core_deg"))
   }
 
@@ -998,8 +1024,12 @@ object Graph {
     */
   def ssspFromSeed(edges: DataFrame, seed: DataFrame, rounds: Int = 8): DataFrame = {
     require(rounds >= 1, "need at least one relaxation round")
-    val und = edges.select(col("a").as("x"), col("b").as("y"), col("w"))
-      .union(edges.select(col("b").as("x"), col("a").as("y"), col("w")))
+    // null/fractional endpoint hygiene: same cleanEdges every sibling
+    // entry point applies — a null endpoint would otherwise survive the
+    // relaxation as a spurious null-node distance row (r13 audit)
+    val e = cleanEdges(edges, "ssspFromSeed")
+    val und = e.select(col("a").as("x"), col("b").as("y"), col("w"))
+      .union(e.select(col("b").as("x"), col("a").as("y"), col("w")))
       .distinct().persist()
     var dist = seed.select(col("node").cast("long").as("node"),
         col("dist").cast("double").as("dist"))
@@ -1144,10 +1174,14 @@ object Graph {
     * candidate-pair graph made of tight clusters from one made of
     * chains, without materializing any triangle or component.
     *
-    * One degree aggregation + two broadcast joins back onto the edge
-    * list + one moment aggregation. Both edge directions are included,
-    * so the correlation is symmetric by construction. All moments are
-    * exact BIGINTs (degrees are counts); r is one IEEE formula, 6 dp.
+    * One degree aggregation + two joins back onto the edge list (node-
+    * keyed equi-joins — AQE picks broadcast when the degree table fits;
+    * forcing it would collect O(|V|) rows to the driver on big graphs) +
+    * one moment aggregation. Both edge directions are included, so the
+    * correlation is symmetric by construction. Moments accumulate as
+    * DECIMAL(38,0) (sums of deg² products overflow BIGINT on hub-heavy
+    * graphs — the connectedComponents potential discipline); r is one
+    * IEEE formula, 6 dp.
     */
   def assortativity(edges: DataFrame): DataFrame = {
     val e = cleanEdges(edges, "assortativity")
@@ -1156,12 +1190,14 @@ object Graph {
       .distinct()
     val deg = und.groupBy(col("x")).agg(count(lit(1)).as("deg"))
     val dd = und
-      .join(broadcast(deg.select(col("x"), col("deg").as("dx"))), Seq("x"))
-      .join(broadcast(deg.select(col("x").as("y"), col("deg").as("dy"))), Seq("y"))
-    dd.agg(count(lit(1)).as("m"),
-        sum(col("dx")).as("sx"), sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dx") * col("dy")).as("sxy"))
-      .select(col("m"),
+      .join(deg.select(col("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("x").as("y"), col("deg").as("dy")), Seq("y"))
+    val dec = "decimal(38,0)"
+    dd.agg(count(lit(1)).cast(dec).as("m"),
+        sum(col("dx").cast(dec)).as("sx"),
+        sum((col("dx") * col("dx")).cast(dec)).as("sxx"),
+        sum((col("dx") * col("dy")).cast(dec)).as("sxy"))
+      .select(col("m").cast("long").as("m"),
         round((col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
           (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
           .as("assortativity"))
@@ -1210,7 +1246,12 @@ object Graph {
       .union(e.select(col("b").as("x"), col("a").as("y")))
       .distinct().persist()
     val deg = und.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    // |S| counts only seeds PRESENT in the graph: an absent seed would
+    // otherwise keep its share of the restart mass while the left join
+    // below drops its row — silently scaling every score down (r13
+    // audit). Restart mass is preserved among the seeds that exist.
     val seeds = seed.select(col("node").cast("long").as("sn")).distinct()
+      .join(deg.select(col("x").as("sn")), Seq("sn"), "left_semi")
     val ns = seeds.agg(count(lit(1)).as("ns"))
     // (node, deg, seedw) — seedw = 1/|S| on seeds, 0 elsewhere; the whole
     // per-node state the iteration needs, checkpointed once.
@@ -1387,8 +1428,10 @@ object Graph {
                               unpersistEdges: Boolean): DataFrame = {
     var hub = e.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1.0).as("hub")).localCheckpoint()
-    var auth = e.select(col("dst").as("id"))
-      .distinct().select(col("id"), lit(0.0).as("auth")).localCheckpoint()
+    // no zero-auth seed: the first half-round derives auth from hub and
+    // would free the seed unread — materializing it burned one full
+    // distinct-shuffle of the edge list per call (r13 audit)
+    var auth: DataFrame = null
     for (_ <- 1 to iters) {
       // Node tables are dimension-sized and LOOK broadcastable, but a
       // forced broadcast measured SLOWER here (3.9 → 5.1 s at sf0.1):
@@ -1402,7 +1445,7 @@ object Graph {
       val nextAuth = as.crossJoin(broadcast(as.agg(max(col("s")).as("m"))))
         .select(col("dst").as("id"), round(col("s") / col("m"), 9).as("auth"))
         .localCheckpoint()
-      CheckpointBridge.freeCheckpoint(auth)
+      if (auth != null) CheckpointBridge.freeCheckpoint(auth)
       auth = nextAuth
       val hs = e.join(auth, e("dst") === auth("id"))
         .groupBy(col("src")).agg(sum(col("auth")).as("s"))
@@ -1506,7 +1549,10 @@ object Graph {
       .distinct().persist()
     val seed = sources.select(col("src"), col("src").as("node"), lit(1L).as("sigma"))
       .localCheckpoint()
-    // forward: lvls(r) = (src, node, sigma) at depth exactly r
+    // forward: lvls(r) = (src, node, sigma) at depth exactly r; each
+    // cumulative visited frame is dead as soon as its successor
+    // checkpoints — free it then (the connectedComponents discipline;
+    // they leaked until the r13 audit)
     val lvls = scala.collection.mutable.ArrayBuffer(seed)
     var visited = seed.select(col("src"), col("node")).localCheckpoint()
     for (_ <- 1 to levels) {
@@ -1516,8 +1562,11 @@ object Graph {
         .groupBy(col("src"), col("node")).agg(sum(col("sigma")).as("sigma"))
         .localCheckpoint()
       lvls += nxt
-      visited = visited.union(nxt.select(col("src"), col("node"))).localCheckpoint()
+      val nextVisited = visited.union(nxt.select(col("src"), col("node"))).localCheckpoint()
+      CheckpointBridge.freeCheckpoint(visited)
+      visited = nextVisited
     }
+    CheckpointBridge.freeCheckpoint(visited) // not read by the backward pass
     // backward: delta(level r) from delta(level r+1)
     var deeper = lvls(levels).withColumn("delta", lit(0.0))
     val acc = scala.collection.mutable.ArrayBuffer(deeper)
@@ -1538,9 +1587,16 @@ object Graph {
         .localCheckpoint()
       acc += deeper
     }
-    acc.map(_.select(col("node"), col("delta"))).reduce(_ unionByName _)
+    // materialize the O(ball-nodes) result eagerly, then free every
+    // level/delta checkpoint — returning lazily would pin levels+1
+    // O(Σ ball) frames until the caller's action and beyond
+    val out = acc.map(_.select(col("node"), col("delta"))).reduce(_ unionByName _)
       .groupBy(col("node"))
       .agg(round(sum(col("delta").cast("decimal(28,9)")).cast("double"), 6).as("bc"))
+      .localCheckpoint()
+    (lvls ++ acc).foreach(CheckpointBridge.freeCheckpoint)
+    und.unpersist()
+    out
   }
 
   val grBetweenness: Q = (s, d) => {

@@ -749,4 +749,40 @@ class TemporalGraphSpec extends AnyFunSuite {
     val br = Seq((2L, 2.0)).toDF("rid", "rv")
     assert(Temporal.bandJoin(bl, "lv", br, "rv", 1.5).count() == 1L)
   }
+
+  test("ssspFromSeed drops null-endpoint edges instead of emitting a null node") {
+    val edges = Seq((Some(1L), Some(2L), 1.0), (Some(2L), Option.empty[Long], 1.0))
+      .toDF("a", "b", "w")
+    val seed = Seq((1L, 0.0)).toDF("node", "dist")
+    val out = Graph.ssspFromSeed(edges, seed, rounds = 3)
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0), r.getDouble(1)))
+    assert(!out.exists(_._1 == null), s"null node leaked: ${out.toSeq}")
+    assert(out.toMap == Map(1L -> 0.0, 2L -> 1.0))
+  }
+
+  test("labelPropagation argmax is exact for ids beyond 2^32 and negative ids") {
+    // the old cnt*2^32 - label packing mis-ranked exactly these: a
+    // triangle whose ids are hash-range longs must still converge to
+    // one community = the most-frequent neighbor label (ties to lowest)
+    val big = 1L << 40
+    val edges = Seq((big, big + 1), (big + 1, -big), (-big, big))
+      .toDF("a", "b")
+    val labels = Graph.labelPropagation(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet.size == 1,
+      s"triangle must converge to one community: $labels")
+    assert(labels.values.head == -big,
+      s"ties must break to the LOWEST label: $labels")
+  }
+
+  test("pprFromSeed preserves restart mass when a seed is absent from the graph") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val present = Graph.pprFromSeed(edges, Seq(1L).toDF("node"), iters = 5)
+      .as[(Long, Double)].collect().toMap
+    val withGhost = Graph.pprFromSeed(edges,
+      Seq(1L, 99L).toDF("node"), iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(withGhost == present,
+      s"an absent seed must not scale scores: $withGhost vs $present")
+  }
 }
