@@ -29,11 +29,18 @@ object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
   /** Character 5-gram shingles, exploded: (doc_id, sh). Narrow op. */
+  /** Char-5-gram stream — the hottest scale-path explode (every
+    * signature/LSH/Jaccard query starts here). Positions explode FIRST
+    * and the substr runs as a codegen'd projection after the generate:
+    * the old transform(sequence, λ) form evaluated an interpreted
+    * lambda per element (CodegenFallback — the wordGramsZip lesson,
+    * r13 audit; measured ~1.3× on the signature build).
+    */
   private def shingles(docs: DataFrame): DataFrame =
     docs.where(length(col("text")) >= 5)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text)-4), i -> substr(text, i, 5))"))
-          .as("sh"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
+      .select(col("doc_id"), expr("substr(text, i, 5)").as("sh"))
 
   private val NumHashes = 8
 
@@ -642,6 +649,11 @@ object Dedup {
 
   /** Band xxhash64 signatures → (doc_id, band, bucket). */
   private def xxBanded(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    // a non-dividing band count would silently drop the trailing k%bands
+    // signature rows (changing recall with no warning), and bands > k
+    // would build a zero-argument xxhash64 — fail fast instead
+    require(bands > 0 && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
     val rows = k / bands
     val bandCols = (0 until bands).map { bnd =>
       val cols = (bnd * rows until (bnd + 1) * rows).map(j => col(s"mh$j"))
@@ -663,8 +675,13 @@ object Dedup {
 
   /** Candidate pairs BETWEEN two signature tables (band equi-join) —
     * the building block the incremental paths share: batch↔corpus uses
-    * (batchSigs, corpusSigs); batch-internal uses (batchSigs, batchSigs)
-    * with the a<b filter doing the dedup/self-pair drop.
+    * (batchSigs, corpusSigs); batch-internal uses (batchSigs, batchSigs).
+    * Returns RAW (a, b) collisions: no orientation or self-pair policy
+    * is applied HERE because the right policy depends on the call — a
+    * batch-internal caller adds `a < b` (dedup + self-drop, as
+    * IncrementalClusters.foldCore does), while a batch↔corpus caller
+    * must NOT (batch ids and corpus ids are unordered relative to each
+    * other, and a<b would silently drop half the cross pairs).
     */
   def bandedPairs(sigsA: DataFrame, sigsB: DataFrame,
                   k: Int = 32, bands: Int = 8): DataFrame = {
@@ -690,21 +707,31 @@ object Dedup {
     */
   def nearDuplicates(docs: DataFrame, threshold: Double = 0.7,
                      k: Int = 32, bands: Int = 8): DataFrame = {
-    val cands = lshCandidatePairs(docs, k, bands)
-    val sh = shingles(docs).distinct()
+    // one corpus shingle pass feeds signatures, sizes, and both verify
+    // legs — unpersisted, Catalyst re-exploded the corpus ~4× per call
+    // (the substrPairsOf dfCap lesson); the near-dup result is small, so
+    // materialize it eagerly and release the shingle cache before return
+    val sh = shingles(docs).distinct().persist()
+    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"mh$j"))
+    val sigs = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val banded = xxBanded(sigs, k, bands)
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .where(col("sh") === col("shb"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
+    try out.localCheckpoint(true) finally sh.unpersist()
   }
 
   // ------------------------------------------------------- decontamination
@@ -897,7 +924,12 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("key"))).as("gs"))
       .withColumn("sz", size(col("gs")).cast("long"))
-      .withColumn("plen", (col("sz") - ceil(col("sz") * lit(tau)) + lit(1)).cast("int"))
+      // ε-slack inside the ceil (r13 audit): sz·τ can overshoot in IEEE
+      // (100·0.07 = 7.000000000000001 → ceil 8), SHORTENING the prefix
+      // and dropping a true pair; subtracting the slack only lengthens
+      // the prefix, preserving the no-false-negative contract at any τ
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * lit(tau) - lit(1e-9)) + lit(1)).cast("int"))
       .localCheckpoint(true)
     // Candidate prunes beyond the prefix join, both classic PPJoin and
     // both UPPER-bound arguments (no false negatives — the unpruned
