@@ -162,6 +162,19 @@ case class PlaneBucket(child: Expression, planes: Array[Array[Double]],
   override def nullable: Boolean = child.nullable
   override def nullIntolerant: Boolean = true
 
+  // the kernel reads getFloat unconditionally: an array<double> input
+  // (e.g. Similarity.residuals' drop-in "embedding" column) would be
+  // reinterpreted 4-bytes-at-a-time into deterministic garbage buckets
+  // with no error (r13 audit) — reject it at analysis time instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"PlaneBucket needs array<float>, got ${other.simpleString}")
+    }
+
   protected override def nullSafeEval(v: Any): Any =
     VectorOps.planeBucket(v.asInstanceOf[ArrayData], planes, weights)
 

@@ -526,21 +526,38 @@ object Similarity {
     * the output is insertion-order-free and hash-deterministic.
     */
   def semDedupIncremental(corpus: DataFrame, batch: DataFrame,
-                          centroids: DataFrame, tau: Double): DataFrame = {
+                          centroids: DataFrame, tau: Double,
+                          corpusAssign: Option[DataFrame] = None): DataFrame = {
     val asgB = ivfAssign(batch, centroids).select(col("vec_id"), col("centroid"))
-    val mC = ivfAssign(corpus, centroids).select(col("vec_id"), col("centroid"))
+    // corpusAssign = the persisted (vec_id, centroid) artifact: at
+    // streaming scale the corpus assignment is snapshot-stable (same
+    // centroid artifact every batch), so re-running ivfAssign over the
+    // whole corpus per micro-batch — the default for one-shot callers —
+    // would pay O(corpus·K) per batch for a table the ingest already has
+    // on disk (r13 audit; the docstring's O(batch·cell) contract assumes
+    // the artifact is supplied)
+    val asgC = corpusAssign.getOrElse(
+      ivfAssign(corpus, centroids).select(col("vec_id"), col("centroid")))
+    val mC = asgC
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("centroid"), col("vec_id").as("va"), col("embedding").as("ea"))
     val mB = asgB.join(batch.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val bLo = mB.select(col("centroid"), col("vec_id").as("va"), col("embedding").as("ea"))
     val bHi = mB.select(col("centroid"), col("vec_id").as("vb"), col("embedding").as("eb"))
-    val corpusWit = mC.join(bHi, Seq("centroid"))
+    val corpusWit = mC.join(bHi, Seq("centroid")).withColumn("prio", lit(0))
     val batchWit = bLo.join(bHi, Seq("centroid")).where(col("va") < col("vb"))
+      .withColumn("prio", lit(1))
+    // va =!= vb: a vec_id present in BOTH corpus and batch (at-least-once
+    // redelivery) must not witness itself at cos 1.0; prio makes the
+    // documented "corpus witness beats batch witness" rule hold for ANY
+    // id space, not just the gate's corpus-ids-below-batch-ids layout
     val wit = corpusWit.unionByName(batchWit)
-      .select(col("vb"), col("va"), round(cos("ea", "eb"), 6).as("c6"))
+      .where(col("va") =!= col("vb"))
+      .select(col("vb"), col("prio"), col("va"), round(cos("ea", "eb"), 6).as("c6"))
       .where(col("c6") >= lit(tau))
       .groupBy(col("vb").as("vec_id"))
-      .agg(min(col("va")).as("dup_of"), max(col("c6")).as("max_cos"))
+      .agg(min(struct(col("prio"), col("va"))).as("w"), max(col("c6")).as("max_cos"))
+      .select(col("vec_id"), col("w.va").as("dup_of"), col("max_cos"))
     asgB.join(wit, Seq("vec_id"), "left")
       .select(col("vec_id"), col("centroid"), col("dup_of"), col("max_cos"))
   }
@@ -714,7 +731,7 @@ object Similarity {
       .select(col("q"), col("j"), col("cid").as("code"), pqD2.as("qd2"))
     val adist = idx.join(broadcast(qd), Seq("j", "code"))
       .groupBy(col("q"), col("n"))
-      .agg(round(sum(col("qd2")), 6).as("adist"))
+      .agg(round(sum(round(col("qd2"), 6)), 6).as("adist"))
       .where(col("q") =!= col("n"))
     val w = Window.partitionBy(col("q")).orderBy(col("adist"), col("n"))
     adist.withColumn("rank", row_number().over(w).cast("long"))
@@ -739,7 +756,7 @@ object Similarity {
       |         list_sum(list_transform(range(1, 17), i -> (sv[i]-csv[i])*(sv[i]-csv[i]))) AS qd2
       |  FROM sub JOIN sc2 USING (j) WHERE sub.vec_id < 5),
       |adist AS (
-      |  SELECT q, n, round(sum(qd2), 6) AS adist
+      |  SELECT q, n, round(sum(round(qd2, 6)), 6) AS adist
       |  FROM codes JOIN qd USING (j, code)
       |  GROUP BY q, n HAVING q != n)
       |SELECT q, n, adist, rank FROM (
@@ -786,7 +803,7 @@ object Similarity {
       .join(broadcast(qd), Seq("q", "j", "code"))
       .where(col("q") =!= col("n"))
       .groupBy(col("q"), col("n"))
-      .agg(round(sum(col("qd2")), 6).as("adist"))
+      .agg(round(sum(round(col("qd2"), 6)), 6).as("adist"))
     val w = Window.partitionBy(col("q")).orderBy(col("adist"), col("n"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -822,7 +839,7 @@ object Similarity {
       |         list_sum(list_transform(range(1, 17), i -> (sv[i]-csv[i])*(sv[i]-csv[i]))) AS qd2
       |  FROM sub JOIN sc2 USING (j) WHERE sub.vec_id < 5),
       |scored AS (
-      |  SELECT pc.q, codes.n, round(sum(qd.qd2), 6) AS adist
+      |  SELECT pc.q, codes.n, round(sum(round(qd.qd2, 6)), 6) AS adist
       |  FROM codes
       |  JOIN asg ON asg.n = codes.n
       |  JOIN pc ON pc.cell = asg.cell
@@ -873,7 +890,11 @@ object Similarity {
         Seq("vec_id", "j"))
       .join(broadcast(cb), Seq("j", "cid"))
       .groupBy(col("vec_id")).agg(sum(pqD2).as("d2"))
-      .agg(avg(col("d2"))).head().getDouble(0)
+      // empty/filtered input → avg is NULL; surface NaN, not an NPE
+      .agg(avg(col("d2"))).head() match {
+        case r if r.isNullAt(0) => Double.NaN
+        case r => r.getDouble(0)
+      }
 
   /** Residual-PQ artifacts: sub-codebooks Lloyd-trained on residuals and
     * the residual code index — persisted like [[trainedPq]]'s (same
@@ -928,7 +949,7 @@ object Similarity {
       .join(broadcast(qd), Seq("cell", "j", "code"))
       .where(col("q") =!= col("n"))
       .groupBy(col("q"), col("n"))
-      .agg(round(sum(col("qd2")), 6).as("adist"))
+      .agg(round(sum(round(col("qd2"), 6)), 6).as("adist"))
     val w = Window.partitionBy(col("q")).orderBy(col("adist"), col("n"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -970,7 +991,7 @@ object Similarity {
       |         list_sum(list_transform(range(1, 17), i -> (sv[i]-csv[i])*(sv[i]-csv[i]))) AS qd2
       |  FROM qsub JOIN sc2 USING (j)),
       |scored AS (
-      |  SELECT qd.q, codes.n, round(sum(qd.qd2), 6) AS adist
+      |  SELECT qd.q, codes.n, round(sum(round(qd.qd2, 6)), 6) AS adist
       |  FROM codes
       |  JOIN asg ON asg.n = codes.n
       |  JOIN qd ON qd.cell = asg.cell AND qd.j = codes.j AND qd.code = codes.code
@@ -1007,7 +1028,11 @@ object Similarity {
     dims.join(broadcast(stats), "dim")
       .where($"vec_id" < 10)
       .select($"vec_id", $"dim",
-        least(lit(255L), floor(($"v" - $"lo") * 255.0 / ($"hi" - $"lo")).cast("long"))
+        // hi == lo (constant dimension) makes the scale 0/0 = NaN, and
+        // the engines disagree on it (Spark casts floor(NaN) to 0,
+        // DuckDB orders NaN above 255) — pin code 0 explicitly (r13)
+        when($"hi" === $"lo", lit(0L)).otherwise(
+          least(lit(255L), floor(($"v" - $"lo") * 255.0 / ($"hi" - $"lo")).cast("long")))
           .as("code"))
       .orderBy($"vec_id", $"dim")
   }
@@ -1018,7 +1043,9 @@ object Similarity {
        |  FROM embeddings CROSS JOIN ds),
        |stats AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM flat GROUP BY dim)
        |SELECT f.vec_id, f.dim,
-       |       CAST(least(255, floor((f.v - s.lo) * 255.0 / (s.hi - s.lo))) AS BIGINT) AS code
+       |       CAST(CASE WHEN s.hi = s.lo THEN 0
+       |                 ELSE least(255, floor((f.v - s.lo) * 255.0 / (s.hi - s.lo)))
+       |            END AS BIGINT) AS code
        |FROM flat f JOIN stats s USING (dim)
        |WHERE f.vec_id < 10
        |ORDER BY vec_id, dim""".stripMargin
@@ -1137,7 +1164,7 @@ object Similarity {
       val (i, j, c) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
       m(i)(j) = c; m(j)(i) = c
     }
-    // Jacobi sweeps: rotate out the largest off-diagonal until negligible.
+    // Jacobi sweeps: sweep the off-diagonals cyclically (cyclic Jacobi, not largest-pivot) until negligible.
     val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
     for (_ <- 0 until 50; p <- 0 until dim; q <- p + 1 until dim
          if math.abs(m(p)(q)) > 1e-12) {

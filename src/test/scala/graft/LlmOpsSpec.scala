@@ -423,6 +423,30 @@ class LlmOpsSpec extends AnyFunSuite {
       "the original (lowest id of the pair) must be kept")
   }
 
+  test("semDedupIncremental: redelivered ids don't self-witness; corpus beats batch at any id") {
+    // r13 audit: (a) a vec_id present in BOTH corpus and batch
+    // (at-least-once redelivery) must not be flagged as its own dup at
+    // cos 1.0; (b) "corpus witness wins" must hold even when the batch
+    // holds a LOWER id than the corpus witness.
+    val corpus = emb.where($"vec_id" < 100)
+    val cents = Similarity.ivfCentroids(corpus, stride = 25L)
+    // redelivery: vec 7 arrives again in the batch unchanged
+    val e7 = emb.where($"vec_id" === 7).select($"embedding").as[Array[Float]].head()
+    val redelivered = Seq((7L, e7)).toDF("vec_id", "embedding")
+    val out1 = Similarity.semDedupIncremental(corpus, redelivered, cents, tau = 0.95)
+      .where($"vec_id" === 7L).head()
+    assert(out1.isNullAt(out1.fieldIndex("dup_of")),
+      s"redelivered id must not self-witness: $out1")
+    // low-id batch copy of vec 7: its witness must be CORPUS member 7,
+    // even though the batch id 3-less-than-7 would win a bare min()
+    val lowBatch = Seq((3L, e7)).toDF("vec_id", "embedding")
+    val corpusNo3 = corpus.where($"vec_id" =!= 3L)
+    val out2 = Similarity.semDedupIncremental(corpusNo3, lowBatch, cents, tau = 0.95)
+      .where($"vec_id" === 3L).head()
+    assert(out2.getAs[Long]("dup_of") == 7L,
+      s"corpus witness must win over any batch id ordering: $out2")
+  }
+
   test("semDedup keep-set is tau-separated within every cell") {
     // greedy keep-lowest-id invariant: two KEPT vectors in the same cell
     // can never be tau-close (the higher id would have had a witness)
