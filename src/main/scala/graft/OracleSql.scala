@@ -42,9 +42,9 @@ object OracleSql {
   private val DefSite = raw"(?i)\b([A-Za-z_][A-Za-z0-9_]*)(\s+AS\s*)\(".r
 
   /** Body of the CTE whose `(` opens at `open` — the balanced-paren
-    * span. Quotes are not tracked: oracle SQL string literals in this
-    * repo never contain parens, and a miscount only mis-sizes the
-    * self-reference check, which fails safe (skip = no rewrite).
+    * span. Callers pass literal-masked text (see [[maskLiterals]]), so
+    * parens inside string literals can never skew the depth count; an
+    * unbalanced tail still fails safe (skip = no rewrite).
     */
   private def balancedBody(sql: String, open: Int): String = {
     var depth = 0; var i = open
@@ -62,32 +62,68 @@ object OracleSql {
   private def wholeWord(name: String): scala.util.matching.Regex =
     raw"(?i)\b${java.util.regex.Pattern.quote(name)}\b".r
 
+  /** Same-length copy of `sql` with every single-quoted literal's
+    * CONTENT blanked to spaces (the delimiting quotes stay; `''`
+    * escapes are blanked as a pair so the literal doesn't end early).
+    * All token matching runs on this masked text, so a data literal
+    * like `'x AS ('` can never be mistaken for a CTE def site or an
+    * `OVER` reference — and because lengths are identical, every match
+    * position in the masked text is valid in the original, which is
+    * how the rewrite below re-emits literals untouched (r13 advisory).
+    */
+  private def maskLiterals(sql: String): String = {
+    val sb = new StringBuilder(sql)
+    var i = 0; var inLit = false
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (!inLit) { if (c == '\'') inLit = true }
+      else if (c == '\'') {
+        if (i + 1 < sb.length && sb.charAt(i + 1) == '\'') {
+          sb.setCharAt(i, ' '); i += 1; sb.setCharAt(i, ' ')
+        } else inLit = false
+      } else sb.setCharAt(i, ' ')
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Rewrite `name AS (` → `name AS MATERIALIZED (` for every CTE name
     * that occurs ≥3 times as a whole word (its definition + ≥2 refs)
     * and is not self-referential. Idempotent: already-materialized defs
-    * don't match `AS (`.
+    * don't match `AS (`. Matching is purely structural — string
+    * literals are masked out first (see [[maskLiterals]]) and restored
+    * verbatim in the output.
     */
   def materializeMultiRefCtes(sql: String): String = {
+    val masked = maskLiterals(sql)
     def isWindowName(m: scala.util.matching.Regex.Match): Boolean = {
-      val before = sql.substring(0, m.start)
+      val before = masked.substring(0, m.start)
       raw"(?i)\bWINDOW\s*$$".r.findFirstIn(before).isDefined ||
         raw"(?i)\bOVER\s+${java.util.regex.Pattern.quote(m.group(1))}\b".r
-          .findFirstIn(sql).isDefined
+          .findFirstIn(masked).isDefined
     }
-    val multiRef: Set[String] = DefSite
-      .findAllMatchIn(sql)
+    val sites = DefSite.findAllMatchIn(masked).toList
+    val multiRef: Set[String] = sites
       .filter(m => !isWindowName(m))
       .filter(m => !wholeWord(m.group(1))
-        .findFirstIn(balancedBody(sql, m.end - 1)).isDefined)
+        .findFirstIn(balancedBody(masked, m.end - 1)).isDefined)
       .map(_.group(1)).toSet
-      .filter(name => wholeWord(name).findAllMatchIn(sql).size >= 3)
+      .filter(name => wholeWord(name).findAllMatchIn(masked).size >= 3)
     // re-apply the window guard PER SITE: a WINDOW-clause def whose name
     // collides with a multi-ref CTE must not be rewritten (MATERIALIZED
-    // is invalid there even though the NAME qualified via its CTE sites)
-    DefSite.replaceAllIn(sql, m =>
-      if (multiRef(m.group(1)) && !isWindowName(m))
-        java.util.regex.Matcher.quoteReplacement(
-          s"${m.group(1)}${m.group(2)}MATERIALIZED (")
-      else java.util.regex.Matcher.quoteReplacement(m.matched))
+    // is invalid there even though the NAME qualified via its CTE sites).
+    // Output is rebuilt from the ORIGINAL text using the masked-text
+    // match positions (same length ⇒ positions map 1:1), injecting
+    // "MATERIALIZED " immediately before each qualifying def's `(`.
+    // java.lang.StringBuilder: its 3-arg append is (CharSequence, from, to);
+    // scala's StringBuilder lacks that overload and would silently
+    // AUTO-TUPLE the call into append(Any), embedding "(sql,0,152)" strings
+    val out = new java.lang.StringBuilder
+    var pos = 0
+    sites.filter(m => multiRef(m.group(1)) && !isWindowName(m)).foreach { m =>
+      out.append(sql, pos, m.end - 1).append("MATERIALIZED ")
+      pos = m.end - 1
+    }
+    out.append(sql, pos, sql.length).toString
   }
 }

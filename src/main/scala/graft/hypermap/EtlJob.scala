@@ -26,7 +26,26 @@ object EtlJob {
 
   def run(spark: SparkSession, rawDir: String, outDir: String,
           fromBlock: Option[Long] = None, toBlock: Option[Long] = None,
-          printOnly: Boolean = false, blocksDir: Option[String] = None): Report = {
+          printOnly: Boolean = false, blocksDir: Option[String] = None,
+          checkCoverage: Boolean = false): Report = {
+    // SURVEY §4 completeness gate: when the raw dir was landed by
+    // Rpc.fetch (it has a _coverage/ manifest), verify the requested
+    // block range has no un-fetched chunk holes BEFORE indexing —
+    // fail-loud replacement for the reference's silent skip-and-continue
+    // (index-events.ts:274-283). Range defaults to the manifest's own
+    // span, which still catches every INTERNAL hole.
+    if (checkCoverage) {
+      val cov = spark.read.schema(Coverage.schema).json(s"$rawDir/_coverage")
+      val bounds = cov.agg(min(col("chunkStart")), max(col("chunkEnd"))).head()
+      if (!bounds.isNullAt(0)) {
+        val lo = fromBlock.getOrElse(bounds.getLong(0))
+        val hi = toBlock.getOrElse(bounds.getLong(1))
+        Coverage.requireComplete(spark, rawDir, lo, hi)
+      } else if (fromBlock.nonEmpty || toBlock.nonEmpty) {
+        throw new IllegalStateException(
+          s"coverage check requested but $rawDir/_coverage is empty")
+      }
+    }
     var raw = spark.read.schema(Schemas.rawLogs).json(rawDir)
     // S1: the only predicates pushed to the source — address (inside
     // decode) and block range
@@ -61,7 +80,8 @@ object EtlJob {
   def main(args: Array[String]): Unit = {
     val positional = args.filterNot(_.startsWith("--"))
     require(positional.length == 2,
-      "usage: EtlJob <rawLogsDir> <outDir> [--from=N] [--to=N] [--print] [--blocks=dir]")
+      "usage: EtlJob <rawLogsDir> <outDir> [--from=N] [--to=N] [--print] " +
+        "[--blocks=dir] [--check-coverage]")
     val Array(rawDir, outDir) = positional
     def flag(name: String): Option[String] =
       args.collectFirst { case a if a.startsWith(s"--$name=") => a.substring(name.length + 3) }
@@ -70,7 +90,8 @@ object EtlJob {
       fromBlock = flag("from").map(_.toLong),
       toBlock = flag("to").map(_.toLong),
       printOnly = args.contains("--print"),
-      blocksDir = flag("blocks"))
+      blocksDir = flag("blocks"),
+      checkCoverage = args.contains("--check-coverage"))
     // the reference's per-chunk summary table (index-events.ts:224-254)
     println(s"scanned=${report.scanned} decoded=${report.decoded} " +
       s"inserted=${report.inserted} lastBlock=${report.lastBlock.getOrElse(-1L)}")

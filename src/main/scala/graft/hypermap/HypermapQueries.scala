@@ -210,12 +210,75 @@ object HypermapQueries {
       .orderBy($"namehash")
   }
 
+  /** hm_rpc_extract — the LIVE extract path end-to-end (spec-only
+    * until round 14): a fixture-backed mock JSON-RPC chain serves the
+    * golden+adversarial logs; [[Rpc.fetch]] chunk-loops `eth_getLogs`
+    * over the sanity range (1000-block chunks → 5 chunks) with a
+    * 429 burst injected on requests 1-3 (so the SECOND chunk backs off
+    * three times before landing — the retry path provably runs);
+    * coverage is asserted complete; the landed NDJSON files are then
+    * decoded by the same engine path as hm_decode_counts and must
+    * reproduce the golden {Mint:2, Note:8, Transfer:4} contract
+    * (docs/SANITY_CHECKS.md:9-11). Memoized per session like the
+    * replay gate — the fetch is a side-effecting fixture build.
+    */
+  private val rpcCache = new graft.SessionCache[Unit]
+  val rpcExtract: Q = (s, _) => {
+    import s.implicits._
+    val decoded = rpcCache.getOrCompute(s, ()) {
+      val mock = new Rpc.MockRpc(
+        Fixtures.goldenLogs ++ Fixtures.adversarialLogs, head = 27434999L,
+        failPlan = i => i >= 1 && i <= 3) // burst: 2nd-4th getLogs calls 429
+      val dir = try {
+        val d = java.nio.file.Files.createTempDirectory("graft-rpc").toString
+        val rep = Rpc.fetch(mock.endpoint, 27430000L, 27434999L, d,
+          chunkSize = 1000L, baseRetryDelayMs = 1L)
+        require(rep.chunks == 5 && rep.retries == 3,
+          s"expected 5 chunks / 3 backoffs, got $rep")
+        d
+      } finally mock.stop()
+      Coverage.requireComplete(s, dir, 27430000L, 27434999L)
+      val result = Decode.decode(
+        s.read.schema(Schemas.rawLogs).json(dir + "/chunk_*.json"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      result
+    }
+    decoded.groupBy($"eventType").count()
+      .select($"eventType", $"count".as("n")).orderBy($"eventType")
+  }
+
+  /** hm_gap_check — [[Coverage.gaps]] under the driver oracle (SURVEY
+    * §5.4: "missing chunk ⇒ detectable from block coverage"). The
+    * fixture manifest covers [0,99] in 10-block chunks with chunks
+    * 20-29, 50-69 and 80-99 missing, one overlapping record (35-44),
+    * one duplicate, and one record outside the range (120-129) —
+    * expected gaps hand-derived.
+    */
+  val gapCheck: Q = (s, _) => {
+    import s.implicits._
+    val cov = Seq[(Long, Long, Long)](
+      (0L, 9L, 3L), (10L, 19L, 0L), (30L, 39L, 2L), (40L, 49L, 1L),
+      (35L, 44L, 1L), (30L, 39L, 2L), (70L, 79L, 5L), (120L, 129L, 9L))
+      .toDF("chunkStart", "chunkEnd", "nLogs")
+    Coverage.gaps(cov, 0L, 99L)
+  }
+  val gapCheckSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(20 AS BIGINT), CAST(29 AS BIGINT)),
+      |  (CAST(50 AS BIGINT), CAST(69 AS BIGINT)),
+      |  (CAST(80 AS BIGINT), CAST(99 AS BIGINT)))
+      |  AS t(gapStart, gapEnd)
+      |ORDER BY gapStart""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "hm_all_types"      -> allTypes,
     "hm_decode_counts"  -> decodeCounts,
     "hm_entries_fold"   -> entriesFold,
     "hm_event_page"     -> eventPage,
     "hm_entry_events"   -> entryEvents,
+    "hm_rpc_extract"    -> rpcExtract,
+    "hm_gap_check"      -> gapCheck,
     "str_replay_equiv"  -> entriesReplay,
   )
 
@@ -225,6 +288,8 @@ object HypermapQueries {
     "hm_entries_fold"   -> entriesFoldSql,
     "hm_event_page"     -> eventPageSql,
     "hm_entry_events"   -> entryEventsSql,
+    "hm_rpc_extract"    -> decodeCountsSql, // same golden contract, via live path
+    "hm_gap_check"      -> gapCheckSql,
     "str_replay_equiv"  -> entriesFoldSql, // same hand-derived expected table
   )
 }

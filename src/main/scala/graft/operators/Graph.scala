@@ -148,7 +148,13 @@ object Graph {
     // large-star: every node attaches its strictly-larger neighbors to
     // the min of its neighborhood (incl. itself).
     def largeStar(e: DataFrame): DataFrame = {
-      val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      // project to the endpoints before the positional swap-union:
+      // cleanEdges passes through weight/tag columns, and a bare
+      // e.union(2-col select) would throw an arity mismatch on any
+      // >2-column edge input (latent today — canon() already projects —
+      // but the swap-union must not depend on that)
+      val e2 = e.select(col("a"), col("b"))
+      val und = e2.union(e2.select(col("b").as("a"), col("a").as("b")))
       val mins = und.groupBy(col("a")).agg(min(col("b")).as("mn"))
         .select(col("a"), least(col("mn"), col("a")).as("m"))
       und.join(mins, "a").where(col("b") > col("a"))
@@ -578,14 +584,15 @@ object Graph {
     *
     * Determinism, which vanilla LPA lacks: synchronous rounds (no
     * in-round ordering dependence), a FIXED iteration budget, and an
-    * exact argmax — `max_by(label, struct(cnt, -label))`, so "highest
+    * exact argmax — `min_by(label, struct(-cnt, label))`, so "highest
     * count, ties to lowest label" is a single total order identical in
     * both engines AND overflow-free for ANY long label (the previous
     * cnt·2³² − label packing silently mis-ranked ids ≥ 2³² or negative —
     * exactly what the file's own xxhash64-id guidance produces; r13
-    * audit). -label keeps its sign: labels of 2⁶³−… magnitude don't
-    * occur for hashed ids in practice, and a negated Long.MinValue would
-    * still order consistently on both engines (both wrap to itself).
+    * audit). The negation sits on the COUNT (a row count, never near
+    * 2⁶³) rather than the label: −label wraps Long.MinValue to itself,
+    * ranking that label worst where the oracle's `ORDER BY cnt DESC,
+    * label ASC` ranks it best (r13 advisory).
     * Per round: one join + two keyed aggregations, label table
     * O(|nodes|), checkpoint-and-free discipline as in
     * [[connectedComponents]].
@@ -603,8 +610,13 @@ object Graph {
       val cnt = und
         .join(labels.select(col("node").as("y"), col("label")), Seq("y"))
         .groupBy(col("x"), col("label")).agg(count(lit(1)).as("cnt"))
+      // tie-break = highest count, then LOWEST label (the oracle's
+      // ORDER BY cnt DESC, label ASC). Negate the COUNT, not the label:
+      // counts are row counts (nowhere near 2^63, negation overflow-free)
+      // while -label wraps to itself at Long.MinValue and would rank that
+      // label worst where the oracle ranks it best.
       val next = cnt.groupBy(col("x"))
-        .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("label"))
+        .agg(min_by(col("label"), struct(-col("cnt"), col("label"))).as("label"))
         .select(col("x").as("node"), col("label"))
         .localCheckpoint()
       CheckpointBridge.freeCheckpoint(labels)

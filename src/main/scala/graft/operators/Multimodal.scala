@@ -14,7 +14,9 @@ import graft.Tables.{t => tbl}
   * (`javax.sound.sampled`, gate mm_wav), and multi-frame container decode
   * is REAL via animated GIF (`writeToSequence`/per-frame reads, gate
   * mm_gif_frames — the video-frame-extraction contract on a genuine
-  * multi-frame codec). COMPRESSED audio/video (mp3/aac/h264) remain
+  * multi-frame codec). COMPRESSED audio is REAL for
+  * G.711 µ-law/A-law (`AudioSystem` format conversion, gate mm_ulaw).
+  * Other compressed audio/video (mp3/aac/h264) remain
   * STUBS — those codecs do not ship with the JDK — implemented as
   * deterministic fakes (byte histogram / byte-PCM energy) with the exact
   * signature a real decoder (JNI/FFI to ffmpeg, or `mapInPandas`+librosa
@@ -677,6 +679,134 @@ object Multimodal {
        |       CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max
        |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // --------------------------------- REAL compressed audio (G.711 µ-law)
+
+  /** Synthetic µ-law clip length. 13 is coprime to 256, so with 256
+    * samples every one of the 256 µ-law codes appears exactly once per
+    * clip — full codec-table coverage in every row.
+    */
+  val UlawN = 256
+
+  /** µ-law code byte i of the synthetic clip for `docId` — shared with
+    * the DuckDB oracle.
+    */
+  def synthUlawByte(docId: Long, i: Int): Int = ((docId * 7 + i * 13) % 256).toInt
+
+  /** G.711 µ-law expansion of one code byte to a 16-bit PCM sample —
+    * the public standard's expansion (complement, 3-bit exponent,
+    * 4-bit mantissa, bias 132), at the 16-bit scaling (±32124) the JDK
+    * codec uses. Written here independently from the formula (not a
+    * table), and cross-checked against `javax.sound.sampled`'s actual
+    * converter output in ImageCodecSpec: the mm_ulaw gate then holds
+    * iff JDK-decode ≡ this formula ≡ the oracle's SQL replay of it.
+    */
+  def ulawExpand(code: Int): Int = {
+    val u = (~code) & 0xff
+    val t = (((u & 0x0f) << 3) + 132) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 132 - t else t - 132
+  }
+
+  /** G.711 A-law expansion (even-bit inversion 0x55, segment/mantissa,
+    * JDK 16-bit scaling) — same cross-check discipline as [[ulawExpand]].
+    */
+  def alawExpand(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a >> 4) & 7
+    val base = ((a & 0x0f) << 4) + 8
+    val mag = if (seg == 0) base else (base + 0x100) << (seg - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** Paint + encode the synthetic µ-law clip as a real µ-law WAV
+    * (format code 7) via the JDK's WAVE writer — a genuinely COMPRESSED
+    * (companded, lossy 8-bit) audio payload, unlike mm_wav's linear PCM.
+    */
+  def synthUlaw(docId: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val raw = Array.tabulate(UlawN)(i => synthUlawByte(docId, i).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, UlawN.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL compressed-audio decode: µ-law or A-law WAV → signed 16-bit
+    * samples through `AudioSystem`'s format-conversion codec (the JDK
+    * ships G.711 both ways; mp3/aac would need external codecs and stay
+    * stubbed). None quarantines undecodable bytes, like [[decodeWav]].
+    */
+  def decodeCompandedWav(bytes: Array[Byte]): Option[Array[Int]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val src = ais.getFormat
+      val companded =
+        src.getEncoding == javax.sound.sampled.AudioFormat.Encoding.ULAW ||
+          src.getEncoding == javax.sound.sampled.AudioFormat.Encoding.ALAW
+      if (!companded || src.getChannels != 1) None
+      else {
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, 1, 2, src.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, ais)
+        val raw = pcm.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)
+          i += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
+  /** mm_ulaw — REAL compressed-audio decode under the driver oracle:
+    * µ-law WAVs through the JDK's ULAW→PCM converter → per-clip sample
+    * stats, 5 planted corrupt payloads quarantined. The oracle replays
+    * [[synthUlawByte]] + [[ulawExpand]] in SQL integer arithmetic, so
+    * agreement is sample-exact across the real companded codec.
+    */
+  val ulawDecode: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    synthMedia(s, d, 40)(synthUlaw)
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeCompandedWav(bytes).map { samples =>
+          var (sm, sq) = (0L, 0L)
+          var (mn, mx) = (Int.MaxValue, Int.MinValue)
+          samples.foreach { v =>
+            sm += v; sq += v.toLong * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
+          (id, samples.length.toLong, sm, sq, mn.toLong, mx.toLong)
+        }
+      })
+      .toDF("media_id", "n_samples", "s_sum", "s_sq", "s_min", "s_max")
+      .orderBy(col("media_id"))
+  }
+  val ulawDecodeSql: String =
+    s"""WITH code AS (
+       |  SELECT doc_id, (doc_id*7 + i*13) % 256 AS b
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id < 40),
+       |       (SELECT unnest(range(0, $UlawN)) AS i)),
+       |dec AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ((255 - b) & 128) != 0
+       |         THEN 132 - ((((255 - b) & 15) * 8 + 132) * (1 << (((255 - b) >> 4) & 7)))
+       |         ELSE ((((255 - b) & 15) * 8 + 132) * (1 << (((255 - b) >> 4) & 7))) - 132
+       |    END AS v
+       |  FROM code)
+       |SELECT doc_id AS media_id, CAST($UlawN AS BIGINT) AS n_samples,
+       |       CAST(sum(v) AS BIGINT) AS s_sum, CAST(sum(v*v) AS BIGINT) AS s_sq,
+       |       CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max
+       |FROM dec GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   // ------------------------------------------- REAL multi-frame decode (GIF)
 
   /** Synthetic-clip shape: 4 frames of 16×12, pixels drawn from a fixed
@@ -797,6 +927,7 @@ object Multimodal {
     "mm_decode"     -> imageDecode,
     "mm_phash_img"  -> imagePhash,
     "mm_wav"        -> wavDecode,
+    "mm_ulaw"       -> ulawDecode,
     "mm_gif_frames" -> gifFrames,
   )
 
@@ -810,6 +941,7 @@ object Multimodal {
     "mm_decode"     -> imageDecodeSql,
     "mm_phash_img"  -> imagePhashSql,
     "mm_wav"        -> wavDecodeSql,
+    "mm_ulaw"       -> ulawDecodeSql,
     "mm_gif_frames" -> gifFramesSql,
   )
 }

@@ -524,6 +524,18 @@ object Similarity {
     * A corpus witness always wins over a batch witness (corpus members
     * are already canonical); among witnesses dup_of is the min id, so
     * the output is insertion-order-free and hash-deterministic.
+    *
+    * FRESHNESS CONTRACT on `corpusAssign` (r13 advisory): the supplied
+    * artifact MUST be `ivfAssign(corpus, centroids)` for the SAME
+    * `centroids` frame passed here — i.e. assignment and quantizer come
+    * from one snapshot. The function cannot validate this cheaply (a
+    * domain check would rescan the full corpus assignment per batch,
+    * breaking the O(batch·cell) contract), so a stale artifact — e.g.
+    * one persisted before a centroid retrain — silently routes batch
+    * rows to different witness cells than the corpus rows they should
+    * meet, changing dedup output with no error. Operationally: version
+    * the (centroids, corpusAssign) pair together and refresh both
+    * atomically on retrain.
     */
   def semDedupIncremental(corpus: DataFrame, batch: DataFrame,
                           centroids: DataFrame, tau: Double,

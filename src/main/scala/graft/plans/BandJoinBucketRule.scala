@@ -310,6 +310,11 @@ object BandJoinBucketRule extends Rule[LogicalPlan] with PredicateHelper {
     // is exact — at most 2× the band, so bucket population stays
     // band-density-bounded while every magnitude hazard disappears
     val w = pow2ceil(Math.nextUp(w0))
+    // pow2ceil overflows to +Infinity above 2^1023; x / Infinity = 0
+    // would collapse every row into bucket 0 — still CORRECT (the
+    // residual predicate holds) but a single-bucket join is worse than
+    // the NLJ it replaced. Stand down instead of degenerating.
+    if (!integral && w.isInfinite) return j
     val (lB, rB, radius) =
       if (integral) {
         // exact integer bucketing: ceil(w) only widens the bucket (sound),

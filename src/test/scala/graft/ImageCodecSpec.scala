@@ -82,6 +82,57 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(Multimodal.synthWav(2L).take(30)).isEmpty)
   }
 
+  test("JDK µ-law converter ≡ the G.711 expansion formula, all 256 codes") {
+    // one clip containing every µ-law code once, decoded by the REAL
+    // javax.sound.sampled ULAW→PCM codec; the formula (and therefore the
+    // mm_ulaw oracle's SQL replay of it) must match sample-exact
+    val codes = Array.tabulate(256)(identity)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(codes.map(_.toByte)), fmt, 256L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val got = Multimodal.decodeCompandedWav(bos.toByteArray).get
+    assert(got.length == 256)
+    for (c <- 0 until 256)
+      assert(got(c) == Multimodal.ulawExpand(c),
+        s"µ-law code $c: JDK=${got(c)} formula=${Multimodal.ulawExpand(c)}")
+  }
+
+  test("JDK A-law converter ≡ the G.711 expansion formula, all 256 codes") {
+    val codes = Array.tabulate(256)(identity)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ALAW, 8000f, 8, 1, 1, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(codes.map(_.toByte)), fmt, 256L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val got = Multimodal.decodeCompandedWav(bos.toByteArray).get
+    assert(got.length == 256)
+    for (c <- 0 until 256)
+      assert(got(c) == Multimodal.alawExpand(c),
+        s"A-law code $c: JDK=${got(c)} formula=${Multimodal.alawExpand(c)}")
+  }
+
+  test("µ-law clip roundtrip matches formula; corrupt/PCM payloads quarantine") {
+    val samples = Multimodal.decodeCompandedWav(Multimodal.synthUlaw(13L)).get
+    assert(samples.length == Multimodal.UlawN)
+    for (i <- 0 until Multimodal.UlawN)
+      assert(samples(i) ==
+        Multimodal.ulawExpand(Multimodal.synthUlawByte(13L, i)),
+        s"sample $i diverged after µ-law roundtrip")
+    assert(Multimodal.decodeCompandedWav("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeCompandedWav(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeCompandedWav(Multimodal.synthUlaw(2L).take(30)).isEmpty)
+    // a LINEAR-PCM wav is not companded: this decoder must reject it
+    // (and decodeWav must reject the companded one) — no cross-decode
+    assert(Multimodal.decodeCompandedWav(Multimodal.synthWav(3L)).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.synthUlaw(3L)).isEmpty)
+  }
+
   test("animated-GIF roundtrip is frame- and pixel-exact (≤256-color palette)") {
     val frames = Multimodal.decodeGifFrames(Multimodal.synthGif(9L)).get
     assert(frames.size == Multimodal.GifF)

@@ -70,6 +70,35 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(out.contains("daily AS MATERIALIZED ("))
   }
 
+  test("string literals are masked: a literal 'x AS (' is never a def site") {
+    val sql = "WITH c AS (SELECT 'name AS (' AS lit FROM t UNION " +
+      "SELECT 'name AS (' FROM t) SELECT * FROM c, c AS c2"
+    val out = materializeMultiRefCtes(sql)
+    // c qualifies (def + 2 refs) and is rewritten; the literal content —
+    // which names a fake def site occurring 2 more times — is untouched
+    assert(out.contains("c AS MATERIALIZED (SELECT 'name AS ('"))
+    assert(!out.contains("'name AS MATERIALIZED ("))
+  }
+
+  test("literals with escaped quotes and parens don't skew the body scan") {
+    val sql = "WITH d AS (SELECT 'it''s (deep' AS s FROM t), " +
+      "e AS (SELECT s FROM d UNION SELECT s || ')' FROM d) SELECT * FROM e"
+    val out = materializeMultiRefCtes(sql)
+    assert(out.contains("d AS MATERIALIZED (SELECT 'it''s (deep'"))
+    assert(out.contains("e AS (SELECT")) // single-ref: untouched
+  }
+
+  test("rewrite output is the original text plus injections only") {
+    // regression: the masked-position rebuild must re-emit the ORIGINAL
+    // sql (scala.StringBuilder has no (CharSequence, from, to) append —
+    // an auto-tupled append(Any) once embedded "(sql,0,152)" garbage)
+    val sql = "WITH d0 AS (SELECT 1 AS x), " +
+      "d1 AS (SELECT x FROM d0 UNION SELECT x+1 FROM d0) SELECT * FROM d1"
+    val out = materializeMultiRefCtes(sql)
+    assert(out == sql.replace("d0 AS (", "d0 AS MATERIALIZED ("))
+    assert(!out.contains("(WITH") && !out.contains(",0,"))
+  }
+
   test("the six r12-flagged exponential oracles are now materialized") {
     val flagged = Seq("gr_sssp", "gr_bfs", "gr_kcore", "gr_hits",
       "geo_dbscan_cc", "ann_ivfpq_residual")
