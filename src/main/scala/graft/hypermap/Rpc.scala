@@ -243,6 +243,18 @@ object Rpc {
       n -> parseHexLong(mapper.readTree(body).get("result").get("timestamp").asText())
     }
 
+  /** Confirmation-depth cap (ST5 extension, pairs with
+    * [[graft.streaming.Tail.startWithEntries]]'s `confirmedUpTo`): the
+    * highest block a reorg-safe poll loop should fetch. Scanning only to
+    * `confirmedHead` means a shallow block that later gets rewritten is
+    * fetched exactly once, with its final content — the resume point
+    * never advances past an unconfirmed range.
+    */
+  def confirmedHead(endpoint: String, confirmations: Int): Long = {
+    require(confirmations >= 0, "confirmations must be >= 0")
+    blockNumber(endpoint) - confirmations
+  }
+
   def blockNumber(endpoint: String): Long = {
     val (status, body) = post(endpoint,
       """{"jsonrpc":"2.0","id":1,"method":"eth_blockNumber","params":[]}""")

@@ -214,6 +214,40 @@ object Similarity {
     e.where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
+  // -------------------------------------------- scale-sane stride choice
+
+  /** Corpus row count, memoized per (session, dir): one count job,
+    * reused by every stride computation below.
+    */
+  private val nEmbCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  private def embCount(s: SparkSession, d: String): Long = {
+    nEmbCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    nEmbCache.computeIfAbsent((s, d),
+      _ => java.lang.Long.valueOf(tbl(s, d, "embeddings").count())).longValue()
+  }
+
+  /** Coarse-quantizer stride for IVF/SemDeDup training: K ≈ √n centroids
+    * above the 125 gate floor. A FIXED stride makes K grow linearly with
+    * the corpus — measured as the sf10 scale cliff this replaced: Lloyd
+    * assign is O(n·K) and SemDeDup pair work is O(n²/K), so K ~ √n is the
+    * balance point where both stay O(n^1.5) instead of one of them going
+    * quadratic. The max(125, ·) floor keeps every oracle scale (sf0.01,
+    * sf0.1: n ≤ 2000 → stride exactly 125) bit-identical to the static
+    * SQL mirrors (lloydCteSql(125, 2) etc.), so gate hashes are unchanged
+    * while sf1/sf10 train √n centroids.
+    */
+  def ivfStride(n: Long): Long =
+    math.max(125L, n / math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong))
+
+  /** PQ sub-codebook stride: codebook SIZE is a fixed property of the
+    * code format (here ≤16 codes/subspace — what a 4-bit code addresses),
+    * never a function of corpus size: a code must stay one fixed-width id
+    * and the ADC table one small broadcast. Same 125 floor ⇒ same gate
+    * hashes at oracle scales.
+    */
+  def pqStride(n: Long): Long = math.max(125L, n / 16L)
+
   // ------------------------------------------------------------ k-means
 
   /** Lloyd-refined IVF centroids: `iters` k-means iterations as plain
@@ -288,7 +322,8 @@ object Similarity {
     * hash-checked against the SQL-unrolled Lloyd iterations.
     */
   val kmeansTrainQ: Q = (s, d) => {
-    lloydCentroids(tbl(s, d, "embeddings"), stride = 125L, iters = 2)
+    lloydCentroids(tbl(s, d, "embeddings"),
+      stride = ivfStride(embCount(s, d)), iters = 2)
       .select(col("cid"), posexplode(col("ce")).as(Seq("i", "cx")))
       .select(col("cid"), col("i").cast("long").as("i"), col("cx"))
       .orderBy(col("cid"), col("i"))
@@ -318,9 +353,11 @@ object Similarity {
     */
   def annViaIvf(e: DataFrame, probeIds: Seq[Long], k: Int = 3,
                 nprobe: Int = 2, stride: Long = 125L,
-                centroids: Option[DataFrame] = None): DataFrame = {
+                centroids: Option[DataFrame] = None,
+                assign: Option[DataFrame] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(e, stride))
-    val cells = ivfAssign(e, cents).select(col("vec_id"), col("centroid"))
+    val cells = assign.getOrElse(ivfAssign(e, cents))
+      .select(col("vec_id"), col("centroid"))
     val corpus = e.select(col("vec_id").as("n"), col("embedding").as("en"))
       .join(cells.select(col("vec_id").as("n"), col("centroid").as("cell")), Seq("n"))
     val wc = Window.partitionBy(col("q")).orderBy(col("c6").desc, col("cid"))
@@ -349,8 +386,26 @@ object Similarity {
     */
   private def trainedIvf(s: SparkSession, d: String): DataFrame = {
     val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
-    graft.IndexStore.materialize(s, s"ivf_centroids_v1_${d}_${fp}_s125_lloyd2")(
-      lloydCentroids(tbl(s, d, "embeddings"), stride = 125L, iters = 2))
+    val st = ivfStride(embCount(s, d)) // = 125 at every oracle scale
+    graft.IndexStore.materialize(s, s"ivf_centroids_v1_${d}_${fp}_s${st}_lloyd2")(
+      lloydCentroids(tbl(s, d, "embeddings"), stride = st, iters = 2))
+  }
+
+  /** Full-corpus cell assignment as a persisted artifact — the IVF
+    * INVERTED LIST itself. The sf10 probe (PERF.md r14) showed every
+    * ann_ivf_* search recomputing the corpus × K broadcast assign per
+    * pass (~10 s at 200k vectors), which at 100 TB is a full corpus scan
+    * per query batch for a table that changes only per snapshot. Built
+    * once per (corpus fingerprint, quantizer params) like the PQ code
+    * index; searches now only route PROBES through the quantizer.
+    * Parquet roundtrips (long, long, double) exactly, so consumers are
+    * hash-identical to the live computation.
+    */
+  private def trainedIvfAssign(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
+    val st = ivfStride(embCount(s, d))
+    graft.IndexStore.materialize(s, s"ivf_assign_v1_${d}_${fp}_s${st}_lloyd2")(
+      ivfAssign(tbl(s, d, "embeddings"), trainedIvf(s, d)))
   }
 
   /** Gate query: IVF cell assignment for a probe set against the TRAINED
@@ -381,7 +436,7 @@ object Similarity {
     */
   val ivfSearchQ: Q = (s, d) => {
     annViaIvf(tbl(s, d, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L),
-        centroids = Some(trainedIvf(s, d)))
+        centroids = Some(trainedIvf(s, d)), assign = Some(trainedIvfAssign(s, d)))
       .select(col("q"), col("n"), col("cos"), col("rank").cast("long").as("rank"))
       .orderBy(col("q"), col("rank"))
   }
@@ -471,8 +526,10 @@ object Similarity {
     * dedup; this extends the dedup family to semantic space on the same
     * artifacts (trained centroids) the ANN path already persists.
     */
-  def semDedup(e: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
-    val asg = ivfAssign(e, centroids).select(col("vec_id"), col("centroid"))
+  def semDedup(e: DataFrame, centroids: DataFrame, tau: Double,
+               assign: Option[DataFrame] = None): DataFrame = {
+    val asg = assign.getOrElse(ivfAssign(e, centroids))
+      .select(col("vec_id"), col("centroid"))
     val m = e.select(col("vec_id"), col("embedding")).join(asg, Seq("vec_id"))
     val lo = m.select(col("centroid"), col("vec_id").as("va"), col("embedding").as("ea"))
     val hi = m.select(col("centroid"), col("vec_id").as("vb"), col("embedding").as("eb"))
@@ -493,7 +550,8 @@ object Similarity {
     * keep-set and the witness structure, not just the drop count.
     */
   val semDedupQ: Q = (s, d) =>
-    semDedup(tbl(s, d, "embeddings"), trainedIvf(s, d), tau = SemTau)
+    semDedup(tbl(s, d, "embeddings"), trainedIvf(s, d), tau = SemTau,
+        assign = Some(trainedIvfAssign(s, d)))
       .orderBy(col("vec_id"))
   val semDedupSql: String =
     s"""WITH ${lloydCteSql(125L, 2)},
@@ -579,8 +637,12 @@ object Similarity {
     */
   val semDedupIncQ: Q = (s, d) => {
     val e = tbl(s, d, "embeddings")
+    // the persisted full-corpus assignment restricted to the corpus ids
+    // IS ivfAssign(corpus, centroids) — assignment is per-row, and the
+    // (centroids, assign) pair comes from one artifact snapshot
     semDedupIncremental(e.where(col("vec_id") < 400),
-        e.where(col("vec_id") >= 400), trainedIvf(s, d), tau = SemTau)
+        e.where(col("vec_id") >= 400), trainedIvf(s, d), tau = SemTau,
+        corpusAssign = Some(trainedIvfAssign(s, d).where(col("vec_id") < 400)))
       .orderBy(col("vec_id"))
   }
   val semDedupIncSql: String =
@@ -630,16 +692,17 @@ object Similarity {
   // consumers (codebook: every query's ADC table; codes: the scan side).
   private def trainedPq(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
-    val cb = graft.IndexStore.materialize(s, s"pq_codebook_v2_${d}_${fp}_s125_lloyd2")(
-      lloydSubCodebooks(tbl(s, d, "embeddings"), stride = 125L, iters = 2))
-    val codes = graft.IndexStore.materialize(s, s"pq_codes_v2_${d}_${fp}_s125_lloyd2")(
-      pqEncode(tbl(s, d, "embeddings"), stride = 125L, codebook = Some(cb)))
+    val st = pqStride(embCount(s, d)) // = 125 at every oracle scale
+    val cb = graft.IndexStore.materialize(s, s"pq_codebook_v2_${d}_${fp}_s${st}_lloyd2")(
+      lloydSubCodebooks(tbl(s, d, "embeddings"), stride = st, iters = 2))
+    val codes = graft.IndexStore.materialize(s, s"pq_codes_v2_${d}_${fp}_s${st}_lloyd2")(
+      pqEncode(tbl(s, d, "embeddings"), stride = st, codebook = Some(cb)))
     (cb, codes)
   }
 
   val annPq: Q = (s, d) => {
     val (cb, codes) = trainedPq(s, d)
-    pqSearch(tbl(s, d, "embeddings"), stride = 125L,
+    pqSearch(tbl(s, d, "embeddings"), stride = pqStride(embCount(s, d)),
       codes = Some(codes), codebook = Some(cb))
   }
 
@@ -654,8 +717,11 @@ object Similarity {
     pqSubs(embeddings.where(col("vec_id") % stride === 0))
       .select(col("vec_id").as("cid"), col("j"), col("sv").as("csv"))
 
-  private val pqD2 = expr(
-    "aggregate(zip_with(sv, csv, (x, y) -> (x-y)*(x-y)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+  // codegen'd fused kernel (SqDist); the SQL-lambda form
+  // aggregate(zip_with(sv, csv, (x,y) -> (x-y)*(x-y)), 0.0, (a,v) -> a+v)
+  // is CodegenFallback and was the measured sf10 training hot spot —
+  // identical arithmetic (index-order accumulation), identical results
+  private val pqD2 = graft.functions.vector.sq_dist(col("sv"), col("csv"))
 
   /** Lloyd-refined PQ sub-codebooks: k-means per subspace j, seeded by
     * the stride sample — the same assign/update dance as lloydCentroids
@@ -797,8 +863,9 @@ object Similarity {
     */
   def ivfPqSearch(e: DataFrame, cents: DataFrame, cb: DataFrame,
                   codes: DataFrame, probeMax: Long = 5L, k: Int = 3,
-                  nprobe: Int = 2): DataFrame = {
-    val cells = ivfAssign(e, cents).select(col("vec_id").as("n"), col("centroid").as("cell"))
+                  nprobe: Int = 2, assign: Option[DataFrame] = None): DataFrame = {
+    val cells = assign.getOrElse(ivfAssign(e, cents))
+      .select(col("vec_id").as("n"), col("centroid").as("cell"))
     val wc = Window.partitionBy(col("q")).orderBy(col("c6").desc, col("cid"))
     val probeCells = e.where(col("vec_id") < probeMax)
       .select(col("vec_id").as("q"), col("embedding").as("eq"))
@@ -824,7 +891,8 @@ object Similarity {
 
   val annIvfPq: Q = (s, d) => {
     val (cb, codes) = trainedPq(s, d)
-    ivfPqSearch(tbl(s, d, "embeddings"), trainedIvf(s, d), cb, codes)
+    ivfPqSearch(tbl(s, d, "embeddings"), trainedIvf(s, d), cb, codes,
+      assign = Some(trainedIvfAssign(s, d)))
   }
   val annIvfPqSql: String =
     s"""WITH ${lloydCteSql(125L, 2)},
@@ -877,9 +945,11 @@ object Similarity {
     * compute bit-identical residuals, so the downstream Lloyd training
     * (floor(x·1e6) quantized) stays hash-checkable.
     */
-  private def residualTable(e: DataFrame, cents: DataFrame): DataFrame =
+  private def residualTable(e: DataFrame, cents: DataFrame,
+                            assign: Option[DataFrame] = None): DataFrame =
     e.select(col("vec_id"), col("embedding"))
-      .join(ivfAssign(e, cents).select(col("vec_id"), col("centroid")), Seq("vec_id"))
+      .join(assign.getOrElse(ivfAssign(e, cents))
+        .select(col("vec_id"), col("centroid")), Seq("vec_id"))
       .join(broadcast(cents.select(col("cid").as("centroid"), col("ce"))), Seq("centroid"))
       .select(col("vec_id"),
         expr("zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), ce, (x, y) -> x - y)")
@@ -915,17 +985,19 @@ object Similarity {
     */
   private def trainedResidualPq(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
+    val st = pqStride(embCount(s, d)) // = 125 at every oracle scale
     // The residual table itself is an artifact: its lineage contains a
     // full corpus×K assign, which Lloyd training would otherwise
     // recompute once per iteration per consumer (measured 12× slower
     // unmaterialized). Doubles roundtrip parquet exactly, so training on
     // the artifact is hash-identical to training on the live chain.
-    val res = graft.IndexStore.materialize(s, s"pqr_residuals_v1_${d}_${fp}_s125_lloyd2")(
-      residualTable(tbl(s, d, "embeddings"), trainedIvf(s, d)))
-    val cb = graft.IndexStore.materialize(s, s"pqr_codebook_v1_${d}_${fp}_s125_lloyd2")(
-      lloydSubCodebooks(res, stride = 125L, iters = 2))
-    val codes = graft.IndexStore.materialize(s, s"pqr_codes_v1_${d}_${fp}_s125_lloyd2")(
-      pqEncode(res, stride = 125L, codebook = Some(cb)))
+    val res = graft.IndexStore.materialize(s, s"pqr_residuals_v1_${d}_${fp}_s${st}_lloyd2")(
+      residualTable(tbl(s, d, "embeddings"), trainedIvf(s, d),
+        assign = Some(trainedIvfAssign(s, d))))
+    val cb = graft.IndexStore.materialize(s, s"pqr_codebook_v1_${d}_${fp}_s${st}_lloyd2")(
+      lloydSubCodebooks(res, stride = st, iters = 2))
+    val codes = graft.IndexStore.materialize(s, s"pqr_codes_v1_${d}_${fp}_s${st}_lloyd2")(
+      pqEncode(res, stride = st, codebook = Some(cb)))
     (cb, codes)
   }
 
@@ -940,8 +1012,9 @@ object Similarity {
     */
   def ivfPqResidualSearch(e: DataFrame, cents: DataFrame, cb: DataFrame,
                           codes: DataFrame, probeMax: Long = 5L, k: Int = 3,
-                          nprobe: Int = 2): DataFrame = {
-    val cells = ivfAssign(e, cents).select(col("vec_id").as("n"), col("centroid").as("cell"))
+                          nprobe: Int = 2, assign: Option[DataFrame] = None): DataFrame = {
+    val cells = assign.getOrElse(ivfAssign(e, cents))
+      .select(col("vec_id").as("n"), col("centroid").as("cell"))
     val wc = Window.partitionBy(col("q")).orderBy(col("c6").desc, col("cid"))
     val probeRes = e.where(col("vec_id") < probeMax)
       .select(col("vec_id").as("q"), col("embedding").as("eq"))
@@ -970,7 +1043,8 @@ object Similarity {
 
   val annIvfPqResidual: Q = (s, d) => {
     val (cb, codes) = trainedResidualPq(s, d)
-    ivfPqResidualSearch(tbl(s, d, "embeddings"), trainedIvf(s, d), cb, codes)
+    ivfPqResidualSearch(tbl(s, d, "embeddings"), trainedIvf(s, d), cb, codes,
+      assign = Some(trainedIvfAssign(s, d)))
   }
   val annIvfPqResidualSql: String =
     s"""WITH ${lloydCteSql(125L, 2)},
@@ -1427,7 +1501,7 @@ object Similarity {
     */
   val ivfMaintain: Q = (s, d) => {
     val e = tbl(s, d, "embeddings")
-    val asg = ivfAssign(e, trainedIvf(s, d)).select(col("vec_id"), col("centroid"))
+    val asg = trainedIvfAssign(s, d).select(col("vec_id"), col("centroid"))
     val cnt = asg.groupBy(col("centroid")).agg(
       sum(when(col("vec_id") % 13 =!= 5, 1L).otherwise(0L)).as("n_base"),
       sum(when(col("vec_id") % 13 === 5, 1L).otherwise(0L)).as("n_new"))
@@ -1566,7 +1640,7 @@ object Similarity {
   val annHardNegatives: Q = (s, d) => {
     val e = tbl(s, d, "embeddings")
     val cents = trainedIvf(s, d)
-    val cells = ivfAssign(e, cents)
+    val cells = trainedIvfAssign(s, d)
       .select(col("vec_id").as("n"), col("centroid").as("cell"))
     val corpus = e.select(col("vec_id").as("n"), col("label").as("nl"),
       col("embedding").as("en")).join(cells, Seq("n"))
@@ -1643,7 +1717,7 @@ object Similarity {
     val e = tbl(s, d, "embeddings")
     val isEval = col("vec_id") % 97 === 0 && col("vec_id") < 582
     val cents = trainedIvf(s, d)
-    val cells = ivfAssign(e, cents)
+    val cells = trainedIvfAssign(s, d)
       .select(col("vec_id"), col("centroid").as("cell"))
     val train = e.where(!isEval)
       .select(col("vec_id"), col("embedding").as("et"))

@@ -23,8 +23,15 @@ import graft.hypermap.{Decode, EntriesFold, Schemas, Sinks}
   *     running totals).
   *
   * ST5 (reorg handling) is absent in the reference and documented
-  * out-of-scope; a confirmation-depth filter (head - N) is the extension
-  * point.
+  * out-of-scope for parity. The natural extension — a confirmation-depth
+  * filter (process only blocks ≤ head − N) — IS implemented:
+  * [[startWithEntries]]' `confirmedUpTo` bound drops not-yet-confirmed
+  * rows from every micro-batch, so a tail block that later gets
+  * rewritten by a reorg never reaches the events/entries tables; the
+  * fetcher re-lands it (final content) once it clears the depth, and
+  * only that version is ever indexed. Defense-in-depth pairs with the
+  * fetcher-side cap ([[graft.hypermap.Rpc.confirmedHead]]): cap what you
+  * fetch, filter what you index. Spec: StreamingSpec "ST5 extension".
   */
 object Tail {
 
@@ -55,14 +62,29 @@ object Tail {
     * (scripts/extract-events.ts:95-136, mongodb.ts:113-144), minus its
     * per-event round trips.
     */
+  /** `confirmedUpTo` (ST5 extension): when set, each micro-batch indexes
+    * only rows with `blockNumber <= confirmedUpTo()` — the
+    * confirmation-depth filter (head − N). Unconfirmed rows are DROPPED,
+    * not deferred: the poll-loop fetcher's resume point only advances
+    * past a block once it lands confirmed (see [[graft.hypermap.Rpc
+    * .confirmedHead]]), so a dropped row is re-delivered by a later
+    * chunk file with its post-reorg final content — deferring the
+    * pre-reorg bytes engine-side would instead index STALE content once
+    * the depth cleared. Evaluated per batch, so a long-running tail
+    * tracks the advancing head.
+    */
   def startWithEntries(spark: SparkSession, rawDir: String, eventsDir: String,
                        entriesDir: String, checkpointDir: String,
                        trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
-                       blocks: Option[DataFrame] = None): StreamingQuery = {
+                       blocks: Option[DataFrame] = None,
+                       confirmedUpTo: Option[() => Long] = None): StreamingQuery = {
     val raw = spark.readStream.schema(Schemas.rawLogs).json(rawDir)
     raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val decoded = Decode.decode(batch, blocks).cache()
+        val bounded = confirmedUpTo
+          .map(f => batch.where(col("blockNumber") <= f()))
+          .getOrElse(batch)
+        val decoded = Decode.decode(bounded, blocks).cache()
         try {
           val inserted = Sinks.insertIfAbsent(spark, eventsDir, decoded)
           // all-junk first batch: no events table yet, nothing to fold —

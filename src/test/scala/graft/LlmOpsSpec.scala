@@ -734,4 +734,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(uncapped.filter(r => r._1 == 0L && r._2 == 1L) == capped,
       "cap must not change a reported pair's run statistics")
   }
+
+  test("sq_dist (codegen'd) is bit-identical to the zip_with/aggregate lambda") {
+    // the fused SqDist kernel replaced the interpreted SQL-lambda form in
+    // PQ training/encode/ADC — results must match BITWISE (gate hashes
+    // depend on it), including null/length-mismatch/empty semantics
+    val rows = Seq(
+      (Array(1.0f, 2.5f, -3.25f), Array(0.5, -2.0, 4.75)),     // plain
+      (Array(1e30f, -1e30f, 3e-30f), Array(-1e30, 1e30, 0.0)), // magnitude
+      (Array.empty[Float], Array.empty[Double]),                // empty → 0.0
+      (Array(0.1f, 0.2f), Array(0.1, 0.2, 0.3))                 // mismatch → null
+    ).toDF("fa", "db")
+      .withColumn("fa_d", expr("transform(fa, x -> CAST(x AS DOUBLE))"))
+    val lambda = expr(
+      "aggregate(zip_with(fa_d, db, (x, y) -> (x-y)*(x-y)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+    val got = rows.select(
+      graft.functions.vector.sq_dist($"fa", $"db").as("fused_f"),   // float left
+      graft.functions.vector.sq_dist($"fa_d", $"db").as("fused_d"), // double left
+      lambda.as("lam")).collect()
+    got.foreach { r =>
+      def bits(i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(i)))
+      assert(bits(0) == bits(2) && bits(1) == bits(2),
+        s"sq_dist diverged from lambda: $r")
+    }
+    assert(got(2).getDouble(2) == 0.0 && got(3).isNullAt(2)) // lambda sanity
+  }
 }

@@ -185,14 +185,15 @@ class PlanGuardSpec extends AnyFunSuite {
       "ml_knn_confusion",
       // ann_hard_negatives and dc_semantic route their corpus scans
       // through the trained IVF cells (hash equi-join on cell, asserted
-      // separately below); the only remaining product is ivfAssign's
-      // corpus × O(K) broadcast centroid set — the declared
-      // IVF-assignment shape shared by every ann_ivf_* gate.
+      // separately below); since r14 the corpus-side assignment is the
+      // persisted trainedIvfAssign artifact (a parquet read), so the
+      // only remaining product is the PROBE set × O(K) broadcast
+      // centroids — probe-bounded by construction.
       "ann_hard_negatives", "dc_semantic",
-      // ann_ivf_maintain runs ONE ivfAssign pass — the same declared
-      // corpus × O(K) broadcast-centroid product every other ann_ivf_*
-      // gate rides; its share totals are an unpartitioned window over
-      // the O(K) cell table, not a join.
+      // ann_ivf_maintain reads the persisted assignment artifact; its
+      // share totals are an unpartitioned window over the O(K) cell
+      // table, not a join. (Allowlisted for the artifact's first-call
+      // in-plan build, which runs the declared corpus × O(K) assign.)
       "ann_ivf_maintain",
       // dq_psi crossJoins the O(types) histogram against the O(bins)
       // grid — the ev_gapfill dimension-densification class (smoothed

@@ -39,6 +39,7 @@ class RpcSpec extends AnyFunSuite {
     val rawDir = base.resolve("raw").toString
     try {
       assert(Rpc.blockNumber(mock.endpoint) == To)
+      assert(Rpc.confirmedHead(mock.endpoint, 12) == To - 12)
       val sleeps = ArrayBuffer.empty[Long]
       val rep = Rpc.fetch(mock.endpoint, From, To, rawDir,
         chunkSize = 1000L, baseRetryDelayMs = 3000L,

@@ -223,4 +223,59 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(counts == Map("Note" -> 8L, "Transfer" -> 4L, "Mint" -> 2L))
   }
+
+  test("ST5 extension: a rewritten tail block never corrupts entries " +
+    "(confirmation-depth filter)") {
+    val base = Files.createTempDirectory("graft-stream-reorg")
+    val rawDir = base.resolve("raw").toString
+    val evDir = base.resolve("ev").toString
+    val enDir = base.resolve("en").toString
+    new java.io.File(rawDir).mkdirs()
+    val alice = graft.functions.EvmCodec.namehash(Fixtures.OsHash, "alice")
+    val reorgBlock = 27435100L
+    // chain state A: golden history + a SHALLOW tail block carrying a
+    // pre-reorg note that a reorg will rewrite before it confirms
+    val preReorg = Fixtures.note(alice, "~ip", "10.9.9.9".getBytes("UTF-8"),
+      reorgBlock, 0)
+    // the fetcher landed the tail chunk anyway (e.g. an eager operator
+    // scanning to raw head) — the ENGINE-side depth filter must hold
+    Fixtures.toDF(spark, Fixtures.goldenLogs :+ preReorg)
+      .coalesce(1).write.json(rawDir + "/b1")
+
+    val head = new java.util.concurrent.atomic.AtomicLong(reorgBlock + 5)
+    val conf = 10L // confirmedUpTo = head - 10 < reorgBlock: unconfirmed
+    val q = Tail.startWithEntries(spark, rawDir + "/*/", evDir, enDir,
+      base.resolve("ck").toString, trigger = Trigger.ProcessingTime("1 second"),
+      confirmedUpTo = Some(() => head.get() - conf))
+    q.processAllAvailable()
+    // only the 14 confirmed golden events are indexed; the unconfirmed
+    // tail row was dropped, not deferred
+    assert(spark.read.parquet(evDir).count() == 14)
+    def ipNote(): String = spark.read.parquet(enDir)
+      .where($"namehash" === alice).head()
+      .getAs[Map[String, String]]("notes")("~ip")
+    val goldenIp = "0x" + graft.functions.Keccak.bytesToHex(
+      "10.0.0.2".getBytes("UTF-8"))
+    assert(ipNote() == goldenIp)
+
+    // reorg rewrites the tail block; the chain advances past the depth
+    // and the poll loop re-lands the block with its FINAL content
+    val postReorg = Fixtures.note(alice, "~ip", "10.7.7.7".getBytes("UTF-8"),
+      reorgBlock, 0)
+    head.set(reorgBlock + conf + 5)
+    Fixtures.toDF(spark, Seq(postReorg)).coalesce(1).write.json(rawDir + "/b2")
+    q.processAllAvailable()
+    q.stop()
+
+    // exactly one version of the block was ever indexed — the final one
+    val events = spark.read.parquet(evDir)
+    assert(events.where($"blockNumber" === reorgBlock).count() == 1)
+    assert(events.count() == 15)
+    val staleIp = "0x" + graft.functions.Keccak.bytesToHex(
+      "10.9.9.9".getBytes("UTF-8"))
+    assert(events.where($"data".contains(staleIp.stripPrefix("0x"))).count() == 0)
+    // entries reflect the post-reorg content (LWW over the golden note)
+    assert(ipNote() == "0x" + graft.functions.Keccak.bytesToHex(
+      "10.7.7.7".getBytes("UTF-8")))
+  }
 }
