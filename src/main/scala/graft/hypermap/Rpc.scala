@@ -61,7 +61,7 @@ object Rpc {
     * bursts. Test infrastructure, but in main so gate queries
     * (hm_rpc_extract) can drive the real fetcher end-to-end.
     */
-  final class MockRpc(logs: Seq[Fixtures.Log], head: Long,
+  final class MockRpc(logs: Seq[Fixtures.Log], @volatile var head: Long,
                       failPlan: Int => Boolean = _ => false) {
     private val getLogsCalls = new AtomicInteger(0)
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -228,6 +228,56 @@ object Rpc {
       if (interChunkDelayMs > 0 && start <= to) sleeper(interChunkDelayMs)
     }
     FetchReport(chunks, totalLogs, totalRetries)
+  }
+
+  /** One iteration of the reference's continuous poll loop
+    * (scan-events.ts:129-300: poll head, scan [resume, head], loop):
+    * resume from the coverage manifest's frontier — max covered
+    * chunkEnd + 1 — and fetch up to the confirmation-depth-capped head.
+    *
+    * The resume point comes from the MANIFEST, not the events table: an
+    * eventless chunk and an unfetched chunk look identical in events
+    * (the SURVEY §5.4 ambiguity), so resuming from max(blockNumber)+1 —
+    * what the reference's sync_status effectively does when a chunk
+    * lands empty before a crash — would re-fetch covered empty ranges
+    * at best and, with a sparse tail, re-fetch forever. The manifest
+    * records fetch coverage directly. Driver-side manifest read is
+    * O(chunks) — one row per 5000 blocks, ~6k for a full L2 history.
+    *
+    * Returns None when already caught up (resume > confirmed head) —
+    * the loop sleeps and polls again; the reference's 30 s cadence (and
+    * the streaming half of the engine) lives in
+    * [[graft.streaming.Tail]], which ingests the files this lands.
+    */
+  def pollOnce(endpoint: String, outDir: String, genesis: Long,
+               confirmations: Int = 0,
+               address: Option[String] = Some(Schemas.ContractAddress),
+               chunkSize: Long = ChunkSize,
+               maxRetries: Int = MaxRetries,
+               baseRetryDelayMs: Long = BaseRetryDelayMs,
+               jitter: Int => Long = _ => 0L,
+               sleeper: Long => Unit = Thread.sleep): Option[FetchReport] = {
+    val head = confirmedHead(endpoint, confirmations)
+    val from = math.max(genesis, coveredUpTo(outDir).map(_ + 1L).getOrElse(genesis))
+    if (from > head) None
+    else Some(fetch(endpoint, from, head, outDir, address, chunkSize,
+      maxRetries, baseRetryDelayMs, interChunkDelayMs = 0L, jitter, sleeper))
+  }
+
+  /** Highest block covered by `outDir`'s manifest, if any — the poll
+    * loop's crash-safe resume frontier.
+    */
+  def coveredUpTo(outDir: String): Option[Long] = {
+    val covDir = new java.io.File(outDir, "_coverage")
+    val files = Option(covDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".json"))
+    val ends = files.flatMap { f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map(l => mapper.readTree(l).get("chunkEnd").asLong())
+        .toSeq
+    }
+    if (ends.isEmpty) None else Some(ends.max)
   }
 
   /** Block-timestamp dim fetch (`eth_getBlockByNumber` per distinct

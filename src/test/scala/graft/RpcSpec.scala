@@ -123,6 +123,45 @@ class RpcSpec extends AnyFunSuite {
     }
   }
 
+  test("poll loop: resume from the manifest frontier, fetch only the new range, no-op when caught up") {
+    val mock = new Rpc.MockRpc(Fixtures.goldenLogs, head = 27431999L)
+    val base = Files.createTempDirectory("graft-rpc-poll")
+    val rawDir = base.resolve("raw").toString
+    try {
+      // poll 1: nothing covered yet → fetch [genesis, head]
+      val r1 = Rpc.pollOnce(mock.endpoint, rawDir, genesis = From,
+        chunkSize = 1000L).get
+      assert(r1.chunks == 2) // 27430000-27430999, 27431000-27431999
+      assert(Rpc.coveredUpTo(rawDir).contains(27431999L))
+
+      // chain advances; poll 2 fetches ONLY the new blocks
+      mock.head = To
+      val r2 = Rpc.pollOnce(mock.endpoint, rawDir, genesis = From,
+        chunkSize = 1000L).get
+      assert(r2.chunks == 3) // 27432000..27434999
+      // logs from the already-covered range were not refetched
+      assert(r1.logs + r2.logs == Fixtures.goldenLogs.size)
+
+      // caught up → no-op (poll loop sleeps)
+      assert(Rpc.pollOnce(mock.endpoint, rawDir, genesis = From,
+        chunkSize = 1000L).isEmpty)
+
+      // confirmation depth caps the fetch: nothing above head − N lands
+      mock.head = To + 10
+      assert(Rpc.pollOnce(mock.endpoint, rawDir, genesis = From,
+        confirmations = 10, chunkSize = 1000L).isEmpty)
+
+      // the union of both polls covers the range and indexes to golden
+      Coverage.requireComplete(spark, rawDir, From, To)
+      val report = EtlJob.run(spark, rawDir, base.resolve("out").toString,
+        checkCoverage = true)
+      assert(report.byType == Map("Note" -> 8L, "Transfer" -> 4L, "Mint" -> 2L))
+    } finally {
+      mock.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
   test("block-timestamp dim fetch: one call per DISTINCT block, deterministic clock") {
     val mock = new Rpc.MockRpc(Nil, head = 100L)
     try {
