@@ -35,6 +35,13 @@ object EtlJob {
     // (index-events.ts:274-283). Range defaults to the manifest's own
     // span, which still catches every INTERNAL hole.
     if (checkCoverage) {
+      // explicit pre-check: a missing manifest would otherwise surface as
+      // Spark's generic PATH_NOT_FOUND, hiding what the flag requires
+      if (!new java.io.File(s"$rawDir/_coverage").isDirectory)
+        throw new IllegalStateException(
+          s"--check-coverage requires a fetcher-landed raw dir, but " +
+            s"$rawDir has no _coverage/ manifest (land it with Rpc.fetch/" +
+            "pollOnce, or drop the flag for manually-assembled dirs)")
       val cov = spark.read.schema(Coverage.schema).json(s"$rawDir/_coverage")
       val bounds = cov.agg(min(col("chunkStart")), max(col("chunkEnd"))).head()
       if (!bounds.isNullAt(0)) {

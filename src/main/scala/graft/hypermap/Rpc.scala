@@ -181,6 +181,11 @@ object Rpc {
     * so re-running a failed extract with the same grid simply
     * overwrites its completed chunks — the fetch is idempotent at
     * chunk granularity, and the coverage manifest stays accurate.
+    * Re-running with a DIFFERENT chunkSize into the same dir leaves the
+    * old grid's files beside the new ones: coverage stays correct
+    * (gaps() handles overlaps) but raw rows duplicate — harmless to the
+    * tables (the idempotent event_id sink dedupes downstream) yet it
+    * inflates scan counts; prefer a fresh dir when changing the grid.
     */
   def fetch(endpoint: String, from: Long, to: Long, outDir: String,
             address: Option[String] = Some(Schemas.ContractAddress),
@@ -272,10 +277,11 @@ object Rpc {
     val files = Option(covDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".json"))
     val ends = files.flatMap { f =>
-      scala.io.Source.fromFile(f, "UTF-8").getLines()
-        .filter(_.nonEmpty)
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filter(_.nonEmpty)
         .map(l => mapper.readTree(l).get("chunkEnd").asLong())
-        .toSeq
+        .toList
+      finally src.close()
     }
     if (ends.isEmpty) None else Some(ends.max)
   }
