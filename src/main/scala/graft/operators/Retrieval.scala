@@ -244,14 +244,35 @@ object Retrieval {
     * interpreted λ; the prebuilt index is both the production shape and
     * 4× faster per query: ix_trgm 1.99 → ~0.5 s at sf0.1.)
     */
-  private val trgmCache = new graft.SessionCache[String]
-  private def cachedTrgmPostings(s: SparkSession, d: String): DataFrame =
-    trgmCache.getOrCompute(s, d)(
+  private val nDocsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  private def docCount(s: SparkSession, d: String): Long = {
+    nDocsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    nDocsCache.computeIfAbsent((s, d),
+      _ => java.lang.Long.valueOf(tbl(s, d, "documents").count())).longValue()
+  }
+
+  private def cachedTrgmPostings(s: SparkSession, d: String): DataFrame = {
+    // Persisted parquet artifact, not executor block storage: the sf10
+    // probe OOM'd this build (AGGREGATE_OUT_OF_MEMORY) two ways at once —
+    // the ~150M exploded (doc_id, tg) rows hit a 32-partition distinct
+    // whose per-task hash maps outgrew the execution pool, WHILE the
+    // previous attempt's localCheckpoint blocks sat in storage memory
+    // squeezing that same pool. The explicit hash repartition below sizes
+    // the aggregation by corpus (distinct reuses the partitioning — same
+    // shuffle count, just N maps instead of 32), and IndexStore keeps the
+    // built index out of the block manager entirely — which is also the
+    // operational shape the docstring above promises at 100 TB.
+    val parts = math.max(32L, docCount(s, d) / 2000L).toInt
+    val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
+    graft.IndexStore.materialize(s, s"trgm_postings_v1_${d}_$fp")(
       tbl(s, d, "documents")
         .where(length(col("text")) >= 3)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tg"))
-        .distinct().localCheckpoint(true))
+        .repartition(parts, col("doc_id"), col("tg"))
+        .distinct())
+  }
 
   /** Doc ids whose posting rows cover EVERY query trigram. */
   private def trgmCandidates(s: SparkSession, d: String,
