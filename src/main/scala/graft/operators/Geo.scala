@@ -217,12 +217,32 @@ object Geo {
   val DbEps = 8.0
   val DbMinPts = 5
 
+  /** eps for a given point count: DbEps at every oracle scale (the
+    * floor binds for n ≤ 15000 — the driver's sf0.1 customer count, so
+    * gate outputs are bit-identical to the static SQL mirrors), shrunk
+    * as 1/√n beyond it to hold EXPECTED NEIGHBORHOOD SIZE constant.
+    * eps is a density parameter, not a constant of the algorithm: the
+    * sf10 probe showed a fixed eps on GenScale's 25×-denser plane makes
+    * the instance degenerate — every point core, one percolated blob,
+    * ~10⁹ neighbor pairs from 375k points (the artifact write alone was
+    * 15 GB before the context died) — which measures the DATA's
+    * semantics, not the engine. Real DBSCAN practice tunes eps per
+    * dataset (the k-dist heuristic); this is that tuning, made
+    * deterministic. With it, the neighbor graph stays O(n·E[neighbors])
+    * at every scale.
+    */
+  private def dbEpsFor(n: Long): Double =
+    if (n <= 15000L) DbEps else DbEps * math.sqrt(15000.0 / n)
+
+  private def custCount(s: SparkSession, d: String): Long =
+    tbl(s, d, "customer").count() // metadata-only count, cheap per call
+
   /** (k, x, y) customer points on the hash plane with their eps-grid cell. */
-  private def dbPoints(s: SparkSession, d: String): DataFrame =
+  private def dbPoints(s: SparkSession, d: String, eps: Double): DataFrame =
     coords(tbl(s, d, "customer"), "c_custkey")
       .select(col("c_custkey").as("k"), col("lon").as("x"), col("lat").as("y"))
-      .withColumn("cx", floor(col("x") / DbEps).cast("long"))
-      .withColumn("cy", floor(col("y") / DbEps).cast("long"))
+      .withColumn("cx", floor(col("x") / eps).cast("long"))
+      .withColumn("cy", floor(col("y") / eps).cast("long"))
 
   /** eps-neighbor pairs (k, bk) INCLUDING the self pair, via the 3×3
     * grid-cell equi-join: with cell side = eps, every neighbor within
@@ -238,11 +258,28 @@ object Geo {
     * float-parity discipline, though *,− on identical doubles is
     * already bit-exact in both engines).
     */
-  private val dbPairCache = new graft.SessionCache[String]
-  private def dbPairs(s: SparkSession, d: String): DataFrame =
-    dbPairCache.getOrCompute(s, d) {
-      val pts = dbPoints(s, d)
-      val build = pts
+  private def dbPairs(s: SparkSession, d: String): DataFrame = {
+    // Persisted parquet artifact, not localCheckpoint blocks (r14 sf10
+    // probe): GenScale scales `customer` 25× in the SAME coordinate box,
+    // so eps-neighborhoods densify 25× and the pair count grows ~625× —
+    // an output-bound blowup inherent to fixed-eps neighbor graphs on
+    // densifying data, but the old memo made the engine the bottleneck:
+    // the broadcast-join output inherited the probe side's handful of
+    // input splits, so tens of millions of pairs crawled through a
+    // 4-partition Java-serialized block write (observed wedged for
+    // >15 min). Now: repartition the probe side by its cell key first
+    // (point-count-sized, so the pair write parallelizes and each task's
+    // slice stays small) and land the neighbor graph as an IndexStore
+    // parquet artifact — columnar write, no storage-memory squeeze, and
+    // the per-snapshot materialization the scaladoc above promises.
+    val fp = graft.IndexStore.fingerprint(s"$d/customer.parquet")
+    graft.IndexStore.materialize(s, s"geo_db_pairs_v2_${d}_$fp") {
+      val n = custCount(s, d)
+      val eps = dbEpsFor(n)
+      val pts0 = dbPoints(s, d, eps)
+      val parts = math.max(32L, n / 2000L).toInt
+      val pts = pts0.repartition(parts, col("cx"), col("cy"))
+      val build = pts0
         .select(col("k").as("bk"), col("x").as("bx"), col("y").as("by"),
           col("cx").as("c0x"), col("cy").as("c0y"))
         .withColumn("cx", explode(expr(
@@ -253,10 +290,10 @@ object Geo {
       pts.join(broadcast(build), Seq("cx", "cy"))
         .withColumn("d2", round((col("x") - col("bx")) * (col("x") - col("bx")) +
           (col("y") - col("by")) * (col("y") - col("by")), 6))
-        .where(col("d2") <= lit(DbEps * DbEps))
+        .where(col("d2") <= lit(eps * eps))
         .select(col("k"), col("bk"))
-        .localCheckpoint()
     }
+  }
 
   /** Shared oracle CTE: `pairs(k, bk)` = the UNPRUNED eps-neighbor join
     * (matching it proves the 3×3 grid cover exact) and `ne(k, n_eps)`.
@@ -373,7 +410,7 @@ object Geo {
     // noise rides along with a NULL cluster (ml_aniso's NULL discipline):
     // the output is a COMPLETE labeling of the point set, so downstream
     // keep/drop filters join once instead of anti-joining the remainder.
-    val noise = dbPoints(s, d).select(col("k"))
+    val noise = dbPoints(s, d, dbEpsFor(custCount(s, d))).select(col("k"))
       .join(labeled.select(col("k")), Seq("k"), "left_anti")
       .select(col("k"), lit(null).cast("long").as("cluster"), lit("noise").as("role"))
     labeled.unionByName(noise)

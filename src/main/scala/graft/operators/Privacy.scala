@@ -269,10 +269,16 @@ object Privacy {
     val hvTerms = (1 to 6).map(i =>
       s"(instr('0123456789abcdef', substr(__h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}L")
       .mkString(" + ")
-    val melted = tbl(s, d, "events").select(
+    // __ts via the shared schema branch (Temporal.eventTs): events.ts is a
+    // native timestamp in the driver's testdata but epoch-nanos LONG in
+    // GenScale dirs and rounds-≤7 snapshots — weekday/hour on the raw
+    // column is a type error there (sf10 probe, r14)
+    val melted = tbl(s, d, "events")
+      .withColumn("__ts", Temporal.eventTs(tbl(s, d, "events")))
+      .select(
         expr("stack(3, 'a_type_hist', event_type, " +
-          "'b_dow_hist', cast(weekday(ts) + 1 as string), " +
-          "'c_hour_hist', cast(hour(ts) as string)) as (release, bucket)"))
+          "'b_dow_hist', cast(weekday(__ts) + 1 as string), " +
+          "'c_hour_hist', cast(hour(__ts) as string)) as (release, bucket)"))
     val eps = when(col("release") === "a_type_hist", 0.5)
       .when(col("release") === "b_dow_hist", 0.25)
       .otherwise(0.2)

@@ -354,7 +354,11 @@ object Temporal {
   /** `ts` as a proper timestamp regardless of the driver's parquet
     * encoding (see [[eventDay]] — NANOS-as-Long vs native MICROS).
     */
-  private def eventTs(ev: DataFrame): org.apache.spark.sql.Column =
+  // private[operators]: pii_dp_ledger (and any events reader outside this
+  // file) must use the SAME schema branch — calling weekday/hour on a raw
+  // epoch-nanos Long ts (rounds-≤7 testdata, GenScale sf dirs) is a type
+  // error the sf10 probe caught live
+  private[operators] def eventTs(ev: DataFrame): org.apache.spark.sql.Column =
     ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr("ts div 1000"))
