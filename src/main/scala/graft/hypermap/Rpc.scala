@@ -160,6 +160,16 @@ object Rpc {
   val MaxRetries = 5
   val BaseRetryDelayMs = 3000L
 
+  /** HTTP socket timeouts (r14 ADVICE): without them a hung RPC endpoint
+    * blocks fetch/pollOnce — and the whole continuous loop — forever with
+    * no error. A timeout surfaces as a LOUD IOException, not a rate-limit
+    * retry: retrying a dead endpoint on the backoff schedule just delays
+    * the operator noticing. The reference's provider layer (ethers) has
+    * equivalent request timeouts.
+    */
+  val ConnectTimeoutMs = 15000
+  val ReadTimeoutMs = 60000
+
   private def isRateLimited(status: Int, body: String): Boolean =
     status == 429 || body.contains("Too Many Requests") ||
       body.contains("rate limit") || body.contains("429") ||
@@ -237,22 +247,30 @@ object Rpc {
 
   /** One iteration of the reference's continuous poll loop
     * (scan-events.ts:129-300: poll head, scan [resume, head], loop):
-    * resume from the coverage manifest's frontier — max covered
-    * chunkEnd + 1 — and fetch up to the confirmation-depth-capped head.
+    * fetch every block range in [genesis, confirmed head] the coverage
+    * manifest does not yet vouch for — the frontier tail AND any
+    * interior holes (r14 ADVICE: resuming from max(chunkEnd)+1 would
+    * permanently skip a hole in a dir assembled from mixed runs or
+    * grids; the loop now self-heals it on the next poll).
     *
-    * The resume point comes from the MANIFEST, not the events table: an
+    * The resume set comes from the MANIFEST, not the events table: an
     * eventless chunk and an unfetched chunk look identical in events
     * (the SURVEY §5.4 ambiguity), so resuming from max(blockNumber)+1 —
     * what the reference's sync_status effectively does when a chunk
     * lands empty before a crash — would re-fetch covered empty ranges
     * at best and, with a sparse tail, re-fetch forever. The manifest
     * records fetch coverage directly. Driver-side manifest read is
-    * O(chunks) — one row per 5000 blocks, ~6k for a full L2 history.
+    * O(chunks) — one row per 5000 blocks, ~6k for a full L2 history,
+    * and the gap scan ([[Coverage.gapsLocal]]) is a sort of that list.
     *
-    * Returns None when already caught up (resume > confirmed head) —
-    * the loop sleeps and polls again; the reference's 30 s cadence (and
-    * the streaming half of the engine) lives in
-    * [[graft.streaming.Tail]], which ingests the files this lands.
+    * Returns None when already caught up (no uncovered range at or
+    * below the confirmed head) — the loop sleeps and polls again; the
+    * reference's 30 s cadence (and the streaming half of the engine)
+    * lives in [[graft.streaming.Tail]], which ingests the files this
+    * lands. Pair `confirmations` with the tail's depth: the tail
+    * FAILS LOUD on rows above its bound (see
+    * [[graft.streaming.Tail.startWithEntries]]), so run the fetcher
+    * with confirmations >= the tail's depth.
     */
   def pollOnce(endpoint: String, outDir: String, genesis: Long,
                confirmations: Int = 0,
@@ -263,26 +281,45 @@ object Rpc {
                jitter: Int => Long = _ => 0L,
                sleeper: Long => Unit = Thread.sleep): Option[FetchReport] = {
     val head = confirmedHead(endpoint, confirmations)
-    val from = math.max(genesis, coveredUpTo(outDir).map(_ + 1L).getOrElse(genesis))
-    if (from > head) None
-    else Some(fetch(endpoint, from, head, outDir, address, chunkSize,
-      maxRetries, baseRetryDelayMs, interChunkDelayMs = 0L, jitter, sleeper))
+    if (head < genesis) return None
+    val holes = Coverage.gapsLocal(coverageRanges(outDir), genesis, head)
+    if (holes.isEmpty) None
+    else {
+      val reps = holes.map { case (lo, hi) =>
+        fetch(endpoint, lo, hi, outDir, address, chunkSize,
+          maxRetries, baseRetryDelayMs, interChunkDelayMs = 0L, jitter, sleeper)
+      }
+      Some(FetchReport(reps.map(_.chunks).sum, reps.map(_.logs).sum,
+        reps.map(_.retries).sum))
+    }
   }
 
-  /** Highest block covered by `outDir`'s manifest, if any — the poll
-    * loop's crash-safe resume frontier.
+  /** All (chunkStart, chunkEnd) ranges in `outDir`'s manifest — the
+    * driver-side mirror of the `_coverage` records (one per 5000-block
+    * chunk: trivially small even for a full chain history).
     */
-  def coveredUpTo(outDir: String): Option[Long] = {
+  def coverageRanges(outDir: String): Seq[(Long, Long)] = {
     val covDir = new java.io.File(outDir, "_coverage")
     val files = Option(covDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".json"))
-    val ends = files.flatMap { f =>
+    files.toSeq.flatMap { f =>
       val src = scala.io.Source.fromFile(f, "UTF-8")
       try src.getLines().filter(_.nonEmpty)
-        .map(l => mapper.readTree(l).get("chunkEnd").asLong())
+        .map { l =>
+          val n = mapper.readTree(l)
+          (n.get("chunkStart").asLong(), n.get("chunkEnd").asLong())
+        }
         .toList
       finally src.close()
     }
+  }
+
+  /** Highest block covered by `outDir`'s manifest, if any. Reporting
+    * only — the poll loop resumes from the GAP SET ([[pollOnce]]), not
+    * this frontier, so an interior hole can't be skipped.
+    */
+  def coveredUpTo(outDir: String): Option[Long] = {
+    val ends = coverageRanges(outDir).map(_._2)
     if (ends.isEmpty) None else Some(ends.max)
   }
 
@@ -328,10 +365,14 @@ object Rpc {
     mapper.writeValueAsString(o)
   }
 
-  private def post(endpoint: String, body: String): (Int, String) = {
+  private[graft] def post(endpoint: String, body: String,
+                             connectTimeoutMs: Int = ConnectTimeoutMs,
+                             readTimeoutMs: Int = ReadTimeoutMs): (Int, String) = {
     val conn = URI.create(endpoint).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     try {
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
       conn.setRequestMethod("POST")
       conn.setRequestProperty("Content-Type", "application/json")
       conn.setDoOutput(true)
@@ -341,6 +382,12 @@ object Rpc {
       val buf = new ByteArrayOutputStream()
       if (is != null) { is.transferTo(buf); is.close() }
       (status, buf.toString(UTF_8))
+    } catch {
+      case e: java.net.SocketTimeoutException =>
+        // not a rate limit: fail loud (fetch's non-429 branch), never retry
+        throw new java.io.IOException(
+          s"RPC endpoint $endpoint timed out (connect ${connectTimeoutMs} ms / " +
+            s"read ${readTimeoutMs} ms): ${e.getMessage}", e)
     } finally conn.disconnect()
   }
 
@@ -432,6 +479,27 @@ object Coverage {
   /** Convenience over a fetcher output directory. */
   def gapsInDir(spark: SparkSession, rawDir: String, from: Long, to: Long): DataFrame =
     gaps(spark.read.schema(schema).json(s"$rawDir/_coverage"), from, to)
+
+  /** Driver-side [[gaps]] over an in-memory manifest — the same
+    * running-max sweep without a Spark job, for the poll loop's
+    * per-iteration resume decision ([[Rpc.pollOnce]]): the manifest is
+    * one record per CHUNK, so this is a sort of a few thousand tuples.
+    * Semantics are spec-asserted equal to the Spark plan (RpcSpec
+    * property test drives both).
+    */
+  def gapsLocal(records: Seq[(Long, Long)], from: Long, to: Long): Seq[(Long, Long)] = {
+    require(from <= to, s"empty range [$from, $to]")
+    val clipped = records
+      .map { case (s, e) => (math.max(s, from), math.min(e, to)) }
+      .filter { case (s, e) => e >= s }
+      .sorted
+    val (gaps, frontier) = clipped.foldLeft((Vector.empty[(Long, Long)], from)) {
+      case ((acc, next), (s, e)) =>
+        val acc2 = if (s > next) acc :+ ((next, s - 1)) else acc
+        (acc2, math.max(next, e + 1))
+    }
+    if (frontier <= to) gaps :+ ((frontier, to)) else gaps
+  }
 
   /** Fail-loud completeness assertion for [[EtlJob]]: throws listing
     * the missing ranges if [from, to] is not fully covered.

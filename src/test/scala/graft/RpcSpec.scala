@@ -162,6 +162,53 @@ class RpcSpec extends AnyFunSuite {
     }
   }
 
+  test("poll loop heals an interior manifest hole instead of skipping it forever") {
+    // r14 ADVICE: a dir assembled from mixed runs (or a manually fetched
+    // later range) can hold a hole BELOW the frontier; resuming from
+    // max(chunkEnd)+1 would never backfill it. pollOnce resumes from the
+    // gap set, so the next poll fetches exactly the hole + the new tail.
+    val mock = new Rpc.MockRpc(Fixtures.goldenLogs, head = To)
+    val base = Files.createTempDirectory("graft-rpc-hole")
+    val rawDir = base.resolve("raw").toString
+    try {
+      // two disjoint manual fetches leave blocks 27431000-27431999 uncovered
+      Rpc.fetch(mock.endpoint, From, From + 999L, rawDir, chunkSize = 1000L)
+      Rpc.fetch(mock.endpoint, From + 2000L, To, rawDir, chunkSize = 1000L)
+      assert(Rpc.coveredUpTo(rawDir).contains(To)) // frontier is PAST the hole
+      val r = Rpc.pollOnce(mock.endpoint, rawDir, genesis = From,
+        chunkSize = 1000L).get
+      assert(r.chunks == 1) // exactly the hole, nothing re-fetched
+      Coverage.requireComplete(spark, rawDir, From, To)
+      // all golden rows landed exactly once across the three runs
+      assert(spark.read.schema(Schemas.rawLogs).json(s"$rawDir/chunk_*.json")
+        .count() == Fixtures.goldenLogs.size)
+      // caught up: the healed dir no-ops
+      assert(Rpc.pollOnce(mock.endpoint, rawDir, genesis = From,
+        chunkSize = 1000L).isEmpty)
+    } finally {
+      mock.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
+  test("a hung endpoint times out LOUDLY instead of blocking the poll loop forever") {
+    // accepts the connection, never responds: read timeout must fire
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (_: com.sun.net.httpserver.HttpExchange) => {
+      Thread.sleep(10000) // never responds within the test timeout
+    })
+    server.start()
+    try {
+      val ex = intercept[java.io.IOException] {
+        Rpc.post(s"http://127.0.0.1:${server.getAddress.getPort}/",
+          """{"jsonrpc":"2.0","id":1,"method":"eth_blockNumber","params":[]}""",
+          readTimeoutMs = 250)
+      }
+      assert(ex.getMessage.contains("timed out"))
+    } finally server.stop(0)
+  }
+
   test("block-timestamp dim fetch: one call per DISTINCT block, deterministic clock") {
     val mock = new Rpc.MockRpc(Nil, head = 100L)
     try {
@@ -205,8 +252,10 @@ class RpcSpec extends AnyFunSuite {
       // exact reconstruction: ranges are disjoint, sorted, and their
       // union is precisely the uncovered block set
       val expanded = reported.flatMap { case (s, e) => s to e }
+      // the poll loop's driver-side sweep must agree with the Spark plan
+      val local = Coverage.gapsLocal(kept.map { case (s, e, _) => (s, e) }, 0L, to)
       expanded.toSet == uncovered && expanded.size == uncovered.size &&
-        reported == reported.sorted
+        reported == reported.sorted && local == reported
     })
   }
 
