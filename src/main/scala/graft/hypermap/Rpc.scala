@@ -58,10 +58,12 @@ object Rpc {
     * of the block number, so enrichment is reproducible). `failPlan`
     * injects HTTP 429 responses by eth_getLogs request ordinal
     * (0-based), which is how the specs schedule mid-scan rate-limit
-    * bursts. Test infrastructure, but in main so gate queries
+    * bursts. `logs` and `head` are mutable so specs can advance the
+    * chain AND simulate a reorg (rewrite a tail block's content before
+    * it confirms). Test infrastructure, but in main so gate queries
     * (hm_rpc_extract) can drive the real fetcher end-to-end.
     */
-  final class MockRpc(logs: Seq[Fixtures.Log], @volatile var head: Long,
+  final class MockRpc(@volatile var logs: Seq[Fixtures.Log], @volatile var head: Long,
                       failPlan: Int => Boolean = _ => false) {
     private val getLogsCalls = new AtomicInteger(0)
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)

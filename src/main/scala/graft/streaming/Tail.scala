@@ -23,15 +23,18 @@ import graft.hypermap.{Decode, EntriesFold, Schemas, Sinks}
   *     running totals).
   *
   * ST5 (reorg handling) is absent in the reference and documented
-  * out-of-scope for parity. The natural extension — a confirmation-depth
-  * filter (process only blocks ≤ head − N) — IS implemented:
-  * [[startWithEntries]]' `confirmedUpTo` bound drops not-yet-confirmed
-  * rows from every micro-batch, so a tail block that later gets
-  * rewritten by a reorg never reaches the events/entries tables; the
-  * fetcher re-lands it (final content) once it clears the depth, and
-  * only that version is ever indexed. Defense-in-depth pairs with the
-  * fetcher-side cap ([[graft.hypermap.Rpc.confirmedHead]]): cap what you
-  * fetch, filter what you index. Spec: StreamingSpec "ST5 extension".
+  * out-of-scope for parity. The natural extension — confirmation depth
+  * (index only blocks ≤ head − N) — IS implemented, fetcher-first:
+  * [[graft.hypermap.Rpc.pollOnce]]'s `confirmations` cap means an
+  * unconfirmed block is never fetched at all; once it clears the depth
+  * it is fetched exactly once, with its post-reorg final content, and
+  * only that version is ever indexed. [[startWithEntries]]'
+  * `confirmedUpTo` bound is the engine-side HALF: an assertion that the
+  * fetcher respected the depth, failing loud on unconfirmed rows rather
+  * than silently dropping them (dropped rows would never be re-delivered
+  * — see the parameter doc). Cap what you fetch; assert what you index.
+  * Spec: StreamingSpec "ST5 extension" (live reorg through the real
+  * fetcher) + the fail-loud misconfiguration test.
   */
 object Tail {
 
@@ -62,16 +65,25 @@ object Tail {
     * (scripts/extract-events.ts:95-136, mongodb.ts:113-144), minus its
     * per-event round trips.
     */
-  /** `confirmedUpTo` (ST5 extension): when set, each micro-batch indexes
-    * only rows with `blockNumber <= confirmedUpTo()` — the
-    * confirmation-depth filter (head − N). Unconfirmed rows are DROPPED,
-    * not deferred: the poll-loop fetcher's resume point only advances
-    * past a block once it lands confirmed (see [[graft.hypermap.Rpc
-    * .confirmedHead]]), so a dropped row is re-delivered by a later
-    * chunk file with its post-reorg final content — deferring the
-    * pre-reorg bytes engine-side would instead index STALE content once
-    * the depth cleared. Evaluated per batch, so a long-running tail
-    * tracks the advancing head.
+  /** `confirmedUpTo` (ST5 extension): when set, each micro-batch ASSERTS
+    * that every row is at or below `confirmedUpTo()` — the
+    * confirmation-depth bound (head − N) — and FAILS LOUD otherwise.
+    *
+    * Why assert instead of filter (r14 ADVICE, medium): a dropped row
+    * would never come back. The fetcher re-lands a chunk under the SAME
+    * filename (`chunk_<start>_<end>.json`), which the file stream source
+    * never reprocesses, and the poll loop's coverage manifest counts the
+    * chunk as covered — so silently dropping an unconfirmed row is
+    * silent data loss that the gap check then can't even detect. The
+    * correct deployment caps UNconfirmed blocks at the FETCHER
+    * ([[graft.hypermap.Rpc.pollOnce]] with confirmations >= this tail's
+    * depth): then nothing unconfirmed ever lands, a reorged block is
+    * fetched exactly once with its final content, and this bound is pure
+    * defense-in-depth that never fires. If it DOES fire, the fetcher was
+    * run with a shallower depth than the tail — a misconfiguration this
+    * error names, with the remedies (raise fetcher confirmations, or
+    * re-land the range under fresh filenames). Evaluated per batch, so a
+    * long-running tail tracks the advancing head.
     */
   def startWithEntries(spark: SparkSession, rawDir: String, eventsDir: String,
                        entriesDir: String, checkpointDir: String,
@@ -81,9 +93,20 @@ object Tail {
     val raw = spark.readStream.schema(Schemas.rawLogs).json(rawDir)
     raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bounded = confirmedUpTo
-          .map(f => batch.where(col("blockNumber") <= f()))
-          .getOrElse(batch)
+        confirmedUpTo.foreach { f =>
+          val bound = f()
+          val top = batch.agg(max(col("blockNumber"))).head()
+          if (!top.isNullAt(0) && top.getLong(0) > bound)
+            throw new IllegalStateException(
+              s"micro-batch contains blocks up to ${top.getLong(0)}, above the " +
+                s"confirmation bound $bound: the fetcher landed UNCONFIRMED blocks. " +
+                "Dropping them would be silent loss (re-landed chunks reuse their " +
+                "filenames, which the file source never reprocesses, and the poll " +
+                "frontier advances past them). Run the fetcher with confirmations " +
+                ">= this tail's depth (Rpc.pollOnce(confirmations = N)), or re-land " +
+                "the unconfirmed range under fresh filenames.")
+        }
+        val bounded = batch
         val decoded = Decode.decode(bounded, blocks).cache()
         try {
           val inserted = Sinks.insertIfAbsent(spark, eventsDir, decoded)

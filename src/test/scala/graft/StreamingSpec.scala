@@ -271,7 +271,11 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("ST5 extension: a rewritten tail block never corrupts entries " +
-    "(confirmation-depth filter)") {
+    "(fetcher-side confirmation depth, driven LIVE through a reorg)") {
+    // The real mechanism, end-to-end: pollOnce(confirmations = N) never
+    // fetches an unconfirmed block, so a reorg that rewrites it before
+    // it confirms is invisible — the block is fetched exactly once, with
+    // its FINAL content, after it clears the depth.
     val base = Files.createTempDirectory("graft-stream-reorg")
     val rawDir = base.resolve("raw").toString
     val evDir = base.resolve("ev").toString
@@ -279,49 +283,163 @@ class StreamingSpec extends AnyFunSuite {
     new java.io.File(rawDir).mkdirs()
     val alice = graft.functions.EvmCodec.namehash(Fixtures.OsHash, "alice")
     val reorgBlock = 27435100L
+    val conf = 10
     // chain state A: golden history + a SHALLOW tail block carrying a
-    // pre-reorg note that a reorg will rewrite before it confirms
+    // pre-reorg note that the reorg will rewrite before it confirms
     val preReorg = Fixtures.note(alice, "~ip", "10.9.9.9".getBytes("UTF-8"),
       reorgBlock, 0)
-    // the fetcher landed the tail chunk anyway (e.g. an eager operator
-    // scanning to raw head) — the ENGINE-side depth filter must hold
-    Fixtures.toDF(spark, Fixtures.goldenLogs :+ preReorg)
+    val mock = new graft.hypermap.Rpc.MockRpc(
+      Fixtures.goldenLogs :+ preReorg, head = reorgBlock + 5)
+    try {
+      // poll 1: confirmed head = reorgBlock - 5 → the unconfirmed tail
+      // block (and its pre-reorg note) is NOT fetched
+      assert(graft.hypermap.Rpc.pollOnce(mock.endpoint, rawDir,
+        genesis = 27430000L, confirmations = conf, chunkSize = 1000L).nonEmpty)
+      val q = Tail.startWithEntries(spark, rawDir + "/chunk_*.json", evDir, enDir,
+        base.resolve("ck").toString, trigger = Trigger.ProcessingTime("1 second"),
+        confirmedUpTo = Some(() =>
+          graft.hypermap.Rpc.confirmedHead(mock.endpoint, conf)))
+      q.processAllAvailable()
+      // only the 14 confirmed golden events are indexed
+      assert(spark.read.parquet(evDir).count() == 14)
+      def ipNote(): String = spark.read.parquet(enDir)
+        .where($"namehash" === alice).head()
+        .getAs[Map[String, String]]("notes")("~ip")
+      assert(ipNote() == "0x" + graft.functions.Keccak.bytesToHex(
+        "10.0.0.2".getBytes("UTF-8")))
+
+      // REORG: the tail block's content is rewritten; the chain then
+      // advances past the depth and poll 2 fetches the FINAL content
+      val postReorg = Fixtures.note(alice, "~ip", "10.7.7.7".getBytes("UTF-8"),
+        reorgBlock, 0)
+      mock.logs = Fixtures.goldenLogs :+ postReorg
+      mock.head = reorgBlock + conf + 5
+      assert(graft.hypermap.Rpc.pollOnce(mock.endpoint, rawDir,
+        genesis = 27430000L, confirmations = conf, chunkSize = 1000L).nonEmpty)
+      q.processAllAvailable()
+      q.stop()
+
+      // exactly one version of the block was ever indexed — the final one
+      val events = spark.read.parquet(evDir)
+      assert(events.where($"blockNumber" === reorgBlock).count() == 1)
+      assert(events.count() == 15)
+      val staleIp = graft.functions.Keccak.bytesToHex("10.9.9.9".getBytes("UTF-8"))
+      assert(events.where($"data".contains(staleIp)).count() == 0)
+      // entries reflect the post-reorg content (LWW over the golden note)
+      assert(ipNote() == "0x" + graft.functions.Keccak.bytesToHex(
+        "10.7.7.7".getBytes("UTF-8")))
+    } finally {
+      mock.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
+  test("ST5 extension: unconfirmed rows in a landed file FAIL LOUD " +
+    "instead of being silently dropped (fetcher/tail depth mismatch)") {
+    // r14 ADVICE (medium): a dropped row is never re-delivered — the
+    // fetcher re-lands chunks under the SAME filename (never reprocessed
+    // by the file source) and the poll frontier advances past the block.
+    // The depth bound is therefore an assertion, not a filter.
+    val base = Files.createTempDirectory("graft-stream-unconf")
+    val rawDir = base.resolve("raw").toString
+    new java.io.File(rawDir).mkdirs()
+    val alice = graft.functions.EvmCodec.namehash(Fixtures.OsHash, "alice")
+    val unconfirmed = Fixtures.note(alice, "~ip", "10.9.9.9".getBytes("UTF-8"),
+      27435100L, 0)
+    // a fetcher run with confirmations=0 landed the unconfirmed tail
+    Fixtures.toDF(spark, Fixtures.goldenLogs :+ unconfirmed)
       .coalesce(1).write.json(rawDir + "/b1")
-
-    val head = new java.util.concurrent.atomic.AtomicLong(reorgBlock + 5)
-    val conf = 10L // confirmedUpTo = head - 10 < reorgBlock: unconfirmed
-    val q = Tail.startWithEntries(spark, rawDir + "/*/", evDir, enDir,
+    val q = Tail.startWithEntries(spark, rawDir + "/*/",
+      base.resolve("ev").toString, base.resolve("en").toString,
       base.resolve("ck").toString, trigger = Trigger.ProcessingTime("1 second"),
-      confirmedUpTo = Some(() => head.get() - conf))
-    q.processAllAvailable()
-    // only the 14 confirmed golden events are indexed; the unconfirmed
-    // tail row was dropped, not deferred
-    assert(spark.read.parquet(evDir).count() == 14)
-    def ipNote(): String = spark.read.parquet(enDir)
-      .where($"namehash" === alice).head()
-      .getAs[Map[String, String]]("notes")("~ip")
-    val goldenIp = "0x" + graft.functions.Keccak.bytesToHex(
-      "10.0.0.2".getBytes("UTF-8"))
-    assert(ipNote() == goldenIp)
+      confirmedUpTo = Some(() => 27435100L - 10L))
+    try {
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(ex).exists(c =>
+        Option(c.getMessage).exists(_.contains("UNCONFIRMED"))),
+        s"expected the misconfiguration error, got: $ex")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
 
-    // reorg rewrites the tail block; the chain advances past the depth
-    // and the poll loop re-lands the block with its FINAL content
-    val postReorg = Fixtures.note(alice, "~ip", "10.7.7.7".getBytes("UTF-8"),
-      reorgBlock, 0)
-    head.set(reorgBlock + conf + 5)
-    Fixtures.toDF(spark, Seq(postReorg)).coalesce(1).write.json(rawDir + "/b2")
-    q.processAllAvailable()
-    q.stop()
+  test("soak: poll cycles + tail kill/restart mid-poll + reorg inside the " +
+    "confirmation window converge to the batch rebuild") {
+    // VERDICT r14 item 8: the three mechanisms — manifest-frontier poll
+    // resume, checkpoint crash/restart, confirmation-depth reorg safety —
+    // each tested alone; this composes them in one live run.
+    val base = Files.createTempDirectory("graft-stream-soak")
+    val rawDir = base.resolve("raw").toString
+    val evDir = base.resolve("ev").toString
+    val enDir = base.resolve("en").toString
+    val ckDir = base.resolve("ck").toString
+    new java.io.File(rawDir).mkdirs()
+    val alice = graft.functions.EvmCodec.namehash(Fixtures.OsHash, "alice")
+    val reorgBlock = 27435100L
+    val conf = 10
+    val genesis = 27430000L
+    val mock = new graft.hypermap.Rpc.MockRpc(
+      Fixtures.goldenLogs, head = 27434999L + conf)
+    def tail() = Tail.startWithEntries(spark, rawDir + "/chunk_*.json",
+      evDir, enDir, ckDir, trigger = Trigger.ProcessingTime("1 second"),
+      confirmedUpTo = Some(() =>
+        graft.hypermap.Rpc.confirmedHead(mock.endpoint, conf)))
+    try {
+      // cycle 1: poll the golden history, tail it, then KILL the query
+      assert(graft.hypermap.Rpc.pollOnce(mock.endpoint, rawDir,
+        genesis = genesis, confirmations = conf, chunkSize = 1000L).nonEmpty)
+      val q1 = tail()
+      q1.processAllAvailable()
+      q1.stop() // crash stand-in: offsets live only in the checkpoint
+      assert(spark.read.parquet(evDir).count() == 14)
 
-    // exactly one version of the block was ever indexed — the final one
-    val events = spark.read.parquet(evDir)
-    assert(events.where($"blockNumber" === reorgBlock).count() == 1)
-    assert(events.count() == 15)
-    val staleIp = "0x" + graft.functions.Keccak.bytesToHex(
-      "10.9.9.9".getBytes("UTF-8"))
-    assert(events.where($"data".contains(staleIp.stripPrefix("0x"))).count() == 0)
-    // entries reflect the post-reorg content (LWW over the golden note)
-    assert(ipNote() == "0x" + graft.functions.Keccak.bytesToHex(
-      "10.7.7.7".getBytes("UTF-8")))
+      // cycle 2 (query down): a pre-reorg note lands on-chain but stays
+      // inside the confirmation window — the poll must NOT fetch it
+      val preReorg = Fixtures.note(alice, "~ip", "10.9.9.9".getBytes("UTF-8"),
+        reorgBlock, 0)
+      mock.logs = Fixtures.goldenLogs :+ preReorg
+      mock.head = reorgBlock + 5
+      graft.hypermap.Rpc.pollOnce(mock.endpoint, rawDir,
+        genesis = genesis, confirmations = conf, chunkSize = 1000L)
+
+      // REORG inside the window, then the chain advances past the depth;
+      // the next poll lands the block's FINAL content only
+      val postReorg = Fixtures.note(alice, "~ip", "10.7.7.7".getBytes("UTF-8"),
+        reorgBlock, 0)
+      mock.logs = Fixtures.goldenLogs :+ postReorg
+      mock.head = reorgBlock + conf + 5
+      assert(graft.hypermap.Rpc.pollOnce(mock.endpoint, rawDir,
+        genesis = genesis, confirmations = conf, chunkSize = 1000L).nonEmpty)
+
+      // RESTART from the same checkpoint: only the new files replay
+      val q2 = tail()
+      q2.processAllAvailable()
+      q2.stop()
+
+      // final state ≡ batch rebuild of the final chain
+      val events = spark.read.parquet(evDir)
+      assert(events.count() == 15)
+      assert(events.where($"blockNumber" === reorgBlock).count() == 1)
+      val staleIp = graft.functions.Keccak.bytesToHex("10.9.9.9".getBytes("UTF-8"))
+      assert(events.where($"data".contains(staleIp)).count() == 0)
+      val streamed = spark.read.parquet(enDir)
+      val rebuilt = EntriesFold.fold(Decode.decode(
+        Fixtures.toDF(spark, mock.logs)))
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("children", sort_array($"children"))
+        .withColumn("notes", sort_array(map_entries($"notes")))
+        .withColumn("facts", sort_array(map_entries($"facts")))
+        .select(rebuilt.columns.sorted.map(col).toIndexedSeq: _*)
+      assert(canon(streamed).exceptAll(canon(rebuilt)).isEmpty &&
+        canon(rebuilt).exceptAll(canon(streamed)).isEmpty)
+    } finally {
+      mock.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
   }
 }
