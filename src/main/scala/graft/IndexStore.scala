@@ -18,8 +18,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Keys must encode every input that changes the artifact: source CONTENT
   * (via [[fingerprint]] — path alone is not enough, a regenerated corpus
   * at the same path must never serve a stale index) + builder version +
-  * parameters. The store never invalidates; a changed fingerprint simply
-  * keys a fresh build and the old artifact ages out with its snapshot.
+  * parameters. The key is split into a FAMILY (source dir + builder
+  * version + user-chosen parameters) and the content-derived FINGERPRINT
+  * (corpus fingerprint + any size-derived tuning like the √n stride):
+  * when a new fingerprint of the same family commits, every older
+  * generation of that family is deleted — the same orphan-generation GC
+  * `Sinks.upsertCommitted` applies to table snapshots. Without it a
+  * long-lived session over a regenerating corpus leaks disk without
+  * bound (a single geo neighbor-graph artifact is 182 MB at sf10).
   */
 object IndexStore {
 
@@ -55,17 +61,48 @@ object IndexStore {
     new java.io.File(root, s"${safe}_$h")
   }
 
-  /** Return the artifact for `key`, building + writing it first if no
-    * complete copy (_SUCCESS marker) exists. Synchronized: one builder
-    * per JVM; concurrent readers after the marker appears are safe.
+  /** Return the artifact for `family` at `fp`, building + writing it
+    * first if no complete copy (_SUCCESS marker) exists. Synchronized:
+    * one builder per JVM; concurrent readers after the marker appears
+    * are safe.
+    *
+    * Retention: after a fresh build commits, sibling directories whose
+    * `_FAMILY` marker names the same family (i.e. older fingerprints of
+    * the same (dir, builder-version, params) artifact) are deleted —
+    * their snapshot is gone, nothing can validly read them. The marker
+    * is written AFTER the parquet commit, so a build that dies mid-write
+    * leaves an unmarked dir that the next same-key build overwrites; and
+    * a `_`-prefixed extra file is invisible to Spark's parquet reader.
+    * GC only ever touches directories carrying a matching marker, never
+    * the newly-committed one.
     */
-  def materialize(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  def materialize(s: SparkSession, family: String, fp: String)
+                 (build: => DataFrame): DataFrame = {
+    val key = s"${family}_$fp"
     val dir = dirFor(key)
     this.synchronized {
       if (!new java.io.File(dir, "_SUCCESS").exists()) {
         build.write.mode(SaveMode.Overwrite).parquet(dir.getAbsolutePath)
+        java.nio.file.Files.write(new java.io.File(dir, "_FAMILY").toPath,
+          family.getBytes("UTF-8"))
+        gcOldGenerations(family, keep = dir)
       }
     }
     s.read.parquet(dir.getAbsolutePath)
+  }
+
+  private def gcOldGenerations(family: String, keep: java.io.File): Unit =
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { sib =>
+      val marker = new java.io.File(sib, "_FAMILY")
+      if (sib.isDirectory && sib.getName != keep.getName && marker.exists() &&
+          new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == family) {
+        deleteRecursively(sib)
+      }
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

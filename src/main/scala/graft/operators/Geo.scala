@@ -235,7 +235,7 @@ object Geo {
     if (n <= 15000L) DbEps else DbEps * math.sqrt(15000.0 / n)
 
   private def custCount(s: SparkSession, d: String): Long =
-    tbl(s, d, "customer").count() // metadata-only count, cheap per call
+    graft.Tables.cachedCount(s, d, "customer") // memoized: no per-call job
 
   /** (k, x, y) customer points on the hash plane with their eps-grid cell. */
   private def dbPoints(s: SparkSession, d: String, eps: Double): DataFrame =
@@ -273,7 +273,7 @@ object Geo {
     // parquet artifact — columnar write, no storage-memory squeeze, and
     // the per-snapshot materialization the scaladoc above promises.
     val fp = graft.IndexStore.fingerprint(s"$d/customer.parquet")
-    graft.IndexStore.materialize(s, s"geo_db_pairs_v2_${d}_$fp") {
+    graft.IndexStore.materialize(s, s"geo_db_pairs_v2_$d", fp) {
       val n = custCount(s, d)
       val eps = dbEpsFor(n)
       val pts0 = dbPoints(s, d, eps)

@@ -807,6 +807,79 @@ object Multimodal {
        |       CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max
        |FROM dec GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** A-law code byte i of the synthetic clip for `docId` — a different
+    * stripe than [[synthUlawByte]] so the two companded gates can never
+    * mask each other; 13 coprime to 256 again covers all 256 codes.
+    */
+  def synthAlawByte(docId: Long, i: Int): Int = ((docId * 11 + i * 13) % 256).toInt
+
+  /** Paint + encode the synthetic A-law clip as a real A-law WAV (format
+    * code 6) via the JDK's WAVE writer — [[synthUlaw]]'s sibling.
+    */
+  def synthAlaw(docId: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ALAW, 8000f, 8, 1, 1, 8000f, false)
+    val raw = Array.tabulate(UlawN)(i => synthAlawByte(docId, i).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, UlawN.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** mm_alaw — the A-law leg of REAL compressed-audio decode under the
+    * driver oracle (r14 verdict item 6: [[alawExpand]] was implemented
+    * and JDK-cross-checked in ImageCodecSpec but only µ-law had a gate).
+    * Same contract as mm_ulaw: A-law WAVs through the JDK's ALAW→PCM
+    * converter → per-clip sample stats, 5 planted corrupt payloads
+    * quarantined; the oracle replays [[synthAlawByte]] + [[alawExpand]]
+    * in SQL integer arithmetic, so agreement is sample-exact across the
+    * real companded codec.
+    */
+  val alawDecode: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    synthMedia(s, d, 40)(synthAlaw)
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeCompandedWav(bytes).map { samples =>
+          var (sm, sq) = (0L, 0L)
+          var (mn, mx) = (Int.MaxValue, Int.MinValue)
+          samples.foreach { v =>
+            sm += v; sq += v.toLong * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
+          (id, samples.length.toLong, sm, sq, mn.toLong, mx.toLong)
+        }
+      })
+      .toDF("media_id", "n_samples", "s_sum", "s_sq", "s_min", "s_max")
+      .orderBy(col("media_id"))
+  }
+  val alawDecodeSql: String =
+    s"""WITH code AS (
+       |  SELECT doc_id, (doc_id*11 + i*13) % 256 AS b
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id < 40),
+       |       (SELECT unnest(range(0, $UlawN)) AS i)),
+       |dec AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (xor(b, 85) & 128) != 0
+       |         THEN CASE WHEN ((xor(b, 85) >> 4) & 7) = 0
+       |                   THEN (xor(b, 85) & 15) * 16 + 8
+       |                   ELSE ((xor(b, 85) & 15) * 16 + 8 + 256)
+       |                        * (1 << (((xor(b, 85) >> 4) & 7) - 1)) END
+       |         ELSE -(CASE WHEN ((xor(b, 85) >> 4) & 7) = 0
+       |                     THEN (xor(b, 85) & 15) * 16 + 8
+       |                     ELSE ((xor(b, 85) & 15) * 16 + 8 + 256)
+       |                          * (1 << (((xor(b, 85) >> 4) & 7) - 1)) END)
+       |    END AS v
+       |  FROM code)
+       |SELECT doc_id AS media_id, CAST($UlawN AS BIGINT) AS n_samples,
+       |       CAST(sum(v) AS BIGINT) AS s_sum, CAST(sum(v*v) AS BIGINT) AS s_sq,
+       |       CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max
+       |FROM dec GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   // ------------------------------------------- REAL multi-frame decode (GIF)
 
   /** Synthetic-clip shape: 4 frames of 16×12, pixels drawn from a fixed
@@ -928,6 +1001,7 @@ object Multimodal {
     "mm_phash_img"  -> imagePhash,
     "mm_wav"        -> wavDecode,
     "mm_ulaw"       -> ulawDecode,
+    "mm_alaw"       -> alawDecode,
     "mm_gif_frames" -> gifFrames,
   )
 
@@ -942,6 +1016,7 @@ object Multimodal {
     "mm_phash_img"  -> imagePhashSql,
     "mm_wav"        -> wavDecodeSql,
     "mm_ulaw"       -> ulawDecodeSql,
+    "mm_alaw"       -> alawDecodeSql,
     "mm_gif_frames" -> gifFramesSql,
   )
 }

@@ -244,13 +244,8 @@ object Retrieval {
     * interpreted λ; the prebuilt index is both the production shape and
     * 4× faster per query: ix_trgm 1.99 → ~0.5 s at sf0.1.)
     */
-  private val nDocsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
-  private def docCount(s: SparkSession, d: String): Long = {
-    nDocsCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    nDocsCache.computeIfAbsent((s, d),
-      _ => java.lang.Long.valueOf(tbl(s, d, "documents").count())).longValue()
-  }
+  private def docCount(s: SparkSession, d: String): Long =
+    graft.Tables.cachedCount(s, d, "documents")
 
   private def cachedTrgmPostings(s: SparkSession, d: String): DataFrame = {
     // Persisted parquet artifact, not executor block storage: the sf10
@@ -265,7 +260,7 @@ object Retrieval {
     // operational shape the docstring above promises at 100 TB.
     val parts = math.max(32L, docCount(s, d) / 2000L).toInt
     val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
-    graft.IndexStore.materialize(s, s"trgm_postings_v1_${d}_$fp")(
+    graft.IndexStore.materialize(s, s"trgm_postings_v1_$d", fp)(
       tbl(s, d, "documents")
         .where(length(col("text")) >= 3)
         .select(col("doc_id"), explode(expr(

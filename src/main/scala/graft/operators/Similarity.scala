@@ -216,16 +216,12 @@ object Similarity {
 
   // -------------------------------------------- scale-sane stride choice
 
-  /** Corpus row count, memoized per (session, dir): one count job,
-    * reused by every stride computation below.
+  /** Corpus row count, memoized per (session, dir) via the shared
+    * [[graft.Tables.cachedCount]]: one count job, reused by every
+    * stride computation below.
     */
-  private val nEmbCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
-  private def embCount(s: SparkSession, d: String): Long = {
-    nEmbCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    nEmbCache.computeIfAbsent((s, d),
-      _ => java.lang.Long.valueOf(tbl(s, d, "embeddings").count())).longValue()
-  }
+  private def embCount(s: SparkSession, d: String): Long =
+    graft.Tables.cachedCount(s, d, "embeddings")
 
   /** Coarse-quantizer stride for IVF/SemDeDup training: K ≈ √n centroids
     * above the 125 gate floor. A FIXED stride makes K grow linearly with
@@ -387,7 +383,7 @@ object Similarity {
   private def trainedIvf(s: SparkSession, d: String): DataFrame = {
     val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
     val st = ivfStride(embCount(s, d)) // = 125 at every oracle scale
-    graft.IndexStore.materialize(s, s"ivf_centroids_v1_${d}_${fp}_s${st}_lloyd2")(
+    graft.IndexStore.materialize(s, s"ivf_centroids_v1_${d}_lloyd2", s"${fp}_s$st")(
       lloydCentroids(tbl(s, d, "embeddings"), stride = st, iters = 2))
   }
 
@@ -404,7 +400,7 @@ object Similarity {
   private def trainedIvfAssign(s: SparkSession, d: String): DataFrame = {
     val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
     val st = ivfStride(embCount(s, d))
-    graft.IndexStore.materialize(s, s"ivf_assign_v1_${d}_${fp}_s${st}_lloyd2")(
+    graft.IndexStore.materialize(s, s"ivf_assign_v1_${d}_lloyd2", s"${fp}_s$st")(
       ivfAssign(tbl(s, d, "embeddings"), trainedIvf(s, d)))
   }
 
@@ -586,14 +582,18 @@ object Similarity {
     * FRESHNESS CONTRACT on `corpusAssign` (r13 advisory): the supplied
     * artifact MUST be `ivfAssign(corpus, centroids)` for the SAME
     * `centroids` frame passed here — i.e. assignment and quantizer come
-    * from one snapshot. The function cannot validate this cheaply (a
-    * domain check would rescan the full corpus assignment per batch,
-    * breaking the O(batch·cell) contract), so a stale artifact — e.g.
-    * one persisted before a centroid retrain — silently routes batch
-    * rows to different witness cells than the corpus rows they should
-    * meet, changing dedup output with no error. Operationally: version
-    * the (centroids, corpusAssign) pair together and refresh both
-    * atomically on retrain.
+    * from one snapshot. A stale artifact — e.g. one persisted before a
+    * centroid retrain — would silently route batch rows to different
+    * witness cells than the corpus rows they should meet, changing dedup
+    * output with no error. The cheap half of that contract is now
+    * ASSERTED (r14 verdict item 4): the artifact's distinct centroid ids
+    * must be a subset of the supplied quantizer's ids — one K-bounded
+    * aggregation over the 2-column artifact, not a corpus re-assign.
+    * (Set EQUALITY is deliberately not required: a centroid with no
+    * corpus member — possible after Lloyd on a skewed corpus — is legal.)
+    * An id-coincident retrain still passes the domain check, so the
+    * operational rule stands: version the (centroids, corpusAssign) pair
+    * together and refresh both atomically on retrain.
     */
   def semDedupIncremental(corpus: DataFrame, batch: DataFrame,
                           centroids: DataFrame, tau: Double,
@@ -606,6 +606,15 @@ object Similarity {
     // would pay O(corpus·K) per batch for a table the ingest already has
     // on disk (r13 audit; the docstring's O(batch·cell) contract assumes
     // the artifact is supplied)
+    corpusAssign.foreach { asg =>
+      val stale = asg.select(col("centroid")).distinct()
+        .join(centroids.select(col("cid")), col("centroid") === col("cid"), "left_anti")
+        .limit(1).count()
+      require(stale == 0L,
+        "semDedupIncremental: corpusAssign is STALE — it contains centroid ids " +
+          "absent from the supplied quantizer (assignment persisted before a " +
+          "centroid retrain?). Rebuild the (centroids, corpusAssign) pair together.")
+    }
     val asgC = corpusAssign.getOrElse(
       ivfAssign(corpus, centroids).select(col("vec_id"), col("centroid")))
     val mC = asgC
@@ -693,9 +702,9 @@ object Similarity {
   private def trainedPq(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
     val st = pqStride(embCount(s, d)) // = 125 at every oracle scale
-    val cb = graft.IndexStore.materialize(s, s"pq_codebook_v2_${d}_${fp}_s${st}_lloyd2")(
+    val cb = graft.IndexStore.materialize(s, s"pq_codebook_v2_${d}_lloyd2", s"${fp}_s$st")(
       lloydSubCodebooks(tbl(s, d, "embeddings"), stride = st, iters = 2))
-    val codes = graft.IndexStore.materialize(s, s"pq_codes_v2_${d}_${fp}_s${st}_lloyd2")(
+    val codes = graft.IndexStore.materialize(s, s"pq_codes_v2_${d}_lloyd2", s"${fp}_s$st")(
       pqEncode(tbl(s, d, "embeddings"), stride = st, codebook = Some(cb)))
     (cb, codes)
   }
@@ -991,12 +1000,12 @@ object Similarity {
     // recompute once per iteration per consumer (measured 12× slower
     // unmaterialized). Doubles roundtrip parquet exactly, so training on
     // the artifact is hash-identical to training on the live chain.
-    val res = graft.IndexStore.materialize(s, s"pqr_residuals_v1_${d}_${fp}_s${st}_lloyd2")(
+    val res = graft.IndexStore.materialize(s, s"pqr_residuals_v1_${d}_lloyd2", s"${fp}_s$st")(
       residualTable(tbl(s, d, "embeddings"), trainedIvf(s, d),
         assign = Some(trainedIvfAssign(s, d))))
-    val cb = graft.IndexStore.materialize(s, s"pqr_codebook_v1_${d}_${fp}_s${st}_lloyd2")(
+    val cb = graft.IndexStore.materialize(s, s"pqr_codebook_v1_${d}_lloyd2", s"${fp}_s$st")(
       lloydSubCodebooks(res, stride = st, iters = 2))
-    val codes = graft.IndexStore.materialize(s, s"pqr_codes_v1_${d}_${fp}_s${st}_lloyd2")(
+    val codes = graft.IndexStore.materialize(s, s"pqr_codes_v1_${d}_lloyd2", s"${fp}_s$st")(
       pqEncode(res, stride = st, codebook = Some(cb)))
     (cb, codes)
   }

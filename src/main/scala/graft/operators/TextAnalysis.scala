@@ -806,7 +806,7 @@ object TextAnalysis {
     bpeVocabCache.keySet.removeIf(e => e._1.sparkContext.isStopped)
     bpeVocabCache.computeIfAbsent((s, d), { _ =>
       val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
-      val art = graft.IndexStore.materialize(s, s"bpe_vocab_v1_${d}_${fp}_n$BpeN") {
+      val art = graft.IndexStore.materialize(s, s"bpe_vocab_v1_${d}_n$BpeN", fp) {
         val alpha = tbl(s, d, "documents")
           .select(explode(pretokenize(col("text"))).as("w"))
           .select(explode(expr("regexp_extract_all(w, '(?s).', 0)")).as("c"))

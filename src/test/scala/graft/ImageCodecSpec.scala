@@ -133,6 +133,16 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(Multimodal.synthUlaw(3L)).isEmpty)
   }
 
+  test("A-law clip roundtrip matches formula; PCM payload quarantines") {
+    val samples = Multimodal.decodeCompandedWav(Multimodal.synthAlaw(13L)).get
+    assert(samples.length == Multimodal.UlawN)
+    for (i <- 0 until Multimodal.UlawN)
+      assert(samples(i) ==
+        Multimodal.alawExpand(Multimodal.synthAlawByte(13L, i)),
+        s"sample $i diverged after A-law roundtrip")
+    assert(Multimodal.decodeWav(Multimodal.synthAlaw(3L)).isEmpty)
+  }
+
   test("animated-GIF roundtrip is frame- and pixel-exact (≤256-color palette)") {
     val frames = Multimodal.decodeGifFrames(Multimodal.synthGif(9L)).get
     assert(frames.size == Multimodal.GifF)

@@ -356,7 +356,7 @@ class LlmOpsSpec extends AnyFunSuite {
     // same key → served from the store; new fingerprint → fresh build
     var builds = 0
     val run = java.util.UUID.randomUUID().toString.take(8)
-    def mk(fp: String) = IndexStore.materialize(spark, s"fp_spec_${run}_$fp") {
+    def mk(fp: String) = IndexStore.materialize(spark, s"fp_spec_$run", fp) {
       builds += 1; Seq((1L, fp)).toDF("id", "fp")
     }
     mk(fp1); mk(fp1)
@@ -445,6 +445,35 @@ class LlmOpsSpec extends AnyFunSuite {
       .where($"vec_id" === 3L).head()
     assert(out2.getAs[Long]("dup_of") == 7L,
       s"corpus witness must win over any batch id ordering: $out2")
+  }
+
+  test("semDedupIncremental: a stale corpusAssign (pre-retrain artifact) fails loud") {
+    // r14 verdict item 4: the freshness contract's cheap half is now a
+    // domain ASSERT — an assignment artifact persisted before a centroid
+    // retrain carries centroid ids the new quantizer doesn't have, and
+    // must throw instead of silently mis-celling the batch.
+    val corpus = emb.where($"vec_id" < 100)
+    val oldCents = Similarity.ivfCentroids(corpus, stride = 25L)
+    val staleAssign = Similarity.ivfAssign(corpus, oldCents)
+      .select($"vec_id", $"centroid")
+      .localCheckpoint() // freeze: this is the persisted pre-retrain artifact
+    // "retrain": different stride picks a different (here: disjoint-some)
+    // seed set, so at least one stale centroid id is absent from it
+    val newCents = Similarity.ivfCentroids(corpus, stride = 30L)
+    val staleIds = staleAssign.select($"centroid").distinct().as[Long].collect().toSet
+    val newIds = newCents.select($"cid").as[Long].collect().toSet
+    assume((staleIds -- newIds).nonEmpty, "retrain must change the id set for this test")
+    val batch = emb.where($"vec_id" >= 100 && $"vec_id" < 110)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semDedupIncremental(corpus, batch, newCents, tau = 0.95,
+        corpusAssign = Some(staleAssign))
+    }
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+    // and the fresh pair still passes the assert
+    val freshAssign = Similarity.ivfAssign(corpus, newCents)
+      .select($"vec_id", $"centroid")
+    Similarity.semDedupIncremental(corpus, batch, newCents, tau = 0.95,
+      corpusAssign = Some(freshAssign)).count()
   }
 
   test("semDedup keep-set is tau-separated within every cell") {
