@@ -1798,13 +1798,29 @@ object Similarity {
     */
   val KppStride = 100L
   val KppL = 10
+
+  /** Seed stride for the k-means‖ round: the seed set is the CURRENT
+    * seed set — O(K), a property of the ALGORITHM — never a fixed
+    * modulus of the corpus. The original constant stride made
+    * |seeds| = n/100 grow linearly, so the distance stage
+    * (corpus-components × seeds hash join on the component index) went
+    * QUADRATIC in the corpus — the r15 sf10 probe caught it grinding a
+    * 25.6e9-row join (12.8M component rows × 2000 seeds) where sf0.1
+    * pays 2.5M; the same K∝n bug class the r14 probe found in IVF/PQ
+    * training strides. max(100, n/20) caps the seed set at ~20 above
+    * the oracle floor; at every oracle scale (n ≤ 2000) the stride
+    * stays 100, so the DuckDB SQL's literal `% 100` matches exactly.
+    */
+  private def kppStride(n: Long): Long = math.max(KppStride, n / 20)
+
   val mlKmeanspp: Q = (s, d) => {
     val e = tbl(s, d, "embeddings")
+    val st = kppStride(embCount(s, d))
     val comps = e.select(col("vec_id"),
         posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("i", "x")))
       .select(col("vec_id"), col("i").cast("long").as("i"),
         floor(col("x") * lit(1e6)).cast("long").as("xq"))
-    val seeds = comps.where(col("vec_id") % KppStride === 0)
+    val seeds = comps.where(col("vec_id") % st === 0)
       .select(col("vec_id").as("cid"), col("i"), col("xq").as("cq"))
     val d2 = comps.join(broadcast(seeds), Seq("i"))
       .groupBy(col("vec_id"), col("cid"))
