@@ -172,11 +172,22 @@ object Recommender {
     */
   val rcGini: Q = (s, d) => {
     val counts = baskets(s, d).groupBy(col("item")).agg(count(lit(1)).as("c"))
-    val ranked = counts.withColumn("i",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("c"), col("item"))).cast("long"))
-    ranked.agg(count(lit(1)).as("n_items"), sum(col("c")).as("total"),
-        sum(col("i") * col("c")).as("swc"), max(col("c")).as("max_c"))
+    // Two-level rank decomposition (r15): the naive form ranks every item
+    // through ONE unpartitioned row_number window — an O(|catalog|)
+    // single-partition sort (2M rows at sf10, unbounded at 100 TB). Ties
+    // on c commute in Σi·cᵢ (the invariance argued above), so a run of m
+    // equal-count items starting at rank `start` contributes exactly
+    // c · (m·(2·start + m − 1) div 2) regardless of intra-run order — and
+    // the only window left runs over DISTINCT count values (≤ max item
+    // multiplicity, dozens of rows at any catalog size). The div is exact:
+    // m·(2·start+m−1) multiplies consecutive-parity factors, always even.
+    val byC = counts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c")).rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val runs = byC.withColumn("start", coalesce(sum(col("m")).over(wC), lit(0L)) + lit(1L))
+    runs.agg(sum(col("m")).as("n_items"), sum(col("c") * col("m")).as("total"),
+        sum(col("c") * expr("m * (2 * start + m - 1) div 2")).as("swc"),
+        max(col("c")).as("max_c"))
       .select(col("n_items"), col("total"), col("max_c"),
         round(lit(2.0) * col("swc").cast("double") /
           (col("n_items") * col("total")).cast("double") -
