@@ -903,7 +903,8 @@ object Dedup {
     * The ORACLE is the unpruned all-pairs join — the gate hash-proves the
     * pruned plan returns exactly the naive answer.
     */
-  def ppJoin(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+  def ppJoin(docs: DataFrame, n: Int, tau: Double,
+             materializeLists: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     // Each doc's grams become ONE sorted array of "df(10-digit)|gram"
     // keys — zero-padded df first, so UTF8 binary order ≡ the (df, gram)
     // rarest-first order, and the SAME array serves three stages: its
@@ -918,7 +919,7 @@ object Dedup {
     // AQE sizes (no broadcast hint — the table grows with the corpus).
     val grams = docNGrams(docs, n)
     val dfc = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val lists = grams.join(dfc, Seq("gram"))
+    val lists0 = grams.join(dfc, Seq("gram"))
       .select(col("doc_id"),
         concat(lpad(col("df").cast("string"), 10, "0"), lit("|"), col("gram")).as("key"))
       .groupBy(col("doc_id"))
@@ -930,7 +931,13 @@ object Dedup {
       // the prefix, preserving the no-false-negative contract at any τ
       .withColumn("plen",
         (col("sz") - ceil(col("sz") * lit(tau) - lit(1e-9)) + lit(1)).cast("int"))
-      .localCheckpoint(true)
+    // materialized via the caller's hook: the gate routes it to an
+    // IndexStore parquet artifact (r15 — the 500k-doc lists table held
+    // ~750 MB of block storage under localCheckpoint and the verify
+    // stage died UNABLE_TO_ACQUIRE_MEMORY under batch pressure at sf10;
+    // parquet is also what "persisted similarity index" means at 100 TB).
+    // Library callers with small frames keep the localCheckpoint default.
+    val listsM = materializeLists(lists0)
     // Candidate prunes beyond the prefix join, both classic PPJoin and
     // both UPPER-bound arguments (no false negatives — the unpruned
     // oracle hash-proves it):
@@ -942,7 +949,7 @@ object Dedup {
     // turn a true pair away; both run on the candidate rows before the
     // distinct and the verify joins ever see them.
     val minOv = (col("sza") + col("szb")) * lit(tau / (1 + tau)) - lit(1e-9)
-    val prefix = lists.select(col("doc_id"), col("sz"),
+    val prefix = listsM.select(col("doc_id"), col("sz"),
       posexplode(expr("slice(gs, 1, plen)")).as(Seq("pos", "key")))
     val cand = prefix
       .select(col("doc_id").as("da"), col("sz").as("sza"), col("pos").as("pa"), col("key"))
@@ -955,8 +962,8 @@ object Dedup {
         least(col("sza") - col("pa"), col("szb") - col("pb")).cast("double") >= minOv)
       .select(col("da"), col("db")).distinct()
     cand
-      .join(lists.select(col("doc_id").as("da"), col("gs").as("gsa"), col("sz").as("sza")), Seq("da"))
-      .join(lists.select(col("doc_id").as("db"), col("gs").as("gsb"), col("sz").as("szb")), Seq("db"))
+      .join(listsM.select(col("doc_id").as("da"), col("gs").as("gsa"), col("sz").as("sza")), Seq("da"))
+      .join(listsM.select(col("doc_id").as("db"), col("gs").as("gsb"), col("sz").as("szb")), Seq("db"))
       .withColumn("inter",
         graft.functions.vector.sorted_intersect_count(col("gsa"), col("gsb")))
       .withColumn("jacc", round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
@@ -967,7 +974,12 @@ object Dedup {
 
   private val PpTau = 0.5
 
-  val ppJoinQ: Q = (s, d) => ppJoin(tbl(s, d, "documents"), n = 5, tau = PpTau)
+  val ppJoinQ: Q = (s, d) => {
+    val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
+    ppJoin(tbl(s, d, "documents"), n = 5, tau = PpTau,
+      materializeLists = df =>
+        graft.IndexStore.materialize(s, s"pp_lists_v1_${d}_n5_t$PpTau", fp)(df))
+  }
   val ppJoinSql: String =
     s"""WITH g AS (
       |  SELECT DISTINCT doc_id, ${ngramUnnestSql(5)} AS gram

@@ -1472,19 +1472,31 @@ object Graph {
       .unionByName(auth.select(lit("auth").as("kind"), col("id"), col("auth").as("score")))
   }
 
-  /** The distinct customer→part bipartite edge list — memoized per
-    * (session, dir) exactly like [[cachedLshPairs]]: the GRAPH is the
-    * per-snapshot infrastructure artifact (orders ⋈ lineitem + distinct,
-    * the suite's largest edge build); the HITS rounds themselves still
-    * run per invocation.
+  /** The distinct customer→part bipartite edge list — the per-snapshot
+    * infrastructure artifact (orders ⋈ lineitem + distinct, the suite's
+    * largest edge build); the HITS rounds themselves still run per
+    * invocation. Persisted as an IndexStore parquet artifact, NOT
+    * localCheckpoint blocks (r15 sf10 probe): at 60M edges the block-
+    * stored copy squeezed the execution pool until the first HITS
+    * aggregation died with UNABLE_TO_ACQUIRE_MEMORY under batch
+    * pressure — the identical failure mode the trigram index (r14), geo
+    * neighbor graph (r14), and rc_ pair table (r15) each hit before
+    * moving to parquet. The build shuffles on the join key; the
+    * distinct is repartitioned by edge so the aggregation hash maps are
+    * sized by data, not by the scan's input splits.
     */
-  private val bpEdgeCache = new graft.SessionCache[String]
-  private def cachedBipartite(s: SparkSession, d: String): DataFrame =
-    bpEdgeCache.getOrCompute(s, d)(
+  private def cachedBipartite(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.IndexStore.fingerprint(s"$d/lineitem.parquet") + "_" +
+      graft.IndexStore.fingerprint(s"$d/orders.parquet")
+    graft.IndexStore.materialize(s, s"gr_bipartite_v1_$d", fp) {
+      val parts = math.max(32L, graft.Tables.cachedCount(s, d, "lineitem") / 500000L).toInt
       tbl(s, d, "orders")
         .join(tbl(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
-        .distinct().localCheckpoint(true))
+        .repartition(parts, col("src"), col("dst"))
+        .distinct()
+    }
+  }
 
   /** gr_hits — 3-round bipartite HITS over customer→part purchases. */
   val grHits: Q = (s, d) => {
