@@ -485,11 +485,18 @@ object Dedup {
     * audit's. The driver gate runs uncapped (exact, oracle-matched).
     */
   def substrPairsOf(docs: DataFrame, minRun: Int = MinRun,
-                    dfCap: Option[Long] = None): DataFrame = {
+                    dfCap: Option[Long] = None,
+                    materializeAnchors: DataFrame => DataFrame = identity): DataFrame = {
     // m = the pair-anchor rows (a, b, pa, diff) the island build consumes
     val m = dfCap match {
       case None =>
-        val g = dupGramsWithStart(docs)
+        // the anchor table is THE per-snapshot index of this operator
+        // (the k-gram stand-in for Lee et al.'s suffix array): without
+        // the hook, both join sides recompute the 25M-row explode +
+        // gram-string build (r15 probe: ~2/3 of the gate's sf10 wall);
+        // the gate materializes it once via IndexStore and both sides
+        // scan the parquet artifact
+        val g = materializeAnchors(dupGramsWithStart(docs))
         val a = g.select(col("gram"), col("doc_id").as("a"), col("start").as("pa"))
         val b = g.select(col("gram"), col("doc_id").as("b"), col("start").as("pb"))
         a.join(b, Seq("gram")).where(col("a") < col("b"))
@@ -546,8 +553,12 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val substrPairs: Q = (s, d) =>
-    substrPairsOf(tbl(s, d, "documents").select(col("doc_id"), col("text")))
+  val substrPairs: Q = (s, d) => {
+    val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
+    substrPairsOf(tbl(s, d, "documents").select(col("doc_id"), col("text")),
+      materializeAnchors = df =>
+        graft.IndexStore.materialize(s, s"substr_anchors_v1_$d", fp)(df))
+  }
   val substrPairsSql: String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |gs AS (
