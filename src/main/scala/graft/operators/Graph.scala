@@ -1498,7 +1498,14 @@ object Graph {
     }
   }
 
-  /** gr_hits — 3-round bipartite HITS over customer→part purchases. */
+  /** gr_hits — 3-round bipartite HITS over customer→part purchases.
+    * The six half-step joins re-scan the parquet artifact rather than
+    * pinning it in block storage: a transient .persist() was measured
+    * WORSE at both scales (sf0.1 3.9 s, sf10 61 s vs 3.7/39.6 plain —
+    * cache materialization cost plus the same storage-vs-execution
+    * squeeze that crashed the pinned variant), and the columnar re-scan
+    * is the shape that survives executor loss on a real cluster.
+    */
   val grHits: Q = (s, d) => {
     import s.implicits._
     hitsBipartiteOn(cachedBipartite(s, d), iters = 3, unpersistEdges = false)
