@@ -44,6 +44,25 @@ object Pipeline {
       .withColumn("lang_ok", col("stop_ratio") >= 0.02)
       .withColumn("qual_ok", col("lang_ok") && col("n_toks") >= 20L)
   }
+  /** The staged corpus as a per-snapshot IndexStore artifact: staging is
+    * the single most-recomputed sub-plan of this family (corpus_clean,
+    * funnel, and pretrain — TWICE inside pretrain's plan, once per
+    * consumer of `survivors`), and its stop-ratio filter is a
+    * higher-order lambda, i.e. CodegenFallback/interpreted, so each
+    * recompute pays two regex passes + an interpreted token filter over
+    * every document (r15 sf10 probe: ~14 s per staging pass at 500k
+    * docs). A real pipeline materializes the staged table once per
+    * ingest and runs every downstream read off it — this is that table.
+    * `toks` is dropped before landing (derivable, doubles the artifact).
+    * Values roundtrip parquet exactly: md5 strings, integer lengths, and
+    * stop_ratio an exact integer division.
+    */
+  private def stagedTable(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
+    graft.IndexStore.materialize(s, s"pl_staged_v1_$d", fp)(
+      staged(tbl(s, d, "documents")).drop("toks"))
+  }
+
   private val stagedSql: String =
     s"""SELECT doc_id, lang, text,
        |  len(string_split(text, ' ')) AS n_toks,
@@ -57,7 +76,7 @@ object Pipeline {
     * keep the min doc_id per dedup key. One scan, one shuffle.
     */
   val corpusClean: Q = (s, d) => {
-    val st = staged(tbl(s, d, "documents")).where(col("qual_ok"))
+    val st = stagedTable(s, d).where(col("qual_ok"))
     st.withColumn("rn", row_number().over(
         Window.partitionBy(col("norm_key")).orderBy(col("doc_id"))))
       .where(col("rn") === 1)
@@ -77,7 +96,7 @@ object Pipeline {
     * costs one scan regardless of stage count.
     */
   val funnel: Q = (s, d) =>
-    staged(tbl(s, d, "documents")).agg(
+    stagedTable(s, d).agg(
       count(lit(1)).as("n_total"),
       count(when(col("lang_ok"), 1)).as("n_lang"),
       count(when(col("qual_ok"), 1)).as("n_quality"),
@@ -116,7 +135,7 @@ object Pipeline {
   val pretrain: Q = (s, d) => {
     val docs = tbl(s, d, "documents")
     // gates + prefix dedup (same stages as pl_corpus_clean, keeping text)
-    val survivors = staged(docs).where(col("qual_ok"))
+    val survivors = stagedTable(s, d).where(col("qual_ok"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("norm_key")).orderBy(col("doc_id"))))
       .where(col("rn") === 1)
