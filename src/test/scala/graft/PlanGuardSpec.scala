@@ -609,9 +609,16 @@ class PlanGuardSpec extends AnyFunSuite {
       s"expected exactly one keyed shuffle (the dedup key), got ${hashed.size}")
     val windows = plan.collect { case w: WindowExec => w }
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+    // r15: the gate reads the per-snapshot staged ARTIFACT, so the plan
+    // got strictly narrower — no text (or its regex staging) in the scan
+    // at all, and the quality gate is a pushed-down filter on the
+    // artifact's boolean column. Pin that stronger contract.
     val scan = plan.collectLeaves().map(_.toString).mkString
-    assert(scan.contains("doc_id") && scan.contains("text") && !scan.contains("lang"),
-      s"scan should read only doc_id+text: ${scan.take(300)}")
+    assert(scan.contains("doc_id") && scan.contains("norm_key") &&
+      !scan.contains("text"),
+      s"scan should read the staged artifact without text: ${scan.take(300)}")
+    assert(scan.contains("qual_ok"),
+      s"quality gate should push down to the artifact scan: ${scan.take(300)}")
   }
 
   test("tpch_q6 is a pure pushed-down scan-aggregate: no join, one gather") {
