@@ -64,17 +64,42 @@ object IndexStore {
   /** Return the artifact for `family` at `fp`, building + writing it
     * first if no complete copy (_SUCCESS marker) exists. Synchronized:
     * one builder per JVM; concurrent readers after the marker appears
-    * are safe.
+    * are safe. SINGLE-WRITER ASSUMPTION: the lock is per-JVM only — an
+    * index root shared by concurrent writer JVMs is outside the
+    * contract (exactly the assumption a lakehouse catalog's table-level
+    * commit protocol would discharge); concurrent READER JVMs are fine,
+    * protected by the retire-then-delete grace window below.
     *
     * Retention: after a fresh build commits, sibling directories whose
     * `_FAMILY` marker names the same family (i.e. older fingerprints of
-    * the same (dir, builder-version, params) artifact) are deleted —
-    * their snapshot is gone, nothing can validly read them. The marker
-    * is written AFTER the parquet commit, so a build that dies mid-write
-    * leaves an unmarked dir that the next same-key build overwrites; and
-    * a `_`-prefixed extra file is invisible to Spark's parquet reader.
-    * GC only ever touches directories carrying a matching marker, never
-    * the newly-committed one.
+    * the same (dir, builder-version, params) artifact) are RETIRED — a
+    * `_RETIRED` timestamp marker — and physically deleted only by a
+    * LATER commit once the grace period (`graft.index.gc.graceMs`
+    * system property, default 10 min) has elapsed. Immediate deletion
+    * was unsafe (r15 advisory): a DataFrame handed out before the
+    * rebuild holds a file listing, not open handles — Spark opens the
+    * files at task launch, so on any filesystem (not just an object
+    * store) deleting under a live plan is a mid-scan
+    * FileNotFoundException. The two-phase retire bounds the leak at one
+    * grace window per family — the same tombstone-then-vacuum shape as
+    * Delta's `VACUUM RETAIN`. Readers that outlive the grace window are
+    * documented unsupported; re-resolve the artifact per query.
+    *
+    * The `_FAMILY` marker is written AFTER the parquet commit, so a
+    * build that dies mid-write leaves an unmarked dir that the next
+    * same-key build overwrites; `_`-prefixed extra files are invisible
+    * to Spark's parquet reader. GC only ever touches directories
+    * carrying a matching marker, never the newly-committed one, and is
+    * best-effort throughout: an IO error on a marker read or a delete
+    * (a sibling vanishing under a concurrent sweep) must never fail the
+    * just-committed fresh build.
+    *
+    * Fingerprint recurrence (corpus snapshot restored, mtimes reset) is
+    * safe on both paths: a retired-but-complete generation is
+    * reactivated (marker cleared) when served again, and
+    * [[deleteRecursively]] removes `_SUCCESS` FIRST so an interrupted
+    * deletion can never leave a truncated dir that still looks
+    * committed.
     */
   def materialize(s: SparkSession, family: String, fp: String)
                  (build: => DataFrame): DataFrame = {
@@ -86,23 +111,118 @@ object IndexStore {
         java.nio.file.Files.write(new java.io.File(dir, "_FAMILY").toPath,
           family.getBytes("UTF-8"))
         gcOldGenerations(family, keep = dir)
+      } else {
+        // Serving an existing generation re-activates it: if its
+        // fingerprint recurred after a retire (snapshot restored), the
+        // pending tombstone no longer applies.
+        java.nio.file.Files.deleteIfExists(new java.io.File(dir, "_RETIRED").toPath)
       }
     }
     s.read.parquet(dir.getAbsolutePath)
   }
 
-  private def gcOldGenerations(family: String, keep: java.io.File): Unit =
-    Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { sib =>
-      val marker = new java.io.File(sib, "_FAMILY")
-      if (sib.isDirectory && sib.getName != keep.getName && marker.exists() &&
-          new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == family) {
-        deleteRecursively(sib)
+  /** Like [[materialize]], but the artifact is a HASH-BUCKETED parquet
+    * table (Spark `bucketBy`): the scan reports
+    * `HashPartitioning(bucketCol, nBuckets)`, so a join keyed on
+    * `bucketCol` needs NO exchange on the artifact side — only the
+    * (dimension-sized) other side shuffles to the bucket count. This is
+    * the storage shape for artifacts that are re-joined many times per
+    * query against changing small tables (the HITS edge list joins 6×
+    * per call; each join previously re-shuffled all 60 M edges at sf10).
+    *
+    * Bucketed writes must go through the catalog (`saveAsTable`;
+    * path-based `.save()` rejects bucketBy), so the artifact is an
+    * EXTERNAL table whose data lives under the index root like every
+    * other artifact. The catalog entry is session-scoped (in-memory
+    * catalog): a fresh session finding the committed files re-registers
+    * the same external table via CREATE TABLE … CLUSTERED BY … LOCATION,
+    * which is metadata-only — Spark re-derives bucket ids from the
+    * committed file names. `nBuckets` is part of the table identity;
+    * callers must fold it into `family` so a re-tuned bucket count is a
+    * new generation, never a reinterpretation of old files.
+    *
+    * Retention/GC: identical to [[materialize]] (same markers, same
+    * grace window). A retired generation may leave a dangling catalog
+    * name in long-lived sessions; harmless — the name is derived from
+    * (family, fp) so it can never collide with the live generation.
+    */
+  def materializeBucketed(s: SparkSession, family: String, fp: String,
+                          nBuckets: Int, bucketCol: String)
+                         (build: => DataFrame): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val key = s"${family}_$fp"
+    val dir = dirFor(key)
+    val table = ("graft_idx_" + dir.getName).toLowerCase
+      .replaceAll("[^a-z0-9_]", "_")
+    this.synchronized {
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        // one file per bucket: bucketBy alone writes one file per
+        // (task, bucket) pair — task-count × nBuckets small files
+        build.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+          .write.mode(SaveMode.Overwrite)
+          .option("path", dir.getAbsolutePath)
+          .bucketBy(nBuckets, bucketCol)
+          .format("parquet")
+          .saveAsTable(table)
+        java.nio.file.Files.write(new java.io.File(dir, "_FAMILY").toPath,
+          family.getBytes("UTF-8"))
+        gcOldGenerations(family, keep = dir)
+      } else {
+        java.nio.file.Files.deleteIfExists(new java.io.File(dir, "_RETIRED").toPath)
+        if (!s.catalog.tableExists(table)) {
+          val ddl = s.read.parquet(dir.getAbsolutePath).schema.toDDL
+          s.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
+            s"CLUSTERED BY ($bucketCol) INTO $nBuckets BUCKETS " +
+            s"LOCATION '${dir.getAbsolutePath}'")
+        }
       }
     }
+    s.table(table)
+  }
 
+  private[graft] def gcGraceMs: Long =
+    sys.props.get("graft.index.gc.graceMs").map(_.toLong).getOrElse(10L * 60 * 1000)
+
+  private def gcOldGenerations(family: String, keep: java.io.File): Unit =
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { sib =>
+      try {
+        val marker = new java.io.File(sib, "_FAMILY")
+        if (sib.isDirectory && sib.getName != keep.getName && marker.exists() &&
+            new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == family) {
+          val retired = new java.io.File(sib, "_RETIRED")
+          val now = System.currentTimeMillis()
+          if (!retired.exists()) {
+            java.nio.file.Files.write(retired.toPath, now.toString.getBytes("UTF-8"))
+          } else {
+            val ts = try {
+              new String(java.nio.file.Files.readAllBytes(retired.toPath), "UTF-8").trim.toLong
+            } catch { case _: Exception => 0L }
+            if (now - ts >= gcGraceMs) deleteRecursively(sib)
+          }
+        }
+      } catch { case _: java.io.IOException => () } // best-effort, never fail the commit
+    }
+
+  /** Ordered, failure-tolerant recursive delete: `_SUCCESS` goes first
+    * (an interrupted delete must never leave a dir that still claims to
+    * be a committed artifact), `_FAMILY` goes last (so a partially
+    * deleted generation stays visible to the next GC sweep), data files
+    * in between; every step swallows its own failure.
+    */
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      .foreach(deleteRecursively)
+    def del(g: java.io.File): Unit = {
+      if (g.isDirectory) Option(g.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(del)
+      try g.delete() catch { case _: Exception => () }
+      (): Unit
+    }
+    if (f.isDirectory) {
+      try new java.io.File(f, "_SUCCESS").delete() catch { case _: Exception => () }
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filterNot(_.getName == "_FAMILY").foreach(del)
+      try new java.io.File(f, "_FAMILY").delete() catch { case _: Exception => () }
+    }
     f.delete(): Unit
   }
 }

@@ -595,6 +595,12 @@ object Similarity {
     * operational rule stands: version the (centroids, corpusAssign) pair
     * together and refresh both atomically on retrain.
     */
+  /** (centroids → validated corpusAssign frames), both weakly held by
+    * reference identity; see the memo note inside semDedupIncremental.
+    */
+  private val semDedupValidated =
+    new java.util.WeakHashMap[DataFrame, java.util.Set[DataFrame]]()
+
   def semDedupIncremental(corpus: DataFrame, batch: DataFrame,
                           centroids: DataFrame, tau: Double,
                           corpusAssign: Option[DataFrame] = None): DataFrame = {
@@ -606,14 +612,31 @@ object Similarity {
     // would pay O(corpus·K) per batch for a table the ingest already has
     // on disk (r13 audit; the docstring's O(batch·cell) contract assumes
     // the artifact is supplied)
+    // The staleness scan is O(|corpusAssign|) and eager; a streaming
+    // caller re-validating the SAME snapshot pair every micro-batch
+    // would pay it per batch for a fact that cannot change under it
+    // (r15 advisory). Memoize per (centroids, corpusAssign) REFERENCE
+    // identity — DataFrame has no content equals, and identity is the
+    // right key anyway: a caller that rebuilds either frame gets fresh
+    // objects and re-validates. Weak keys so retired snapshot frames
+    // don't pin plans in memory across corpus generations.
     corpusAssign.foreach { asg =>
-      val stale = asg.select(col("centroid")).distinct()
-        .join(centroids.select(col("cid")), col("centroid") === col("cid"), "left_anti")
-        .limit(1).count()
-      require(stale == 0L,
-        "semDedupIncremental: corpusAssign is STALE — it contains centroid ids " +
-          "absent from the supplied quantizer (assignment persisted before a " +
-          "centroid retrain?). Rebuild the (centroids, corpusAssign) pair together.")
+      val seen = semDedupValidated.synchronized {
+        semDedupValidated.computeIfAbsent(centroids, _ =>
+          java.util.Collections.newSetFromMap(
+            new java.util.WeakHashMap[DataFrame, java.lang.Boolean]()))
+      }
+      val already = seen.synchronized(seen.contains(asg))
+      if (!already) {
+        val stale = asg.select(col("centroid")).distinct()
+          .join(centroids.select(col("cid")), col("centroid") === col("cid"), "left_anti")
+          .limit(1).count()
+        require(stale == 0L,
+          "semDedupIncremental: corpusAssign is STALE — it contains centroid ids " +
+            "absent from the supplied quantizer (assignment persisted before a " +
+            "centroid retrain?). Rebuild the (centroids, corpusAssign) pair together.")
+        seen.synchronized(seen.add(asg)): Unit
+      }
     }
     val asgC = corpusAssign.getOrElse(
       ivfAssign(corpus, centroids).select(col("vec_id"), col("centroid")))
@@ -1810,8 +1833,20 @@ object Similarity {
     * training strides. max(100, n/20) caps the seed set at ~20 above
     * the oracle floor; at every oracle scale (n ≤ 2000) the stride
     * stays 100, so the DuckDB SQL's literal `% 100` matches exactly.
+    *
+    * Oracle coupling is PINNED, not coincidental (r15 advisory): the
+    * sf0.1 corpus has exactly 2000 embeddings, so `max(100, n/20)`
+    * alone sat at zero margin — one more oracle row and the Spark
+    * stride silently diverges from the SQL's hardcoded `% 100`. Corpora
+    * up to [[KppOracleBound]] (2× the largest oracle corpus) therefore
+    * use the literal stride by definition; the K-bounded growth law
+    * applies only beyond it. [[graft.MlExtrasSpec]] asserts the bound
+    * covers every oracle sf with margin AND that the SQL literal equals
+    * [[KppStride]], so the coupling is enforced, not commented.
     */
-  private def kppStride(n: Long): Long = math.max(KppStride, n / 20)
+  val KppOracleBound = 4000L
+  private[graft] def kppStride(n: Long): Long =
+    if (n <= KppOracleBound) KppStride else math.max(KppStride, n / 20)
 
   val mlKmeanspp: Q = (s, d) => {
     val e = tbl(s, d, "embeddings")

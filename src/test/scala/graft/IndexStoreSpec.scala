@@ -26,7 +26,8 @@ class IndexStoreSpec extends AnyFunSuite {
           new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8") == family
       }
 
-  test("new fingerprint of a family GCs the old generation, leaves other families") {
+  test("new fingerprint retires the old generation (reader-safe), a later " +
+       "commit past the grace window deletes it, other families untouched") {
     val fam = s"spec_gc_family_${System.nanoTime()}"
     val other = s"spec_gc_other_${System.nanoTime()}"
 
@@ -39,26 +40,79 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(familyDirs(fam).size == 1)
     val oldDir = familyDirs(fam).head
 
-    // "Corpus regenerated": same family, new fingerprint. Hold a reader
-    // on the NEW artifact across the GC and read it again after.
+    // "Corpus regenerated": same family, new fingerprint, while gen1 (a
+    // DataFrame whose file listing was resolved BEFORE the rebuild) is
+    // still live — the exact mid-scan-delete scenario the r15 advisory
+    // called out. The first GC pass must only RETIRE the old generation.
     val gen2 = IndexStore.materialize(spark, fam, "fp_bbbb")(
       Seq((1L, "uno"), (2L, "dos"), (3L, "tres")).toDF("k", "v"))
     assert(gen2.count() == 3)
 
-    assert(!oldDir.exists(), s"stale generation survived: $oldDir")
-    assert(familyDirs(fam).size == 1, "exactly the new generation remains")
+    assert(oldDir.exists(), "old generation must survive the grace window")
+    assert(new java.io.File(oldDir, "_RETIRED").exists(), "tombstone missing")
+    assert(gen1.count() == 2, "reader holding the old generation must still scan it")
     assert(familyDirs(other).size == 1, "unrelated family must not be GC'd")
+
+    // Fingerprint recurrence during grace: serving fp_aaaa again clears
+    // the tombstone (snapshot-restored corpus must not lose its index).
+    IndexStore.materialize(spark, fam, "fp_aaaa")(
+      sys.error("must not rebuild: _SUCCESS exists")).count()
+    assert(!new java.io.File(oldDir, "_RETIRED").exists(), "reactivation failed")
 
     // concurrent reader of the new artifact unaffected by the GC pass
     assert(gen2.where($"k" === 3L).select($"v").as[String].head() == "tres")
 
-    // idempotent re-materialize serves the files, no rebuild, no delete
-    val again = IndexStore.materialize(spark, fam, "fp_bbbb")(
-      sys.error("must not rebuild: _SUCCESS exists"))
-    assert(again.count() == 3)
+    // Re-retire, expire the grace window, and commit a third generation:
+    // now the tombstoned dir must actually be deleted.
+    IndexStore.materialize(spark, fam, "fp_bbbb")(sys.error("no rebuild")).count()
+    val graceKey = "graft.index.gc.graceMs"
+    val saved = sys.props.get(graceKey)
+    try {
+      sys.props(graceKey) = "600000"
+      IndexStore.materialize(spark, fam, "fp_cccc")(
+        Seq((7L, "sept")).toDF("k", "v")).count()
+      assert(new java.io.File(oldDir, "_RETIRED").exists(), "re-retire failed")
+      sys.props(graceKey) = "0"
+      IndexStore.materialize(spark, fam, "fp_dddd")(
+        Seq((8L, "huit")).toDF("k", "v")).count()
+      assert(!oldDir.exists(), s"expired generation survived: $oldDir")
+    } finally {
+      saved match { case Some(v) => sys.props(graceKey) = v
+                    case None => sys.props.remove(graceKey): Unit }
+    }
+    assert(familyDirs(other).size == 1, "unrelated family must not be GC'd")
 
     familyDirs(fam).foreach(d => deleteRec(d))
     familyDirs(other).foreach(d => deleteRec(d))
+  }
+
+  test("interrupted delete can never leave a committed-looking dir: " +
+       "_SUCCESS is removed before data files") {
+    // Simulate the partial-delete-then-fingerprint-recurrence hazard
+    // (r15 advisory): materialize, retire+expire via a same-family
+    // commit, and verify that after GC nothing under the old path
+    // carries _SUCCESS without its data (here: the dir is fully gone;
+    // the ordering guarantee is asserted structurally on the survivors).
+    val fam = s"spec_gc_order_${System.nanoTime()}"
+    val gen1 = IndexStore.materialize(spark, fam, "fp_1111")(
+      Seq((1L, "a")).toDF("k", "v"))
+    assert(gen1.count() == 1)
+    val oldDir = familyDirs(fam).head
+    val graceKey = "graft.index.gc.graceMs"
+    val saved = sys.props.get(graceKey)
+    try {
+      sys.props(graceKey) = "0"
+      IndexStore.materialize(spark, fam, "fp_2222")(
+        Seq((2L, "b")).toDF("k", "v")).count() // retire
+      IndexStore.materialize(spark, fam, "fp_3333")(
+        Seq((3L, "c")).toDF("k", "v")).count() // delete (grace=0)
+      assert(!new java.io.File(oldDir, "_SUCCESS").exists(),
+        "_SUCCESS must never outlive the data files")
+    } finally {
+      saved match { case Some(v) => sys.props(graceKey) = v
+                    case None => sys.props.remove(graceKey): Unit }
+    }
+    familyDirs(fam).foreach(d => deleteRec(d))
   }
 
   test("a dir without _FAMILY marker (pre-GC era / crashed build) is never touched") {

@@ -476,6 +476,48 @@ class LlmOpsSpec extends AnyFunSuite {
       corpusAssign = Some(freshAssign)).count()
   }
 
+  test("semDedupIncremental: repeated (centroids, corpusAssign) snapshot pair " +
+       "skips the eager staleness scan (memoized per reference identity)") {
+    val corpus = emb.where($"vec_id" < 100)
+    val cents = Similarity.ivfCentroids(corpus, stride = 25L).localCheckpoint()
+    val assign = Similarity.ivfAssign(corpus, cents)
+      .select($"vec_id", $"centroid").localCheckpoint()
+    val batch = emb.where($"vec_id" >= 100 && $"vec_id" < 105)
+    def jobsSeen(): Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // status tracker is listener-fed; poll until the count is quiet for
+    // 500 ms so a prior call's late-posting stage jobs (AQE runs several
+    // per count) can't be misattributed to the next call
+    def stableJobs(): Int = {
+      var last = jobsSeen(); var quiet = 0
+      while (quiet < 5) {
+        Thread.sleep(100)
+        val now = jobsSeen()
+        if (now == last) quiet += 1 else { last = now; quiet = 0 }
+      }
+      last
+    }
+    // first call with this pair: the validation scan RUNS (≥1 job even
+    // though we never act on the returned plan)
+    val before1 = stableJobs()
+    Similarity.semDedupIncremental(corpus, batch, cents, tau = 0.95,
+      corpusAssign = Some(assign))
+    assert(stableJobs() > before1, "first call must run the staleness scan")
+    // second call, SAME references: plan building must stay fully lazy
+    val before2 = stableJobs()
+    Similarity.semDedupIncremental(corpus, batch, cents, tau = 0.95,
+      corpusAssign = Some(assign))
+    assert(stableJobs() == before2,
+      "repeated snapshot pair re-ran the O(|corpusAssign|) staleness scan")
+    // a FRESH assignment object for the same centroids re-validates
+    val assign2 = Similarity.ivfAssign(corpus, cents)
+      .select($"vec_id", $"centroid").localCheckpoint()
+    val before3 = stableJobs()
+    Similarity.semDedupIncremental(corpus, batch, cents, tau = 0.95,
+      corpusAssign = Some(assign2))
+    assert(stableJobs() > before3, "new artifact object must re-validate")
+  }
+
   test("semDedup keep-set is tau-separated within every cell") {
     // greedy keep-lowest-id invariant: two KEPT vectors in the same cell
     // can never be tau-close (the higher id would have had a witness)

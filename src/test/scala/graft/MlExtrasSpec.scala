@@ -35,6 +35,25 @@ class MlExtrasSpec extends AnyFunSuite {
       s"projection variance $pv must dominate single dims ${covDiag.toSeq}")
   }
 
+  test("kppStride is pinned to the oracle SQL literal at every oracle scale, " +
+       "with ≥2x corpus-growth margin, and grows K-bounded beyond") {
+    // Enforces the Spark-side stride ↔ DuckDB literal coupling (r15
+    // advisory): the gate corpora must sit strictly INSIDE the pinned
+    // region, not on its edge.
+    val sf01Count = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet").count()
+    assert(Similarity.KppOracleBound >= 2 * sf01Count,
+      s"oracle bound ${Similarity.KppOracleBound} leaves <2x margin over " +
+        s"the largest oracle corpus ($sf01Count embeddings)")
+    assert(Similarity.kppStride(sf01Count) == Similarity.KppStride)
+    assert(Similarity.kppStride(2 * sf01Count) == Similarity.KppStride)
+    assert(Similarity.mlKmeansppSql.contains(s"% ${Similarity.KppStride}"),
+      "oracle SQL literal drifted from KppStride")
+    // beyond the pinned region the seed set is K-bounded (~20 seeds)
+    val big = 100L * Similarity.KppOracleBound
+    assert(Similarity.kppStride(big) == big / 20)
+  }
+
   test("tx_clf_calib emits 10 decile bins with weakly increasing mean_pred") {
     val bins = TextAnalysis.clfCalib(spark, "/root/testdata/sf0.001")
       .select($"bin", $"mean_pred").as[(Long, Double)].collect().sortBy(_._1)
