@@ -67,6 +67,43 @@ object HypermapQueries {
        |       n_children, n_notes, n_facts, owner)
        |ORDER BY namehash""".stripMargin
 
+  /** E7 NORMALIZED-owner mode (r15 verdict item 3): same fold summary,
+    * but Transfer ids are uint-decimal→bytes32 normalized before the
+    * entry join, so the two fixture transfers whose ids round-trip to
+    * real namehashes resolve owners — the mode a real user runs, vs the
+    * gated-elsewhere faithful mode that reproduces the reference's
+    * decimal-vs-hex mismatch (reference/src/lib/services/mongodb.ts:256-270,
+    * where Transfer.hypermap_id is the raw decimal string and the Mongo
+    * upsert keyed on hex namehash silently never matches). Hand-derived
+    * expectations: os owned by addr1 (zero→addr1 at 27430800, after its
+    * Mint), alice by addr2 (addr1→addr2 at 27433500 is the last writer),
+    * the id-12345 transfer matches no entry, and neither ownerBump
+    * exceeds the note-driven lastUpdateBlock. Owner strings are EIP-55
+    * checksummed by the same public rule the decoder applies.
+    */
+  val entriesFoldNorm: Q = (s, _) => {
+    import s.implicits._
+    EntriesFold.fold(pipeline(s), normalizeTransferIds = true)
+      .select($"namehash", $"label", $"parentHash", $"creationBlock",
+        $"lastUpdateBlock", size($"children").cast("long").as("n_children"),
+        size($"notes").cast("long").as("n_notes"),
+        size($"facts").cast("long").as("n_facts"),
+        $"owner")
+      .orderBy($"namehash")
+  }
+  val entriesFoldNormSql: String = {
+    val addr1 = EvmCodec.checksumAddress("0x" + "11" * 20)
+    val addr2 = EvmCodec.checksumAddress("0x" + "22" * 20)
+    s"""SELECT * FROM (VALUES
+       |  ('$Os', 'os', '$Root', CAST(27430010 AS BIGINT), CAST(27432200 AS BIGINT),
+       |   CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), '$addr1'),
+       |  ('$Alice', 'alice', '$Os', CAST(27430500 AS BIGINT), CAST(27434000 AS BIGINT),
+       |   CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS BIGINT), '$addr2'))
+       |  AS t(namehash, label, parentHash, creationBlock, lastUpdateBlock,
+       |       n_children, n_notes, n_facts, owner)
+       |ORDER BY namehash""".stripMargin
+  }
+
   /** Q1 pagination on the hypermap events table: Notes newest-first,
     * page 2 at limit 3 → rows 4-6 of 8.
     */
@@ -275,6 +312,7 @@ object HypermapQueries {
     "hm_all_types"      -> allTypes,
     "hm_decode_counts"  -> decodeCounts,
     "hm_entries_fold"   -> entriesFold,
+    "hm_entries_fold_norm" -> entriesFoldNorm,
     "hm_event_page"     -> eventPage,
     "hm_entry_events"   -> entryEvents,
     "hm_rpc_extract"    -> rpcExtract,
@@ -286,6 +324,7 @@ object HypermapQueries {
     "hm_all_types"      -> allTypesSql,
     "hm_decode_counts"  -> decodeCountsSql,
     "hm_entries_fold"   -> entriesFoldSql,
+    "hm_entries_fold_norm" -> entriesFoldNormSql,
     "hm_event_page"     -> eventPageSql,
     "hm_entry_events"   -> entryEventsSql,
     "hm_rpc_extract"    -> decodeCountsSql, // same golden contract, via live path

