@@ -29,6 +29,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // local[N] is one JVM: there is no data locality to wait for, but
+      // the default 3 s delay-scheduling wait still lets the scheduler
+      // stall on block-preferred-location ticks for localCheckpoint-heavy
+      // iterative gates. Pinning 0 measured tx_textrank (the suite's
+      // bimodal-floor canary) tighter and ~8% faster over 5+10 sessions
+      // with no effect elsewhere (PERF.md r16). A CLUSTER deployment
+      // must NOT copy this line — there, locality wait is what keeps
+      // scans on the executors that hold the blocks.
+      .config("spark.locality.wait", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -115,6 +115,40 @@ class IndexStoreSpec extends AnyFunSuite {
     familyDirs(fam).foreach(d => deleteRec(d))
   }
 
+  test("materializeBucketed: scan is bucketed (no exchange needed on the " +
+       "artifact side), and a fresh catalog re-registers metadata-only") {
+    val fam = s"spec_bucketed_${System.nanoTime()}"
+    def build = Seq.tabulate(64)(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val art = IndexStore.materializeBucketed(spark, fam, "fp_b1", 4, "k")(build)
+    assert(art.count() == 64)
+    val probe = Seq((3L, "x"), (7L, "y")).toDF("k", "p")
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.queryExecution.toRdd.count() // AQE-final
+      df.queryExecution.executedPlan.toString
+    }
+    val plan1 = planOf(art.join(probe.hint("shuffle_hash"), Seq("k")))
+    assert(plan1.contains("Bucketed: true"),
+      s"bucketed scan not used:\n$plan1")
+    assert(plan1.contains("SelectedBucketsCount: 4 out of 4"), plan1)
+
+    // A fresh session's catalog does not have the table: serving the
+    // committed files must re-register it with the same bucket spec,
+    // not rebuild, and keep the bucketed-scan property.
+    val table = spark.catalog.listTables().collect()
+      .map(_.name).find(_.startsWith("graft_idx_spec_bucketed_"))
+      .getOrElse(fail("bucketed artifact table not in catalog"))
+    spark.sql(s"DROP TABLE $table")
+    val again = IndexStore.materializeBucketed(spark, fam, "fp_b1", 4, "k")(
+      sys.error("must not rebuild: _SUCCESS exists"))
+    assert(again.count() == 64)
+    val plan2 = planOf(again.join(probe.hint("shuffle_hash"), Seq("k")))
+    assert(plan2.contains("Bucketed: true"),
+      s"re-registered table lost its bucket spec:\n$plan2")
+
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    familyDirs(fam).foreach(d => deleteRec(d))
+  }
+
   test("a dir without _FAMILY marker (pre-GC era / crashed build) is never touched") {
     val fam = s"spec_gc_unmarked_${System.nanoTime()}"
     val legacy = new java.io.File(indexRoot, s"legacy_${System.nanoTime()}")
