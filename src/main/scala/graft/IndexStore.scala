@@ -61,14 +61,34 @@ object IndexStore {
     new java.io.File(root, s"${safe}_$h")
   }
 
+  /** Serialize writers across JVMs sharing one index root: an advisory
+    * `FileChannel.lock` on `<root>/.lock`, held around build + GC. The
+    * OS releases it on process death (no stale-lock recovery needed);
+    * callers are already serialized per-JVM by `this.synchronized`, so
+    * the channel never sees an overlapping same-JVM lock. ADVISORY: on
+    * filesystems that don't honor POSIX locks (some NFS mounts, object
+    * stores) this degrades to the per-JVM guarantee — there, a lakehouse
+    * catalog's table-commit protocol is the real answer.
+    */
+  private def withRootLock[A](f: => A): A = {
+    root.mkdirs()
+    val ch = java.nio.channels.FileChannel.open(
+      new java.io.File(root, ".lock").toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try f finally lock.release()
+    } finally ch.close()
+  }
+
   /** Return the artifact for `family` at `fp`, building + writing it
     * first if no complete copy (_SUCCESS marker) exists. Synchronized:
-    * one builder per JVM; concurrent readers after the marker appears
-    * are safe. SINGLE-WRITER ASSUMPTION: the lock is per-JVM only — an
-    * index root shared by concurrent writer JVMs is outside the
-    * contract (exactly the assumption a lakehouse catalog's table-level
-    * commit protocol would discharge); concurrent READER JVMs are fine,
-    * protected by the retire-then-delete grace window below.
+    * one builder per JVM, plus the [[withRootLock]] cross-process
+    * advisory lock around build + GC, so concurrent writer JVMs sharing
+    * GRAFT_INDEX_DIR serialize instead of racing a half-written dir;
+    * concurrent READER JVMs are always fine, protected by the
+    * retire-then-delete grace window below.
     *
     * Retention: after a fresh build commits, sibling directories whose
     * `_FAMILY` marker names the same family (i.e. older fingerprints of
@@ -106,11 +126,15 @@ object IndexStore {
     val key = s"${family}_$fp"
     val dir = dirFor(key)
     this.synchronized {
-      if (!new java.io.File(dir, "_SUCCESS").exists()) {
-        build.write.mode(SaveMode.Overwrite).parquet(dir.getAbsolutePath)
-        java.nio.file.Files.write(new java.io.File(dir, "_FAMILY").toPath,
-          family.getBytes("UTF-8"))
-        gcOldGenerations(family, keep = dir)
+      if (!new java.io.File(dir, "_SUCCESS").exists()) withRootLock {
+        // re-check under the cross-process lock: another JVM may have
+        // committed the same key while this one waited
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          build.write.mode(SaveMode.Overwrite).parquet(dir.getAbsolutePath)
+          java.nio.file.Files.write(new java.io.File(dir, "_FAMILY").toPath,
+            family.getBytes("UTF-8"))
+          gcOldGenerations(family, keep = dir)
+        }
       } else {
         // Serving an existing generation re-activates it: if its
         // fingerprint recurred after a retire (snapshot restored), the
@@ -155,27 +179,32 @@ object IndexStore {
     val table = ("graft_idx_" + dir.getName).toLowerCase
       .replaceAll("[^a-z0-9_]", "_")
     this.synchronized {
-      if (!new java.io.File(dir, "_SUCCESS").exists()) {
-        s.sql(s"DROP TABLE IF EXISTS $table")
-        // one file per bucket: bucketBy alone writes one file per
-        // (task, bucket) pair — task-count × nBuckets small files
-        build.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
-          .write.mode(SaveMode.Overwrite)
-          .option("path", dir.getAbsolutePath)
-          .bucketBy(nBuckets, bucketCol)
-          .format("parquet")
-          .saveAsTable(table)
-        java.nio.file.Files.write(new java.io.File(dir, "_FAMILY").toPath,
-          family.getBytes("UTF-8"))
-        gcOldGenerations(family, keep = dir)
+      if (!new java.io.File(dir, "_SUCCESS").exists()) withRootLock {
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          // one file per bucket: bucketBy alone writes one file per
+          // (task, bucket) pair — task-count × nBuckets small files
+          build.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+            .write.mode(SaveMode.Overwrite)
+            .option("path", dir.getAbsolutePath)
+            .bucketBy(nBuckets, bucketCol)
+            .format("parquet")
+            .saveAsTable(table)
+          java.nio.file.Files.write(new java.io.File(dir, "_FAMILY").toPath,
+            family.getBytes("UTF-8"))
+          gcOldGenerations(family, keep = dir)
+        }
       } else {
         java.nio.file.Files.deleteIfExists(new java.io.File(dir, "_RETIRED").toPath)
-        if (!s.catalog.tableExists(table)) {
-          val ddl = s.read.parquet(dir.getAbsolutePath).schema.toDDL
-          s.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
-            s"CLUSTERED BY ($bucketCol) INTO $nBuckets BUCKETS " +
-            s"LOCATION '${dir.getAbsolutePath}'")
-        }
+      }
+      // outside the build branch: covers both the fresh-session
+      // re-registration and the lost-the-cross-process-race case (the
+      // other JVM's saveAsTable registered in ITS catalog, not ours)
+      if (!s.catalog.tableExists(table)) {
+        val ddl = s.read.parquet(dir.getAbsolutePath).schema.toDDL
+        s.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
+          s"CLUSTERED BY ($bucketCol) INTO $nBuckets BUCKETS " +
+          s"LOCATION '${dir.getAbsolutePath}'")
       }
     }
     s.table(table)
