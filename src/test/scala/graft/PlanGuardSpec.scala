@@ -732,4 +732,64 @@ class PlanGuardSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("tpch_q17 is the single-fact-shuffle window plan: one lineitem " +
+       "scan, one hashpartitioning exchange, no self-join") {
+    // r16 rewrite (PERF.md r16): the agg+self-join shape paid two full
+    // fact shuffles because pruning/pushdown made the branches
+    // un-reusable; the window shape is one scan + one exchange by
+    // construction. Guard both properties so a refactor can't silently
+    // re-split the fact.
+    val plan = planWithoutAqe("tpch_q17")
+    val scans = plan.collectLeaves().map(_.toString).filter(_.contains("lineitem"))
+    assert(scans.size == 1, s"expected ONE lineitem scan, got ${scans.size}")
+    val wideExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(wideExchanges.size == 1,
+      s"expected ONE wide exchange, got ${wideExchanges.size}:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.nonEmpty, s"window gone:\n$plan")
+  }
+
+  test("gr_hits edge artifact scans are bucketed: no exchange between a " +
+       "bipartite FileScan and its join") {
+    // r16 (PERF.md): the six HITS half-steps join the dual-bucketed edge
+    // artifact with zero edge-side exchanges. The loop localCheckpoints
+    // per round, so assert on a reconstructed half-step against the
+    // committed artifact tables instead of the gate's final (checkpoint-
+    // truncated) plan.
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("gr_hits")(spark, sf).count() // materialize artifacts
+    val tables = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_idx_gr_bipartite"))
+    assert(tables.size >= 2, s"expected src+dst artifact tables, got ${tables.toSeq}")
+    val bySrc = spark.table(tables.find(_.contains("_src_")).get)
+    // localCheckpoint like the real loop: each round's node table is a
+    // materialized RDD, so its exchange never re-scans the edge table
+    val hub = bySrc.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0).as("hub")).localCheckpoint()
+    val half = bySrc.join(hub.hint("shuffle_hash"), bySrc("src") === hub("id"))
+      .groupBy(col("dst")).agg(sum(col("hub")).as("s"))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = half.queryExecution.executedPlan
+      val leaf = plan.collectLeaves().map(_.toString).mkString
+      assert(leaf.contains("Bucketed: true"), s"edge scan not bucketed:\n$leaf")
+      // the join's STREAMED side must reach the bucketed FileScan with
+      // zero exchanges between them (hub-side + post-agg exchanges are
+      // the legitimate, node-sized ones)
+      val shj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(shj.nonEmpty, s"expected ShuffledHashJoin:\n$plan")
+      shj.foreach { j =>
+        assert(j.left.toString.contains("gr_bipartite"),
+          s"edge table not on the streamed side:\n$j")
+        assert(j.left.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"edge side shuffled before the join:\n${j.left}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
