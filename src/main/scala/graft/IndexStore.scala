@@ -26,6 +26,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * `Sinks.upsertCommitted` applies to table snapshots. Without it a
   * long-lived session over a regenerating corpus leaks disk without
   * bound (a single geo neighbor-graph artifact is 182 MB at sf10).
+  *
+  * Deployment note: a BUILDER-VERSION bump is deliberately a NEW family
+  * (old-version artifacts must stay readable by still-running old
+  * code), so superseded-version generations are never GC'd by the new
+  * code — clear or lifecycle-expire the index root when retiring a
+  * builder version.
   */
 object IndexStore {
 
