@@ -15,7 +15,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.local(appName = "graft-bench")
+    var spark = GraftSession.local(appName = "graft-bench")
+    // One gate fatally wounding the executor (an OOM or a storage race
+    // kills local[N]'s single executor, which STOPS the SparkContext)
+    // must not cascade: before the r16 guard, pl_distill's lost task at
+    // sf10 stopped the context and the 153 alphabetically-later gates
+    // all recorded "Cannot call methods on a stopped SparkContext"
+    // instead of their real numbers. The failing gate still records its
+    // own error; every later gate runs in a fresh session.
+    def ensureAlive(): Unit = if (spark.sparkContext.isStopped) {
+      spark = GraftSession.local(appName = "graft-bench")
+      spark.sparkContext.setLogLevel("ERROR")
+    }
     // The driver parses the JSON line from a merged stdout+stderr capture;
     // a WARN landing on stderr while the line is mid-write tears it
     // (observed: rounds 1 and 3 recorded parsed:null). Log nothing during
@@ -43,7 +54,7 @@ object Bench {
       .filter { case (name, _) => filter.forall(_.exists(name.startsWith)) }
       .sortBy(_._1)
     sorted.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => ensureAlive() }
     }
 
     // A query that throws must never masquerade as a timing: record the
@@ -61,6 +72,7 @@ object Bench {
           case t: Throwable =>
             errors.getOrElseUpdate(name, t.getClass.getSimpleName + ": " +
               Option(t.getMessage).getOrElse("").take(120))
+            ensureAlive()
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted

@@ -144,8 +144,10 @@ object IndexStore {
       } else {
         // Serving an existing generation re-activates it: if its
         // fingerprint recurred after a retire (snapshot restored), the
-        // pending tombstone no longer applies.
-        java.nio.file.Files.deleteIfExists(new java.io.File(dir, "_RETIRED").toPath)
+        // pending tombstone no longer applies. Best-effort: a failed
+        // clear must not fail the read path.
+        try java.nio.file.Files.deleteIfExists(new java.io.File(dir, "_RETIRED").toPath)
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     s.read.parquet(dir.getAbsolutePath)
@@ -201,7 +203,8 @@ object IndexStore {
           gcOldGenerations(family, keep = dir)
         }
       } else {
-        java.nio.file.Files.deleteIfExists(new java.io.File(dir, "_RETIRED").toPath)
+        try java.nio.file.Files.deleteIfExists(new java.io.File(dir, "_RETIRED").toPath)
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       // outside the build branch: covers both the fresh-session
       // re-registration and the lost-the-cross-process-race case (the
@@ -236,7 +239,12 @@ object IndexStore {
             if (now - ts >= gcGraceMs) deleteRecursively(sib)
           }
         }
-      } catch { case _: java.io.IOException => () } // best-effort, never fail the commit
+      } catch {
+        // best-effort, never fail the commit — covers IO races (a sibling
+        // vanishing under a concurrent sweep) AND operator errors like a
+        // malformed graft.index.gc.graceMs value
+        case scala.util.control.NonFatal(_) => ()
+      }
     }
 
   /** Ordered, failure-tolerant recursive delete: `_SUCCESS` goes first

@@ -320,10 +320,24 @@ object Dedup {
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .where(col("n") >= 2)
 
-  private val dupGramCache = new graft.SessionCache[String]
-  private[operators] def cachedDupCounts(s: SparkSession, d: String): DataFrame =
-    dupGramCache.getOrCompute(s, d)(
-      dupGramCounts(tbl(s, d, "documents")).localCheckpoint(true))
+  /** The corpus-duplicated-gram table (gram, n≥2) as a per-snapshot
+    * IndexStore parquet artifact. Previously a SessionCache'd
+    * localCheckpoint: a CORPUS-sized table in executor block storage —
+    * the exact failure class the trigram index (r14), geo neighbor
+    * graph (r14), rc_ pair table (r15), and gr_hits edges (r15) each
+    * hit before moving to parquet. The r16 full-battery sf10 run caught
+    * it live: under neighbor-gate storage pressure the checkpointed
+    * blocks' disk reads raced eviction ("temp_local_* No such file"),
+    * the lost task KILLED the local SparkContext, and 153 later gates
+    * cascaded. The parquet artifact is also the production shape — the
+    * dup-gram table is built once per corpus snapshot and joined by
+    * every span-dedup pass.
+    */
+  private[operators] def cachedDupCounts(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
+    graft.IndexStore.materialize(s, s"dd_dupgrams_v1_$d", fp)(
+      dupGramCounts(tbl(s, d, "documents")))
+  }
 
   def dupNgramStats(docs: DataFrame,
                     counts: Option[DataFrame] = None): DataFrame = {
