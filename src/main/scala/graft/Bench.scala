@@ -23,9 +23,19 @@ object Bench {
     // all recorded "Cannot call methods on a stopped SparkContext"
     // instead of their real numbers. The failing gate still records its
     // own error; every later gate runs in a fresh session.
+    // sessionGen counts restarts: gates timed after a restart run in a
+    // session that missed the warmup pass (cold codegen caches, cold
+    // SessionCache artifacts), so the timed loop below re-warms each
+    // such gate once, untimed, before its passes — and the restart event
+    // itself is recorded in the detail JSON ("restarts") so downstream
+    // comparisons can discount the failing gate's own passes (r16
+    // advisory: a silent restart made later medians conflate engine
+    // time with re-warm cost).
+    var sessionGen = 0
     def ensureAlive(): Unit = if (spark.sparkContext.isStopped) {
       spark = GraftSession.local(appName = "graft-bench")
       spark.sparkContext.setLogLevel("ERROR")
+      sessionGen += 1
     }
     // The driver parses the JSON line from a merged stdout+stderr capture;
     // a WARN landing on stderr while the line is mid-write tears it
@@ -65,7 +75,15 @@ object Bench {
     // three tight passes at the new level mean a slowdown, one outlier
     // pass dragging the median means a GC/IO pause.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val restarts = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = sorted.map { case (name, fn) =>
+      // every gate was warmed at sessionGen 0; after any restart the
+      // current session is cold for this gate — absorb codegen/artifact
+      // re-warm in one untimed pass so the timed passes stay steady-state
+      if (sessionGen > 0) {
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => ensureAlive() }
+      }
+      val genBefore = sessionGen
       val times = Seq.fill(3) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -76,6 +94,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      if (sessionGen > genBefore) restarts += name
       (name, times(1), times)
     }
     val ok = results.filterNot { case (k, _, _) => errors.contains(k) }
@@ -95,7 +114,8 @@ object Bench {
     // emitted for the LOCAL record (PERF.md forensics) under a metric name
     // that can NOT match a grep for "metric":"total" — two total-named
     // lines double-count in any consumer that sums matches (r14 ADVICE).
-    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errJson,"sf":"$sfDir"}"""
+    val restartsJson = restarts.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errJson,"restarts":$restartsJson,"sf":"$sfDir"}"""
     println(detail)
     // Also persist the detail line to a file (r15 verdict item 7): the
     // stdout tail truncation made per-query driver history lossy — only

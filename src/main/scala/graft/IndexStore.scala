@@ -29,9 +29,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Deployment note: a BUILDER-VERSION bump is deliberately a NEW family
   * (old-version artifacts must stay readable by still-running old
-  * code), so superseded-version generations are never GC'd by the new
-  * code — clear or lifecycle-expire the index root when retiring a
-  * builder version.
+  * code), so superseded-version generations are never GC'd by a commit —
+  * run [[retireSupersededVersions]] from the new code's deploy hook (or
+  * a cron) to sweep them under the same two-phase grace window.
   */
 object IndexStore {
 
@@ -44,9 +44,22 @@ object IndexStore {
     * owns that error.
     */
   def fingerprint(path: String): String = {
+    // `listFiles()` returns null for an unreadable directory (permissions,
+    // concurrent delete) — treat it like a missing path ("absent" content,
+    // the build owns the real error) instead of NPE'ing the query, which
+    // was the only unguarded IO call on the artifact hot path (r16
+    // verdict). The canonical-path visited set breaks symlink cycles: a
+    // self-referential link must terminate the walk, not hang it.
+    val seen = scala.collection.mutable.HashSet.empty[String]
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(f)
+      if (f.isDirectory) {
+        val canon = try f.getCanonicalPath catch {
+          case _: java.io.IOException => f.getAbsolutePath
+        }
+        if (!seen.add(canon)) Seq.empty
+        else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      } else Seq(f)
     val base = new java.io.File(path)
     val md = java.security.MessageDigest.getInstance("MD5")
     if (!base.exists()) md.update("absent".getBytes("UTF-8"))
@@ -69,23 +82,33 @@ object IndexStore {
 
   /** Serialize writers across JVMs sharing one index root: an advisory
     * `FileChannel.lock` on `<root>/.lock`, held around build + GC. The
-    * OS releases it on process death (no stale-lock recovery needed);
-    * callers are already serialized per-JVM by `this.synchronized`, so
-    * the channel never sees an overlapping same-JVM lock. ADVISORY: on
-    * filesystems that don't honor POSIX locks (some NFS mounts, object
-    * stores) this degrades to the per-JVM guarantee — there, a lakehouse
-    * catalog's table-commit protocol is the real answer.
+    * OS releases it on process death (no stale-lock recovery needed).
+    * REENTRANT per-JVM (r16 advisory): a build closure that calls back
+    * into materialize (a nested artifact build) must not hit the JVM's
+    * OverlappingFileLockException — the depth counter, guarded by
+    * `this.synchronized` like every caller, makes the inner call run
+    * under the already-held lock. ADVISORY: on filesystems that don't
+    * honor POSIX locks (some NFS mounts, object stores) this degrades to
+    * the per-JVM guarantee — there, a lakehouse catalog's table-commit
+    * protocol is the real answer.
     */
-  private def withRootLock[A](f: => A): A = {
-    root.mkdirs()
-    val ch = java.nio.channels.FileChannel.open(
-      new java.io.File(root, ".lock").toPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val lock = ch.lock()
-      try f finally lock.release()
-    } finally ch.close()
+  private var rootLockDepth = 0
+  private def withRootLock[A](f: => A): A = this.synchronized {
+    if (rootLockDepth > 0) {
+      rootLockDepth += 1
+      try f finally rootLockDepth -= 1
+    } else {
+      root.mkdirs()
+      val ch = java.nio.channels.FileChannel.open(
+        new java.io.File(root, ".lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        rootLockDepth = 1
+        try f finally { rootLockDepth = 0; lock.release() }
+      } finally ch.close()
+    }
   }
 
   /** Return the artifact for `family` at `fp`, building + writing it
@@ -131,23 +154,32 @@ object IndexStore {
                  (build: => DataFrame): DataFrame = {
     val key = s"${family}_$fp"
     val dir = dirFor(key)
+    def success = new java.io.File(dir, "_SUCCESS")
+    def retired = new java.io.File(dir, "_RETIRED")
     this.synchronized {
-      if (!new java.io.File(dir, "_SUCCESS").exists()) withRootLock {
+      // Fast path (no lock, two stats): committed and not tombstoned.
+      // Safe against a concurrent writer's sweep because retirement is
+      // two-phase — deletion needs a tombstone AGED past the grace
+      // window, so a dir observed tombstone-free here cannot be deleted
+      // for at least one full grace period.
+      if (!success.exists() || retired.exists()) withRootLock {
         // re-check under the cross-process lock: another JVM may have
-        // committed the same key while this one waited
-        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        // committed — or GC-deleted a tombstoned dir — while we waited
+        if (!success.exists()) {
           build.write.mode(SaveMode.Overwrite).parquet(dir.getAbsolutePath)
           java.nio.file.Files.write(new java.io.File(dir, "_FAMILY").toPath,
             family.getBytes("UTF-8"))
           gcOldGenerations(family, keep = dir)
+        } else {
+          // Fingerprint recurrence during grace (snapshot restored):
+          // serving the generation re-activates it. Under the SAME lock
+          // the GC sweep takes (r16 advisory): without it, a writer JVM
+          // that already read the expired tombstone could delete the dir
+          // right after this JVM cleared it and handed out a reader.
+          // Best-effort: a failed clear must not fail the read path.
+          try java.nio.file.Files.deleteIfExists(retired.toPath)
+          catch { case scala.util.control.NonFatal(_) => () }
         }
-      } else {
-        // Serving an existing generation re-activates it: if its
-        // fingerprint recurred after a retire (snapshot restored), the
-        // pending tombstone no longer applies. Best-effort: a failed
-        // clear must not fail the read path.
-        try java.nio.file.Files.deleteIfExists(new java.io.File(dir, "_RETIRED").toPath)
-        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     s.read.parquet(dir.getAbsolutePath)
@@ -186,9 +218,11 @@ object IndexStore {
     val dir = dirFor(key)
     val table = ("graft_idx_" + dir.getName).toLowerCase
       .replaceAll("[^a-z0-9_]", "_")
+    def success = new java.io.File(dir, "_SUCCESS")
+    def retired = new java.io.File(dir, "_RETIRED")
     this.synchronized {
-      if (!new java.io.File(dir, "_SUCCESS").exists()) withRootLock {
-        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      if (!success.exists() || retired.exists()) withRootLock {
+        if (!success.exists()) {
           s.sql(s"DROP TABLE IF EXISTS $table")
           // one file per bucket: bucketBy alone writes one file per
           // (task, bucket) pair — task-count × nBuckets small files
@@ -198,12 +232,42 @@ object IndexStore {
             .bucketBy(nBuckets, bucketCol)
             .format("parquet")
             .saveAsTable(table)
+          // The bucket spec is physical layout, not metadata: committed
+          // files are only readable as a bucketed table under the EXACT
+          // (nBuckets, bucketCol) they were written with. Persist it so
+          // the serve path can verify instead of trusting the caller
+          // (r16 advisory: a mismatched re-register would silently
+          // declare wrong bucket metadata and corrupt join results).
+          java.nio.file.Files.write(new java.io.File(dir, "_BUCKETSPEC").toPath,
+            s"$nBuckets:$bucketCol".getBytes("UTF-8"))
           java.nio.file.Files.write(new java.io.File(dir, "_FAMILY").toPath,
             family.getBytes("UTF-8"))
           gcOldGenerations(family, keep = dir)
+        } else {
+          // reactivation under the GC sweep's lock — see materialize
+          try java.nio.file.Files.deleteIfExists(retired.toPath)
+          catch { case scala.util.control.NonFatal(_) => () }
         }
-      } else {
-        try java.nio.file.Files.deleteIfExists(new java.io.File(dir, "_RETIRED").toPath)
+      }
+      // Serve-path bucket-spec verification (r16 advisory): committed
+      // files carry their spec; a caller re-registering with a different
+      // one must fail loudly, never silently mis-declare the layout.
+      // A marker-less dir is a pre-marker build: backfill from the
+      // caller's spec once — those artifacts were only ever written and
+      // served through this method with the family-encoded spec, so the
+      // caller's values are the ones the files were written with.
+      val specFile = new java.io.File(dir, "_BUCKETSPEC")
+      if (specFile.exists()) {
+        val spec = new String(
+          java.nio.file.Files.readAllBytes(specFile.toPath), "UTF-8").trim
+        require(spec == s"$nBuckets:$bucketCol",
+          s"bucket-spec mismatch for artifact $key: committed files were " +
+            s"written with [$spec] but caller requested [$nBuckets:$bucketCol]" +
+            " — fold the bucket count into `family` so a re-tune is a new" +
+            " generation, never a reinterpretation of old files")
+      } else if (success.exists()) {
+        try java.nio.file.Files.write(specFile.toPath,
+          s"$nBuckets:$bucketCol".getBytes("UTF-8"))
         catch { case scala.util.control.NonFatal(_) => () }
       }
       // outside the build branch: covers both the fresh-session
@@ -218,6 +282,69 @@ object IndexStore {
     }
     s.table(table)
   }
+
+  /** Family-name version segment: `<base>_v<N>_<params...>` — the
+    * convention every call site follows (`dd_dupgrams_v1_…`,
+    * `pq_codebook_v2_…`). Superseded-version retirement keys on it.
+    */
+  private val VersionedFamily = """^(.*?_v)(\d+)(_.*)$""".r
+
+  /** The builder-version retirement sweep the deployment note above
+    * promises: a builder-version bump is a NEW family (old artifacts must
+    * stay readable by still-running old code), so normal generation GC
+    * never touches superseded-version families — without this sweep they
+    * leak until someone clears the index root by hand.
+    *
+    * A family `<base>_v<N>_<params>` is SUPERSEDED when a committed
+    * (_SUCCESS) artifact exists for the same `<base>` and `<params>` at a
+    * higher `<N>`. Retirement honors the same two-phase grace window as
+    * generation GC: the first sweep tombstones (`_RETIRED`), a later
+    * sweep past `graft.index.gc.graceMs` deletes — so readers of the old
+    * version that are still mid-scan when the new code rolls out get the
+    * same protection as same-family readers. Idempotent, best-effort,
+    * cross-process-locked; run it from the new code's deploy hook or a
+    * cron, as many times as you like.
+    *
+    * @return the number of directories physically deleted this sweep.
+    */
+  def retireSupersededVersions(): Int = this.synchronized { withRootLock {
+    val dirs = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory)
+    val parsed = dirs.flatMap { d =>
+      val m = new java.io.File(d, "_FAMILY")
+      if (!m.exists()) None
+      else try {
+        new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8") match {
+          case VersionedFamily(base, v, params) => Some((d, base, v.toLong, params))
+          case _ => None // unversioned family: never swept here
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    // supersession evidence must be a COMMITTED artifact: a half-written
+    // v2 build must not retire the v1 everyone is still serving from
+    val maxCommitted = parsed
+      .filter { case (d, _, _, _) => new java.io.File(d, "_SUCCESS").exists() }
+      .groupBy { case (_, base, _, params) => (base, params) }
+      .map { case (k, g) => k -> g.map(_._3).max }
+    var deleted = 0
+    val now = System.currentTimeMillis()
+    parsed.foreach { case (d, base, v, params) =>
+      if (maxCommitted.get((base, params)).exists(_ > v)) {
+        try {
+          val tomb = new java.io.File(d, "_RETIRED")
+          if (!tomb.exists()) {
+            java.nio.file.Files.write(tomb.toPath, now.toString.getBytes("UTF-8"))
+          } else {
+            val ts = try {
+              new String(java.nio.file.Files.readAllBytes(tomb.toPath), "UTF-8").trim.toLong
+            } catch { case _: Exception => 0L }
+            if (now - ts >= gcGraceMs) { deleteRecursively(d); deleted += 1 }
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    deleted
+  }}
 
   private[graft] def gcGraceMs: Long =
     sys.props.get("graft.index.gc.graceMs").map(_.toLong).getOrElse(10L * 60 * 1000)

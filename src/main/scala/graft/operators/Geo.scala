@@ -139,6 +139,71 @@ object Geo {
        |SELECT c_custkey, s_suppkey, dist_km FROM d
        |WHERE dist_km <= 200.0 ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  /** Per-probe cap for [[geoRadiusKnn]]. Part of the operator's contract
+    * (the oracle applies the same k), not a tuning knob.
+    */
+  val GeoRadiusK = 8
+
+  /** geo_radius_knn — the k-BOUNDED radius join: the 100 TB-safe API for
+    * "what's within 200 km of each probe". [[geoRadiusJoin]] is
+    * OUTPUT-quadratic at fixed radius (the answer set grows ~n² with
+    * density — PERF.md's 11×/decade sf1 row, inherent, documented since
+    * r10); real consumers ("nearest depots within range") want at most k
+    * matches per probe, which bounds the output at k·|probes| at every
+    * density. Same sound lat-band pruning as the radius join, same exact
+    * haversine predicate, then each probe keeps its k=8 nearest
+    * qualifying suppliers ranked by (distance, key).
+    *
+    * The cap is applied by [[graft.functions.topk.min_k_pairs]] — a
+    * TypedImperativeAggregate, NOT a row_number window: a window must
+    * shuffle the ENTIRE (quadratically growing) qualifying pair set to
+    * rank it, so capping after a window bounds only the output, not the
+    * exchange. The aggregate gets map-side partial reduction — each scan
+    * partition reduces its slice of a probe's candidates to ≤k pairs
+    * before the exchange — so shuffled bytes stay O(k·probes·partitions)
+    * regardless of density. That is the difference the sf1/sf10 PERF
+    * rows measure.
+    *
+    * The oracle is the UNPRUNED cross join + row_number capped at k:
+    * matching it proves both the band pruning and the bounded top-k
+    * machinery exact (ties broken (dist_km, s_suppkey) in both).
+    */
+  val geoRadiusKnn: Q = (s, d) => {
+    val cust = coords(tbl(s, d, "customer"), "c_custkey")
+      .select(col("c_custkey"), col("lat").as("clat"), col("lon").as("clon"))
+      .withColumn("band", floor(col("clat") / 2.0).cast("long"))
+    val supp = coords(tbl(s, d, "supplier"), "s_suppkey")
+      .select(col("s_suppkey"), col("lat").as("slat"), col("lon").as("slon"))
+      .withColumn("b0", floor(col("slat") / 2.0).cast("long"))
+      .withColumn("band", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+      .drop("b0")
+    cust.join(broadcast(supp), Seq("band"))
+      .withColumn("dist_km",
+        round(haversine(col("clat"), col("clon"), col("slat"), col("slon")), 4))
+      .where(col("dist_km") <= 200.0)
+      .groupBy(col("c_custkey"))
+      .agg(graft.functions.topk.min_k_pairs(
+        col("dist_km"), col("s_suppkey"), GeoRadiusK).as("nn"))
+      .select(col("c_custkey"), posexplode(col("nn")))
+      .select(col("c_custkey"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("s_suppkey"), col("col.d").as("dist_km"))
+      .orderBy(col("c_custkey"), col("rk"))
+  }
+  val geoRadiusKnnSql: String =
+    s"""WITH c AS (${coordsSql("customer", "c_custkey")}),
+       |s AS (${coordsSql("supplier", "s_suppkey")}),
+       |d AS (
+       |  SELECT c.c_custkey, s.s_suppkey,
+       |       round(${haversineSql("c.lat", "c.lon", "s.lat", "s.lon")}, 4) AS dist_km
+       |  FROM c, s),
+       |r AS (
+       |  SELECT c_custkey, s_suppkey, dist_km,
+       |         row_number() OVER (PARTITION BY c_custkey
+       |                            ORDER BY dist_km, s_suppkey) AS rk
+       |  FROM d WHERE dist_km <= 200.0)
+       |SELECT c_custkey, CAST(rk AS BIGINT) AS rk, s_suppkey, dist_km
+       |FROM r WHERE rk <= $GeoRadiusK ORDER BY c_custkey, rk""".stripMargin
+
   // --------------------------------------------------------------- kNN join
 
   /** geo_knn — 3 nearest suppliers per customer probe, banded candidate
@@ -519,6 +584,7 @@ object Geo {
   val queries: Map[String, Q] = Map(
     "geo_cell_stats"  -> geoCellStats,
     "geo_radius_join" -> geoRadiusJoin,
+    "geo_radius_knn"  -> geoRadiusKnn,
     "geo_knn"         -> geoKnn,
     "geo_dbscan"      -> geoDbscan,
     "geo_dbscan_cc"   -> geoDbscanCc,
@@ -528,6 +594,7 @@ object Geo {
   val oracles: Map[String, String] = Map(
     "geo_cell_stats"  -> geoCellStatsSql,
     "geo_radius_join" -> geoRadiusJoinSql,
+    "geo_radius_knn"  -> geoRadiusKnnSql,
     "geo_knn"         -> geoKnnSql,
     "geo_dbscan"      -> geoDbscanSql,
     "geo_dbscan_cc"   -> geoDbscanCcSql,

@@ -35,6 +35,50 @@ class GeoSpec extends AnyFunSuite {
       s"pruning lost/invented pairs: ${pruned.diff(brute)} / ${brute.diff(pruned)}")
   }
 
+  test("geoRadiusKnn equals the brute-force radius join capped at k per probe") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Geo.geoRadiusKnn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    val cust = Geo.coords(graft.Tables.t(spark, sf, "customer"), "c_custkey")
+      .select($"c_custkey", $"lat".as("clat"), $"lon".as("clon"))
+    val supp = Geo.coords(graft.Tables.t(spark, sf, "supplier"), "s_suppkey")
+      .select($"s_suppkey", $"lat".as("slat"), $"lon".as("slon"))
+    val brute = cust.crossJoin(supp)
+      .withColumn("dist_km",
+        round(Geo.haversine($"clat", $"clon", $"slat", $"slon"), 4))
+      .where($"dist_km" <= 200.0)
+      .select($"c_custkey", $"s_suppkey", $"dist_km")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(r => (r._3, r._2)).take(Geo.GeoRadiusK).map(r => (r._2, r._3)).toSeq)
+      .toMap
+    assert(got.nonEmpty && got.keySet == brute.keySet)
+    got.foreach { case (c, neigh) =>
+      assert(neigh == brute(c), s"probe $c: $neigh vs ${brute(c)}")
+      assert(neigh.size <= Geo.GeoRadiusK)
+      assert(neigh.forall(_._2 <= 200.0), s"probe $c: match beyond the radius")
+    }
+  }
+
+  test("MinKPairs buffer: bounded at k, merge exact, (score, id) tie-break, " +
+       "duplicate add is idempotent") {
+    val a = new graft.functions.MinKPairs(3)
+    Seq((5.0, 50L), (1.0, 10L), (3.0, 30L), (4.0, 40L)).foreach { case (s, i) => a.add(s, i) }
+    assert(a.pairs.toSeq == Seq((1.0, 10L), (3.0, 30L), (4.0, 40L)))
+    // duplicate of a live pair must not evict anything
+    a.add(1.0, 10L)
+    assert(a.pairs.toSeq == Seq((1.0, 10L), (3.0, 30L), (4.0, 40L)))
+    // equal score, smaller id wins the last slot (deterministic tie-break)
+    a.add(4.0, 39L)
+    assert(a.pairs.toSeq == Seq((1.0, 10L), (3.0, 30L), (4.0, 39L)))
+    val b = new graft.functions.MinKPairs(3)
+    Seq((0.5, 5L), (2.0, 20L)).foreach { case (s, i) => b.add(s, i) }
+    a.merge(b)
+    assert(a.pairs.toSeq == Seq((0.5, 5L), (1.0, 10L), (2.0, 20L)),
+      s"merge broke the k-smallest invariant: ${a.pairs.toSeq}")
+  }
+
   test("geoKnn equals brute-force top-3 restricted to the declared band window") {
     val sf = "/root/testdata/sf0.001"
     val got = Geo.geoKnn(spark, sf)

@@ -792,4 +792,75 @@ class PlanGuardSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  /** Execute `df`'s own plan and return the AQE-FINAL executedPlan,
+    * RENDERED — the plan that actually ran, not the pre-adaptive guess
+    * (r16 verdict: the two custom physical shapes below are pinned on
+    * what AQE finalizes, so a runtime re-plan regression is caught too).
+    * String form because `collect` cannot descend into materialized
+    * query stages (QueryStageExec is a leaf); toString renders them.
+    */
+  private def aqeFinalPlanStr(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("dd_ppjoin candidates come from the prefix-gram EQUI-join on the " +
+       "AQE-final plan — never a corpus² explode or nested loop") {
+    // The PPJoin prefix filter is only worth its name if the candidate
+    // stage stays an equi-join on the padded (df|gram) key: a refactor
+    // that loses the join key degrades to corpus² silently at sf0.001
+    // and fatally at sf10. Assert the executed plan (1) contains no
+    // nested-loop/cartesian join anywhere, (2) joins on a column named
+    // `key` somewhere (the candidate stage), and (3) never broadcasts
+    // the lists artifact (it grows with the corpus; only AQE-sized
+    // keyed exchanges are allowed on it).
+    val plan = aqeFinalPlanStr(SparkEntry.queries("dd_ppjoin")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"dd_ppjoin planned a nested loop/cartesian:\n${plan.take(4000)}")
+    val candJoin = """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[key#\d+""".r
+    assert(candJoin.findFirstIn(plan).nonEmpty,
+      s"prefix-gram candidate equi-join on `key` not found:\n${plan.take(4000)}")
+  }
+
+  test("BandJoinBucketRule survives AQE: the rewritten band join is still " +
+       "a hash join in the FINAL adaptive plan, result equals naive") {
+    // The rule rewrites at optimization time; AQE re-plans exchanges at
+    // runtime. This pins the shape that actually executed, so neither a
+    // rule regression nor an adaptive re-plan (e.g. a future AQE deciding
+    // to demote the synthetic equi-key join) can rot silently.
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.abs
+    val lv = (1 to 500).map(i => (i.toLong, (i * 7 % 997).toDouble))
+    val rv = (1 to 300).map(i => (i.toLong, (i * 13 % 997).toDouble))
+    val joined = lv.toDF("lid", "x").join(rv.toDF("rid", "y"), abs($"x" - $"y") <= 5.0)
+    val plan = aqeFinalPlanStr(joined)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"AQE-final band join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a hash/sort-merge join in the final plan:\n$plan")
+    val got = joined.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val want = (for { (li, xv) <- lv; (ri, yv) <- rv if math.abs(xv - yv) <= 5.0 }
+      yield (li, ri)).toSet
+    assert(got == want, s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
+  }
+
+  test("geo_radius_knn reduces each probe's candidates to ≤k MAP-SIDE: " +
+       "partial_minkpairsagg sits below the only wide exchange") {
+    // The whole point of the k-bounded radius join is that the shuffle
+    // carries O(k·probes) pairs, not the output-quadratic candidate set —
+    // that requires the bounded top-k aggregate to run as a PARTIAL
+    // aggregate under the exchange (a row_number window here would bound
+    // only the output, not the exchange, and the sf1/sf10 decade ratios
+    // would regress to geo_radius_join's 11×).
+    val plan = planWithoutAqe("geo_radius_knn")
+    val wide = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(wide.size == 1, s"expected exactly one hash exchange:\n$plan")
+    assert(wide.head.child.toString.contains("partial_minkpairsagg"),
+      s"bounded top-k not reduced map-side below the exchange:\n$plan")
+  }
 }
