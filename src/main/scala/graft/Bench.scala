@@ -63,7 +63,24 @@ object Bench {
     val sorted = SparkEntry.queries.toSeq
       .filter { case (name, _) => filter.forall(_.exists(name.startsWith)) }
       .sortBy(_._1)
-    sorted.foreach { case (_, fn) =>
+    // Per-gate progress ledger, to a FILE (never stdout — the driver
+    // parses merged stdout+stderr and a mid-run line can tear the JSON):
+    // when a gate kills the JVM outright (executor-thread heap OOM →
+    // SparkUncaughtExceptionHandler → System.exit(52), which no
+    // try/catch can survive in local mode), the last "start" line
+    // names the culprit — without it, a 2.5 h sf10 battery dies
+    // anonymously and the only way to attribute is a bisection re-run.
+    val progress = new java.io.File("target/bench_progress.log")
+    progress.getParentFile.mkdirs()
+    def mark(line: String): Unit =
+      try java.nio.file.Files.write(progress.toPath,
+        (s"${System.currentTimeMillis()} $line\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Exception => () }
+    mark(s"battery sf=$sfDir gates=${sorted.size}")
+    sorted.foreach { case (name, fn) =>
+      mark(s"warmup $name")
       try { fn(spark, sfDir).count() } catch { case _: Throwable => ensureAlive() }
     }
 
@@ -77,6 +94,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val restarts = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = sorted.map { case (name, fn) =>
+      mark(s"timed $name")
       // every gate was warmed at sessionGen 0; after any restart the
       // current session is cold for this gate — absorb codegen/artifact
       // re-warm in one untimed pass so the timed passes stay steady-state

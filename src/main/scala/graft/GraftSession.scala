@@ -38,6 +38,20 @@ object GraftSession {
       // must NOT copy this line — there, locality wait is what keeps
       // scans on the executors that hold the blocks.
       .config("spark.locality.wait", "0")
+      // ObjectHashAggregate (every TypedImperativeAggregate: the
+      // sketches, min_k_pairs) falls back to SORT-BASED aggregation
+      // after this many distinct keys in a task's hash map — and the
+      // default is 128, sized for giant percentile_approx buffers, not
+      // ours. geo_radius_knn's whole design (map-side partial top-k so
+      // the exchange carries O(k·probes) instead of the output-quadratic
+      // candidate set) was silently degraded to map-side SORTS of the
+      // full candidate stream by that default (measured sf10: ~300 s/
+      // pass; hash-path seconds). Our object buffers are all small and
+      // bounded (MinKPairs ≈ 200 B, SpaceSaving/KMV/CMS capacity-bound),
+      // so 128k keys/task is ≤ tens of MB — raise the threshold so the
+      // hash path survives realistic group counts; the fallback still
+      // guards a pathological many-groups × big-buffer plan.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -32,24 +32,44 @@ import scala.collection.mutable
   * result is a pure function of the input set, never of partitioning.
   */
 class MinKPairs(val k: Int) extends Serializable {
-  // TreeSet keeps the buffer sorted; `last` is the eviction victim. At
-  // k ≤ a few hundred the log k insert beats re-sorting an array per add.
-  val pairs: mutable.TreeSet[(Double, Long)] = mutable.TreeSet.empty
+  // Fixed parallel primitive arrays kept sorted by (score, id), not a
+  // TreeSet: the partial-aggregation hash map holds ONE buffer PER
+  // GROUP KEY LIVE AT ONCE (thousands of probes per scan partition), so
+  // per-buffer footprint is the scaling term — two primitive arrays are
+  // ~10× smaller than k boxed tuples in a red-black tree, and at k ≤ a
+  // few hundred the memmove insert beats tree rebalancing anyway.
+  private[functions] val scores = new Array[Double](k)
+  private[functions] val ids = new Array[Long](k)
+  private[functions] var n = 0
+  @inline private def ltAt(i: Int, s: Double, id: Long): Boolean =
+    scores(i) < s || (scores(i) == s && ids(i) < id)
+  @inline private def gtAt(i: Int, s: Double, id: Long): Boolean =
+    scores(i) > s || (scores(i) == s && ids(i) > id)
   def add(score: Double, id: Long): Unit = {
-    val p = (score, id)
-    // SET semantics: an exact (score, id) duplicate is one candidate, not
-    // two ranks. Callers feed distinct (probe, candidate) pairs anyway;
-    // the contains-guard keeps a replayed row (speculative task retry)
-    // from evicting a live pair via the remove-then-no-op-add path.
-    if (!pairs.contains(p)) {
-      if (pairs.size < k) pairs.add(p): Unit
-      else if (Ordering[(Double, Long)].lt(p, pairs.last)) {
-        pairs.remove(pairs.last)
-        pairs.add(p): Unit
-      }
+    // full buffer and current max <= new pair ⇒ can't place (an exact
+    // dup of the max is correctly rejected here too)
+    if (n == k && !gtAt(k - 1, score, id)) return
+    // binary search for the insertion point in (score, id) order
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ltAt(mid, score, id)) lo = mid + 1 else hi = mid
     }
+    // SET semantics: an exact (score, id) duplicate is one candidate,
+    // not two ranks (a replayed row must not occupy two slots)
+    if (lo < n && scores(lo) == score && ids(lo) == id) return
+    val last = if (n < k) n else k - 1
+    var j = last
+    while (j > lo) { scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1 }
+    scores(lo) = score; ids(lo) = id
+    if (n < k) n += 1
   }
-  def merge(other: MinKPairs): Unit = other.pairs.foreach { case (s, i) => add(s, i) }
+  def merge(other: MinKPairs): Unit = {
+    var i = 0
+    while (i < other.n) { add(other.scores(i), other.ids(i)); i += 1 }
+  }
+  /** Ascending (score, id) view — tests and eval. */
+  def pairs: Seq[(Double, Long)] = (0 until n).map(i => (scores(i), ids(i)))
 }
 
 /** array<struct<d double, id long>> of the k smallest (score, id) pairs,

@@ -339,6 +339,26 @@ object Dedup {
       dupGramCounts(tbl(s, d, "documents")))
   }
 
+  /** Duplicated-gram OCCURRENCES (doc_id, start) as a per-snapshot
+    * artifact — the companion to [[cachedDupCounts]] that makes
+    * counts-only consumers ([[spanRemovalCounts]] / pl_distill) free of
+    * gram re-derivation at query time: the 100M-gram corpus explode
+    * happens once per snapshot in this build (which itself rides the
+    * committed counts artifact — a NESTED materialize, safe since the
+    * root lock went reentrant), and the artifact is O(dup positions) —
+    * tiny, because corpus-duplicated 5-grams are rare by construction.
+    * Measured (sf10, isolated): pl_distill 101 s → artifact-served
+    * seconds; before the counts-only split it was the battery's one
+    * heap-OOM JVM kill.
+    */
+  private[operators] def cachedDupOccurrences(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
+    graft.IndexStore.materialize(s, s"dd_dupocc_v1_$d", fp)(
+      dupGramsWithStart(tbl(s, d, "documents").select(col("doc_id"), col("text")))
+        .join(cachedDupCounts(s, d), Seq("gram"))
+        .select(col("doc_id"), col("start")))
+  }
+
   def dupNgramStats(docs: DataFrame,
                     counts: Option[DataFrame] = None): DataFrame = {
     val c = counts.getOrElse(dupGramCounts(docs))
@@ -416,6 +436,43 @@ object Dedup {
         (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         (col("tok_chars") - coalesce(col("kept_chars"), lit(0L))).as("n_chars_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Per-doc span-removal COUNTS without text reconstruction:
+    * (doc_id, n_toks, n_removed) where n_removed = |covered positions|.
+    *
+    * Why this exists next to [[spanRemoval]] (r17, found by the first
+    * complete sf10 battery): a BUDGET consumer (pl_distill's per-lang
+    * token report) needs only the counts, but riding the full
+    * spanRemoval plan pays its per-token machinery — posexplode of
+    * EVERY token (~100M rows at sf10), the (doc_id, pos) anti-join, and
+    * a per-doc hash aggregation over all surviving tokens. Isolated
+    * that fits; late in a full battery, with warmup-cached artifacts
+    * holding storage memory, its execution-memory spike was the one
+    * Java-heap OOM in 331 gates (executor-thread OOM → Spark's uncaught
+    * handler exits the JVM — not even a session restart survives it).
+    * The counts need none of that: duplicated grams are rare by
+    * construction, so `dupOcc` ([[cachedDupOccurrences]], the
+    * per-snapshot (doc_id, start) artifact) and `covered` (occurrences
+    * × K positions) are tiny, n_removed is one small keyed count off
+    * them, and n_toks is scan-side arithmetic — no gram re-derivation
+    * at query time at all. At 100 TB the same split holds: reporting
+    * reads the occurrence artifact; actual text rewriting is a
+    * once-per-snapshot artifact write (the dd_span_removal gate's
+    * job), never recomputed per report.
+    */
+  def spanRemovalCounts(docs: DataFrame, dupOcc: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val covered = dupOcc
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(DupK - 1))).as("pos"))
+      .distinct()
+    val cov = covered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+    base
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
   val spanRemovalQ: Q = (s, d) =>

@@ -113,22 +113,52 @@ object Geo {
     * sub-cells per band (width ≥ 200km/cos(band edge)) to prune further
     * without unsoundness.
     */
-  val geoRadiusJoin: Q = (s, d) => {
+  /** The two expansion-side fixes shared by [[geoRadiusJoin]] and
+    * [[geoRadiusKnn]] (r17, found by thread-dumping the 811-s sf10
+    * pass):
+    *
+    * 1. REPARTITION THE PROBE before the broadcast join. A dim-sized
+    *    probe table is a handful of parquet splits (sf10 customer ≈ one
+    *    128 MB-rule split), and a broadcast join inherits the stream
+    *    side's partitioning — so the ~312M-row candidate expansion ran
+    *    on FOUR threads of thirty-two. One round-robin shuffle of the
+    *    (tiny) probe table unlocks full parallelism on the expansion,
+    *    which is where all the work is. At 100 TB the probe side has
+    *    thousands of natural splits and this shuffle is a no-op to
+    *    drop; at dim scale it costs nothing and buys 8×.
+    *
+    * 2. PRE-FILTER ON THE RAW DOUBLE, round survivors only. Spark's
+    *    `round(x, 4)` on a double goes through
+    *    BigDecimal.valueOf(Double.toString(x)) — ~1 µs and two
+    *    allocations PER ROW, which dominated the hot loop when applied
+    *    to every candidate. The raw-haversine pre-filter at 200.001 km
+    *    is a sound superset (any pair whose ROUNDED distance ≤ 200.0
+    *    has raw distance < 200.00005), so the exact rounded predicate
+    *    — unchanged, oracle-identical — now runs on the ~0.5 % of
+    *    candidates that survive.
+    */
+  private def radiusCandidates(s: SparkSession, d: String): DataFrame = {
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val cust = coords(tbl(s, d, "customer"), "c_custkey")
       .select(col("c_custkey"), col("lat").as("clat"), col("lon").as("clon"))
       .withColumn("band", floor(col("clat") / 2.0).cast("long"))
+      .repartition(parts)
     val supp = coords(tbl(s, d, "supplier"), "s_suppkey")
       .select(col("s_suppkey"), col("lat").as("slat"), col("lon").as("slon"))
       .withColumn("b0", floor(col("slat") / 2.0).cast("long"))
       .withColumn("band", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
       .drop("b0")
     cust.join(broadcast(supp), Seq("band"))
-      .withColumn("dist_km",
-        round(haversine(col("clat"), col("clon"), col("slat"), col("slon")), 4))
+      .withColumn("hav", haversine(col("clat"), col("clon"), col("slat"), col("slon")))
+      .where(col("hav") <= 200.001)
+      .withColumn("dist_km", round(col("hav"), 4))
       .where(col("dist_km") <= 200.0)
+  }
+
+  val geoRadiusJoin: Q = (s, d) =>
+    radiusCandidates(s, d)
       .select(col("c_custkey"), col("s_suppkey"), col("dist_km"))
       .orderBy(col("c_custkey"), col("s_suppkey"))
-  }
   val geoRadiusJoinSql: String =
     s"""WITH c AS (${coordsSql("customer", "c_custkey")}),
        |s AS (${coordsSql("supplier", "s_suppkey")}),
@@ -169,18 +199,7 @@ object Geo {
     * machinery exact (ties broken (dist_km, s_suppkey) in both).
     */
   val geoRadiusKnn: Q = (s, d) => {
-    val cust = coords(tbl(s, d, "customer"), "c_custkey")
-      .select(col("c_custkey"), col("lat").as("clat"), col("lon").as("clon"))
-      .withColumn("band", floor(col("clat") / 2.0).cast("long"))
-    val supp = coords(tbl(s, d, "supplier"), "s_suppkey")
-      .select(col("s_suppkey"), col("lat").as("slat"), col("lon").as("slon"))
-      .withColumn("b0", floor(col("slat") / 2.0).cast("long"))
-      .withColumn("band", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
-      .drop("b0")
-    cust.join(broadcast(supp), Seq("band"))
-      .withColumn("dist_km",
-        round(haversine(col("clat"), col("clon"), col("slat"), col("slon")), 4))
-      .where(col("dist_km") <= 200.0)
+    radiusCandidates(s, d)
       .groupBy(col("c_custkey"))
       .agg(graft.functions.topk.min_k_pairs(
         col("dist_km"), col("s_suppkey"), GeoRadiusK).as("nn"))

@@ -197,7 +197,11 @@ object Pipeline {
     */
   val distill: Q = (s, d) => {
     val docs = tbl(s, d, "documents")
-    val cleaned = Dedup.spanRemoval(docs, Some(Dedup.cachedDupCounts(s, d)))
+    // counts-only span stats off the dup-occurrence artifact: the budget
+    // report never reads clean_text, and the full spanRemoval plan's
+    // per-token anti-join was the one sf10 full-battery heap OOM (r17 —
+    // see the spanRemovalCounts scaladoc for the forensics)
+    val cleaned = Dedup.spanRemovalCounts(docs, Dedup.cachedDupOccurrences(s, d))
     cleaned
       .where(col("n_toks") >= 10L && col("n_removed") * 2 < col("n_toks"))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))

@@ -483,8 +483,14 @@ class LlmOpsSpec extends AnyFunSuite {
     val assign = Similarity.ivfAssign(corpus, cents)
       .select($"vec_id", $"centroid").localCheckpoint()
     val batch = emb.where($"vec_id" >= 100 && $"vec_id" < 105)
+    // Count only THIS test's jobs: suites share one session and run in
+    // parallel under sbt, so a global job count races a neighboring
+    // suite's jobs (observed flaky when run with 3 other suites). A job
+    // group is thread-inherited, so the staleness scan lands in it
+    // while other suites' jobs don't.
+    spark.sparkContext.setJobGroup("semdedup-memo-spec", "memo test")
     def jobsSeen(): Int =
-      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      spark.sparkContext.statusTracker.getJobIdsForGroup("semdedup-memo-spec").length
     // status tracker is listener-fed; poll until the count is quiet for
     // 500 ms so a prior call's late-posting stage jobs (AQE runs several
     // per count) can't be misattributed to the next call
@@ -516,6 +522,7 @@ class LlmOpsSpec extends AnyFunSuite {
     Similarity.semDedupIncremental(corpus, batch, cents, tau = 0.95,
       corpusAssign = Some(assign2))
     assert(stableJobs() > before3, "new artifact object must re-validate")
+    spark.sparkContext.clearJobGroup()
   }
 
   test("semDedup keep-set is tau-separated within every cell") {
