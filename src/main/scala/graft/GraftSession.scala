@@ -51,6 +51,21 @@ object GraftSession {
       // so 128k keys/task is ≤ tens of MB — raise the threshold so the
       // hash path survives realistic group counts; the fallback still
       // guards a pathological many-groups × big-buffer plan.
+      //
+      // GUARD for NEW TypedImperativeAggregate call sites (r17 advice):
+      // this raise is SESSION-GLOBAL and the threshold is key-count-
+      // based, so the memory guard now engages 1024× later for every
+      // typed aggregate. Any new call site must bound
+      // groups-per-task × buffer-bytes to tens of MB — either a
+      // capacity-bounded buffer (the sketches, MinKPairs) over
+      // unbounded groups, or a bounded group count (global/low-
+      // cardinality aggs) over a larger buffer. A high-cardinality
+      // groupBy over a large unbounded buffer must instead set this
+      // conf lower around its own query (spark.conf.set / withConf),
+      // or it re-creates the exact OOM class the raise was tuned
+      // around. Pinned by PlanGuardSpec ("fallbackThreshold stays
+      // pinned"), which also proves >128-key tasks stay on the hash
+      // path at this value.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

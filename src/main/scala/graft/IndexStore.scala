@@ -42,6 +42,13 @@ object IndexStore {
     * (Delta/Iceberg version) would replace on a real lakehouse. Missing
     * paths fingerprint as "absent" rather than throwing: the build itself
     * owns that error.
+    *
+    * Compatibility note (r17 advice): since the symlink-cycle guard
+    * landed, a directory reachable via MULTIPLE paths (the same subdir
+    * symlinked twice, not just a cycle) hashes ONCE instead of once per
+    * alias — fingerprints of symlink-aliased trees therefore changed
+    * across that commit, and the resulting one-time artifact rebuild is
+    * expected freshness behavior, not cache corruption.
     */
   def fingerprint(path: String): String = {
     // `listFiles()` returns null for an unreadable directory (permissions,
@@ -152,6 +159,7 @@ object IndexStore {
     */
   def materialize(s: SparkSession, family: String, fp: String)
                  (build: => DataFrame): DataFrame = {
+    requireValidFamily(family)
     val key = s"${family}_$fp"
     val dir = dirFor(key)
     def success = new java.io.File(dir, "_SUCCESS")
@@ -214,6 +222,7 @@ object IndexStore {
                           nBuckets: Int, bucketCol: String)
                          (build: => DataFrame): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
+    requireValidFamily(family)
     val key = s"${family}_$fp"
     val dir = dirFor(key)
     val table = ("graft_idx_" + dir.getName).toLowerCase
@@ -288,6 +297,27 @@ object IndexStore {
     * `pq_codebook_v2_…`). Superseded-version retirement keys on it.
     */
   private val VersionedFamily = """^(.*?_v)(\d+)(_.*)$""".r
+
+  /** Writer-side naming guard (r17 advice): [[retireSupersededVersions]]
+    * keys supersession on the FIRST `_v<digits>_` segment (the regex
+    * above is non-greedy), so a family whose base or params carry their
+    * OWN `_v<d>_` segment would mis-parse into the wrong
+    * (base, version, params) triple — grouping unrelated families and
+    * potentially tombstoning a live, non-superseded artifact. Enforced
+    * here, at materialize time, where the convention is cheap to honor
+    * and a violation fails the build loudly instead of corrupting GC:
+    * a family name carries AT MOST ONE `_v<digits>_` segment. Callers
+    * whose params embed arbitrary strings (dataset dirs) must sanitize
+    * any `_v<d>_` out of them first.
+    */
+  private val VSeg = """_v\d+_""".r
+  private[graft] def requireValidFamily(family: String): Unit =
+    require(VSeg.findAllIn(family).size <= 1,
+      s"artifact family '$family' contains more than one _v<digits>_ " +
+        "segment — the superseded-version sweep keys on the FIRST one, " +
+        "so extra segments in the base or params would mis-parse the " +
+        "(base, version, params) triple and could retire a live artifact;" +
+        " rename the base or sanitize the params")
 
   /** The builder-version retirement sweep the deployment note above
     * promises: a builder-version bump is a NEW family (old artifacts must

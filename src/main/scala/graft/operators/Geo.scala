@@ -107,11 +107,14 @@ object Geo {
     * bug most naive geo-grid joins ship with). The oracle is the
     * UNPRUNED cross join: matching it proves the pruning exact.
     *
-    * Scale: the band join hits ~3/90 of the cross product; the supplier
-    * side (dim-sized, ×3 replication) broadcasts. For big-big joins both
-    * sides bucket by band and the same plan co-partitions; add lon
-    * sub-cells per band (width ≥ 200km/cos(band edge)) to prune further
-    * without unsoundness.
+    * Scale: the band join hits ~3/90 of the cross product, and (r18)
+    * LON SUB-CELLS within each band — width derived soundly per band in
+    * [[lonCellCount]], i.e. ≥ the lon window that 200 km can span at the
+    * band's worst latitude — cut the surviving candidate expansion a
+    * further ~n_cells/3 (≈30–60× at temperate bands). The supplier side
+    * (dim-sized, ×3 band × ≤3 cell replication) broadcasts. For big-big
+    * joins both sides bucket by (band, lcell) and the same plan
+    * co-partitions.
     */
   /** The two expansion-side fixes shared by [[geoRadiusJoin]] and
     * [[geoRadiusKnn]] (r17, found by thread-dumping the 811-s sf10
@@ -137,18 +140,79 @@ object Geo {
     *    — unchanged, oracle-identical — now runs on the ~0.5 % of
     *    candidates that survive.
     */
+  /** Longitudinal sub-cell count for a lat-band join key (r17 verdict
+    * item 2 — the refinement the band-only scaladoc above sketches).
+    *
+    * For pairs joined at band key b, both latitudes lie in
+    * [2b−2, 2b+4) (customer owns [2b, 2b+2); the supplier replicated ±1
+    * band contributes the rest), so cos φ ≥ cos φm with
+    * φm = max(|2b−2|, |2b+4|). Haversine gives
+    * dist ≥ 2R·asin(cos φm · |sin Δλ/2|), so any pair within the radius
+    * r has Δλ ≤ W(b) = 2·asin(sin(r/2R)/cos φm) — the SOUND lon window
+    * for that band, wide near the poles (shrinking lon degrees, the
+    * exact trap the band-only scaladoc warns about) and ~1.8° at the
+    * equator. Cell count n = floor(360/W) makes every cell at least W
+    * wide, so a qualifying pair's cells differ by ≤1 mod n and the
+    * replicate-build-into-±1-cell join is an exact cover (the 1-D
+    * dbPairs argument on a circle). When cos φm ≤ sin(r/2R) — or is
+    * negative, the |φ| > 90° edge bands — no lon window is sound and
+    * n = 1 disables pruning for that band only.
+    *
+    * r/2 = 100.0005 km: covers the 200.001 km raw pre-filter below, so
+    * the pruned candidate set is a superset of everything the exact
+    * rounded predicate can keep.
+    */
+  private def lonCellCount(band: Column): Column = {
+    val phiM = greatest(abs(band * 2 - 2), abs(band * 2 + 4)).cast("double")
+    val cosPhi = cos(radians(phiM))
+    val sinHalf = math.sin(100.0005 / 6371.0088)
+    when(cosPhi <= sinHalf, lit(1L))
+      .otherwise(greatest(lit(1L),
+        floor(lit(360.0) / degrees(lit(2.0) * asin(lit(sinHalf) / cosPhi))).cast("long")))
+  }
+
+  /** A/B control (r17 verdict item 2): `-Dgraft.geo.lonCells=false`
+    * reverts to the pure lat-band expansion so the sub-cell win stays
+    * measurable against its baseline. Default on — the oracle is the
+    * unpruned cross join, so exactness is proven by the gate either way.
+    */
+  private def lonCellsEnabled: Boolean =
+    sys.props.getOrElse("graft.geo.lonCells", "true").toBoolean
+
   private def radiusCandidates(s: SparkSession, d: String): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val cust = coords(tbl(s, d, "customer"), "c_custkey")
+    val cust0 = coords(tbl(s, d, "customer"), "c_custkey")
       .select(col("c_custkey"), col("lat").as("clat"), col("lon").as("clon"))
       .withColumn("band", floor(col("clat") / 2.0).cast("long"))
-      .repartition(parts)
-    val supp = coords(tbl(s, d, "supplier"), "s_suppkey")
+    val supp0 = coords(tbl(s, d, "supplier"), "s_suppkey")
       .select(col("s_suppkey"), col("lat").as("slat"), col("lon").as("slon"))
       .withColumn("b0", floor(col("slat") / 2.0).cast("long"))
       .withColumn("band", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
       .drop("b0")
-    cust.join(broadcast(supp), Seq("band"))
+    val joined = if (lonCellsEnabled) {
+      // Probe: its own (band, cell). Build: replicated into the cell and
+      // both circular neighbors — array_distinct collapses the n ≤ 3
+      // bands where ±1 wraps onto itself, so no candidate pair is ever
+      // emitted twice (a duplicate would double rows in the output).
+      val cust = cust0
+        .withColumn("__n", lonCellCount(col("band")))
+        .withColumn("lcell",
+          pmod(floor((col("clon") + 180.0) * col("__n") / 360.0).cast("long"), col("__n")))
+        .drop("__n")
+        .repartition(parts)
+      val supp = supp0
+        .withColumn("__n", lonCellCount(col("band")))
+        .withColumn("__c0",
+          floor((col("slon") + 180.0) * col("__n") / 360.0).cast("long"))
+        .withColumn("lcell", explode(array_distinct(array(
+          pmod(col("__c0") - 1, col("__n")), pmod(col("__c0"), col("__n")),
+          pmod(col("__c0") + 1, col("__n"))))))
+        .drop("__c0", "__n")
+      cust.join(broadcast(supp), Seq("band", "lcell"))
+    } else {
+      cust0.repartition(parts).join(broadcast(supp0), Seq("band"))
+    }
+    joined
       .withColumn("hav", haversine(col("clat"), col("clon"), col("slat"), col("slon")))
       .where(col("hav") <= 200.001)
       .withColumn("dist_km", round(col("hav"), 4))
@@ -239,7 +303,9 @@ object Geo {
     * gate proves the join/rank machinery. The production-complete
     * variant iteratively widens the window for probes still short of k
     * (the IVF multi-probe idea on bands); the per-round plan is
-    * identical to this one.
+    * identical to this one — SHIPPED as [[geoKnnExact]]
+    * (`geo_knn_exact`, r18), oracle-gated against the window-free
+    * cross join.
     *
     * Scale: probes hash-join the (dim-sized, ×5-replicated, broadcast)
     * supplier bands; ranking is a per-probe window over O(candidates).
@@ -281,6 +347,97 @@ object Geo {
        |         round(${haversineSql("cb.clat", "cb.clon", "sb.slat", "sb.slon")}, 4)
        |           AS dist_km
        |  FROM cb JOIN sb USING (band))
+       |SELECT c_custkey, CAST(rk AS BIGINT) AS rk, s_suppkey, dist_km FROM (
+       |  SELECT c_custkey, s_suppkey, dist_km,
+       |         row_number() OVER (PARTITION BY c_custkey
+       |                            ORDER BY dist_km, s_suppkey) AS rk
+       |  FROM cand)
+       |WHERE rk <= 3 ORDER BY c_custkey, rk""".stripMargin
+
+  /** geo_knn_exact — the production-complete variant [[geoKnn]]'s
+    * contract note promises (r17 verdict item 5): ITERATIVE BAND
+    * WIDENING until every probe's k-th neighbor is provably its GLOBAL
+    * k-th — the IVF multi-probe idea on lat bands, upgrading the family
+    * from disclosed-recall to exact while keeping each round's plan
+    * identical to geo_knn's (probe-side band explode, equi-join,
+    * per-probe window rank).
+    *
+    * The completeness proof per round: a window of ±w bands around a
+    * probe in band b excludes only suppliers with |Δlat| > 2w degrees,
+    * whose great-circle distance exceeds D(w) = 2w · (πR/180) km. So a
+    * probe whose in-window k-th distance is ≤ D(w) − margin cannot have
+    * its top-k displaced by anything outside the window — it is DONE,
+    * and its ranked rows are final. Probes still short (k-th beyond the
+    * guarantee, or fewer than k in-window neighbors) re-run at a wider
+    * w; the final w = 90 spans every band (suppliers live in
+    * [−45, 44]), where exactness holds by construction. The margin
+    * (1 m) dominates both the 4-dp rounding of dist_km and double
+    * rounding error, so ties across the window edge are impossible.
+    *
+    * Scale: the expensive side (supplier scan + candidate expansion)
+    * runs on the FULL probe set only at w = 2 — geo_knn's plan; wider
+    * rounds see only the still-short probes (empirically a few percent:
+    * probes in supplier-sparse bands), and it is the PROBE side that
+    * replicates 2w+1×, so the supplier table is never exploded. Each
+    * round's survivors are pinned with an eager localCheckpoint so the
+    * ≤4-round loop never re-runs an earlier round's join. The oracle is
+    * the window-FREE cross join: matching it proves the widening
+    * terminates with the true global top-k.
+    */
+  val geoKnnExact: Q = (s, d) => {
+    val k = 3
+    val suppSrc = coords(tbl(s, d, "supplier"), "s_suppkey")
+      .select(col("s_suppkey"), col("lat").as("slat"), col("lon").as("slon"))
+      .withColumn("band", floor(col("slat") / 2.0).cast("long"))
+    var undone = coords(tbl(s, d, "customer"), "c_custkey")
+      .where(col("c_custkey") <= 300)
+      .select(col("c_custkey"), col("lat").as("clat"), col("lon").as("clon"))
+      .withColumn("pband", floor(col("clat") / 2.0).cast("long"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey")).orderBy(col("dist_km"), col("s_suppkey"))
+    var acc: Option[DataFrame] = None
+    var remaining = 1L
+    val widths = Iterator(2, 8, 32, 90)
+    while (remaining > 0L && widths.hasNext) {
+      val w = widths.next()
+      val probes = undone.withColumn("band", explode(expr(
+        s"transform(sequence(${-w}, $w), i -> pband + CAST(i AS BIGINT))")))
+      val ranked = broadcast(probes).join(suppSrc, Seq("band"))
+        .withColumn("dist_km",
+          round(haversine(col("clat"), col("clon"), col("slat"), col("slon")), 4))
+        .withColumn("rk", row_number().over(win))
+        .where(col("rk") <= k)
+      val guaranteed = 2.0 * w * (math.Pi * 6371.0088 / 180.0) - 0.001
+      val doneKeys =
+        if (w >= 90) undone.select(col("c_custkey"))
+        else ranked.groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("cnt"), max(col("dist_km")).as("kth"))
+          .where(col("cnt") === k && col("kth") <= guaranteed)
+          .select(col("c_custkey"))
+      val out = ranked.join(doneKeys, Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("rk").cast("long").as("rk"),
+          col("s_suppkey"), col("dist_km"))
+        .localCheckpoint(true)
+      acc = Some(acc.map(_.unionByName(out)).getOrElse(out))
+      if (w >= 90) remaining = 0L
+      else {
+        undone = undone.join(doneKeys, Seq("c_custkey"), "left_anti")
+          .localCheckpoint(true)
+        remaining = undone.count()
+      }
+    }
+    acc.get.orderBy(col("c_custkey"), col("rk"))
+  }
+  val geoKnnExactSql: String =
+    s"""WITH c AS (${coordsSql("customer", "c_custkey")}),
+       |s AS (${coordsSql("supplier", "s_suppkey")}),
+       |cb AS (SELECT c_custkey, lat AS clat, lon AS clon
+       |       FROM c WHERE c_custkey <= 300),
+       |cand AS (
+       |  SELECT cb.c_custkey, s.s_suppkey,
+       |         round(${haversineSql("cb.clat", "cb.clon", "s.lat", "s.lon")}, 4)
+       |           AS dist_km
+       |  FROM cb, s)
        |SELECT c_custkey, CAST(rk AS BIGINT) AS rk, s_suppkey, dist_km FROM (
        |  SELECT c_custkey, s_suppkey, dist_km,
        |         row_number() OVER (PARTITION BY c_custkey
@@ -605,6 +762,7 @@ object Geo {
     "geo_radius_join" -> geoRadiusJoin,
     "geo_radius_knn"  -> geoRadiusKnn,
     "geo_knn"         -> geoKnn,
+    "geo_knn_exact"   -> geoKnnExact,
     "geo_dbscan"      -> geoDbscan,
     "geo_dbscan_cc"   -> geoDbscanCc,
     "geo_pip"         -> geoPip,
@@ -615,6 +773,7 @@ object Geo {
     "geo_radius_join" -> geoRadiusJoinSql,
     "geo_radius_knn"  -> geoRadiusKnnSql,
     "geo_knn"         -> geoKnnSql,
+    "geo_knn_exact"   -> geoKnnExactSql,
     "geo_dbscan"      -> geoDbscanSql,
     "geo_dbscan_cc"   -> geoDbscanCcSql,
     "geo_pip"         -> geoPipSql,

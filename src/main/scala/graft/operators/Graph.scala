@@ -1523,6 +1523,12 @@ object Graph {
         .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
         .repartition(nBuckets, col("src"), col("dst"))
         .distinct()
+    // INVARIANT (r17 advisory): the (nBuckets, bucketCol) passed here
+    // MUST match what the family name encodes (`_b${nBuckets}` + the
+    // src/dst suffix) — a dir committed before the _BUCKETSPEC marker
+    // existed backfills the CALLER's spec as the truth of record on
+    // first serve, so a typo'd spec at this call site would be
+    // persisted permanently and mis-declare the physical layout.
     val bySrc = graft.IndexStore.materializeBucketed(
       s, s"gr_bipartite_src_v2_b${nBuckets}_$d", fp, nBuckets, "src")(build)
     val byDst = graft.IndexStore.materializeBucketed(

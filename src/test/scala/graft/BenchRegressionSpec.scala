@@ -80,4 +80,24 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(BenchRegression.budget(0.05) == 0.5)
     assert(BenchRegression.budget(2.0) == 4.4)
   }
+
+  test("a warmup-phase failure is ledgered with the gate's name, recovery " +
+       "still runs, and a clean pass stays silent") {
+    // r17 verdict nit: the warmup pass swallowed every throwable, so a
+    // gate wounded ONLY under warmup conditions was invisible and
+    // unattributable. The deliberately-failing gate must appear in the
+    // ledger by name (and be reported to the caller for the detail
+    // JSON's warmup_errors field).
+    val ledger = scala.collection.mutable.ArrayBuffer.empty[String]
+    var recovered = false
+    val err = Bench.warmupPass("geo_kaboom",
+      () => throw new IllegalStateException("boom"),
+      ledger += _, () => { recovered = true })
+    assert(err.contains("IllegalStateException"))
+    assert(recovered, "session recovery must still run on a warmup failure")
+    assert(ledger.exists(l => l.contains("warmup-err") && l.contains("geo_kaboom")),
+      s"failing gate name missing from the ledger: $ledger")
+    val ok = Bench.warmupPass("geo_fine", () => (), ledger += _, () => fail("no recovery on success"))
+    assert(ok.isEmpty && !ledger.exists(_.contains("geo_fine")))
+  }
 }

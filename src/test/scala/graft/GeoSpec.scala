@@ -61,6 +61,49 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("lon sub-cell pruning is a pure optimization: flag off (pure band) " +
+       "equals flag on, pair for pair") {
+    // The unpruned-cross-join test above already proves the lon-cell
+    // path exact; this pins the A/B control itself (r17 verdict item 2):
+    // -Dgraft.geo.lonCells=false must give the identical answer via the
+    // band-only plan, so PERF A/Bs compare plans, never semantics.
+    val sf = "/root/testdata/sf0.001"
+    val on = Geo.geoRadiusJoin(spark, sf).as[(Long, Long, Double)].collect().toSet
+    val prev = sys.props.put("graft.geo.lonCells", "false")
+    val off = try
+      Geo.geoRadiusJoin(spark, sf).as[(Long, Long, Double)].collect().toSet
+    finally prev match {
+      case Some(v) => sys.props.put("graft.geo.lonCells", v)
+      case None => sys.props.remove("graft.geo.lonCells")
+    }
+    assert(on.nonEmpty && on == off,
+      s"lon-cell pruning changed the answer: ${on.diff(off)} / ${off.diff(on)}")
+  }
+
+  test("geo_knn_exact equals the WINDOW-FREE brute-force global top-3 " +
+       "(band widening terminates with the true neighbors)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Geo.geoKnnExact(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val cust = Geo.coords(graft.Tables.t(spark, sf, "customer"), "c_custkey")
+      .where($"c_custkey" <= 300)
+      .select($"c_custkey", $"lat".as("clat"), $"lon".as("clon"))
+    val supp = Geo.coords(graft.Tables.t(spark, sf, "supplier"), "s_suppkey")
+      .select($"s_suppkey", $"lat".as("slat"), $"lon".as("slon"))
+    val brute = cust.crossJoin(supp)
+      .withColumn("dist_km",
+        round(Geo.haversine($"clat", $"clon", $"slat", $"slon"), 4))
+      .select($"c_custkey", $"s_suppkey", $"dist_km")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).toSeq
+      .flatMap { case (c, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, sk, dk), i) => (c, (i + 1).toLong, sk, dk) }
+      }.sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty && got == brute,
+      s"first diff: ${got.zip(brute).find(p => p._1 != p._2)}")
+  }
+
   test("MinKPairs buffer: bounded at k, merge exact, (score, id) tie-break, " +
        "duplicate add is idempotent") {
     val a = new graft.functions.MinKPairs(3)

@@ -221,10 +221,44 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(spec.exists(), "legacy artifact did not get its marker backfilled")
     assert(new String(java.nio.file.Files.readAllBytes(spec.toPath), "UTF-8") == "4:k")
 
+    // The backfill TRUSTS the caller (the documented invariant at the
+    // materializeBucketed call sites, r17 verdict item 7): a deliberate
+    // MISMATCH against a marker-less dir persists the wrong spec — and
+    // the guard then catches it on the NEXT serve with the true spec,
+    // the earliest the trust model can detect the typo.
+    assert(spec.delete())
+    assert(IndexStore.materializeBucketed(spark, fam, "fp_s1", 8, "k")(
+      sys.error("must not rebuild")).count() == 16)
+    assert(new String(java.nio.file.Files.readAllBytes(spec.toPath), "UTF-8") == "8:k",
+      "marker-less dir must backfill the caller's spec (even a wrong one)")
+    val exB = intercept[IllegalArgumentException] {
+      IndexStore.materializeBucketed(spark, fam, "fp_s1", 4, "k")(
+        sys.error("must not rebuild"))
+    }
+    assert(exB.getMessage.contains("bucket-spec mismatch"), exB.getMessage)
+
     val table = spark.catalog.listTables().collect()
       .map(_.name).filter(_.startsWith("graft_idx_spec_bspec_"))
     table.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     familyDirs(fam).foreach(d => deleteRec(d))
+  }
+
+  test("family naming guard: a second _v<digits>_ segment is rejected at " +
+       "materialize time (mis-parse would corrupt version retirement)") {
+    // r17 advice: VersionedFamily is non-greedy, so supersession keys on
+    // the FIRST _v<d>_ segment — a base or param carrying its own would
+    // mis-parse the (base, version, params) triple and could tombstone a
+    // live artifact. The guard makes the violation loud at write time.
+    val bad = s"spec_v1_base_v2_params_${System.nanoTime()}"
+    val ex = intercept[IllegalArgumentException] {
+      IndexStore.materialize(spark, bad, "fp_x")(Seq((1L, "x")).toDF("k", "v"))
+    }
+    assert(ex.getMessage.contains("_v<digits>_"), ex.getMessage)
+    // the single-segment convention (every real call site) still works
+    val ok = s"spec_base_v2_params_${System.nanoTime()}"
+    assert(IndexStore.materialize(spark, ok, "fp_x")(
+      Seq((1L, "x")).toDF("k", "v")).count() == 1)
+    familyDirs(ok).foreach(d => deleteRec(d))
   }
 
   test("a nested build (materialize inside a build closure) re-enters the " +

@@ -863,4 +863,49 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(wide.head.child.toString.contains("partial_minkpairsagg"),
       s"bounded top-k not reduced map-side below the exchange:\n$plan")
   }
+
+  test("objectHashAggregate fallbackThreshold stays pinned AND >128-key " +
+       "tasks stay on the hash path (zero sort-fallback tasks)") {
+    // r17 verdict item 3: Spark's default threshold (128 keys/task)
+    // silently degraded every TypedImperativeAggregate partial to
+    // map-side SORT aggregation (~860 s/pass at sf10 for min_k_pairs).
+    // The pin lives in GraftSession; this test (1) asserts the active
+    // session reports it — a future Spark conf rename that drops the
+    // setting fails here, not silently at sf10 — and (2) proves the
+    // runtime behavior via ObjectHashAggregateExec's fallback-task
+    // metric, with a control at the old default showing the metric
+    // actually observes the degradation.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    assert(spark.conf.get(key) == "131072",
+      s"fallbackThreshold pin lost: ${spark.conf.get(key)}")
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.functions.col
+    def fallbackTasks(): Long = {
+      // ONE input partition → all 2000 groups land in a single task's
+      // hash map, far past the old 128-key default
+      val df = spark.range(0, 100000, 1, 1)
+        .select((col("id") % 2000).as("g"),
+          (col("id") % 97).cast("double").as("d"), col("id").as("v"))
+        .groupBy(col("g"))
+        .agg(graft.functions.topk.min_k_pairs(col("d"), col("v"), 4).as("nn"))
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val qe = df.queryExecution
+        qe.executedPlan.execute().count()
+        val nodes = qe.executedPlan.collect { case o: ObjectHashAggregateExec => o }
+        assert(nodes.nonEmpty, s"expected ObjectHashAggregate:\n${qe.executedPlan}")
+        nodes.flatMap(_.metrics.collect {
+          case (name, m) if name.toLowerCase.contains("fallback") => m.value
+        }).sum
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    assert(fallbackTasks() == 0L,
+      "min_k_pairs fell back to sort-based aggregation at the pinned threshold")
+    spark.conf.set(key, "128")
+    try assert(fallbackTasks() > 0L,
+      "control at the old default did not fall back — the metric no longer " +
+        "observes the degradation this test exists to catch")
+    finally spark.conf.set(key, "131072")
+  }
 }

@@ -62,14 +62,27 @@ def from_bench_tail(path):
     tm = re.search(r'"metric":"total","value":([0-9.eE+-]+)', tail)
     if tm:
         total = float(tm.group(1))
-    return out, total, rec.get("sf")
+    return out, total, rec.get("sf"), restarts_from_tail(tail)
+
+
+def restarts_from_tail(tail):
+    """Names in the detail line's "restarts" array, when the tail window
+    kept it. A restart-tainted gate's timed passes ran against a freshly
+    re-warmed (or cold) session, so its median is NOT steady-state
+    comparable (r16 advisory) — collation must flag it, not average it.
+    """
+    m = re.search(r'"restarts":\[([^\]]*)\]', tail)
+    if not m:
+        return set()
+    return {x.strip().strip('"') for x in m.group(1).split(",") if x.strip()}
 
 
 def from_detail(path):
     with open(path) as f:
         rec = json.load(f)
     qs = {k: float(v) for k, v in rec.get("queries", {}).items()}
-    return qs, float(rec.get("value", 0.0)), rec.get("sf")
+    return (qs, float(rec.get("value", 0.0)), rec.get("sf"),
+            set(rec.get("restarts", []) or []))
 
 
 def main():
@@ -90,12 +103,14 @@ def main():
 
     runs = {}   # label -> {query: median}
     totals = {}
+    tainted = {}  # label -> set of restart-tainted gate names
     for p in sorted(glob.glob(os.path.join(args.repo, "BENCH_r*.json"))):
         label = "r" + re.search(r"BENCH_r(\d+)", p).group(1).lstrip("0").zfill(2)
-        qs, total, _ = from_bench_tail(p)
+        qs, total, _, rst = from_bench_tail(p)
         if qs:
             runs[label] = qs
             totals[label] = total
+            tainted[label] = rst
     details = sorted(glob.glob(os.path.join(args.repo, "target",
                                             "bench_detail_*.json")))
     if not args.all_details:
@@ -103,13 +118,14 @@ def main():
     for p in details:
         stamp = re.search(r"bench_detail_(\d+_\d+)", p).group(1)
         label = "d" + stamp
-        qs, total, sf = from_detail(p)
+        qs, total, sf, rst = from_detail(p)
         # local records at other SFs are scaling forensics, not round
         # comparables — keep only sf0.1 (the driver's bench scale)
         if sf and "sf0.1" not in str(sf) and "0.1" != str(sf):
             continue
         runs[label] = qs
         totals[label] = total
+        tainted[label] = rst
 
     if not runs:
         print("no bench records found", file=sys.stderr)
@@ -166,9 +182,12 @@ def main():
                 row = [q]
                 for lb in labels:
                     v = runs[lb].get(q)
-                    row += ["" if v is None else f"{v:.4f}",
+                    # "*" marks a restart-tainted median (gate timed after
+                    # a session restart: re-warmed, not steady-state)
+                    star = "*" if q in tainted.get(lb, ()) else ""
+                    row += ["" if v is None else f"{v:.4f}{star}",
                             "" if v is None or math.isnan(factors[lb])
-                            else f"{v / factors[lb]:.4f}"]
+                            else f"{v / factors[lb]:.4f}{star}"]
                 w.writerow(row)
         print(f"wrote {args.csv}: {len(queries)} queries × {len(labels)} runs")
 
@@ -181,11 +200,20 @@ def main():
         f"{totals.get(lb) and f'{totals[lb]:.1f}' or '?'} s]"
         for lb in labels))
     movers = []
+    skipped_tainted = []
     for q in queries:
         a, b = runs.get(ref, {}).get(q), runs[last].get(q)
         if a and b and a > 0.05:  # sub-50ms rows are pure noise
+            # restart-tainted medians (gate timed after a session restart)
+            # are incomparable (r16 advisory) — flag, never rank
+            if q in tainted.get(ref, ()) or q in tainted.get(last, ()):
+                skipped_tainted.append(q)
+                continue
             movers.append((b / factors[last] / (a / factors[ref]), q, a, b))
     movers.sort(reverse=True)
+    if skipped_tainted:
+        print(f"\nrestart-tainted (excluded from movers, '*' in CSV): "
+              + ", ".join(sorted(skipped_tainted)))
     print(f"\n| query | {ref} raw | {last} raw | norm ratio |")
     print("|---|---|---|---|")
     for r, q, a, b in movers[:args.top]:
