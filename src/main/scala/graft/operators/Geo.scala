@@ -23,12 +23,19 @@ object Geo {
   /** Integer-exact uniform in (0,1) decoded from the 6 leading hex digits
     * of the `__geoh` column (callers project the keyed md5 there first).
     */
-  private def hashU: Column = {
-    val terms = (1 to 6).map(i =>
-      (expr(s"instr('0123456789abcdef', substr(__geoh, $i, 1)) - 1") *
-        lit(math.pow(16, 6 - i).toLong))).reduce(_ + _)
-    (terms + lit(0.5)) / lit(16777216.0)
-  }
+  private def hashU: Column =
+    // r18: ONE conv(hex, 16, 10) instead of six substr+instr terms — the
+    // same integer (Σ digit·16^(6−i), exact in a long), so the derived
+    // doubles are bit-identical and every oracle still hash-matches
+    // (DuckDB keeps the manual decode in coordsSql). The rewrite matters
+    // because CollapseProject inlines derived columns (band, lcell) back
+    // into this expression: each inline duplicated a 6-term md5+substr
+    // subtree, and the radius family's probe-side map stage burned ~85 s
+    // of CPU at sf10 re-deriving coordinates tens of times per row
+    // (thread-dump evidence, PERF.md Round 18). One cheap term makes the
+    // duplication harmless.
+    (conv(substring(col("__geoh"), 1, 6), 16, 10).cast("long") + lit(0.5)) /
+      lit(16777216.0)
 
   /** (key, lat, lon) for a table's integer key column. */
   def coords(df: DataFrame, keyCol: String): DataFrame =
@@ -129,6 +136,12 @@ object Geo {
     *    which is where all the work is. At 100 TB the probe side has
     *    thousands of natural splits and this shuffle is a no-op to
     *    drop; at dim scale it costs nothing and buys 8×.
+    *    r18 placement fix: the shuffle sits on the BARE KEY column,
+    *    BELOW the coordinate derivation — r17 put it above, so the md5
+    *    decode (multiplied by CollapseProject, see [[hashU]]) and the
+    *    round-robin determinism sort still ran on the scan's 4 splits,
+    *    which the sf10 thread dumps showed as an ~85 s single-task
+    *    map stage while every executor thread idled.
     *
     * 2. PRE-FILTER ON THE RAW DOUBLE, round survivors only. Spark's
     *    `round(x, 4)` on a double goes through
@@ -181,7 +194,17 @@ object Geo {
 
   private def radiusCandidates(s: SparkSession, d: String): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val cust0 = coords(tbl(s, d, "customer"), "c_custkey")
+    // r18: repartition the BARE key column, then derive coordinates — the
+    // r17 probe repartition sat ABOVE the coordinate derivation, so the
+    // md5 decode (multiplied by CollapseProject inlining band/lcell, see
+    // hashU) plus the round-robin determinism sort all ran on the
+    // customer scan's ~4 parquet splits; the shuffle moved 8-byte keys'
+    // worth of derived rows but none of the derivation work. Deriving
+    // AFTER the exchange spreads it across every thread, and the shuffle
+    // itself shrinks to the key column.
+    val cust0 = coords(
+      tbl(s, d, "customer").select(col("c_custkey")).repartition(parts),
+      "c_custkey")
       .select(col("c_custkey"), col("lat").as("clat"), col("lon").as("clon"))
       .withColumn("band", floor(col("clat") / 2.0).cast("long"))
     val supp0 = coords(tbl(s, d, "supplier"), "s_suppkey")
@@ -199,7 +222,6 @@ object Geo {
         .withColumn("lcell",
           pmod(floor((col("clon") + 180.0) * col("__n") / 360.0).cast("long"), col("__n")))
         .drop("__n")
-        .repartition(parts)
       val supp = supp0
         .withColumn("__n", lonCellCount(col("band")))
         .withColumn("__c0",
@@ -210,7 +232,7 @@ object Geo {
         .drop("__c0", "__n")
       cust.join(broadcast(supp), Seq("band", "lcell"))
     } else {
-      cust0.repartition(parts).join(broadcast(supp0), Seq("band"))
+      cust0.join(broadcast(supp0), Seq("band"))
     }
     joined
       .withColumn("hav", haversine(col("clat"), col("clon"), col("slat"), col("slon")))
