@@ -252,8 +252,13 @@ object Temporal {
     */
   val rjBand: Q = (s, d) => {
     import s.implicits._
+    // Probe repartition: same rationale as rjBandKnn below — the ~4-split
+    // customer scan otherwise runs the whole candidate expansion on 4 of
+    // 32 threads (sf10: 12.3 → ~4 s).
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val cust = tbl(s, d, "customer")
       .select($"c_nationkey".as("nationkey"), $"c_custkey", $"c_acctbal")
+      .repartition(parts)
     val supp = tbl(s, d, "supplier")
       .select($"s_nationkey".as("nationkey"), $"s_suppkey", $"s_acctbal")
     bandJoin(cust, "c_acctbal", supp, "s_acctbal", 250.0, Seq("nationkey"))
@@ -261,6 +266,84 @@ object Temporal {
         round($"c_acctbal" - $"s_acctbal", 2).as("bal_diff"))
       .orderBy($"nationkey", $"c_custkey", $"s_suppkey")
   }
+
+  /** Per-probe cap for [[rjBandKnn]] — part of the operator's contract
+    * (the oracle applies the same k), not a tuning knob.
+    */
+  val RjBandK = 4
+
+  /** rj_band_knn — the k-BOUNDED band join: geo_radius_knn's discipline
+    * applied on the value axis. [[rjBand]] is OUTPUT-quadratic in
+    * per-nation value density (sf10: 13.3 s, ~50×/decade — the r18
+    * battery's steepest row, all of it answer rows), but real consumers
+    * ("the most similar counterparties within tolerance") want at most
+    * k per probe. Same bucketed band-join candidate generation, then
+    * each customer keeps its k = 4 same-nation suppliers with the
+    * closest balance via [[graft.functions.topk.min_k_pairs]] — the
+    * TypedImperativeAggregate whose MAP-SIDE partials reduce every scan
+    * partition's candidates to ≤k before the exchange, so shuffled
+    * bytes stay O(k·probes·partitions) at any band density.
+    *
+    * The ranking score is the ROUNDED |balance diff| (2 dp — exact in
+    * doubles at this magnitude, and [[rjBand]]'s hash-green round proves
+    * the two engines round these exact values identically, so rank
+    * order is identical too); ties break by s_suppkey via the
+    * aggregate's (score, id) ordering, matching the oracle's
+    * `ORDER BY adiff, s_suppkey`. Oracle: the unbucketed theta join +
+    * row_number ≤ k — both the bucketing and the bounded top-k
+    * machinery are hash-proven.
+    */
+  val rjBandKnn: Q = (s, d) => {
+    import s.implicits._
+    // Repartition the dim-sized probe BEFORE the band join (the geo
+    // radius lesson, same defect class): a ~4-split probe scan leaves
+    // the partial min_k_pairs with ~375k groups per task at sf10 —
+    // past the objectHashAggregate fallback threshold, so the partial
+    // silently degraded to SORT-based aggregation, sorting and
+    // SPILLING the full candidate stream per task (thread-dump
+    // evidence: SortBasedAggregator + UnsafeSorterSpillWriter; 82.8 s
+    // vs rj_band's 12.3 s at sf10). 32-way, groups/task ≈ 47k keeps
+    // the hash path; at 100 TB the probe has natural splits and the
+    // shuffle is a no-op to drop.
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val cust = tbl(s, d, "customer")
+      .select($"c_nationkey".as("nationkey"), $"c_custkey", $"c_acctbal")
+      .repartition(parts)
+    val supp = tbl(s, d, "supplier")
+      .select($"s_nationkey".as("nationkey"), $"s_suppkey", $"s_acctbal")
+    bandJoin(cust, "c_acctbal", supp, "s_acctbal", 250.0, Seq("nationkey"))
+      // Rank by exact integer CENTS, not round(x, 2): Spark's round on a
+      // double routes through BigDecimal.valueOf(Double.toString(x)) —
+      // ~1 µs + allocations PER CANDIDATE (the r17 geo lesson; the
+      // FloatingDecimal frames showed up in this gate's sf10 thread
+      // dumps too). The balances are 2-dp decimals, so |diff|·100 is
+      // within ~1e-9 of an integer n and floor(+0.5) recovers n exactly;
+      // n ↦ n/100.0 is the same double round(x, 2) produces (both are
+      // nearest-double of the 2-dp decimal), so ranking AND output are
+      // unchanged — the brute-force spec and the DuckDB oracle prove it.
+      .withColumn("cents",
+        floor(abs($"c_acctbal" - $"s_acctbal") * 100.0 + 0.5).cast("double"))
+      .groupBy($"nationkey", $"c_custkey")
+      .agg(graft.functions.topk.min_k_pairs($"cents", $"s_suppkey", RjBandK).as("nn"))
+      .select($"nationkey", $"c_custkey", posexplode($"nn"))
+      .select($"nationkey", $"c_custkey", ($"pos" + 1).cast("long").as("rk"),
+        $"col.id".as("s_suppkey"), ($"col.d" / 100.0).as("adiff"))
+      .orderBy($"c_custkey", $"rk")
+  }
+  val rjBandKnnSql: String =
+    s"""WITH r AS (
+       |  SELECT c.c_nationkey AS nationkey, c.c_custkey, s.s_suppkey,
+       |         round(abs(c.c_acctbal - s.s_acctbal), 2) AS adiff
+       |  FROM customer c JOIN supplier s
+       |    ON c.c_nationkey = s.s_nationkey
+       |   AND abs(c.c_acctbal - s.s_acctbal) <= 250.0),
+       |k AS (
+       |  SELECT nationkey, c_custkey, s_suppkey, adiff,
+       |         row_number() OVER (PARTITION BY c_custkey
+       |                            ORDER BY adiff, s_suppkey) AS rk
+       |  FROM r)
+       |SELECT nationkey, c_custkey, CAST(rk AS BIGINT) AS rk, s_suppkey, adiff
+       |FROM k WHERE rk <= $RjBandK ORDER BY c_custkey, rk""".stripMargin
   /** rj_band_auto — the SAME band join written as the naive theta join a
     * library user would type: `abs(c_acctbal − s_acctbal) <= 250` with no
     * equi key and no bucketing in the query. [[graft.plans.BandJoinBucketRule]]
@@ -1745,6 +1828,7 @@ object Temporal {
     "aj_asof"       -> ajAsof,
     "rj_range"      -> rjRange,
     "rj_band"       -> rjBand,
+    "rj_band_knn"   -> rjBandKnn,
     "rj_band_auto"  -> rjBandAuto,
     "rj_band_conj"  -> rjBandConj,
     "rj_band_between" -> rjBandBetween,
@@ -1778,6 +1862,7 @@ object Temporal {
     "rj_allen"      -> rjAllenSql,
     "ev_concurrency" -> evConcurrencySql,
     "rj_band"       -> rjBandSql,
+    "rj_band_knn"   -> rjBandKnnSql,
     "rj_band_auto"  -> rjBandAutoSql,
     "rj_band_conj"  -> rjBandConjSql,
     "rj_band_between" -> rjBandBetweenSql,

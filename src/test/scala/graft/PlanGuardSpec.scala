@@ -73,6 +73,44 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(hashJoins.nonEmpty, s"expected a hash/sort-merge equi-join on (nation, bucket):\n$plan")
   }
 
+  test("rj_band_knn reduces each probe's candidates to ≤k MAP-SIDE under " +
+       "the bucketed band join (no nested loop, partial min_k_pairs)") {
+    // geo_radius_knn's exchange discipline on the value axis: the band
+    // join must stay a bucket equi-join AND the bounded top-k must run
+    // as a partial aggregate below its exchange, so the shuffle carries
+    // O(k·probes) pairs instead of rj_band's output-quadratic set.
+    val plan = planOf("rj_band_knn")
+    val nlj = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(nlj.isEmpty, s"band join degenerated to a nested loop:\n$plan")
+    // The invariant is stage CO-LOCATION, not the exchange itself: at
+    // sf0.001 the probe side is a single partition, so Spark may satisfy
+    // the final aggregate's distribution without inserting any exchange
+    // at all. What must hold at EVERY scale: the partial min_k_pairs
+    // node sits in the same stage as the band join — its subtree reaches
+    // the join with no shuffle in between — so each scan partition's
+    // candidates reduce to ≤k before any data moves.
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val partial = plan.collect {
+      case a: ObjectHashAggregateExec
+        if a.simpleString(Int.MaxValue).contains("partial_minkpairsagg") => a
+    }
+    assert(partial.nonEmpty, s"no partial min_k_pairs aggregate:\n$plan")
+    val sub = partial.head
+    val join = sub.collect { case j if j.nodeName.contains("HashJoin") => j }
+    assert(join.nonEmpty, s"partial top-k not fed directly by the band join:\n$sub")
+    // Exchanges BELOW the join are fine (the probe-side repartition is
+    // deliberate); what must not exist is one BETWEEN the join and the
+    // partial — that would mean the candidate stream moves before it is
+    // reduced to ≤k.
+    val between = sub.collect { case e: ShuffleExchangeExec => e }
+      .filterNot(e => join.head.collect { case x if x eq e => x }.nonEmpty)
+    assert(between.isEmpty,
+      s"a shuffle sits between the band join and the partial top-k:\n$sub")
+  }
+
   test("no operator plans a nested-loop or cartesian join except declared cross products") {
     // dd_embedding / ann_bruteforce are DECLARED bounded cross products
     // (probe-set re-rank); ann_ivf_assign scans each vector against the

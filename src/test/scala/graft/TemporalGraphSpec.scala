@@ -750,6 +750,30 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(Temporal.bandJoin(bl, "lv", br, "rv", 1.5).count() == 1L)
   }
 
+  test("rj_band_knn equals the brute-force per-customer top-k of the " +
+       "unbucketed band join (rank, tie-break, and cap all exact)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Temporal.rjBandKnn(spark, sf)
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(r => (r._2, r._3))
+    val brute = graft.Tables.t(spark, sf, "customer")
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal")
+      .join(graft.Tables.t(spark, sf, "supplier")
+          .select($"s_nationkey", $"s_suppkey", $"s_acctbal"),
+        $"c_nationkey" === $"s_nationkey" &&
+          abs($"c_acctbal" - $"s_acctbal") <= 250.0)
+      .select($"c_nationkey", $"c_custkey", $"s_suppkey",
+        round(abs($"c_acctbal" - $"s_acctbal"), 2).as("adiff"))
+      .as[(Int, Long, Long, Double)].collect()
+      .groupBy(r => (r._1, r._2)).toSeq
+      .flatMap { case ((nat, c), rows) =>
+        rows.sortBy(r => (r._4, r._3)).take(Temporal.RjBandK).zipWithIndex
+          .map { case ((_, _, sk, ad), i) => (nat, c, (i + 1).toLong, sk, ad) }
+      }.sortBy(r => (r._2, r._3))
+    assert(got.nonEmpty && got == brute,
+      s"first diff: ${got.zip(brute).find(p => p._1 != p._2)}")
+  }
+
   test("ssspFromSeed drops null-endpoint edges instead of emitting a null node") {
     val edges = Seq((Some(1L), Some(2L), 1.0), (Some(2L), Option.empty[Long], 1.0))
       .toDF("a", "b", "w")
