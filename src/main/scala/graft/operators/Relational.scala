@@ -316,7 +316,13 @@ object Relational {
       .agg(
         datediff(first($"max_day"), max(to_date($"o_orderdate"))).cast("long").as("r"),
         count(lit(1)).as("f"),
-        sum(round($"o_totalprice" * 100).cast("long")).as("m"))
+        // exact integer cents via floor(+0.5), not round(): Spark's round
+        // on a double routes through BigDecimal.valueOf(Double.toString)
+        // — ~1 µs/row, and this one ran per ORDER row (15 M at sf10; the
+        // geo/rj_band_knn lesson). Prices are positive 2-dp decimals, so
+        // x·100 is within ~1e-9 of an integer and floor(+0.5) recovers
+        // the same integer round() did.
+        sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("m"))
     val t = c.agg(
       round(expr("percentile(r, 0.333333)"), 6).as("r1"),
       round(expr("percentile(r, 0.666667)"), 6).as("r2"),
