@@ -156,22 +156,52 @@ object Audit {
     * aggregate and the 10-pair matrix unpivots from that one row via
     * `stack` — O(cols²) arithmetic on one row, the corpus touched once
     * (dq_rules discipline). Exactness: inputs quantize to 4 dp decimals so
-    * all sums are order-free integers in disguise; Spark casts at
-    * precision 17 (product precision 35, sum 38 — stays OFF Spark's
-    * precision-loss path) while the oracle casts at 19 (DuckDB needs
-    * hugeint-backed operands to multiply without int64 overflow). Same
-    * VALUES either way; the only floats are the final corr divisions,
-    * quantized to 6 dp after identical IEEE steps.
+    * all sums are order-free integers in disguise. r18 (guide §1.2 "per-
+    * task work", the a12_rfm/geo lesson): the 4-dp quantization is now a
+    * LONG (`floor(x·10⁴ + 0.5)` — all five measures are nonnegative with
+    * an exact ≤4-dp rational value, so this recovers exactly the
+    * decimal(17,4) cast's unscaled integer; the former decimal formulation
+    * routed every row's 15 products + 16 sums through BigDecimal,
+    * ~2 allocations + ~1 µs each). Each product of unscaled longs is
+    * ≤ 1.3e18 (price unscaled ≤ 1.1e9) so it fits a long; its SUM would
+    * overflow, so every product splits into (div 10⁹, mod 10⁹) halves
+    * summed separately — each half-sum ≤ ~1.3e9·rows, inside long through
+    * sf1000. The one output row recombines the halves in exact decimal
+    * (scale ≥ the true 8-dp scale, so no rounding) and casts to double —
+    * BigDecimal→double is correctly rounded from the exact rational, so
+    * the doubles (and the 6-dp corr values) are bit-identical to the
+    * decimal formulation's, hash-proven against the unchanged oracle
+    * (which still sums DECIMAL(19,4) casts in DuckDB).
     */
   val corrMatrix: Q = (s, d) => {
-    def dec(c: String) = col(c).cast("decimal(17,4)")
+    val B = 1000000000L // split base: products ≤ 1.3e18 = hi·1e9 + lo
+    def u(c: String) = floor(col(c) * lit(10000.0d) + lit(0.5d)).cast("long")
     val li = tbl(s, d, "lineitem")
       .withColumn("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .select(corrCols.map(c => u(c).as(s"u_$c")): _*)
+    // `div` (IntegralDivide), NOT `/`: Column./ on longs plans a DOUBLE
+    // division, which is inexact past 2^53 — products reach 1.3e18.
+    def prodSums(a: String, b: String, tag: String) = Seq(
+      sum(expr(s"(u_$a * u_$b) div ${B}L")).as(s"hi_$tag"),
+      sum(expr(s"(u_$a * u_$b) % ${B}L")).as(s"lo_$tag"))
     val momentExprs =
-      corrCols.flatMap(c =>
-        Seq(sum(dec(c)).as(s"s_$c"), sum(dec(c) * dec(c)).as(s"ss_$c"))) ++
-        corrPairs.map { case (a, b) => sum(dec(a) * dec(b)).as(s"sp_${a}_$b") }
-    val agg = li.agg(count(lit(1)).cast("double").as("n"), momentExprs: _*)
+      corrCols.flatMap(c => sum(col(s"u_$c")).as(s"su_$c") +: prodSums(c, c, s"ss_$c")) ++
+        corrPairs.flatMap { case (a, b) => prodSums(a, b, s"sp_${a}_$b") }
+    val agg0 = li.agg(count(lit(1)).cast("double").as("n"), momentExprs: _*)
+    // Recombine each split sum into the exact decimal the old plan summed,
+    // then cast to double — one row, so the decimal math here is free.
+    // Types chosen so every step is exact: hi ≤ ~1.3e9·rows fits
+    // decimal(20,0) past sf1000; lo_part = lo/10⁸ is exact at scale 10;
+    // su/10⁴ is exact at scale 6.
+    val recombined =
+      corrCols.map(c => (col(s"su_$c").cast("decimal(20,0)") /
+        expr("CAST(10000 AS DECIMAL(5,0))")).as(s"s_$c")) ++
+      (corrCols.map(c => s"ss_$c") ++
+        corrPairs.map { case (a, b) => s"sp_${a}_$b" }).map(tag =>
+        (col(s"hi_$tag").cast("decimal(20,0)") * expr("CAST(10 AS DECIMAL(2,0))") +
+          col(s"lo_$tag").cast("decimal(20,0)") /
+            expr("CAST(100000000 AS DECIMAL(9,0))")).as(tag))
+    val agg = agg0.select(col("n") +: recombined: _*)
     def sd(c: String) = col(c).cast("double")
     val withCorr = corrPairs.foldLeft(agg) { case (df, (a, b)) =>
       df.withColumn(s"corr_${a}_$b", round(

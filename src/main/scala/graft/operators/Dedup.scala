@@ -209,6 +209,15 @@ object Dedup {
     */
   val lshEval: Q = (s, d) => {
     val docs = tbl(s, d, "documents").where(col("doc_id") < 200)
+    // r18, examined and deliberately LEFT ALONE: the plan duplicates the
+    // shingle/minhash subtrees (plans/r18/dd_lsh_eval_before.txt — 6
+    // scans, 11 exchanges), but both A/B'd pin variants LOST to the
+    // duplication on wall clock (same-session isolated medians: plain
+    // 1.06–1.33 s; +banded checkpoint 1.71; +shingle checkpoint too
+    // 1.19): the duplicated subtrees are probe-domain-bounded
+    // (doc_id < 200 at every sf) and run concurrently on idle cores,
+    // while each eager checkpoint is a serial job on the critical path.
+    // The bound means the trade cannot flip with corpus scale.
     val sh = shingles(docs).distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val truth = sh.select(col("doc_id").as("a"), col("sh"))
@@ -1214,8 +1223,17 @@ object Dedup {
     */
   val wJaccard: Q = (s, d) => {
     import s.implicits._
+    // localCheckpoint (r18): the distinct (doc, shingle) stream is
+    // referenced — directly or through w/n1/weighted — enough times that
+    // Catalyst replicated the explode+distinct subtree 24× in the
+    // physical plan (24 document scans, 23 exchanges;
+    // plans/r18/dd_wjaccard_before.txt). The probe domain is bounded
+    // (doc_id < 200, ~0.2 M shingle rows at any sf), so materializing it
+    // once and fanning out from blocks is the guide §3.3 fix for
+    // duplicated subtrees ("materialising an intermediate truncates the
+    // plan"); after: 1 scan, 1 explode, 7 exchanges.
     val sh = shingles(tbl(s, d, "documents").where($"doc_id" < 200))
-      .distinct()
+      .distinct().localCheckpoint()
     // corpus size N attaches via the jk literal-key broadcast equi-join
     // (pl_shards' PlanGuard-clean scalar form) — the first formulation
     // ran a DRIVER-SIDE count() at plan-build time, paying one extra

@@ -424,11 +424,24 @@ object Geo {
       val w = widths.next()
       val probes = undone.withColumn("band", explode(expr(
         s"transform(sequence(${-w}, $w), i -> pband + CAST(i AS BIGINT))")))
+      // r18: checkpoint the RANKED candidates (post rk ≤ k filter, so
+      // O(k·|undone|) rows), not the round's outputs. Before, `ranked`
+      // hung unmaterialized off three consumers — the done-probe
+      // aggregate, the semi-joined output checkpoint, and the next
+      // round's anti join — so the round's expensive join + window ran
+      // up to 3× per round (guide §2.4: the same subtree re-executed is
+      // a removable pass). Now the join runs ONCE per round; doneKeys,
+      // the output slice, and the survivor anti join all read the tiny
+      // checkpointed top-k block, and the output slice no longer needs
+      // its own eager checkpoint at all.
       val ranked = broadcast(probes).join(suppSrc, Seq("band"))
         .withColumn("dist_km",
           round(haversine(col("clat"), col("clon"), col("slat"), col("slon")), 4))
         .withColumn("rk", row_number().over(win))
         .where(col("rk") <= k)
+        .select(col("c_custkey"), col("rk").cast("long").as("rk"),
+          col("s_suppkey"), col("dist_km"))
+        .localCheckpoint(true)
       val guaranteed = 2.0 * w * (math.Pi * 6371.0088 / 180.0) - 0.001
       val doneKeys =
         if (w >= 90) undone.select(col("c_custkey"))
@@ -437,9 +450,6 @@ object Geo {
           .where(col("cnt") === k && col("kth") <= guaranteed)
           .select(col("c_custkey"))
       val out = ranked.join(doneKeys, Seq("c_custkey"), "left_semi")
-        .select(col("c_custkey"), col("rk").cast("long").as("rk"),
-          col("s_suppkey"), col("dist_km"))
-        .localCheckpoint(true)
       acc = Some(acc.map(_.unionByName(out)).getOrElse(out))
       if (w >= 90) remaining = 0L
       else {

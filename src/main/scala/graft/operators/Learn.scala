@@ -48,15 +48,34 @@ object Learn {
     * ln P(label) + Σ_tok count·ln P(tok|label), add-one smoothed over the
     * training vocabulary. Returns (doc_id, lang [true], label, score).
     */
+  /** The trained NB model tables, once per (session, corpus) — the
+    * scaladoc's own framing ("TRAINING … output O(labels × vocab), a
+    * per-snapshot artifact"). r18: before, every broadcast subtree in
+    * [[nbScores]] re-derived them — ctok, clang and vocab each re-ran
+    * the training-token scan, priors/priorTerm re-scanned documents, and
+    * both gates retrained from scratch: 16 parquet scans per invocation
+    * (plans/r18/ml_nb_confusion_before.txt). Now one training pass per
+    * session serves both gates; everything downstream reads the pinned
+    * label×vocab count table (bounded — ~vocab·|langs| rows).
+    */
+  private val nbCtokCache = new graft.SessionCache[String]
+  private val nbPriorCache = new graft.SessionCache[String]
+
   def nbScores(s: SparkSession, d: String): DataFrame = {
     val docs = tbl(s, d, "documents")
-    val train = docTokens(docs.where(col("doc_id") % TestMod =!= 0))
-    val ctok = train.groupBy(col("lang").as("label"), col("tok"))
-      .agg(count(lit(1)).as("c"))
+    val ctok = nbCtokCache.getOrCompute(s, d) {
+      docTokens(docs.where(col("doc_id") % TestMod =!= 0))
+        .groupBy(col("lang").as("label"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+    }
     val clang = ctok.groupBy(col("label")).agg(sum(col("c")).as("ctot"))
     val vocab = ctok.agg(countDistinct(col("tok")).as("v"))
-    val priors = docs.where(col("doc_id") % TestMod =!= 0)
-      .groupBy(col("lang").as("label")).agg(count(lit(1)).as("nd"))
+    val priors = nbPriorCache.getOrCompute(s, d) {
+      docs.where(col("doc_id") % TestMod =!= 0)
+        .groupBy(col("lang").as("label")).agg(count(lit(1)).as("nd"))
+        .localCheckpoint(true)
+    }
     val nTrain = priors.agg(sum(col("nd")).as("n"))
     val priorTerm = priors.crossJoin(broadcast(nTrain))
       .select(col("label"),

@@ -621,9 +621,19 @@ object Pipeline {
     */
   val plDsir: Q = (s, d) => {
     import s.implicits._
-    val bucketExpr = "(" + (1 to 6).map(i =>
-      s"(instr('0123456789abcdef', substr(md5(tok), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}L")
-      .mkString(" + ") + ") % 512"
+    // r18, two fixes measured together (guide §2.4 + §1.2):
+    // (1) the 6-term per-hex-digit decode is now ONE conv() of the first
+    //     6 md5 hex chars — the same integer (Σ digit_i·16^(6−i) IS the
+    //     base-16 value of the 6-char prefix), bit-identical buckets,
+    //     and the geo_radius r18 lesson applied: the 6-term form invited
+    //     CollapseProject to duplicate the md5 across consumers;
+    // (2) `both` (≤512 rows) is pinned eagerly: it fed tots, llr, AND
+    //     (via broadcast(llr)) the score join, so the token explode +
+    //     md5 pass it derives from was replicated 6× in the physical
+    //     plan (plans/r18/pl_dsir_before.txt: 6 scans, 6 Generates).
+    //     After: 2 corpus passes — one building `both`, one scoring —
+    //     which is the true floor for "distributions, then score".
+    val bucketExpr = "(CAST(conv(substr(md5(tok), 1, 6), 16, 10) AS BIGINT) % 512)"
     val hist = tbl(s, d, "documents")
       .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
       .where(length($"tok") > 0)
@@ -632,6 +642,7 @@ object Pipeline {
     val both = hist.groupBy($"b").agg(
       sum($"c").as("cr"),
       sum(when($"lang" === "en", $"c").otherwise(0L)).as("ct"))
+      .localCheckpoint(true)
     val tots = both.agg(sum($"ct").as("tt"), sum($"cr").as("tr"))
     val llr = both.crossJoin(broadcast(tots))
       .select($"b",

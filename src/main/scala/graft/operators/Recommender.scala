@@ -66,6 +66,22 @@ object Recommender {
        |  FROM baskets l JOIN baskets r ON l.bid = r.bid AND l.item < r.item
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** The item marginal (basket-incidence count per item) — the OTHER
+    * shared artifact of this family (r18): rc_itemsim joined it twice,
+    * rc_assoc twice more, and rc_gini re-derived it as `counts`, each
+    * reference re-running the full lineitem scan + distinct + aggregate
+    * (plans/r18/rc_itemsim_before.txt: 6 scans for a 3-table query). A
+    * production recommender materializes marginals WITH the pair table
+    * per interaction-log snapshot; serving them from the same IndexStore
+    * generation makes every reference a catalog-sized parquet read.
+    */
+  private def itemMarginal(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.IndexStore.fingerprint(s"$d/lineitem.parquet")
+    graft.IndexStore.materialize(s, s"rc_marg_v1_$d", fp) {
+      baskets(s, d).groupBy(col("item")).agg(count(lit(1)).as("m"))
+    }
+  }
+
   // ---------------------------------------------------------- co-occurrence
 
   /** rc_cooccur — item pairs bought together in ≥2 baskets, strongest
@@ -93,7 +109,7 @@ object Recommender {
     * shuffle-joins when the catalog outgrows the threshold).
     */
   val rcItemsim: Q = (s, d) => {
-    val marg = baskets(s, d).groupBy(col("item")).agg(count(lit(1)).as("m"))
+    val marg = itemMarginal(s, d)
     pairCounts(s, d)
       .where(col("n_ab") >= 2)
       .join(marg.select(col("item").as("a"), col("m").as("n_a")), Seq("a"))
@@ -123,7 +139,7 @@ object Recommender {
     * rc_itemsim).
     */
   val rcAssoc: Q = (s, d) => {
-    val marg = baskets(s, d).groupBy(col("item")).agg(count(lit(1)).as("m"))
+    val marg = itemMarginal(s, d)
     val nb = baskets(s, d).agg(countDistinct(col("bid")).as("n_baskets"))
     val p = pairCounts(s, d).where(col("n_ab") >= 2)
     val both = p.select(col("a").as("ante"), col("b").as("cons"), col("n_ab"))
@@ -171,7 +187,7 @@ object Recommender {
     * values exchanged weight equal counts).
     */
   val rcGini: Q = (s, d) => {
-    val counts = baskets(s, d).groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val counts = itemMarginal(s, d).select(col("item"), col("m").as("c"))
     // Two-level rank decomposition (r15): the naive form ranks every item
     // through ONE unpartitioned row_number window — an O(|catalog|)
     // single-partition sort (2M rows at sf10, unbounded at 100 TB). Ties

@@ -1605,29 +1605,37 @@ object Relational {
     * suppliers — the EXISTS + NOT-EXISTS double self-join. Adapted
     * lateness: l_shipdate > o_orderdate + 60 days (no commit/receipt
     * dates); numwait counts DISTINCT orders (the generator fans multiple
-    * lines per (order, supplier)). Spark-first decorrelation: instead of
-    * two correlated probes per line (three fact scans), ONE per-order
-    * aggregate computes (distinct suppliers, distinct late suppliers);
-    * the EXISTS pair becomes nsupp ≥ 2 ∧ nlate = 1 joined back on
-    * orderkey — the exchange is reused, the fact is scanned once.
+    * lines per (order, supplier)). Spark-first decorrelation, r18 window
+    * shape: the r17 form kept ONE logical fact pass but Catalyst planned
+    * its two references (the per-order countDistinct aggregate and the
+    * late-pair distinct) as TWO physical lineitem scans + orders joins,
+    * an Expand×2 for the multi-distinct, and an SMJ to marry the
+    * branches (plans/r18/tpch_q21_before.txt: 2 scans, 5 Exchanges,
+    * Expand). Collapsing to (order, supplier) grain first — max(late)
+    * per pair — then a per-order window (count = distinct suppliers,
+    * sum(late) = distinct late suppliers; both exact because rows are
+    * unique by (ok, sk)) reads the fact ONCE, plans no Expand and no
+    * self-join, and each waiting pair is already distinct so numwait is
+    * a plain count (guide §2.4/§3: remove the second fact scan + the
+    * branch-marrying shuffle outright). Oracle unchanged — hash-proven.
     */
   val tpchQ21: Q = (s, d) => {
     import s.implicits._
-    val li = tbl(s, d, "lineitem")
+    val pair = tbl(s, d, "lineitem")
       .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
       .join(tbl(s, d, "orders").where($"o_orderstatus" === "F")
         .select($"o_orderkey", $"o_orderdate"), $"l_orderkey" === $"o_orderkey")
-      .withColumn("late", $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAY"))
-    val perOrder = li.groupBy($"l_orderkey".as("ok"))
-      .agg(countDistinct($"l_suppkey").as("nsupp"),
-        countDistinct(when($"late", $"l_suppkey")).as("nlate"))
-      .where($"nsupp" >= 2 && $"nlate" === 1)
-    li.where($"late").select($"l_orderkey", $"l_suppkey").distinct()
-      .join(perOrder, $"l_orderkey" === $"ok")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAY")).as("late"))
+    val w = Window.partitionBy($"l_orderkey")
+    pair
+      .withColumn("nsupp", count(lit(1)).over(w))
+      .withColumn("nlate", sum(when($"late", 1L).otherwise(0L)).over(w))
+      .where($"late" && $"nsupp" >= 2 && $"nlate" === 1)
       .join(broadcast(tbl(s, d, "supplier").select($"s_suppkey", $"s_name")),
         $"l_suppkey" === $"s_suppkey")
       .groupBy($"s_name")
-      .agg(countDistinct($"l_orderkey").as("numwait"))
+      .agg(count(lit(1)).as("numwait"))
       .orderBy($"numwait".desc, $"s_name")
   }
   val tpchQ21Sql: String =

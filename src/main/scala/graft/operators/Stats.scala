@@ -155,22 +155,44 @@ object Stats {
     * double ops per group.
     */
   val stLinreg: Q = (s, d) => {
+    // r18: dq_corr's long-moment rewrite (see Audit.corrMatrix) — the
+    // 4-dp quantization becomes an unscaled LONG (floor(v·10⁴ + 0.5) ≡
+    // the decimal(17,4) cast for these nonnegative ≤4-dp-rational
+    // measures), each product splits into (div 10⁹, mod 10⁹) long halves
+    // so no sum overflows through sf1000, and the per-GROUP output rows
+    // recombine the halves in exact decimal before the same
+    // double-first closed form. Values and the unchanged oracle's hash
+    // are identical; the scan no longer routes 5 products + 5 sums per
+    // row through BigDecimal.
+    val B = 1000000000L
     val li = tbl(s, d, "lineitem")
       .withColumn("rev", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-    val x = dec(col("l_quantity"))
-    val y = dec(col("rev"))
-    // dq_corr's overflow discipline: quantized-decimal SUMS (order-free,
-    // exact), then cast each sum to DOUBLE BEFORE any cross-multiplication
-    // — decimal×decimal of two full-corpus sums overflows decimal(38) in
-    // both engines at scale; double-first keeps the IEEE sequence identical.
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_quantity") * lit(10000.0d) + lit(0.5d)).cast("long").as("ux"),
+        floor(col("rev") * lit(10000.0d) + lit(0.5d)).cast("long").as("uy"))
+    def ps(a: String, b: String, tag: String) = Seq(
+      sum(expr(s"($a * $b) div ${B}L")).as(s"hi_$tag"),
+      sum(expr(s"($a * $b) % ${B}L")).as(s"lo_$tag"))
+    // recombine: scale-4 plain sums and scale-8 split sums, both exact
+    // (same type algebra as corrMatrix: ≤ decimal(34,10) intermediates).
+    def rec4(c: String, as: String) = (col(c).cast("decimal(20,0)") /
+      expr("CAST(10000 AS DECIMAL(5,0))")).as(as)
+    def rec8(tag: String) = (col(s"hi_$tag").cast("decimal(20,0)") *
+      expr("CAST(10 AS DECIMAL(2,0))") +
+      col(s"lo_$tag").cast("decimal(20,0)") /
+        expr("CAST(100000000 AS DECIMAL(9,0))")).as(tag)
     def sd(c: String) = col(c).cast("double")
     val nD = col("n").cast("double")
     val covN  = nD * sd("sxy") - sd("sx") * sd("sy")
     val varXN = nD * sd("sxx") - sd("sx") * sd("sx")
     val varYN = nD * sd("syy") - sd("sy") * sd("sy")
-    li.groupBy(col("l_returnflag").as("flag"))
-      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(col("ux")).as("su_x"), sum(col("uy")).as("su_y")) ++
+      ps("ux", "ux", "sxx") ++ ps("ux", "uy", "sxy") ++ ps("uy", "uy", "syy")
+    li.groupBy(col("flag"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("flag"), col("n"), rec4("su_x", "sx"), rec4("su_y", "sy"),
+        rec8("sxx"), rec8("sxy"), rec8("syy"))
       .select(col("flag"), col("n"),
         round(covN / varXN, 6).as("slope"),
         round((sd("sy") - covN / varXN * sd("sx")) / nD, 6).as("intercept"),

@@ -401,7 +401,14 @@ object TextAnalysis {
   val ClfSliceMax = 200L
   val ClfLabelThresh = 0.04
 
+  // r18, Spark side only: one conv() of the first two md5 hex chars —
+  // the same integer as the per-digit (d1·16 + d2) arithmetic (that sum
+  // IS the base-16 value of the 2-char prefix), one md5 evaluation
+  // instead of two. The DuckDB oracle keeps the digit form below (no
+  // conv() there); equality of the two is hash-proven by the gate.
   private def clfBucket(tok: String): String =
+    s"(CAST(conv(substr(md5($tok), 1, 2), 16, 10) AS BIGINT) % $ClfD)"
+  private def clfBucketDuck(tok: String): String =
     s"CAST(((instr('0123456789abcdef', substr(md5($tok), 1, 1)) - 1) * 16 + " +
       s"instr('0123456789abcdef', substr(md5($tok), 2, 1)) - 1) % $ClfD AS BIGINT)"
 
@@ -441,7 +448,7 @@ object TextAnalysis {
     val ns = labels.agg(count(lit(1)).cast("double").as("ns"))
     var w: DataFrame = spark.range(-1L, ClfD.toLong)
       .select(col("id").as("j"), lit(0.0).as("w"))
-    for (_ <- 1 to ClfIters) {
+    for (t <- 1 to ClfIters) {
       val z = sliceFeats.join(broadcast(w), Seq("j"))
         .groupBy(col("doc_id")).agg(sum(col("x") * col("w")).as("z"))
       val g = z.join(labels, Seq("doc_id"))
@@ -454,9 +461,30 @@ object TextAnalysis {
       w = w.join(grad, Seq("j"), "left")
         .select(col("j"),
           round(col("w") - lit(ClfLr) * coalesce(col("grad"), lit(0.0)), 6).as("w"))
+      // r18: pin each round's weight table (D+1 = 65 rows — the eager
+      // job is O(1)). `w` feeds BOTH the next round's z-join and the
+      // next round's own left join, so the lazy chain doubled the plan
+      // per iteration: the 3-step training compiled to a 142-Exchange /
+      // 88 KB physical plan whose optimizer+AQE time alone dominated
+      // the gates (plans/r18/tx_clf_calib_before.txt; guide §3.3 "very
+      // large plans — planning time itself becomes the bottleneck").
+      // After: linear plan, 9 Exchanges.
+      if (t < ClfIters) w = w.localCheckpoint(true)
     }
     w
   }
+
+  /** The trained weight table, once per (session, corpus): tx_clf_score /
+    * tx_clf_auc / tx_clf_calib all train the identical model on the
+    * identical cached feats+labels, so the weights are a per-snapshot
+    * artifact exactly like the feature table they derive from (the
+    * lshPairs / bipartite-edge precedent). 65 rows, eagerly pinned.
+    */
+  private val clfWeightCache = new graft.SessionCache[String]
+  private def trainedW(s: SparkSession, d: String,
+                       feats: DataFrame, labels: DataFrame): DataFrame =
+    clfWeightCache.getOrCompute(s, d)(
+      clfTrain(feats, labels).localCheckpoint(true))
 
   /** Score every doc with a trained weight table. */
   def clfScoreWith(feats: DataFrame, w: DataFrame): DataFrame =
@@ -472,7 +500,7 @@ object TextAnalysis {
       clfFeatures(tbl(s, d, "documents")).localCheckpoint(true))
     val labels = clfLabelCache.getOrCompute(s, d)(
       clfLabels(tbl(s, d, "documents")).localCheckpoint(true))
-    clfScoreWith(feats, clfTrain(feats, labels)).orderBy(col("doc_id"))
+    clfScoreWith(feats, trainedW(s, d, feats, labels)).orderBy(col("doc_id"))
   }
 
   /** DuckDB mirror: feature build, labels, and all [[ClfIters]] gradient
@@ -493,7 +521,7 @@ object TextAnalysis {
               |        FROM documents)),
               |feats AS MATERIALIZED (
               |  SELECT doc_id, j, round(count(*) / CAST(n AS DOUBLE), 6) AS x
-              |  FROM (SELECT doc_id, n, ${clfBucket("tok")} AS j FROM toks)
+              |  FROM (SELECT doc_id, n, ${clfBucketDuck("tok")} AS j FROM toks)
               |  GROUP BY doc_id, j, n
               |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM documents),
               |lab AS MATERIALIZED (
@@ -548,7 +576,7 @@ object TextAnalysis {
       clfFeatures(tbl(s, d, "documents")).localCheckpoint(true))
     val labels = clfLabelCache.getOrCompute(s, d)(
       clfLabels(tbl(s, d, "documents")).localCheckpoint(true))
-    val ev = clfScoreWith(feats, clfTrain(feats, labels))
+    val ev = clfScoreWith(feats, trainedW(s, d, feats, labels))
       .join(labels, Seq("doc_id"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("clf_score"), col("doc_id"))
@@ -605,7 +633,7 @@ object TextAnalysis {
           .otherwise(0L).as("y"))
     val wb = org.apache.spark.sql.expressions.Window
       .orderBy(col("clf_score"), col("doc_id"))
-    clfScoreWith(feats, clfTrain(feats, labels))
+    clfScoreWith(feats, trainedW(s, d, feats, labels))
       .join(allLab, Seq("doc_id"))
       .withColumn("bin", ntile(10).over(wb).cast("long"))
       .groupBy(col("bin"))

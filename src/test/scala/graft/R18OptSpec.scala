@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-18 optimization internals, pinned beyond the oracle hash-gates:
+  *
+  * 1. The long-moment rewrite (dq_corr / st_linreg) rests on one lemma —
+  *    for the nonnegative ≤4-dp-rational measures these gates quantize,
+  *    `floor(x·10⁴ + 0.5) AS LONG` equals the unscaled integer of
+  *    `CAST(x AS DECIMAL(17,4))` — and on the hi/lo split-sum
+  *    recombination being exact. Both are asserted here on adversarial
+  *    values (2-dp money, integral quantities, derived revenue products
+  *    whose double representation is inexact), not just on the fixture.
+  * 2. The conv() md5 bucket (pl_dsir / clfFeatures) must equal the
+  *    per-hex-digit arithmetic it replaced, for any token.
+  * 3. tpch_q21's window form must keep the plan properties that motivated
+  *    it: ONE lineitem scan and no Expand.
+  */
+class R18OptSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("floor(x*1e4+0.5) long == decimal(17,4) unscaled for gate-domain values") {
+    // 2-dp money, integral quantities, 2-dp rates, and revenue-style
+    // products p·(1−δ) (exact 4-dp rationals stored as inexact doubles)
+    val base = Seq(0.0, 0.01, 0.04, 0.99, 1.0, 7.0, 49.99, 901.00,
+      104949.50, 0.1 + 0.2 /* 0.30000000000000004 */)
+    val prods = for {
+      p <- Seq(901.00, 88888.88, 104949.50); dsc <- Seq(0.0, 0.04, 0.1)
+    } yield p * (1.0 - dsc)
+    val vals = (base ++ prods).toDF("x")
+    val cmp = vals.select(
+      floor(col("x") * lit(10000.0d) + lit(0.5d)).cast("long").as("viaFloor"),
+      (col("x").cast("decimal(17,4)") * lit(10000)).cast("long").as("viaDec"))
+      .where(col("viaFloor") =!= col("viaDec"))
+    assert(cmp.count() == 0, s"floor-trick mismatch: ${cmp.collect().mkString}")
+  }
+
+  test("hi/lo split sums recombine to the exact decimal product sum") {
+    // products up to ~1.2e18 (price·price at 4-dp unscale) and enough
+    // rows that Σlo crosses 1e9 — the regime the decimal(20,0) casts and
+    // the (·10 + lo/1e8) recombination must stay exact in
+    val rows = (1 to 5000).map { i =>
+      val u = 1000000000L + i.toLong * 171717L // ~1e9-scale unscaled
+      (u, u - 7L)
+    }
+    val df = rows.toDF("ua", "ub")
+    val agg = df.agg(
+      sum(expr("(ua * ub) div 1000000000L")).as("hi"),
+      sum(expr("(ua * ub) % 1000000000L")).as("lo"))
+    val got = agg.select(
+      (col("hi").cast("decimal(20,0)") * expr("CAST(10 AS DECIMAL(2,0))") +
+        col("lo").cast("decimal(20,0)") /
+          expr("CAST(100000000 AS DECIMAL(9,0))")).cast("string"))
+      .as[String].head()
+    val want = rows.map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+    assert(BigDecimal(got) * BigDecimal(100000000L) == BigDecimal(want),
+      s"recombined $got vs exact ${want}e-8")
+  }
+
+  test("conv() md5 bucket == per-hex-digit arithmetic") {
+    val toks = Seq("the", "alpha", "", "Zulu9", "été", "a b").toDF("tok")
+    def digits(n: Int, mod: Int) = "(" + (1 to n).map(i =>
+      s"(instr('0123456789abcdef', substr(md5(tok), $i, 1)) - 1) * ${math.pow(16, n - i).toLong}L")
+      .mkString(" + ") + s") % $mod"
+    val bad = toks.select(
+      expr(s"(CAST(conv(substr(md5(tok), 1, 6), 16, 10) AS BIGINT) % 512)").as("c6"),
+      expr(digits(6, 512)).as("d6"),
+      expr(s"(CAST(conv(substr(md5(tok), 1, 2), 16, 10) AS BIGINT) % 64)").as("c2"),
+      expr(digits(2, 64)).as("d2"))
+      .where(col("c6") =!= col("d6") || col("c2") =!= col("d2"))
+    assert(bad.count() == 0, s"conv/digit bucket mismatch: ${bad.collect().mkString}")
+  }
+
+  test("tpch_q21 window form: one lineitem scan, no Expand") {
+    val plan = operators.Relational.tpchQ21(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    val leaves = plan.collectLeaves().map(_.toString)
+    assert(leaves.count(_.contains("lineitem")) == 1,
+      s"expected ONE lineitem scan:\n${leaves.mkString("\n")}")
+    assert(plan.collect { case e if e.nodeName == "Expand" => e }.isEmpty,
+      "q21 must not plan an Expand")
+  }
+}
