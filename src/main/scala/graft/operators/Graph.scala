@@ -458,16 +458,26 @@ object Graph {
     var pr = deg
       .select(col("x").as("node"), col("deg"), round(lit(1.0 / math.max(n, 1L)), 9).as("pr"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var lastCkpt = pr
+    // Checkpoint every SECOND round (r18 batch 2 — the tx_textrank
+    // cadence, same rationale): each eager localCheckpoint is a whole
+    // job at the ~0.3 s local scheduling floor, `pr` is referenced once
+    // per round so a skipped checkpoint grows the plan linearly (two
+    // join+agg rounds deep, trivial), and the per-round round(…, 9)
+    // barrier keeps the arithmetic identical either way.
+    for (k <- 1 to iters) {
       val contrib = pr.join(und, pr("node") === und("x"))
         .groupBy(col("y")).agg(sum(col("pr") / col("deg")).as("s"))
       val next = deg
         .join(contrib, deg("x") === contrib("y"), "left")
         .select(col("x").as("node"), col("deg"),
           round(lit(base) + lit(damping) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
-        .localCheckpoint()
-      CheckpointBridge.freeCheckpoint(pr)
-      pr = next
+      pr = if (k % 2 == 0 || k == iters) {
+        val ck = next.localCheckpoint()
+        CheckpointBridge.freeCheckpoint(lastCkpt)
+        lastCkpt = ck
+        ck
+      } else next
     }
     und.unpersist(); deg.unpersist()
     pr.select(col("node"), col("pr"))
@@ -1046,6 +1056,11 @@ object Graph {
     var dist = seed.select(col("node").cast("long").as("node"),
         col("dist").cast("double").as("dist"))
       .localCheckpoint()
+    // Per-round checkpoints stay (r18 batch 2, unlike pageRank/ppr):
+    // dist is referenced TWICE per round (carry-forward union +
+    // relaxation join), so a skipped checkpoint re-executes the whole
+    // lazy round — cadence-2 A/B'd a local wash (1.084 → 1.050 s) and
+    // costs +50% relaxation joins at scale, the wrong side of the trade.
     for (_ <- 1 to rounds) {
       val next = dist.unionByName(
           dist.join(und, dist("node") === und("x"))
@@ -1276,7 +1291,10 @@ object Graph {
       .localCheckpoint()
     var pr = nodes.select(col("node"), col("deg"), col("seedw").as("pr"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var lastCkpt = pr
+    // cadence-2 checkpointing — see pageRank for the rationale (pr is
+    // referenced once per round; round(…, 9) keeps arithmetic identical)
+    for (k <- 1 to iters) {
       val contrib = pr.join(und, pr("node") === und("x"))
         .groupBy(col("y")).agg(sum(col("pr") / col("deg")).as("s"))
       val next = nodes
@@ -1284,9 +1302,12 @@ object Graph {
         .select(col("node"), col("deg"),
           round(lit(1.0 - damping) * col("seedw") +
             lit(damping) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
-        .localCheckpoint()
-      CheckpointBridge.freeCheckpoint(pr)
-      pr = next
+      pr = if (k % 2 == 0 || k == iters) {
+        val ck = next.localCheckpoint()
+        CheckpointBridge.freeCheckpoint(lastCkpt)
+        lastCkpt = ck
+        ck
+      } else next
     }
     und.unpersist()
     pr.select(col("node"), col("pr"))

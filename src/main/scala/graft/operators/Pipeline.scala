@@ -710,7 +710,16 @@ object Pipeline {
       Dedup.wordGramsZip(df, idCol, 13, out = "g")
     val eg = grams(evalDocs.select(col("eval_id"), col("etext").as("text")), "eval_id")
       .distinct()
-    grams(planted, "doc_id").distinct()
+    // The broadcast join must run BEFORE any corpus-side distinct (r18
+    // batch 2, guide §2.3 "prune before the exchange"): the old
+    // `.distinct()` on the exploded gram stream shuffled every
+    // (doc_id, 13-gram string) pair — the one corpus-sized exchange in
+    // the gate, carrying exactly the long strings the scaladoc above
+    // says never move — when countDistinct in the aggregation already
+    // dedupes repeated in-doc grams AFTER the join has cut the stream
+    // to eval hits. Same result by construction; the only post-join
+    // exchange carries matching grams only.
+    grams(planted, "doc_id")
       .join(broadcast(eg), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_grams"),

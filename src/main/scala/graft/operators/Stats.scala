@@ -94,8 +94,15 @@ object Stats {
         to_date(timestamp_micros(expr("ts div 1000")))
       case _ => to_date(col("ts"))
     }
+    // Pin the contingency grid (r18 batch 2, guide §2.4): `seen` fans out
+    // into the grid rebuild (3 refs) and `cells` into the four marginal/
+    // total/χ² consumers — unpinned, Catalyst replicated the events scan
+    // + aggregation into every branch (measured plan: 54 Exchanges /
+    // 24 scans for a 35-row grid). Both tables are O(|types|·7) at any
+    // corpus size, so the eager checkpoints are scale-safe by bound.
     val seen = ev.select(col("event_type"), weekday(day).cast("long").as("dow"))
       .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
     // χ² sums over EVERY grid cell — a (type, dow) pair with zero observed
     // rows still contributes (0−E)²/E, so rebuild the full cross product
     // and coalesce the missing counts (a groupBy alone silently drops them).
@@ -103,6 +110,7 @@ object Stats {
       .crossJoin(seen.select(col("dow")).distinct())
       .join(seen, Seq("event_type", "dow"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
+      .localCheckpoint(true)
     val rowT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
     val colT = cells.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
     val tot = cells.agg(sum(col("o")).as("n"),
@@ -955,13 +963,19 @@ object Stats {
   val stBh: Q = (s, d) => {
     val sup = tbl(s, d, "supplier")
       .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey").as("nk"))
+    // Pinned grid discipline (see stChisq): unpinned, the lineitem scan
+    // + count grid replicated into every downstream branch — measured
+    // plan 72 Exchanges / 48 scans for a 75-row grid. Both checkpoints
+    // are O(|nations|·|flags|) at any scale.
     val seen = tbl(s, d, "lineitem").select(col("l_suppkey"), col("l_returnflag").as("rf"))
       .join(broadcast(sup), Seq("l_suppkey"))
       .groupBy(col("nk"), col("rf")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
     val cells = seen.select(col("nk")).distinct()
       .crossJoin(seen.select(col("rf")).distinct())
       .join(seen, Seq("nk", "rf"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
+      .localCheckpoint(true)
     val gT = cells.groupBy(col("nk")).agg(sum(col("o")).as("ng"))
     val cT = cells.groupBy(col("rf")).agg(sum(col("o")).as("oc"))
     val tot = cells.agg(sum(col("o")).as("nn"))

@@ -693,10 +693,17 @@ object TextAnalysis {
   private val BpeS2 = "\u0002"
   val BpeN = 30
 
-  /** (wrapped, freq) word-type histogram: one corpus scan. */
+  /** (wrapped, freq) word-type histogram: one corpus scan. Single-char
+    * word types are dropped at the source (r18 batch 2): a 1-symbol word
+    * contributes no adjacent pair to any round's count and no merge can
+    * ever apply to it (merges only shrink symbol counts), so carrying it
+    * through 30 rounds of split+explode+replace is pure dead weight —
+    * pair counts and the argmax sequence are unchanged by construction.
+    */
   private def bpeWords0(docs: DataFrame): DataFrame =
     docs.select(explode(pretokenize(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .where(length(col("w")) >= 2)
       .select(regexp_replace(col("w"), "(?s)(.)", s"$BpeS1$$1$BpeS2").as("wrapped"),
         col("freq"))
 
@@ -1075,7 +1082,24 @@ object TextAnalysis {
         .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
         .localCheckpoint(true))
 
-  val lmScore: Q = (s, d) => {
+  /** Per-doc bigram-LM scores WITHOUT the gate's output sort — the table
+    * [[withPpBucket]] consumes. Session-cached as materialized blocks
+    * (r18 batch 2): tx_pp_bucket and sp_quality_sample each re-derived
+    * the full scoring scan per reference — and the cuts-vs-rows fan-out
+    * inside ONE bucket call already replicated it 2× (measured plan per
+    * gate: 36 Exchanges / 16 scans) — where a CCNet-style production
+    * pipeline scores the corpus once per snapshot and every consumer
+    * (bucketing, sampling policy) reads the scored table, exactly the
+    * [[bigramCounts]] / lshLabels / tx_clf-weights precedent. tx_lm_score
+    * itself keeps scoring from the corpus per invocation — the gate is
+    * the scoring pass.
+    */
+  private val lmScoredCache = new graft.SessionCache[String]
+  private def lmScored(s: SparkSession, d: String): DataFrame =
+    lmScoredCache.getOrCompute(s, d)(
+      lmScoreOf(s, d).localCheckpoint(true))
+
+  private def lmScoreOf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val c2 = bigramCounts(s, d)
     val c1 = c2
@@ -1100,8 +1124,9 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"),
         round(avg(log(($"c2" + 1).cast("double") / ($"c1" + $"v").cast("double"))), 6)
           .as("lm_score"))
-      .orderBy($"doc_id")
   }
+
+  val lmScore: Q = (s, d) => lmScoreOf(s, d).orderBy(col("doc_id"))
   /** Shared CTE block for the bigram-LM oracles: training counts +
     * per-doc scoring as `lmsc(doc_id, n_bigrams, lm_score)` — reused by
     * tx_lm_score and tx_pp_bucket so the two gates cannot drift.
@@ -1209,7 +1234,7 @@ object TextAnalysis {
     */
   private def withPpBucket(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sc = lmScore(s, d).select($"doc_id", $"lm_score")
+    val sc = lmScored(s, d).select($"doc_id", $"lm_score")
     val cuts = sc.agg(
       round(expr("percentile(lm_score, CAST(1 AS DOUBLE)/3)"), 6).as("t1"),
       round(expr("percentile(lm_score, CAST(2 AS DOUBLE)/3)"), 6).as("t2"))
@@ -1282,6 +1307,18 @@ object TextAnalysis {
     */
   val t5Spans: Q = (s, d) => {
     import s.implicits._
+    // Single-stream shape (r18 batch 2, guide §2.4): the old plan split
+    // the exploded token stream into corrupt/clean branches and re-joined
+    // them — the md5-per-token derivation replicated 3× (measured plan:
+    // 6 scans / 10 Exchanges / 4 Windows). The sentinel index k needs no
+    // per-branch dense_rank: every corrupted block emits exactly one
+    // pib = off row (tokens are contiguous from 0, so if ANY pib ≥ off
+    // survives the block-length truncation, the off-token itself exists),
+    // so k = running count of sentinel rows up the doc − 1 — one window
+    // over the SAME doc_id key the final aggregation groups by, i.e. one
+    // exchange total. input and target then fold in ONE grouped pass via
+    // null-skipping collect_list. Identical strings by construction:
+    // dense_rank over corrupted blocks ≡ sentinel-row running count.
     val t = tbl(s, d, "documents")
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p", "tok")))
       .withColumn("b", expr("CAST(floor(p / 8.0) AS BIGINT)"))
@@ -1292,28 +1329,26 @@ object TextAnalysis {
       .withColumn("corrupt",
         ascii(substring($"h", 3, 1)) % 2 === 0 &&
         $"pib" >= $"off" && $"pib" < $"off" + $"len")
-    val c = t.where($"corrupt")
+      .withColumn("sentinel", $"corrupt" && $"pib" === $"off")
       .withColumn("k",
-        dense_rank().over(Window.partitionBy($"doc_id").orderBy($"b")) - 1)
-    val pieces = t.where(!$"corrupt")
-      .select($"doc_id", $"p", $"tok".as("piece"))
-      .unionByName(c.where($"pib" === $"off")
-        .select($"doc_id", $"p",
-          concat(lit("<extra_id_"), $"k", lit(">")).as("piece")))
-    val joined = expr(
-      "array_join(transform(array_sort(collect_list(struct(p, piece))), x -> x.piece), ' ')")
-    val input = pieces.groupBy($"doc_id").agg(joined.as("input"))
-    val target = c
-      .select($"doc_id", $"p", $"k",
-        when($"pib" === $"off",
-          concat(lit("<extra_id_"), $"k", lit("> "), $"tok"))
-          .otherwise($"tok").as("piece"))
-      .groupBy($"doc_id")
-      .agg(joined.as("target"), (max($"k") + 1).cast("long").as("n_spans"))
-    input.join(target, Seq("doc_id"), "left")
-      .select($"doc_id", $"input",
-        coalesce($"target", lit("")).as("target"),
-        coalesce($"n_spans", lit(0L)).as("n_spans"))
+        sum(when($"sentinel", 1L).otherwise(0L)).over(
+          Window.partitionBy($"doc_id").orderBy($"p")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+    val staged = t
+      .withColumn("in_piece", when(!$"corrupt", $"tok")
+        .when($"sentinel", concat(lit("<extra_id_"), $"k", lit(">"))))
+      .withColumn("tgt_piece",
+        when($"sentinel", concat(lit("<extra_id_"), $"k", lit("> "), $"tok"))
+          .when($"corrupt", $"tok"))
+    staged.groupBy($"doc_id")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(" +
+          "IF(isnotnull(in_piece), struct(p, in_piece), NULL))), " +
+          "x -> x.in_piece), ' ')").as("input"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "IF(isnotnull(tgt_piece), struct(p, tgt_piece), NULL))), " +
+          "x -> x.tgt_piece), ' ')").as("target"),
+        coalesce(max(when($"corrupt", $"k")) + 1, lit(0L)).cast("long").as("n_spans"))
       .orderBy($"doc_id")
   }
   val t5SpansSql: String =
