@@ -928,7 +928,14 @@ object Dedup {
                         fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    // Pinned (r18 batch 3): the eval gram set is referenced three times
+    // (sizing count, bloom build, exact-confirm join) and each unpinned
+    // reference re-ran the corpus scan + gram explode (measured: 4
+    // parquet scans for an eval-slice-sized set). Eval sets are bounded
+    // by construction — the broadcast-ability argument below already
+    // depends on that.
     val evalGrams = docNGrams(evalDocs, n).select(col("gram"))
+      .localCheckpoint(true)
     val expected = math.max(evalGrams.count(), 1L)
     // standard sizing: m = -n·ln(fpp)/ln(2)², same formula stat.bloomFilter used
     val numBits = math.max(64L,

@@ -1531,6 +1531,11 @@ object Relational {
       .join(broadcast(tbl(s, d, "nation").where($"n_regionkey" === 3)),
         $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey")
+    // Pinned (r18 batch 3): the scaladoc's "no second fact scan" claim
+    // was only true of the LOGICAL shape — `value` feeds both the total
+    // and the final filter, and unpinned, Catalyst replicated the
+    // lineitem scan + semi-join + aggregation into each branch (measured
+    // plan: 2 fact scans). The checkpoint is |parts|-bounded.
     val value = tbl(s, d, "lineitem")
       .select($"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
       .join(broadcast(elig), $"l_suppkey" === $"s_suppkey", "left_semi")
@@ -1538,6 +1543,7 @@ object Relational {
       .agg(sum(($"l_extendedprice".cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
           .cast("decimal(30,4)")).as("value"))
+      .localCheckpoint(true)
     val total = value.agg(sum($"value").as("total"))
     value.crossJoin(broadcast(total))
       .where($"value" * 1000 > $"total")
@@ -1687,6 +1693,11 @@ object Relational {
       .join(broadcast(elig.select($"s_suppkey")), $"l_suppkey" === $"s_suppkey", "left_semi")
       .groupBy($"l_partkey", $"l_suppkey")
       .agg(min($"l_extendedprice".cast("decimal(18,2)")).as("moff"))
+      // pinned (r18 batch 3): offers feeds the per-part min AND the
+      // equality rejoin — unpinned, the fact scan + filtered-part join +
+      // aggregation replicated into both branches; the table is bounded
+      // by (filtered parts × their suppliers)
+      .localCheckpoint(true)
     val mins = offers.groupBy($"l_partkey".as("pk")).agg(min($"moff").as("mn"))
     offers.join(mins, $"l_partkey" === $"pk" && $"moff" === $"mn")
       .join(broadcast(elig), $"l_suppkey" === $"s_suppkey")

@@ -89,15 +89,29 @@ object Retrieval {
     */
   private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // ONE fused per-doc aggregate (r18 batch 3, the dq_rules trick):
+    // dl and the three query-term tfs ride a single pass over the token
+    // explode instead of the old dl/stats/tf/df four-subtree fan-out
+    // (4 corpus explodes in the plan; 12 scans inside ix_hybrid). The
+    // stack() unpivot rebuilds the (doc_id, tok, tf) rows the scoring
+    // join consumed before — and carries dl with them, so the old
+    // dl-rejoin disappears too. perDoc is pinned: it is the per-snapshot
+    // doc-stats artifact of a production index (one narrow row per doc).
     val qterms = Seq("join", "hash", "scan")
     val tk = toks(s, d)
-    val dl = tk.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
-    val tf = tk.where($"tok".isin(qterms: _*))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val perDoc = tk.groupBy($"doc_id").agg(
+        count(lit(1)).as("dl"),
+        count(when($"tok" === qterms(0), 1)).as("tf0"),
+        count(when($"tok" === qterms(1), 1)).as("tf1"),
+        count(when($"tok" === qterms(2), 1)).as("tf2"))
+      .localCheckpoint(true)
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val tf = perDoc.select($"doc_id", $"dl",
+        expr(s"stack(3, '${qterms(0)}', tf0, '${qterms(1)}', tf1, " +
+          s"'${qterms(2)}', tf2) AS (tok, tf)"))
+      .where($"tf" > 0)
     val dfTbl = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfTbl), "tok")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
       .withColumn("idf", log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
@@ -415,16 +429,23 @@ object Retrieval {
     */
   val ixMlt: Q = (s, d) => {
     import s.implicits._
+    // tf and w are pinned (r18 batch 3): both are probe-domain-bounded
+    // (doc_id < 300 — O(300 × distinct terms) rows at ANY corpus size),
+    // yet tf fans into n_docs/df/w and w into norms/probes/dots, so the
+    // unpinned plan replicated the explode+count subtree ~6× (measured:
+    // 72 Exchanges / 24 scans). Two eager checkpoints collapse it.
     val tf = tbl(s, d, "documents")
       .where($"doc_id" < 300)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val nDocs = tf.select(countDistinct($"doc_id").as("n_docs"))
     val dfT = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     val w = tf.join(broadcast(dfT), Seq("tok")).crossJoin(broadcast(nDocs))
       .select($"doc_id", $"tok",
         round($"tf" * (log(($"n_docs" + 1).cast("double") / ($"df" + 1)) + 1), 6)
           .as("w"))
+      .localCheckpoint(true)
     val norms = w.groupBy($"doc_id")
       .agg(round(sqrt(sum($"w" * $"w")), 6).as("norm"))
     val probes = w.where($"doc_id" < 3)

@@ -528,12 +528,19 @@ object Sampling {
     */
   val domainMix: Q = (s, d) => {
     val capEpochs = 1.5
+    // Pinned (r18 batch 3): each waterfilling round references `cur`
+    // twice (per-round stats + re-allocation), so the unpinned corpus
+    // aggregate doubled per round — 2³ copies of the documents scan in
+    // the plan (measured: 47 Exchanges / 16 scans for a tens-of-rows
+    // table). One eager checkpoint of the O(domains) aggregate leaves
+    // the rounds duplicating only trivial in-memory scans.
     val toks = tbl(s, d, "documents").groupBy(col("source"))
       .agg(sum(col("n_chars")).as("tokens"))
       .withColumn("weight",
         expr("CAST((instr('0123456789abcdef', substr(md5(source), 1, 1)) - 1) % 4 AS DOUBLE)")
           + 1.0)
       .withColumn("cap", col("tokens").cast("double") * capEpochs)
+      .localCheckpoint(true)
     val tot = toks.agg(sum(col("tokens")).cast("double").as("budget"),
       sum(col("weight")).as("wsum"))
     var cur = toks.crossJoin(broadcast(tot))

@@ -249,9 +249,14 @@ object Stats {
     * Emits only event times (dᵢ > 0), the standard KM step function.
     */
   val stKm: Q = (s, d) => {
+    // users + byT pinned (r18 batch 3): users feeds horizon and the
+    // lifetime projection, byT feeds n0 and the final KM fold — each
+    // unpinned reference re-ran the orders scan + per-customer
+    // aggregation. Both tables are bounded (per-customer / per-duration).
     val users = tbl(s, d, "orders")
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
       .groupBy(col("o_custkey")).agg(min(col("day")).as("fst"), max(col("day")).as("lst"))
+      .localCheckpoint(true)
     val horizon = users.agg(max(col("lst")).as("maxd"))
     val lifet = users.crossJoin(broadcast(horizon))
       .select(datediff(col("lst"), col("fst")).cast("long").as("dur"),
@@ -259,6 +264,7 @@ object Stats {
     val byT = lifet.groupBy(col("dur")).agg(
       count(lit(1)).as("at_t"),
       sum(when(col("observed"), 1L).otherwise(0L)).as("deaths"))
+      .localCheckpoint(true)
     val n0 = byT.agg(sum(col("at_t")).as("n0"))
     val w = Window.orderBy(col("dur"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
