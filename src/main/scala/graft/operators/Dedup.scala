@@ -154,7 +154,11 @@ object Dedup {
 
   /** Exact n-gram Jaccard over a probe set: the LSH verify step. */
   val ngramJaccard: Q = (s, d) => {
+    // pinned (r18 batch 4): probe-bounded (30 docs) shingle set feeds
+    // the size aggregate and both self-join sides — 3 unpinned copies
+    // of the scan+explode+distinct subtree
     val sh = shingles(tbl(s, d, "documents").where(col("doc_id") < 30)).distinct()
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("doc_id").as("a"), col("sh"))
       .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))

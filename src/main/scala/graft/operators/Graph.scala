@@ -1652,16 +1652,33 @@ object Graph {
     // they leaked until the r13 audit)
     val lvls = scala.collection.mutable.ArrayBuffer(seed)
     var visited = seed.select(col("src"), col("node")).localCheckpoint()
+    // Saturation early-exit (r18 batch 4): once a frontier is EMPTY,
+    // every deeper level is empty by construction (it expands the empty
+    // frame) and visited cannot change — so the remaining rounds' join/
+    // anti-join/checkpoint jobs compute nothing. Re-using the empty
+    // checkpointed frame for the residual levels is result-identical
+    // (empty frames contribute no σ and no δ; the oracle's unrolled
+    // levels are empty CTEs past saturation too) and turns the fixed
+    // 6-level contract into "pay for the ball's true depth". The
+    // isEmpty probe reads one cached block of an already-checkpointed
+    // frame — no recompute.
+    var saturated = false
     for (_ <- 1 to levels) {
-      val exp = lvls.last.join(und, lvls.last("node") === und("x"))
-        .select(col("src"), col("y").as("node"), col("sigma"))
-      val nxt = exp.join(visited, Seq("src", "node"), "left_anti")
-        .groupBy(col("src"), col("node")).agg(sum(col("sigma")).as("sigma"))
-        .localCheckpoint()
-      lvls += nxt
-      val nextVisited = visited.union(nxt.select(col("src"), col("node"))).localCheckpoint()
-      CheckpointBridge.freeCheckpoint(visited)
-      visited = nextVisited
+      if (saturated) lvls += lvls.last
+      else {
+        val exp = lvls.last.join(und, lvls.last("node") === und("x"))
+          .select(col("src"), col("y").as("node"), col("sigma"))
+        val nxt = exp.join(visited, Seq("src", "node"), "left_anti")
+          .groupBy(col("src"), col("node")).agg(sum(col("sigma")).as("sigma"))
+          .localCheckpoint()
+        lvls += nxt
+        if (nxt.isEmpty) saturated = true
+        else {
+          val nextVisited = visited.union(nxt.select(col("src"), col("node"))).localCheckpoint()
+          CheckpointBridge.freeCheckpoint(visited)
+          visited = nextVisited
+        }
+      }
     }
     CheckpointBridge.freeCheckpoint(visited) // not read by the backward pass
     // backward: delta(level r) from delta(level r+1)
@@ -1669,20 +1686,27 @@ object Graph {
     val acc = scala.collection.mutable.ArrayBuffer(deeper)
     for (r <- (levels - 1) to 1 by -1) {
       val f = lvls(r)
-      val contrib = f.join(und, f("node") === und("x"))
-        .select(col("src"), col("node"), col("sigma"), col("y"))
-        .join(deeper.select(col("src"), col("node").as("y"),
-          col("sigma").as("wsig"), col("delta").as("wdelta")), Seq("src", "y"))
-      val sd = contrib
-        .withColumn("term", round(col("sigma").cast("double") / col("wsig") *
-          (lit(1.0) + col("wdelta")), 12).cast("decimal(30,12)"))
-        .groupBy(col("src"), col("node")).agg(sum(col("term")).as("sd"))
-      deeper = f.join(sd, Seq("src", "node"), "left")
-        .select(col("src"), col("node"), col("sigma"),
-          round(coalesce(col("sd"), lit(java.math.BigDecimal.ZERO)).cast("double"), 9)
-            .as("delta"))
-        .localCheckpoint()
-      acc += deeper
+      // a post-saturation level is the SAME empty checkpointed frame —
+      // its δ frame is empty too; skip the join/checkpoint jobs
+      if (r < levels && (f eq lvls(r + 1))) {
+        deeper = f.withColumn("delta", lit(0.0))
+        acc += deeper
+      } else {
+        val contrib = f.join(und, f("node") === und("x"))
+          .select(col("src"), col("node"), col("sigma"), col("y"))
+          .join(deeper.select(col("src"), col("node").as("y"),
+            col("sigma").as("wsig"), col("delta").as("wdelta")), Seq("src", "y"))
+        val sd = contrib
+          .withColumn("term", round(col("sigma").cast("double") / col("wsig") *
+            (lit(1.0) + col("wdelta")), 12).cast("decimal(30,12)"))
+          .groupBy(col("src"), col("node")).agg(sum(col("term")).as("sd"))
+        deeper = f.join(sd, Seq("src", "node"), "left")
+          .select(col("src"), col("node"), col("sigma"),
+            round(coalesce(col("sd"), lit(java.math.BigDecimal.ZERO)).cast("double"), 9)
+              .as("delta"))
+          .localCheckpoint()
+        acc += deeper
+      }
     }
     // materialize the O(ball-nodes) result eagerly, then free every
     // level/delta checkpoint — returning lazily would pin levels+1

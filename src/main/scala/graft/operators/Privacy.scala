@@ -131,8 +131,13 @@ object Privacy {
     val docs = tbl(s, d, "documents")
       .select(col("lang"), col("source"),
         expr("n_chars div 100").as("b0"), expr("n_chars div 400").as("b1"))
+    // c0/c1 pinned (r18 batch 4): each equivalence-class grid feeds two
+    // consumers (pass level + risky/suppressed overflow) — unpinned,
+    // the documents scan + aggregation replicated per branch; both
+    // grids are O(classes)
     val c0 = docs.groupBy(col("lang"), col("source"), col("b0"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val level0 = c0.where(col("n") >= k)
       .select(lit(0L).as("level"), col("lang"), col("source"),
         concat(col("b0") * 100, lit("-"), col("b0") * 100 + 99).as("len_range"),
@@ -142,6 +147,7 @@ object Privacy {
       Seq("lang", "source", "b0"))
     val c1 = risky.groupBy(col("lang"), col("source"), col("b1"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val level1 = c1.where(col("n") >= k)
       .select(lit(1L).as("level"), col("lang"), col("source"),
         concat(col("b1") * 400, lit("-"), col("b1") * 400 + 399).as("len_range"),
@@ -423,8 +429,11 @@ object Privacy {
   val tCloseness: Q = (s, d) => {
     val docs = tbl(s, d, "documents")
       .select(col("lang"), expr("n_chars div 100").as("b0"), col("source"))
+    // cells pinned (r18 batch 4): the O(grid) cell counts feed the class
+    // totals AND the distance join — unpinned, two documents scans + aggs
     val cells = docs.groupBy(col("lang"), col("b0"), col("source"))
       .agg(count(lit(1)).as("a"))
+      .localCheckpoint(true)
     val cls = cells.groupBy(col("lang"), col("b0")).agg(sum(col("a")).as("n"))
     val glob = docs.groupBy(col("source")).agg(count(lit(1)).as("b"))
     val tot = glob.agg(sum(col("b")).as("nn"))

@@ -229,7 +229,11 @@ object Sampling {
     */
   val temperature: Q = (s, d) => {
     import s.implicits._
+    // pinned (r18 batch 4): the O(langs) count grid feeds the total and
+    // the weight projection (which itself fans into the pw sum and the
+    // final select) — unpinned, the documents scan ran up to 4×
     val c = tbl(s, d, "documents").groupBy($"lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val t = c.agg(sum($"n").as("total"))
     val w = c.crossJoin(broadcast(t))
       .withColumn("share", $"n" / $"total")

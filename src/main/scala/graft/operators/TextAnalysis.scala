@@ -294,10 +294,14 @@ object TextAnalysis {
   val tfidf: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // tf pinned (r18 batch 4, the ix_mlt fix): probe-bounded
+    // (doc_id < 300) term-frequency table feeds n_docs/df/scored — 3
+    // unpinned copies of the explode+count subtree
     val tf = tbl(s, d, "documents")
       .where($"doc_id" < 300)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val nDocs = tf.select(countDistinct($"doc_id").as("n_docs"))
     val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), Seq("tok")).crossJoin(broadcast(nDocs))

@@ -30,18 +30,28 @@ object TimeSeries {
 
   /** Daily event counts with a 0-based day index — the shared head of
     * every gate. One shuffle; output O(days).
+    *
+    * Session-cached as materialized blocks (r18 batch 4): eight ts_
+    * gates each re-ran the events scan + daily aggregation per pass —
+    * and most reference the series twice inside one plan (stats +
+    * scored fan-out), doubling it again — for a 30-row table a
+    * production time-series stack materializes once per snapshot (the
+    * bigramCounts / lshLabels precedent).
     */
-  private def dailyIdx(s: SparkSession, d: String): DataFrame = {
-    val ev = tbl(s, d, "events")
-    val day: Column = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        to_date(timestamp_micros(expr("ts div 1000")))
-      case _ => to_date(col("ts"))
+  private val dailyIdxCache = new graft.SessionCache[String]
+  private def dailyIdx(s: SparkSession, d: String): DataFrame =
+    dailyIdxCache.getOrCompute(s, d) {
+      val ev = tbl(s, d, "events")
+      val day: Column = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          to_date(timestamp_micros(expr("ts div 1000")))
+        case _ => to_date(col("ts"))
+      }
+      ev.select(day.as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n"))
+        .withColumn("t", row_number().over(Window.orderBy(col("day"))) - 1)
+        .localCheckpoint(true)
     }
-    ev.select(day.as("day"))
-      .groupBy(col("day")).agg(count(lit(1)).as("n"))
-      .withColumn("t", row_number().over(Window.orderBy(col("day"))) - 1)
-  }
 
   private val dailyIdxSql =
     """daily AS (
