@@ -917,7 +917,11 @@ object Temporal {
     val events = tbl(s, d, "events")
     val ev = events.select($"user_id", $"value",
       trunc(eventDay(events), "week").as("week"))
+    // cohorts pinned (r18 batch 4): feeds the cohort-size aggregate AND
+    // the per-event join — unpinned, the events scan + per-user min ran
+    // twice; the table is per-user-bounded
     val cohorts = ev.groupBy($"user_id").agg(min($"week").as("cohort"))
+      .localCheckpoint(true)
     val sizes = cohorts.groupBy($"cohort").agg(count(lit(1)).as("cohort_users"))
     val cells = ev.join(cohorts, "user_id")
       // both dates are week-truncated Mondays, so the day gap is an exact
