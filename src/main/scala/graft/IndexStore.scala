@@ -174,7 +174,9 @@ object IndexStore {
         // re-check under the cross-process lock: another JVM may have
         // committed — or GC-deleted a tombstoned dir — while we waited
         if (!success.exists()) {
-          build.write.mode(SaveMode.Overwrite).parquet(dir.getAbsolutePath)
+          ArtifactLedger.timed(family) {
+            build.write.mode(SaveMode.Overwrite).parquet(dir.getAbsolutePath)
+          }
           java.nio.file.Files.write(new java.io.File(dir, "_FAMILY").toPath,
             family.getBytes("UTF-8"))
           gcOldGenerations(family, keep = dir)
@@ -235,12 +237,14 @@ object IndexStore {
           s.sql(s"DROP TABLE IF EXISTS $table")
           // one file per bucket: bucketBy alone writes one file per
           // (task, bucket) pair — task-count × nBuckets small files
-          build.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
-            .write.mode(SaveMode.Overwrite)
-            .option("path", dir.getAbsolutePath)
-            .bucketBy(nBuckets, bucketCol)
-            .format("parquet")
-            .saveAsTable(table)
+          ArtifactLedger.timed(family) {
+            build.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+              .write.mode(SaveMode.Overwrite)
+              .option("path", dir.getAbsolutePath)
+              .bucketBy(nBuckets, bucketCol)
+              .format("parquet")
+              .saveAsTable(table)
+          }
           // The bucket spec is physical layout, not metadata: committed
           // files are only readable as a bucketed table under the EXACT
           // (nBuckets, bucketCol) they were written with. Persist it so

@@ -15,7 +15,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.Relational.tpchQ1(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * NOTE on leaked pins: many builders return an eagerly checkpointed
+    * frame (iterative finals, fan-out pins) that the operator cannot free
+    * itself. Sequential consumers (Bench) reclaim them between runs via
+    * [[BlockJanitor.sweep]]; the sweep deliberately does NOT live here —
+    * Verify consumes these builders from 8 concurrent threads, where a
+    * sweep triggered by one gate's build would free a sibling's blocks
+    * mid-write.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ hypermap.HypermapQueries.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++

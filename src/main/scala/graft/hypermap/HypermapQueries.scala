@@ -26,7 +26,7 @@ object HypermapQueries {
     * fixed plan work in each bench entry. Caching truncates the lineage so
     * downstream plans (fold, pagination) start from the materialized rows.
     */
-  private val decodedCache = new graft.SessionCache[Unit]
+  private val decodedCache = new graft.SessionCache[Unit]("hm_decoded")
   private def pipeline(s: SparkSession): DataFrame =
     decodedCache.getOrCompute(s, ())(
       Decode.decode(Fixtures.toDF(s,
@@ -204,7 +204,7 @@ object HypermapQueries {
     * (temp dirs + two streaming queries, ~5 s); verify's parallel dump
     * and bench both reuse the one materialized result.
     */
-  private val replayCache = new graft.SessionCache[Unit]
+  private val replayCache = new graft.SessionCache[Unit]("hm_replay")
   val entriesReplay: Q = (s, _) => {
     import s.implicits._
     val streamed = replayCache.getOrCompute(s, ()) {
@@ -259,7 +259,7 @@ object HypermapQueries {
     * (docs/SANITY_CHECKS.md:9-11). Memoized per session like the
     * replay gate — the fetch is a side-effecting fixture build.
     */
-  private val rpcCache = new graft.SessionCache[Unit]
+  private val rpcCache = new graft.SessionCache[Unit]("hm_rpc")
   val rpcExtract: Q = (s, _) => {
     import s.implicits._
     val decoded = rpcCache.getOrCompute(s, ()) {

@@ -1514,7 +1514,7 @@ object Dedup {
     * from LSH candidates and this exact-containment verify runs on
     * candidates only (dd_ngram_jaccard's documented path).
     */
-  private val contCache = new graft.SessionCache[String]
+  private val contCache = new graft.SessionCache[String]("dd_containment")
   def containmentTable(s: SparkSession, d: String): DataFrame =
     contCache.getOrCompute(s, d) {
       val sh = shingles(tbl(s, d, "documents").where(col("doc_id") < 30)).distinct()

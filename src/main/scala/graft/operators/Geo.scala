@@ -645,7 +645,7 @@ object Geo {
     * the star-CC contraction loop. localCheckpoint(eager) pins the
     * labels; the loop's lineage is dropped with it.
     */
-  private val dbCoreLabCache = new graft.SessionCache[String]
+  private val dbCoreLabCache = new graft.SessionCache[String]("geo_dbscan_labels")
   private def cachedCoreLab(s: SparkSession, d: String): DataFrame =
     dbCoreLabCache.getOrCompute(s, d) {
       val pairs = dbPairs(s, d)

@@ -298,7 +298,7 @@ object Graph {
     * incremental fold then costs only the O(|batch|) cluster-graph CC,
     * never a rebuild of the seed labels.
     */
-  private val seedLabelCache = new graft.SessionCache[String]
+  private val seedLabelCache = new graft.SessionCache[String]("gr_seed_labels")
   private def seedLabels(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     seedLabelCache.getOrCompute(s, d)(
@@ -313,7 +313,7 @@ object Graph {
     * so the cache holds materialized blocks, not lineage. Same precedent
     * as HypermapQueries.decodedCache.
     */
-  private val labelCache = new graft.SessionCache[String]
+  private val labelCache = new graft.SessionCache[String]("gr_lsh_labels")
   private[operators] def lshLabels(s: SparkSession, d: String): DataFrame =
     labelCache.getOrCompute(s, d)(connectedComponents(lshPairGraph(s, d)))
 
@@ -324,7 +324,7 @@ object Graph {
     * metric would triple the dominant cost. Eager localCheckpoint so the
     * cache holds blocks, not lineage (labelCache discipline).
     */
-  private val pairsCache = new graft.SessionCache[String]
+  private val pairsCache = new graft.SessionCache[String]("gr_lsh_pairs")
   private def lshPairGraph(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrCompute(s, d)(Dedup.lshPairs(s, d).localCheckpoint())
 
@@ -642,7 +642,7 @@ object Graph {
     * corpus snapshot (labelPropagation already returns an eager
     * checkpoint, so the cache holds blocks, not lineage).
     */
-  private val lpaCache = new graft.SessionCache[String]
+  private val lpaCache = new graft.SessionCache[String]("gr_lpa_labels")
   private def lshLpaLabels(s: SparkSession, d: String): DataFrame =
     lpaCache.getOrCompute(s, d)(labelPropagation(lshPairGraph(s, d)))
 

@@ -58,8 +58,8 @@ object Learn {
     * session serves both gates; everything downstream reads the pinned
     * label×vocab count table (bounded — ~vocab·|langs| rows).
     */
-  private val nbCtokCache = new graft.SessionCache[String]
-  private val nbPriorCache = new graft.SessionCache[String]
+  private val nbCtokCache = new graft.SessionCache[String]("ml_nb_ctok")
+  private val nbPriorCache = new graft.SessionCache[String]("ml_nb_prior")
 
   def nbScores(s: SparkSession, d: String): DataFrame = {
     val docs = tbl(s, d, "documents")

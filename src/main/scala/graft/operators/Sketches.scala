@@ -136,7 +136,7 @@ object Sketches {
     * and any number of point lookups read the one materialized 8 KiB
     * artifact instead of re-exploding the corpus.
     */
-  private val cmsCache = new graft.SessionCache[String]
+  private val cmsCache = new graft.SessionCache[String]("sk_cms")
   private def cachedCms(s: SparkSession, d: String): DataFrame =
     cmsCache.getOrCompute(s, d)(
       cmsCells(corpusTokens(s, d)).localCheckpoint(true))

@@ -484,7 +484,7 @@ object TextAnalysis {
     * artifact exactly like the feature table they derive from (the
     * lshPairs / bipartite-edge precedent). 65 rows, eagerly pinned.
     */
-  private val clfWeightCache = new graft.SessionCache[String]
+  private val clfWeightCache = new graft.SessionCache[String]("tx_clf_weights")
   private def trainedW(s: SparkSession, d: String,
                        feats: DataFrame, labels: DataFrame): DataFrame =
     clfWeightCache.getOrCompute(s, d)(
@@ -497,8 +497,8 @@ object TextAnalysis {
       .agg(round(lit(1.0) / (lit(1.0) + exp(-sum(col("x") * col("w")))), 6)
         .as("clf_score"))
 
-  private val clfCache = new graft.SessionCache[String]
-  private val clfLabelCache = new graft.SessionCache[String]
+  private val clfCache = new graft.SessionCache[String]("tx_clf_features")
+  private val clfLabelCache = new graft.SessionCache[String]("tx_clf_labels")
   val clfScore: Q = (s, d) => {
     val feats = clfCache.getOrCompute(s, d)(
       clfFeatures(tbl(s, d, "documents")).localCheckpoint(true))
@@ -1079,7 +1079,7 @@ object TextAnalysis {
         slice(col("toks"), lit(2), size(col("toks")) - 1))).as("z"))
       .select(col("doc_id"), concat(col("z.0"), lit(" "), col("z.1")).as("bg"))
 
-  private val lmCache = new graft.SessionCache[String]
+  private val lmCache = new graft.SessionCache[String]("tx_lm_model")
   private def bigramCounts(s: SparkSession, d: String): DataFrame =
     lmCache.getOrCompute(s, d)(
       bigramsOf(tbl(s, d, "documents"))
@@ -1098,7 +1098,7 @@ object TextAnalysis {
     * itself keeps scoring from the corpus per invocation — the gate is
     * the scoring pass.
     */
-  private val lmScoredCache = new graft.SessionCache[String]
+  private val lmScoredCache = new graft.SessionCache[String]("tx_lm_scored")
   private def lmScored(s: SparkSession, d: String): DataFrame =
     lmScoredCache.getOrCompute(s, d)(
       lmScoreOf(s, d).localCheckpoint(true))

@@ -38,7 +38,7 @@ object TimeSeries {
     * production time-series stack materializes once per snapshot (the
     * bigramCounts / lshLabels precedent).
     */
-  private val dailyIdxCache = new graft.SessionCache[String]
+  private val dailyIdxCache = new graft.SessionCache[String]("ts_daily_idx")
   private def dailyIdx(s: SparkSession, d: String): DataFrame =
     dailyIdxCache.getOrCompute(s, d) {
       val ev = tbl(s, d, "events")

@@ -38,4 +38,17 @@ object CheckpointBridge {
     */
   def freeCheckpoint(ds: Dataset[_]): Unit =
     checkpointedRdd(ds).foreach(_.unpersist(blocking = false))
+
+  /** EVERY locally-checkpointed RDD a Dataset's plan reads — not just a
+    * root LogicalRDD: cached artifacts are typically a Project/Filter
+    * over their checkpoint (or join several), and [[graft.BlockJanitor]]
+    * must protect each underlying block set, not only root-shaped plans.
+    * Subqueries included for completeness (scalar-subquery pins).
+    */
+  def checkpointedRdds(ds: Dataset[_]): Seq[RDD[_]] =
+    ds.queryExecution.analyzed.collectWithSubqueries {
+      case l: LogicalRDD
+          if org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(l.rdd) =>
+        l.rdd
+    }
 }
